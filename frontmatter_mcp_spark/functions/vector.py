@@ -1,0 +1,57 @@
+"""Vector kernels as Catalyst column expressions (JVM-side, no Python UDF).
+
+The reference exposes DuckDB's VSS functions ``array_cosine_similarity``
+and ``array_cosine_distance`` inside user SQL
+(reference: src/frontmatter_mcp/semantic/query.py:24-25, README.md:320-333).
+Spark has no vector builtin, so we build the kernels from higher-order
+functions — ``zip_with`` + ``aggregate`` stay inside whole-stage codegen
+and vectorize fine at 100 TB scale, unlike a row-at-a-time Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _to_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Elementwise dot product of two numeric array columns (double)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision; NULL if either side is NULL."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def exact_dot_product(a: Column, b: Column, scale: int = 12) -> Column:
+    """Order-independent dot product: per-element double products are cast
+    to DECIMAL before the exact decimal sum, so the result is bit-identical
+    regardless of parallelism/accumulation order (needed when an external
+    oracle must hash-match us; double fold order is engine-dependent).
+    """
+    prods = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)
+    dec = F.transform(prods, lambda x: x.cast(f"decimal(30,{scale})"))
+    zero = F.lit(0).cast(f"decimal(38,{scale})")
+    return F.aggregate(dec, zero, lambda acc, x: acc + x)
+
+
+def exact_cosine_similarity(a: Column, b: Column, scale: int = 12) -> Column:
+    """Cross-engine-deterministic cosine similarity (see exact_dot_product)."""
+    dot = exact_dot_product(a, b, scale).cast("double")
+    na = F.sqrt(exact_dot_product(a, a, scale).cast("double"))
+    nb = F.sqrt(exact_dot_product(b, b, scale).cast("double"))
+    return dot / (na * nb)

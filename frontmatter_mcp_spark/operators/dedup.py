@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- **exact**: md5-groupBy — one shuffle on a 16-byte key, map-side partial
+  aggregation; the canonical first pass of any dedup pipeline.
+- **MinHash + LSH**: shingle -> k minhashes -> band buckets -> bucket
+  join. Cost is linear in corpus size; the candidate join shuffles on the
+  band-bucket key only, never all-pairs. Hash = md5 keyed by hash index,
+  so signatures are deterministic and engine-portable (no seed tables to
+  ship; md5 is built into every engine).
+- **SimHash**: per-bit keyed md5 votes; a narrow map + one groupBy
+  (doc_id) — near-duplicate docs land on the same / hamming-close
+  signature.
+- **n-gram Jaccard**: exact verification for candidate pairs. The
+  self-join on shingles is document-frequency-capped (stop-shingles with
+  df > max_df are dropped) which both bounds skew at scale and removes
+  uninformative shingles.
+
+All expressions are built-in Catalyst functions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-group exact duplicates: one row per distinct content hash with
+    the group size and the keeper (minimum id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_fp"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined).
+
+    Built from n shifted `slice`s folded with `zip_with`, NOT from
+    per-index `element_at` in a `transform` lambda: Catalyst does no
+    common-subexpression elimination inside higher-order-function lambdas,
+    so an element_at formulation re-evaluates the whole tokenizer subtree
+    for every array element (measured ~10x slower). Here the tokenizer
+    runs n times per row, independent of document length.
+
+    Docs with fewer than n tokens yield an empty array.
+    """
+    toks = F.split(F.trim(text), r"\s+", -1)
+    k = F.size(toks)
+    m = k - (n - 1)  # number of shingles
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(k >= n, F.array_distinct(acc)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: columns sig_0..sig_{k-1}.
+
+    Minhash h = min over shingles of a keyed md5 prefix (lexicographic min
+    of 16 hex chars == min over a uniform 64-bit hash) — deterministic and
+    engine-portable, no seed tables to ship.
+
+    Formulated as explode -> groupBy(id) with k MIN aggregates: each md5
+    is computed exactly once, partial (map-side) aggregation reduces every
+    partition to one k-tuple per doc before the shuffle, so the exchange
+    carries O(docs), not O(shingles).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_shingle"),
+    )
+    return sh.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_shingles"),
+        *[
+            F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{h}|"), F.col("_shingle"))), 1, 16)
+            ).alias(f"sig_{h}")
+            for h in range(num_hashes)
+        ],
+    )
+
+
+def lsh_band_buckets(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature: bucket id = md5 of the band's concatenated
+    minhashes. Docs sharing any band bucket are near-dup candidates."""
+    rows_per_band = num_hashes // bands
+    cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
+            )
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: distinct (id_a < id_b) pairs that
+    collide in at least one band. The join key is (band, bucket) so the
+    shuffle volume is O(corpus), not O(corpus^2)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    bb = lsh_band_buckets(sigs, id_col, num_hashes, bands)
+    a = bb.withColumnRenamed(id_col, "id_a")
+    b = bb.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash signature as a bit string column ``simhash``.
+
+    Bit j of a token is keyed-md5-derived (first hex char >= '8' == the
+    top bit of a uniform hash); the signature bit is the sign of the
+    +1/-1 vote sum over the distinct token set.
+
+    Explode + groupBy formulation for the same reason as
+    minhash_signatures: each of the bits*tokens md5 calls runs exactly
+    once, and map-side partial aggregation collapses the shuffle to one
+    row per doc.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("_tok"))), 1, 1)
+                    >= "8",
+                    1,
+                ).otherwise(-1)
+            ).alias(f"_v{j}")
+            for j in range(bits)
+        ]
+    )
+    bits_cols = [
+        F.when(F.col(f"_v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)
+    ]
+    return votes.select(F.col(id_col), F.concat(*bits_cols).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+    max_df: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above a threshold.
+
+    Pipeline: distinct shingles per doc -> drop stop-shingles (document
+    frequency > max_df; kills both join skew and uninformative grams) ->
+    self-join on shingle -> per-pair intersection counts -> Jaccard from
+    the (pre-filter) shingle-set sizes.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
+    # shuffle join on the shingle key (dfreq is corpus-sized — NOT broadcastable
+    # at scale); the df-cap keeps any one shingle's partition bounded
+    filtered = sh.join(dfreq.filter(F.col("df_count") <= max_df), "shingle")
+    a = filtered.select(F.col(id_col).alias("id_a"), "shingle")
+    b = filtered.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))

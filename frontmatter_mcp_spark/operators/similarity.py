@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB pipeline needs:
+- **brute-force cosine top-k** — exact; query side is broadcast, the
+  candidate scan is embarrassingly parallel, per-partition top-k via a
+  ranking window on the (small) query key.
+- **IVF-style partitioned top-k** — a coarse quantizer (here: per-label
+  centroids, computed exactly in-engine; swap in k-means centroids at
+  scale) prunes the candidate scan to the `nprobe` nearest partitions.
+  On a real cluster the embedding table is bucketed/partitioned by the
+  coarse cell id so pruning becomes partition pruning at the source.
+
+Kernels are Catalyst higher-order functions (functions.vector) — JVM
+codegen, no Python. Cross-engine note: Spark's `aggregate` and DuckDB's
+`list_sum` are both sequential left folds, measured bit-identical on this
+data, so oracles can compare unrounded doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+from frontmatter_mcp_spark.functions.vector import cosine_similarity
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    cand_id: str = "cid",
+    query_vec: str = "qvec",
+    cand_vec: str = "cvec",
+) -> DataFrame:
+    """Exact brute-force top-k: broadcast the query side, scan candidates
+    once, rank per query. Ties broken by candidate id for determinism."""
+    pairs = candidates.crossJoin(F.broadcast(queries)).withColumn(
+        "sim", cosine_similarity(F.col(query_vec), F.col(cand_vec))
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(cand_id))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "sim", "rank")
+    )
+
+
+def label_centroids(embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Exact per-label centroid: posexplode -> order-independent mean per
+    dimension -> reassemble ordered array. Acts as the IVF coarse
+    quantizer. The mean sums a *sorted* value list with a sequential
+    double fold: deterministic under any partitioning (and bit-identical
+    to an external oracle doing the same — decimal rounding is avoided
+    because float32 values can land exactly on decimal rounding ties,
+    which HALF_UP vs HALF_EVEN engines break differently)."""
+    dims = embeddings.select(
+        label_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+    )
+    means = dims.groupBy(label_col, "pos").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("v")), F.lit(0.0), lambda acc, x: acc + x
+            )
+            / F.count("*")
+        ).alias("mean_v")
+    )
+    return (
+        means.groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
+                lambda s: s["mean_v"],
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-pruned top-k: rank coarse cells (label centroids) per query,
+    keep `nprobe`, then exact cosine only within those cells.
+
+    The probe-set join key is the cell id; with the embedding table
+    bucketed by cell this is a co-located join with no candidate shuffle.
+    """
+    cents = label_centroids(embeddings, label_col, cand_vec)
+    probe = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", cosine_similarity(F.col(query_vec), F.col("centroid")))
+    )
+    wp = W.partitionBy(query_id).orderBy(F.desc("cent_sim"), F.asc(label_col))
+    probed = (
+        probe.withColumn("cell_rank", F.row_number().over(wp))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(query_id, query_vec, label_col)
+    )
+    pairs = embeddings.join(F.broadcast(probed), label_col).withColumn(
+        "sim", cosine_similarity(F.col(query_vec), F.col(cand_vec))
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(cand_id))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "sim", "rank")
+    )
+
+
+def neardup_pairs_by_cosine(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all pairs within a blocking key
+    with cosine >= threshold. Blocking (here the IVF cell / label) keeps
+    the join from being all-pairs; at scale the block is the LSH or IVF
+    cell id."""
+    a = embeddings.select(
+        F.col(block_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(block_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select(block_col, "id_a", "id_b", "sim")
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+All operators are pure Catalyst column expressions (no Python UDFs), so
+they run inside whole-stage codegen and scale linearly with executors —
+a narrow map stage over the documents table, no shuffle.
+
+These extend the reference surface (which has no text ops of its own —
+its only text processing is the frontmatter/body split at
+src/frontmatter_mcp/semantic/indexer.py:134-148) to what a 100 TB
+training-data pipeline needs: token stats, language ID, quality scoring,
+document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# small multilingual stopword seeds for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings removed."""
+    return F.filter(F.split(F.trim(text), r"\s+", -1), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length in double precision (exact int division)."""
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.size(toks)
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters or spaces."""
+    stripped = F.regexp_replace(text, "[^A-Za-z ]", "")
+    return F.length(stripped).cast("double") / F.length(text)
+
+
+def _in_set(words: list[str]):
+    # closure factory: a default-arg lambda would change the visible arity
+    # and PySpark's higher-order functions dispatch on lambda arity
+    return lambda t: t.isin(*words)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-voting language heuristic: the language whose stopword set
+    scores the most token hits wins; 'und' (undetermined) when no hits.
+
+    A production pipeline swaps this for a per-batch fastText/CLD3 pandas
+    UDF; the Spark plumbing (narrow map over text) is identical.
+    """
+    toks = tokens(F.lower(text))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, _in_set(sw))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scored)  # struct compare: by score, then lang desc
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band + alpha ratio +
+    lexical diversity (type/token ratio), equally weighted.
+    Deterministic arithmetic only (no randomness, no floats folded in
+    engine-dependent order)."""
+    n_tok = token_count(text).cast("double")
+    length_band = (
+        F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(1.0))
+        .when(n_tok > 1000, F.lit(0.5))
+        .otherwise(n_tok / 10.0)
+    )
+    diversity = distinct_token_count(text).cast("double") / n_tok
+    return F.round((length_band + alpha_ratio(text) + diversity) / 3.0, 6)
+
+
+def bow_fingerprint(text: Column) -> Column:
+    """Order-insensitive bag-of-words fingerprint: md5 of the sorted
+    distinct token set. Collapses token-order-shuffled duplicates that an
+    exact-hash dedup misses."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(text)))), " ")
+    )
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass per-document text profile (narrow map, no shuffle)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_distinct_tokens"),
+        F.length(t).cast("int").alias("n_chars_actual"),
+        F.round(avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        bow_fingerprint(t).alias("bow_fp"),
+    )

@@ -1,0 +1,57 @@
+"""Loaders for the driver's synthetic sf tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet each under an sf dir.
+
+Scale notes (100 TB design):
+- loads are plain ``spark.read.parquet`` scans so Catalyst keeps filter
+  pushdown / column pruning / partition pruning;
+- the only normalization is events.ts (written as TIMESTAMP(NANOS),
+  which Spark reads as long under ``nanosAsLong``) — a narrow map, no
+  shuffle;
+- ``register_views`` exposes the tables as temp views so arbitrary
+  Spark SQL (the engine's passthrough contract, reference query.py:72)
+  works against them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one sf table; normalizes events.ts nanos->timestamp_ntz."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos -> micros (truncating), matching how DuckDB/Arrow read
+        # TIMESTAMP(NANOS) into microsecond timestamps
+        # integer division — ts/1000 in double would lose precision above 2^53
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every sf table as a temp view of the same name."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

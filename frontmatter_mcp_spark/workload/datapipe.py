@@ -1,0 +1,399 @@
+"""Training-data pipeline workload: dedup, text analysis, similarity.
+
+Every query wraps an operator from frontmatter_mcp_spark.operators and
+carries a DuckDB oracle that recomputes the same math in SQL. Hash
+functions are md5-keyed (portable across engines); floating-point paths
+are either order-independent (decimal-exact) or verified bit-identical
+sequential folds (see operators.similarity docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from frontmatter_mcp_spark.operators import dedup as dd
+from frontmatter_mcp_spark.operators import similarity as sim
+from frontmatter_mcp_spark.operators import text as tx
+from frontmatter_mcp_spark.tables import load_table
+from frontmatter_mcp_spark.workload.registry import register
+
+# ---------------------------------------------------------------------------
+# shared DuckDB oracle fragments
+# ---------------------------------------------------------------------------
+
+# distinct word-3gram shingles per doc (matches operators.dedup.word_shingles)
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+)
+"""
+
+_NUM_HASHES = 8
+_BANDS = 4
+
+
+def _sig_exprs() -> str:
+    return ",\n           ".join(
+        f"MIN(substr(md5('{h}|' || shingle), 1, 16)) AS sig_{h}" for h in range(_NUM_HASHES)
+    )
+
+
+def _minhash_sig_sql() -> str:
+    return f"""
+    WITH {_SHINGLES_CTE}
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_shingles,
+           {_sig_exprs()}
+    FROM sh GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# q30 — exact dedup: content-hash groups
+# ---------------------------------------------------------------------------
+@register(
+    "q30_dedup_exact",
+    """
+    SELECT md5(text) AS content_fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup: md5 groupBy (one shuffle on a 16-byte key)",
+)
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(d, "doc_id", "text").withColumnRenamed(
+        "keeper_doc_id", "keeper_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — minhash signatures (engine-portable keyed-md5 minhash)
+# ---------------------------------------------------------------------------
+@register(
+    "q31_minhash_signatures",
+    _minhash_sig_sql(),
+    doc="MinHash signatures: k keyed-md5 min-hashes over word-3gram shingles",
+)
+def q31_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_signatures(d, "doc_id", "text", num_hashes=_NUM_HASHES)
+
+
+# ---------------------------------------------------------------------------
+# q32 — LSH candidate pairs (band-bucket collision join)
+# ---------------------------------------------------------------------------
+def _lsh_pairs_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    bb AS ({band_rows})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "q32_lsh_candidates",
+    _lsh_pairs_sql(),
+    doc="MinHash-LSH: near-dup candidate pairs via band-bucket collisions "
+    "(shuffle is O(corpus) on the bucket key, never all-pairs)",
+)
+def q32_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
+
+
+# ---------------------------------------------------------------------------
+# q33 — exact n-gram Jaccard near-dup pairs (verification pass)
+# ---------------------------------------------------------------------------
+_JACCARD_THRESHOLD = 0.4
+_MAX_DF = 50
+
+
+@register(
+    "q33_ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    dfreq AS (SELECT shingle, COUNT(*) AS df_count FROM sh GROUP BY 1),
+    f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+          WHERE dfreq.df_count <= {_MAX_DF}),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common) >= {_JACCARD_THRESHOLD}
+    """,
+    doc="exact n-gram Jaccard pairs >= 0.4 (df-capped shingle self-join)",
+)
+def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — SimHash signatures
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS = 32
+
+
+def _simhash_sql() -> str:
+    bit_cases = ", ".join(
+        f"""CASE WHEN list_sum(list_transform(toks, t ->
+             CASE WHEN substr(md5('{j}|' || t), 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+           THEN '1' ELSE '0' END"""
+        for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+    SELECT doc_id, concat({bit_cases}) AS simhash
+    FROM (SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+          FROM documents)
+    """
+
+
+@register(
+    "q34_simhash",
+    _simhash_sql(),
+    doc="SimHash: 32-bit per-doc signature from keyed-md5 bit votes (narrow map)",
+)
+def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+# ---------------------------------------------------------------------------
+# q35 — text profile: token stats, language ID, quality, fingerprint
+# ---------------------------------------------------------------------------
+def _text_profile_sql() -> str:
+    langs = sorted(tx.LANG_STOPWORDS)  # de, en, es, fr
+    score_exprs = ", ".join(
+        "len(list_filter(ltoks, t -> list_contains({lst}, t))) AS s_{lang}".format(
+            lst="[" + ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS[lang]) + "]",
+            lang=lang,
+        )
+        for lang in langs
+    )
+    # ties pick the lexicographically largest language (matches Spark's
+    # array_max over (score, lang) structs)
+    ordered = sorted(langs, reverse=True)
+    lang_case = (
+        "CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und' "
+        + " ".join(
+            f"WHEN s_{lang} = greatest(s_de, s_en, s_es, s_fr) THEN '{lang}'"
+            for lang in ordered
+        )
+        + " END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS ltoks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, toks, ltoks,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text) AS alpha_raw,
+             {score_exprs}
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_distinct AS INT) AS n_distinct_tokens,
+           CAST(length(text) AS INT) AS n_chars_actual,
+           round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / n_tokens, 6) AS avg_token_len,
+           round(alpha_raw, 6) AS alpha_ratio,
+           {lang_case} AS lang_pred,
+           round((CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0
+                       WHEN n_tokens > 1000 THEN 0.5
+                       ELSE n_tokens / 10.0 END
+                  + alpha_raw
+                  + n_distinct * 1.0 / n_tokens) / 3.0, 6) AS quality,
+           md5(array_to_string(list_sort(list_distinct(ltoks)), ' ')) AS bow_fp
+    FROM scored
+    """
+
+
+@register(
+    "q35_text_profile",
+    _text_profile_sql(),
+    doc="per-doc text profile: token stats + lang-ID heuristic + quality score "
+    "+ bag-of-words fingerprint, all codegen'd column expressions",
+)
+def q35_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tx.text_profile(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# shared cosine fragment for the vector oracles (bit-identical to Spark's
+# aggregate/zip_with fold — both are sequential left folds over doubles)
+# ---------------------------------------------------------------------------
+def _duck_cos(a: str, b: str) -> str:
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_sum([CAST({x}[i] AS DOUBLE) * {y}[i] "
+            f"FOR i IN generate_series(1, len({x}))])"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+# ---------------------------------------------------------------------------
+# q36 — brute-force cosine top-k (exact ANN baseline)
+# ---------------------------------------------------------------------------
+@register(
+    "q36_ann_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id >= 5),
+         pairs AS (
+           SELECT qid, cid, {_duck_cos('qvec', 'cvec')} AS sim FROM q, c
+         ),
+         ranked AS (
+           SELECT qid, cid, sim,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+           FROM pairs
+         )
+    SELECT qid, cid, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+    """,
+    doc="exact cosine top-10 for 5 query vectors: broadcast queries, scan once, rank",
+)
+def q36_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    out = sim.cosine_topk(q, c, k=10, query_vec="qvec", cand_vec="cvec")
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q37 — IVF-pruned top-k (coarse cells = label centroids, nprobe=2)
+# ---------------------------------------------------------------------------
+def _centroid_cte() -> str:
+    # order-independent per-dimension mean: sorted sequential double fold
+    # (decimal rounding would hit exact float32 dyadic ties that HALF_UP /
+    # HALF_EVEN engines break differently)
+    return """
+    cents AS (
+      SELECT label, list(mean_v ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, i AS pos,
+               list_sum(list_sort(list(CAST(embedding[i] AS DOUBLE)))) / COUNT(*) AS mean_v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY label, i
+      ) GROUP BY label
+    )
+    """
+
+
+@register(
+    "q37_ann_ivf",
+    f"""
+    WITH {_centroid_cte()},
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT qid, qvec, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY {_duck_cos('qvec', 'centroid')} DESC, label ASC) AS cell_rank
+      FROM q, cents
+    ),
+    probed AS (SELECT qid, qvec, label FROM probe WHERE cell_rank <= 2),
+    pairs AS (
+      SELECT p.qid, e.vec_id AS cid, {_duck_cos('p.qvec', 'e.embedding')} AS sim
+      FROM probed p JOIN embeddings e ON e.label = p.label
+    ),
+    ranked AS (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+      FROM pairs
+    )
+    SELECT qid, cid, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+    """,
+    doc="IVF-style ANN: rank coarse cells per query, probe top-2, exact cosine inside",
+)
+def q37_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = sim.ivf_topk(q, e, k=10, nprobe=2)
+    return out.withColumnRenamed("vec_id", "cid").withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — embedding near-dup pairs within blocks
+# ---------------------------------------------------------------------------
+_COS_THRESHOLD = 0.3
+
+
+@register(
+    "q38_embedding_neardup",
+    f"""
+    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_duck_cos('a.embedding', 'b.embedding')} AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_cos('a.embedding', 'b.embedding')} >= {_COS_THRESHOLD}
+    """,
+    doc="embedding-cosine near-dup pairs, blocked by label (IVF cell at scale)",
+)
+def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.neardup_pairs_by_cosine(e, threshold=_COS_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# q39 — label centroids (the IVF coarse quantizer itself, exact math)
+# ---------------------------------------------------------------------------
+@register(
+    "q39_label_centroids",
+    """
+    SELECT label, CAST(i AS INT) AS dim,
+           list_sum(list_sort(list(CAST(embedding[i] AS DOUBLE)))) / COUNT(*) AS mean_v,
+           COUNT(*) AS n_vectors
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, i
+    """,
+    doc="per-label centroid components via sorted-fold means (order-independent)",
+)
+def q39_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return dims.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim")).agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("v")), F.lit(0.0), lambda acc, x: acc + x
+            )
+            / F.count("*")
+        ).alias("mean_v"),
+        F.count("*").alias("n_vectors"),
+    )

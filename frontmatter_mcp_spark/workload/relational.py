@@ -1,0 +1,765 @@
+"""Relational SQL surface — SURVEY.md §2.B coverage over the sf tables.
+
+The reference delegates this entire surface to DuckDB (ADR-0003 promises
+"WHERE, GROUP BY, JOIN, etc."); our engine delegates it to Spark SQL /
+Catalyst. Each query here pins one category of that contract (filters,
+aggregates, joins of every flavor, windows, set ops, rollup/cube, pivots,
+subqueries, as-of joins, sessionization) and carries a DuckDB oracle.
+
+Scale notes: dimension tables (region/nation/supplier/part/customer at
+these SFs) are explicitly broadcast; fact-fact joins shuffle on their
+keys and rely on AQE for skew; aggregations are expressed so Catalyst
+plans partial (map-side) aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from frontmatter_mcp_spark.tables import load_table
+from frontmatter_mcp_spark.workload.registry import register
+
+
+def _dsum(col: Column, alias: str, scale: int = 2) -> Column:
+    """Order-independent SUM of a double column: cast each value to DECIMAL,
+    sum exactly, return DOUBLE. Bit-identical across engines/parallelism."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def _fmt(col: Column | str) -> Column:
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+# ---------------------------------------------------------------------------
+# q01 — TPC-H Q1 pricing summary: wide aggregate, partial+final hash agg
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 flavor: groupBy 2 keys, 7 aggregates over ~600k rows at sf0.1",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price", scale=6),
+            _dsum(charge, "sum_charge", scale=6),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — ORDER BY ... LIMIT (top-k -> TakeOrderedAndProject, no full sort)
+# ---------------------------------------------------------------------------
+@register(
+    "q02_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="global top-k: Spark plans TakeOrderedAndProject (no full shuffle sort)",
+)
+def q02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            _fmt("o_orderdate").alias("order_date"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — TPC-H Q3 shipping priority: fact-fact join + agg + top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q3 flavor: selective dim filter, two joins, agg, top-k",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    # customer is the small side at any SF (150 rows per 6k lineitem) -> broadcast;
+    # orders|x|lineitem is the fact-fact join and shuffles on the order key.
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            _fmt("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", scale=6))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — EXISTS subquery (left-semi join) + count by group
+# ---------------------------------------------------------------------------
+@register(
+    "q04_priority_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="EXISTS -> left-semi join, then hash agg (TPC-H Q4 flavor)",
+)
+def q04_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — snowflake join chain with broadcast dims (TPC-H Q5 flavor)
+# ---------------------------------------------------------------------------
+@register(
+    "q05_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+    doc="snowflake chain region->nation->customer->orders->lineitem, broadcast dims",
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", scale=6),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — TPC-H Q6: pure scan + filter + single agg (pushdown showcase)
+# ---------------------------------------------------------------------------
+@register(
+    "q06_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: filters push to parquet scan, single global aggregate",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", scale=6),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — ranking window: top-3 orders per customer
+# ---------------------------------------------------------------------------
+@register(
+    "q07_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    doc="per-group top-k via row_number window (single shuffle on the partition key)",
+)
+def q07_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — analytic windows: running sum + lag per customer
+# ---------------------------------------------------------------------------
+@register(
+    "q08_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+    FROM orders
+    """,
+    doc="running aggregate frame + lag over one window shuffle",
+)
+def q08_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        _fmt("o_orderdate").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — set operations: INTERSECT and EXCEPT
+# ---------------------------------------------------------------------------
+@register(
+    "q09_customer_setops",
+    """
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                   AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+    SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT o_custkey, 'only_1995' AS cohort FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    """,
+    doc="INTERSECT / EXCEPT / UNION ALL cohorts",
+)
+def q09_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_custs(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp_ntz"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year_custs(1995), year_custs(1996)
+    both = y95.intersect(y96).withColumn("cohort", F.lit("both"))
+    only95 = y95.exceptAll(y96).distinct().withColumn("cohort", F.lit("only_1995"))
+    return both.unionAll(only95)
+
+
+# ---------------------------------------------------------------------------
+# q10 — ROLLUP hierarchy totals
+# ---------------------------------------------------------------------------
+@register(
+    "q10_rollup_quantity",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="GROUP BY ROLLUP: subtotal + grand-total rows",
+)
+def q10_rollup_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum(F.col("l_quantity"), "sum_qty"), F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — COUNT(DISTINCT) per group (expand + two-phase agg in Spark)
+# ---------------------------------------------------------------------------
+@register(
+    "q11_distinct_parts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="multi COUNT(DISTINCT): Catalyst expands to partial distinct aggs",
+)
+def q11_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — scalar string functions (all codegen'd, no UDF)
+# ---------------------------------------------------------------------------
+@register(
+    "q12_part_strings",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_type) AS type_upper,
+           substr(p_name, 1, 5) AS name_prefix,
+           CAST(length(p_name) AS INT) AS name_len,
+           CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT) AS brand_num,
+           replace(p_name, ' ', '_') AS name_snake,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    WHERE p_name LIKE '%o%'
+    """,
+    doc="string scalar surface: lower/upper/substr/length/regexp_extract/replace/concat/LIKE",
+)
+def q12_part_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%o%")).select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_type").alias("type_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — date functions + monthly aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "q13_monthly_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_total
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY 1, 2
+    """,
+    doc="temporal bucketing: year/month extraction + agg",
+)
+def q13_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") != "P")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "monthly_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — JSON extraction + TRY_CAST over events.props
+# ---------------------------------------------------------------------------
+@register(
+    "q14_json_events",
+    """
+    SELECT CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS INT) / 10.0) AS INT) AS k_bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="semi-structured: JSON path extraction + TRY_CAST (B10/B13 flavor)",
+)
+def q14_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    return (
+        e.withColumn("k_int", k)
+        .filter(F.col("k_int").isNotNull())
+        .groupBy(
+            # floor() on both sides: DuckDB CAST(double AS INT) rounds,
+            # Spark truncates — floor first makes them agree
+            F.floor(F.col("k_int") / 10).cast("int").alias("k_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value"), "total_value", scale=6),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — explode/UNNEST path: word frequencies over documents
+# ---------------------------------------------------------------------------
+@register(
+    "q15_word_counts",
+    """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+    doc="UNNEST/explode surface (B11): split -> explode -> agg -> top-k",
+)
+def q15_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ", -1)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — correlated scalar subquery: orders well above customer average
+# ---------------------------------------------------------------------------
+@register(
+    "q16_above_avg_orders",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    doc="correlated scalar subquery -> Catalyst decorrelates to join+agg",
+)
+def q16_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    avg = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias(
+            "avg_price"
+        )
+    )
+    return (
+        o.join(avg.withColumnRenamed("o_custkey", "ck"), o.o_custkey == F.col("ck"))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — anti join: customers with no orders in a window
+# ---------------------------------------------------------------------------
+@register(
+    "q17_inactive_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    )
+    """,
+    doc="NOT EXISTS -> left-anti join",
+)
+def q17_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — as-of join: last click at-or-before each purchase, per user.
+# Spark has no ASOF JOIN; the scalable pattern is union + ordered window
+# (one shuffle on user_id, no per-key loop). Oracle uses DuckDB's native
+# ASOF LEFT JOIN — two genuinely different engines, same semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_asof_click_purchase",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="as-of join via union+window in Spark vs native ASOF JOIN in DuckDB",
+)
+def q18_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    # clicks sort before purchases at equal ts (is_purchase asc) so an
+    # equal-timestamp click is visible to the purchase (ASOF >= semantics)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            F.date_format("last_click_ts", fmt).alias("last_click_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — sessionization (batch): 30-minute inactivity gap per user
+# ---------------------------------------------------------------------------
+@register(
+    "q19_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="sessionization via lag + gap + running sum (two windows, one shuffle)",
+)
+def q19_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    sessions = (
+        e.withColumn(
+            "is_new_session",
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    return sessions.groupBy("user_id", F.col("session_id").cast("int").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — pivot: event_type counts per user bucket
+# ---------------------------------------------------------------------------
+@register(
+    "q20_event_pivot",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY 1
+    """,
+    doc="pivot wide: groupBy().pivot() in Spark, FILTER aggregates in the oracle",
+)
+def q20_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        e.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", kinds)
+        .count()
+    )
+    return pivoted.select(
+        "user_bucket",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — CUBE over two dimensions
+# ---------------------------------------------------------------------------
+@register(
+    "q21_cube_events",
+    """
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(CAST(FLOOR(hour(ts) / 6.0) AS INT), -1) AS day_quarter,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(FLOOR(hour(ts) / 6.0) AS INT))
+    """,
+    doc="GROUP BY CUBE: all grouping-set combinations",
+)
+def q21_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    quarter = F.floor(F.hour("ts") / 6).cast("int")
+    return (
+        e.withColumn("dq", quarter)
+        .cube("event_type", "dq")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value"), "total_value", scale=6))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("dq", F.lit(-1)).alias("day_quarter"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — full outer join with null-handling
+# ---------------------------------------------------------------------------
+@register(
+    "q22_supplier_customer_nations",
+    """
+    WITH sn AS (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1),
+         cn AS (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1)
+    SELECT COALESCE(sn.s_nationkey, cn.c_nationkey) AS nationkey,
+           COALESCE(sn.n_suppliers, 0) AS n_suppliers,
+           COALESCE(cn.n_customers, 0) AS n_customers
+    FROM sn FULL OUTER JOIN cn ON sn.s_nationkey = cn.c_nationkey
+    """,
+    doc="FULL OUTER join of two pre-aggregates",
+)
+def q22_supplier_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers")
+    )
+    c = load_table(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers")
+    )
+    return (
+        s.join(c, s.s_nationkey == c.c_nationkey, "full_outer")
+        .select(
+            F.coalesce("s_nationkey", "c_nationkey").alias("nationkey"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Streaming workload entries: Structured Streaming vs batch-SQL oracles.
+
+Each query runs a real Structured Streaming job (file source -> windowed
+aggregation -> memory sink, driven to completion synchronously) and the
+oracle recomputes the same windows in batch SQL — streaming-batch
+equivalence is exactly what Spark's unified model promises, so the
+driver's hash-compare doubles as a semantics check of our windowing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from frontmatter_mcp_spark.streaming import events as ev
+from frontmatter_mcp_spark.workload.registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@register(
+    "q50_stream_tumbling",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling 1h window counts == batch time_bucket",
+)
+def q50_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    out = ev.run_stream_to_batch(ev.tumbling_counts(stream), "stream_tumbling_out")
+    return out.select(
+        F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "q51_stream_sliding",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts) - o.off * INTERVAL '1 hour',
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n
+    FROM events, UNNEST([0, 1]) AS o(off)
+    GROUP BY 1
+    """,
+    doc="Structured Streaming sliding 2h/1h window counts == batch window expansion",
+)
+def q51_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    out = ev.run_stream_to_batch(ev.sliding_counts(stream), "stream_sliding_out")
+    return out.select(
+        F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+        "n",
+    )
+
+
+@register(
+    "q52_stream_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM g
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+    doc="Structured Streaming session_window(30m) == batch gap-based sessionization",
+)
+def q52_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    out = ev.run_stream_to_batch(ev.session_counts(stream), "stream_sessions_out")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), _TS_FMT_US).alias("session_start"),
+        F.date_format(F.col("session_window.end"), _TS_FMT_US).alias("session_end"),
+        "n_events",
+    )
