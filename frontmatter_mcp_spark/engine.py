@@ -1,0 +1,266 @@
+"""FrontmatterEngine — the public tool surface of the engine.
+
+Mirrors the reference MCP server's 11 tools (server.py:121-675) with the
+same parameters and response dicts, so behavior is externally checkable:
+
+  query(glob, sql)            -> {results, row_count, columns[, warnings]}
+  query_inspect(glob)         -> {file_count, schema}
+  update(path, set, unset)    -> {path, frontmatter[, warnings]}
+  batch_update(glob, set, unset)
+  batch_array_add/remove/replace/sort/unique(glob, property, ...)
+                              -> {updated_count, updated_files[, warnings]}
+  index_status/index_wait/index_refresh (when semantic search enabled)
+
+Execution model: the ``files`` table is a DataFrame pipeline
+(listing -> mapInPandas parse -> key-union pivot -> temp view) and user
+SQL goes verbatim (modulo the documented dialect shim) to ``spark.sql``
+— Catalyst plans it, exactly as the reference hands SQL to DuckDB
+(query.py:72). A per-(glob, listing-signature) snapshot cache plays the
+role of the reference's mtime parse cache: an unchanged vault never
+re-parses.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from frontmatter_mcp_spark import files as fm
+from frontmatter_mcp_spark import mutations as mut
+from frontmatter_mcp_spark import query_schema as qs
+from frontmatter_mcp_spark.functions.sqlfuncs import register_sql_functions
+from frontmatter_mcp_spark.plans.dialect import translate
+from frontmatter_mcp_spark.semantic.indexer import EmbeddingIndexer, IndexerState
+from frontmatter_mcp_spark.semantic.model import EmbeddingModel
+from frontmatter_mcp_spark.semantic.query import attach_embeddings, register_embed_udf
+from frontmatter_mcp_spark.semantic.store import EmbeddingStore
+from frontmatter_mcp_spark.sources import markdown as md
+
+
+def _build_response(base: dict[str, Any], warnings: list[str]) -> dict[str, Any]:
+    """Attach warnings only when non-empty (reference server.py:39-46)."""
+    if warnings:
+        return {**base, "warnings": warnings}
+    return base
+
+
+class FrontmatterEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str | Path,
+        semantic: bool = False,
+        model: EmbeddingModel | None = None,
+        cache_dir: str | Path | None = None,
+    ) -> None:
+        self.spark = spark
+        self.base_dir = Path(base_dir)
+        from frontmatter_mcp_spark.session import ship_package_to_executors
+
+        ship_package_to_executors(spark)  # user-supplied sessions too
+        register_sql_functions(spark)
+        self._snapshot_key: tuple | None = None
+        self._snapshot: tuple[DataFrame, DataFrame, list[str]] | None = None
+
+        self.semantic_enabled = semantic
+        self.indexer: EmbeddingIndexer | None = None
+        self.store: EmbeddingStore | None = None
+        if semantic:
+            self.model = model or EmbeddingModel()
+            cache = Path(cache_dir) if cache_dir else self.base_dir / ".frontmatter_mcp"
+            self.store = EmbeddingStore(
+                spark, cache, self.model.name, self.model.get_dimension()
+            )
+            self.indexer = EmbeddingIndexer(
+                spark, self.base_dir, "**/*.md", self.store, self.model
+            )
+            register_embed_udf(spark, self.model)
+
+    # ------------------------------------------------------------------
+    # files-table construction with the snapshot cache (A3/A4)
+    # ------------------------------------------------------------------
+    def _listing_signature(self, glob: str) -> tuple:
+        paths = fm.collect_files(self.base_dir, glob)
+        return (
+            glob,
+            tuple((p.relative_to(self.base_dir).as_posix(), p.stat().st_mtime) for p in paths),
+        )
+
+    def _build_files(self, glob: str) -> tuple[DataFrame, list[str]]:
+        key = self._listing_signature(glob)
+        if self._snapshot is not None and self._snapshot_key == key:
+            files_df, _, warnings = self._snapshot
+            return files_df, warnings
+        if self._snapshot is not None:
+            self._snapshot[1].unpersist()
+        parsed = md.parsed_df(self.spark, self.base_dir, glob)
+        parsed.cache()
+        warnings = md.parse_warnings(parsed)
+        files_df = md.files_dataframe(parsed)
+        self._snapshot_key = key
+        self._snapshot = (files_df, parsed, warnings)
+        return files_df, warnings
+
+    def _parsed(self, glob: str) -> DataFrame:
+        self._build_files(glob)
+        assert self._snapshot is not None
+        return self._snapshot[1]
+
+    def invalidate(self) -> None:
+        if self._snapshot is not None:
+            self._snapshot[1].unpersist()
+        self._snapshot = None
+        self._snapshot_key = None
+
+    # ------------------------------------------------------------------
+    # query tools
+    # ------------------------------------------------------------------
+    def query(self, glob: str, sql: str) -> dict[str, Any]:
+        """The main entry point (reference server.py:121-169)."""
+        files_df, warnings = self._build_files(glob)
+        if (
+            self.semantic_enabled
+            and self.indexer is not None
+            and self.indexer.state == IndexerState.READY
+        ):
+            files_df = attach_embeddings(files_df, self.store)
+        files_df.createOrReplaceTempView("files")
+        result = self.spark.sql(translate(sql))
+        rows = [r.asDict(recursive=True) for r in result.collect()]
+        return _build_response(
+            {"results": rows, "row_count": len(rows), "columns": result.columns},
+            warnings,
+        )
+
+    def query_inspect(self, glob: str) -> dict[str, Any]:
+        """Schema advertisement (reference server.py:87-118)."""
+        parsed = self._parsed(glob)
+        schema = qs.create_base_schema(parsed)
+        file_count = parsed.filter("error IS NULL").count()
+        warnings = md.parse_warnings(parsed)
+        if (
+            self.semantic_enabled
+            and self.indexer is not None
+            and self.indexer.state == IndexerState.READY
+        ):
+            schema = qs.add_semantic_schema(schema, self.model.get_dimension())
+        return _build_response({"file_count": file_count, "schema": schema}, warnings)
+
+    # ------------------------------------------------------------------
+    # mutation tools (driver-side filesystem ops; warnings contract)
+    # ------------------------------------------------------------------
+    def update(
+        self,
+        path: str,
+        set: dict[str, Any] | None = None,  # noqa: A002 — reference param name
+        unset: list[str] | None = None,
+    ) -> dict[str, Any]:
+        abs_path = fm.resolve_path(self.base_dir, path)
+        out = fm.update_file(abs_path, self.base_dir, set, unset)
+        self.invalidate()
+        return out
+
+    def batch_update(
+        self,
+        glob: str,
+        set: dict[str, Any] | None = None,  # noqa: A002
+        unset: list[str] | None = None,
+    ) -> dict[str, Any]:
+        updated, warnings = [], []
+        for p in fm.collect_files(self.base_dir, glob):
+            rel = p.relative_to(self.base_dir).as_posix()
+            try:
+                before = p.read_text(encoding="utf-8")
+                fm.update_file(p, self.base_dir, set, unset)
+                if p.read_text(encoding="utf-8") != before:
+                    updated.append(rel)
+            except Exception as e:  # noqa: BLE001 — partial success contract
+                warnings.append(f"Failed to update {rel}: {e}")
+        self.invalidate()
+        return _build_response(
+            {"updated_count": len(updated), "updated_files": updated}, warnings
+        )
+
+    def _batch_array_op(self, glob: str, prop: str, op) -> dict[str, Any]:
+        updated, warnings = [], []
+        for p in fm.collect_files(self.base_dir, glob):
+            rel = p.relative_to(self.base_dir).as_posix()
+            try:
+                content = p.read_text(encoding="utf-8")
+                doc = fm.parse_document(content)
+                metadata, body = dict(doc["metadata"]), doc["body"]
+                current = metadata.get(prop)
+                new_value, changed, warning = op(current, rel)
+                if warning:
+                    warnings.append(warning)
+                if changed:
+                    metadata[prop] = new_value
+                    p.write_text(fm.dump_document(metadata, body), encoding="utf-8")
+                    updated.append(rel)
+            except Exception as e:  # noqa: BLE001
+                warnings.append(f"Failed to update {rel}: {e}")
+        self.invalidate()
+        return _build_response(
+            {"updated_count": len(updated), "updated_files": updated}, warnings
+        )
+
+    def batch_array_add(
+        self, glob: str, property: str, value: Any, allow_duplicates: bool = False  # noqa: A002
+    ) -> dict[str, Any]:
+        return self._batch_array_op(
+            glob,
+            property,
+            lambda cur, rel: mut.add_value(
+                cur, value, path=rel, prop=property, allow_duplicates=allow_duplicates
+            ),
+        )
+
+    def batch_array_remove(self, glob: str, property: str, value: Any) -> dict[str, Any]:  # noqa: A002
+        return self._batch_array_op(
+            glob, property, lambda cur, rel: mut.remove_value(cur, value, path=rel, prop=property)
+        )
+
+    def batch_array_replace(
+        self, glob: str, property: str, old_value: Any, new_value: Any  # noqa: A002
+    ) -> dict[str, Any]:
+        return self._batch_array_op(
+            glob,
+            property,
+            lambda cur, rel: mut.replace_value(
+                cur, old_value, new_value, path=rel, prop=property
+            ),
+        )
+
+    def batch_array_sort(self, glob: str, property: str, reverse: bool = False) -> dict[str, Any]:  # noqa: A002
+        return self._batch_array_op(
+            glob,
+            property,
+            lambda cur, rel: mut.sort_values(cur, path=rel, prop=property, reverse=reverse),
+        )
+
+    def batch_array_unique(self, glob: str, property: str) -> dict[str, Any]:  # noqa: A002
+        return self._batch_array_op(
+            glob, property, lambda cur, rel: mut.unique_values(cur, path=rel, prop=property)
+        )
+
+    # ------------------------------------------------------------------
+    # index tools (reference server.py:172-234)
+    # ------------------------------------------------------------------
+    def index_status(self) -> dict[str, Any]:
+        if not self.indexer:
+            return {"state": "disabled"}
+        return self.indexer.status()
+
+    def index_wait(self, timeout: float | None = None) -> dict[str, Any]:
+        if not self.indexer:
+            return {"state": "disabled"}
+        completed = self.indexer.wait(timeout)
+        return {**self.indexer.status(), "completed": completed}
+
+    def index_refresh(self) -> dict[str, Any]:
+        if not self.indexer:
+            return {"state": "disabled"}
+        started = self.indexer.refresh()
+        return {**self.indexer.status(), "started": started}

@@ -31,10 +31,7 @@ _SQL_FUNCTIONS: dict[str, str] = {
         "CREATE OR REPLACE TEMPORARY FUNCTION list_has(arr ARRAY<STRING>, v STRING) "
         "RETURNS BOOLEAN RETURN array_contains(arr, v)"
     ),
-    "len": (
-        "CREATE OR REPLACE TEMPORARY FUNCTION len(arr ARRAY<STRING>) "
-        "RETURNS INT RETURN size(arr)"
-    ),
+    # (no `len` alias needed: Spark 4 ships `len` natively)
     # vector kernels (reference exposes DuckDB VSS names)
     "array_cosine_similarity": (
         "CREATE OR REPLACE TEMPORARY FUNCTION array_cosine_similarity(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) "

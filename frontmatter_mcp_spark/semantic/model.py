@@ -1,0 +1,93 @@
+"""Embedding model wrapper (reference: semantic/model.py:10-64).
+
+The reference lazily loads a sentence-transformers model
+(cl-nagoya/ruri-v3-30m, dim 256, ADR-0009). That stack isn't in this
+container, so the default is a **deterministic hash embedder**: a real
+sentence-transformers model is used when the library is importable, and
+the hash embedder otherwise. The hash embedder is not semantically
+meaningful but is deterministic, cheap, pickle-able (ships inside a
+pandas UDF closure to executors), and preserves one useful property for
+tests: texts sharing more tokens get higher cosine similarity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+
+class DeterministicHashEmbedder:
+    """Bag-of-tokens hash embedding: each token adds an md5-derived
+    pseudo-random unit pattern; the sum is L2-normalized."""
+
+    def __init__(self, dim: int = 64) -> None:
+        self.dim = dim
+        self.name = f"hash-embedder-{dim}"
+
+    def encode(self, texts: list[str]) -> list[list[float]]:
+        return [self._encode_one(t) for t in texts]
+
+    def _encode_one(self, text: str) -> list[float]:
+        vec = [0.0] * self.dim
+        for tok in text.lower().split():
+            digest = hashlib.md5(tok.encode("utf-8")).digest()
+            # stretch the 16-byte digest across the dim with re-hashing
+            for i in range(self.dim):
+                byte = digest[i % 16]
+                if i and i % 16 == 0:
+                    digest = hashlib.md5(digest).digest()
+                    byte = digest[i % 16]
+                vec[i] += (byte / 255.0) - 0.5
+        norm = math.sqrt(sum(v * v for v in vec))
+        if norm > 0:
+            vec = [v / norm for v in vec]
+        return vec
+
+    def get_dimension(self) -> int:
+        return self.dim
+
+
+class EmbeddingModel:
+    """Lazy-loading model facade. Prefers sentence-transformers when the
+    package exists (reference behavior); falls back to the deterministic
+    hash embedder. ``encode``/``get_dimension`` mirror the reference API."""
+
+    def __init__(self, model_name: str | None = None, dim: int = 64) -> None:
+        self.model_name = model_name
+        self._dim = dim
+        self._impl = None
+
+    def _load(self):
+        if self._impl is None:
+            if self.model_name:
+                try:
+                    from sentence_transformers import SentenceTransformer  # type: ignore
+
+                    st = SentenceTransformer(self.model_name)
+
+                    class _STWrap:
+                        dim = st.get_sentence_embedding_dimension()
+                        name = self.model_name
+
+                        def encode(self, texts):
+                            return [list(map(float, v)) for v in st.encode(texts)]
+
+                        def get_dimension(self):
+                            return self.dim
+
+                    self._impl = _STWrap()
+                    return self._impl
+                except ImportError:
+                    pass
+            self._impl = DeterministicHashEmbedder(self._dim)
+        return self._impl
+
+    @property
+    def name(self) -> str:
+        return self._load().name
+
+    def encode(self, texts: list[str]) -> list[list[float]]:
+        return self._load().encode(texts)
+
+    def get_dimension(self) -> int:
+        return self._load().get_dimension()

@@ -8,11 +8,41 @@ timezone so timestamp semantics match a UTC-naive oracle (DuckDB).
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def ship_package_to_executors(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    mapInPandas / pandas_udf closures are pickled *by reference* to their
+    defining module, so workers must be able to ``import
+    frontmatter_mcp_spark`` — which fails whenever the driver process was
+    launched from a different cwd (no PYTHONPATH entry). Shipping a
+    content-hashed zip via addPyFile fixes that for any deployment, local
+    or cluster."""
+    import frontmatter_mcp_spark
+
+    pkg_dir = Path(frontmatter_mcp_spark.__file__).parent
+    sources = sorted(p for p in pkg_dir.rglob("*.py"))
+    digest = hashlib.md5(
+        b"".join(p.relative_to(pkg_dir).as_posix().encode() + p.read_bytes() for p in sources)
+    ).hexdigest()[:12]
+    zip_path = Path(tempfile.gettempdir()) / f"frontmatter_mcp_spark_{digest}.zip"
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in sources:
+                zf.write(p, f"frontmatter_mcp_spark/{p.relative_to(pkg_dir).as_posix()}")
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(str(zip_path))
 
 
 def get_spark(
@@ -47,6 +77,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package_to_executors(spark)
     return spark
 
 
@@ -59,4 +90,5 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    ship_package_to_executors(spark)
     return spark

@@ -1,0 +1,150 @@
+"""Semantic pillar tests (reference: tests/test_query.py:221-326,
+tests/semantic/*): embed UDF, embedding column NULLs, cosine ranking,
+differential indexing, model-change invalidation."""
+
+from __future__ import annotations
+
+import pytest
+
+from frontmatter_mcp_spark.engine import FrontmatterEngine
+from frontmatter_mcp_spark.semantic.indexer import IndexerState
+from frontmatter_mcp_spark.semantic.model import DeterministicHashEmbedder, EmbeddingModel
+from frontmatter_mcp_spark.semantic.store import EmbeddingStore
+
+
+@pytest.fixture()
+def vault(tmp_path):
+    (tmp_path / "spark.md").write_text(
+        "---\ntitle: spark\n---\nspark catalyst optimizer shuffles partitions executors\n"
+    )
+    (tmp_path / "cooking.md").write_text(
+        "---\ntitle: cooking\n---\nrecipe butter flour sugar oven baking bread\n"
+    )
+    (tmp_path / "spark2.md").write_text(
+        "---\ntitle: spark2\n---\nspark catalyst optimizer partitions tuning\n"
+    )
+    return tmp_path
+
+
+@pytest.fixture()
+def engine(spark, vault, tmp_path):
+    eng = FrontmatterEngine(
+        spark, vault, semantic=True, cache_dir=tmp_path / "cache"
+    )
+    return eng
+
+
+def test_hash_embedder_is_deterministic_and_normalized():
+    m = DeterministicHashEmbedder(dim=64)
+    v1, v2 = m.encode(["hello world"]), m.encode(["hello world"])
+    assert v1 == v2
+    norm = sum(x * x for x in v1[0]) ** 0.5
+    assert norm == pytest.approx(1.0)
+
+
+def test_index_lifecycle_and_similarity_ranking(engine):
+    assert engine.index_status()["state"] == "idle"
+    engine.indexer.start()
+    engine.index_wait(60)
+    status = engine.index_status()
+    assert status["state"] == "ready"
+    assert status["indexed_count"] == 3
+
+    # cosine ranking: a spark-y query must rank spark docs above cooking
+    out = engine.query(
+        "**/*.md",
+        """
+        SELECT path,
+               array_cosine_similarity(
+                 CAST(embedding AS ARRAY<DOUBLE>),
+                 CAST(embed('spark catalyst optimizer') AS ARRAY<DOUBLE>)) AS score
+        FROM files
+        WHERE embedding IS NOT NULL
+        ORDER BY score DESC
+        """,
+    )
+    ranked = [r["path"] for r in out["results"]]
+    assert set(ranked[:2]) == {"spark.md", "spark2.md"}
+    assert ranked[2] == "cooking.md"
+    # 1 - array_cosine_distance must agree with array_cosine_similarity
+    out2 = engine.query(
+        "**/*.md",
+        """
+        SELECT path,
+               1 - array_cosine_distance(
+                 CAST(embedding AS ARRAY<DOUBLE>),
+                 CAST(embed('spark catalyst optimizer') AS ARRAY<DOUBLE>)) AS score
+        FROM files WHERE embedding IS NOT NULL ORDER BY score DESC
+        """,
+    )
+    assert [r["path"] for r in out2["results"]] == ranked
+
+
+def test_unindexed_file_has_null_embedding(engine, vault):
+    engine.indexer.start()
+    engine.index_wait(60)
+    # new file after indexing -> embedding NULL (reference test_query.py:305-326)
+    (vault / "new.md").write_text("---\ntitle: new\n---\nfresh body\n")
+    out = engine.query(
+        "**/*.md", "SELECT path FROM files WHERE embedding IS NULL"
+    )
+    assert [r["path"] for r in out["results"]] == ["new.md"]
+
+
+def test_differential_reindex_only_stale(engine, vault, tmp_path):
+    engine.indexer.start()
+    engine.index_wait(60)
+    store = engine.store
+    before = {r.path: r.mtime for r in store.read().collect()}
+
+    # touch one file with new content + bump mtime
+    import os
+
+    p = vault / "spark.md"
+    p.write_text("---\ntitle: spark\n---\ncompletely new body text\n")
+    st = p.stat()
+    os.utime(p, (st.st_atime, st.st_mtime + 100))
+    (vault / "cooking.md").unlink()  # deletion must drop the row
+
+    engine.index_refresh()
+    engine.index_wait(60)
+    after = {r.path: r.mtime for r in store.read().collect()}
+    assert "cooking.md" not in after
+    assert after["spark.md"] > before["spark.md"]
+    assert after["spark2.md"] == before["spark2.md"]  # untouched -> not re-encoded
+
+
+def test_query_inspect_advertises_embedding_when_ready(engine):
+    out0 = engine.query_inspect("**/*.md")
+    assert "embedding" not in out0["schema"]
+    engine.indexer.start()
+    engine.index_wait(60)
+    out1 = engine.query_inspect("**/*.md")
+    assert out1["schema"]["embedding"] == {"type": "FLOAT[64]", "nullable": False}
+
+
+def test_model_change_invalidates_store(spark, tmp_path):
+    store = EmbeddingStore(spark, tmp_path / "c", "model-a", 64)
+    df = spark.createDataFrame([("x.md", 1.0, [0.0] * 64)], store.read().schema)
+    store.upsert(df)
+    assert store.count() == 1
+    # same model: survives reopen
+    store2 = EmbeddingStore(spark, tmp_path / "c", "model-a", 64)
+    assert store2.count() == 1
+    # different model: cleared (reference cache model-change invalidation)
+    store3 = EmbeddingStore(spark, tmp_path / "c", "model-b", 64)
+    assert store3.count() == 0
+
+
+def test_store_upsert_replaces_by_path(spark, tmp_path):
+    store = EmbeddingStore(spark, tmp_path / "c", "m", 4)
+    schema = store.read().schema
+    store.upsert(spark.createDataFrame([("a", 1.0, [1.0] * 4)], schema))
+    store.upsert(spark.createDataFrame([("a", 2.0, [2.0] * 4), ("b", 1.0, [3.0] * 4)], schema))
+    rows = {r.path: (r.mtime, r.vector[0]) for r in store.read().collect()}
+    assert rows == {"a": (2.0, 2.0), "b": (1.0, 3.0)}
+
+
+def test_embed_udf_registered(engine):
+    row = engine.spark.sql("SELECT size(embed('hello world')) AS d").collect()[0]
+    assert row.d == 64
