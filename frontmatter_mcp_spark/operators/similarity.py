@@ -115,6 +115,65 @@ def ivf_topk(
     )
 
 
+def hyperplanes(dim: int, nbits: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, i) is the
+    first md5 hex digit of "p|i" shifted to [-7.5, 7.5]. Generated
+    driver-side in plain Python so an external oracle can inline the very
+    same constants — no RNG state to ship."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[0], 16) - 7.5
+            for i in range(dim)
+        ]
+        for p in range(nbits)
+    ]
+
+
+def hyperplane_bucket(vec: Column, dim: int, nbits: int = 4) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane,
+    concatenated to a bit string. Cosine-similar vectors collide with
+    probability 1 - theta/pi per bit."""
+    v = vec.cast("array<double>")
+    bits = []
+    for plane in hyperplanes(dim, nbits):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    nbits: int = 4,
+    k: int = 10,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    cand_id: str = "cid",
+    cand_vec: str = "cvec",
+) -> DataFrame:
+    """Bucketed ANN: exact cosine ranking *within* the query's LSH
+    bucket. The candidate scan shuffles on the bucket key once; at scale
+    the candidate table is written bucketed by this key, making the probe
+    a partition-pruned read instead of a join."""
+    q = queries.withColumn("bucket", hyperplane_bucket(F.col(query_vec), dim, nbits))
+    c = candidates.withColumn("bucket", hyperplane_bucket(F.col(cand_vec), dim, nbits))
+    pairs = c.join(F.broadcast(q), "bucket").withColumn(
+        "sim", cosine_similarity(F.col(query_vec), F.col(cand_vec))
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(cand_id))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "bucket", cand_id, "sim", "rank")
+    )
+
+
 def neardup_pairs_by_cosine(
     embeddings: DataFrame,
     threshold: float,

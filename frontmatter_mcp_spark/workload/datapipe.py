@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from frontmatter_mcp_spark.operators import dedup as dd
 from frontmatter_mcp_spark.operators import similarity as sim
 from frontmatter_mcp_spark.operators import text as tx
+from frontmatter_mcp_spark.operators import tokenize as tk
+from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark.tables import load_table
 from frontmatter_mcp_spark.workload.registry import register
 
@@ -397,3 +399,185 @@ def q39_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_v"),
         F.count("*").alias("n_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q40 — BPE-ish token counting + rolling-hash fingerprint
+# ---------------------------------------------------------------------------
+_HEXVAL_DUCK = "(strpos('0123456789abcdef', substr(md5(t), {i}, 1)) - 1)"
+
+
+def _tokenstats_sql() -> str:
+    tokval = " + ".join(
+        f"{_HEXVAL_DUCK.format(i=i)} * {16 ** (8 - i)}" for i in range(1, 9)
+    )
+    pattern_sql = tk.BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{pattern_sql}')) AS INT) AS bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS INT) AS est_tokens,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS INT) AS ws_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+                              t -> CAST({tokval} AS BIGINT))),
+             (acc, v) -> (acc * {tk.BASE} + v) % {tk.MOD}) AS rolling_fp
+    FROM documents
+    """
+
+
+@register(
+    "q40_token_stats",
+    _tokenstats_sql(),
+    doc="BPE-ish regex token count + chars/4 estimate + whitespace count "
+    "+ order-sensitive polynomial rolling hash (all JVM expressions)",
+)
+def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tk.bpe_ish_token_count(t).cast("int").alias("bpe_tokens"),
+        tk.char_estimate_token_count(t).alias("est_tokens"),
+        tx.token_count(t).cast("int").alias("ws_tokens"),
+        tk.rolling_hash(t).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — sliding-window fingerprints: shift-resistant overlap pairs
+# ---------------------------------------------------------------------------
+@register(
+    "q41_window_fingerprint_pairs",
+    """
+    WITH fps AS (
+      SELECT DISTINCT doc_id, substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                      w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                                      w[i+6] || ' ' || w[i+7]), 1, 16) AS fp
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS w
+            FROM documents),
+           UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+      WHERE len(w) >= 8
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_windows
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="shift-resistant near-dup: docs sharing verbatim 8-token runs "
+    "(rolling window fingerprints joined on the hash key)",
+)
+def q41_window_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id", F.explode(tk.window_fingerprints(F.col("text"), window=8)).alias("fp")
+    )
+    a = fps.withColumnRenamed("doc_id", "id_a")
+    b = fps.withColumnRenamed("doc_id", "id_b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_windows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — multimodal feature extraction (binary plumbing, stubbed decode)
+# ---------------------------------------------------------------------------
+def _mm_sql() -> str:
+    # the deterministic fake decode, re-expressed in SQL over md5(text)
+    b0 = "(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1"
+    b1 = "(strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1"
+    b2 = "(strpos('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(text), 6, 1)) - 1"
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+             text
+      FROM documents
+    )
+    SELECT media_id, media_type,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS checksum,
+           CASE WHEN media_type IN ('image', 'video')
+                THEN CAST(160 + (({b0}) % 12) * 160 AS INT) END AS width,
+           CASE WHEN media_type IN ('image', 'video')
+                THEN CAST(120 + (({b1}) % 12) * 120 AS INT) END AS height,
+           CASE WHEN media_type = 'audio'
+                THEN octet_length(encode(text)) / 16000.0 END AS duration_s,
+           CASE WHEN media_type = 'video'
+                THEN CAST(1 + ({b2}) % 240 AS INT) END AS n_frames,
+           CASE WHEN media_type = 'video'
+                THEN [CAST(x AS INT) FOR x IN generate_series(0, ({b2}) % 240) IF x % 30 = 0]
+                END AS sampled_frames
+    FROM m
+    """
+
+
+@register(
+    "q42_multimodal_features",
+    _mm_sql(),
+    doc="multimodal plumbing: binary payload column -> mapInPandas decode/probe "
+    "stage (deterministic stub decode) -> typed feature columns incl. "
+    "frame-sample arrays",
+)
+def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = mm.synthesize_media(d, "doc_id", "text", "source")
+    return mm.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# q43 — random-hyperplane LSH ANN (bucketed similarity search)
+# ---------------------------------------------------------------------------
+_LSH_NBITS = 4
+_LSH_DIM = 64
+
+
+def _lsh_sql() -> str:
+    planes = sim.hyperplanes(_LSH_DIM, _LSH_NBITS)
+    bits = []
+    for plane in planes:
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_sum([CAST(e[i] AS DOUBLE) * ({arr}::DOUBLE[])[i] "
+            f"FOR i IN generate_series(1, len(e))])"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    bucket = "concat(" + ", ".join(bits) + ")"
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket.replace('e[i]', 'embedding[i]').replace('len(e)', 'len(embedding)')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS cvec, bucket FROM b WHERE vec_id >= 5),
+    pairs AS (
+      SELECT q.qid, q.bucket, c.cid, {_duck_cos('q.qvec', 'c.cvec')} AS sim
+      FROM q JOIN c ON q.bucket = c.bucket
+    ),
+    ranked AS (
+      SELECT qid, bucket, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+      FROM pairs
+    )
+    SELECT qid, bucket, cid, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+    """
+
+
+@register(
+    "q43_ann_lsh",
+    _lsh_sql(),
+    doc="random-hyperplane LSH ANN: deterministic md5-derived planes, "
+    "bucket join instead of full scan (bucket-pruned at scale)",
+)
+def q43_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    out = sim.lsh_topk(q, c, dim=_LSH_DIM, nbits=_LSH_NBITS, k=10)
+    return out.withColumn("rank", F.col("rank").cast("int"))

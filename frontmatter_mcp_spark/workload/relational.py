@@ -734,6 +734,95 @@ def q21_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q23 — GROUPING SETS (explicit set list, distinct from rollup/cube)
+# ---------------------------------------------------------------------------
+@register(
+    "q23_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, '<any>') AS returnflag,
+           COALESCE(l_linestatus, '<any>') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="GROUP BY GROUPING SETS with an explicit set list",
+)
+def q23_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q23")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<any>') AS returnflag,
+               COALESCE(l_linestatus, '<any>') AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_q23
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — exact interpolated percentiles per group
+# ---------------------------------------------------------------------------
+@register(
+    "q24_quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="exact continuous percentiles (Spark percentile == DuckDB quantile_cont; "
+    "quartile fractions are exact binary so interpolation matches bit-for-bit)",
+)
+def q24_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — date arithmetic surface
+# ---------------------------------------------------------------------------
+@register(
+    "q25_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_1995,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS order_week,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow  -- DuckDB: Sunday=0; Spark: Sunday=1
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+    doc="temporal scalar surface: datediff/date_trunc/last_day/interval add/dayofweek",
+)
+def q25_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_1995"),
+        _fmt(F.date_trunc("week", "o_orderdate")).alias("order_week"),
+        _fmt(F.last_day(F.col("o_orderdate").cast("date"))).alias("month_end"),
+        _fmt(F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q22 — full outer join with null-handling
 # ---------------------------------------------------------------------------
 @register(

@@ -1,0 +1,109 @@
+"""Multimodal plumbing + tokenization operator tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontmatter_mcp_spark.operators import similarity as sim
+from frontmatter_mcp_spark.operators import tokenize as tk
+from frontmatter_mcp_spark.sources import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s0"),
+        (1, "numbers 123 and punctuation!!! don't split wrong", "s1"),
+        (2, "short doc", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_synthesize_media_schema_and_types(docs):
+    media = mm.synthesize_media(docs, "doc_id", "text", "source")
+    assert [f.name for f in media.schema.fields] == ["media_id", "media_type", "payload", "meta"]
+    rows = {r.media_id: r for r in media.collect()}
+    assert rows[0].media_type == "image"
+    assert rows[1].media_type == "audio"
+    assert rows[2].media_type == "video"
+    assert bytes(rows[0].payload).decode() == "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert rows[0].meta.n_bytes == len(bytes(rows[0].payload))
+
+
+def test_extract_features_deterministic_stub(docs):
+    media = mm.synthesize_media(docs, "doc_id", "text", "source")
+    feats = {r.media_id: r for r in mm.extract_features(media).collect()}
+    img = feats[0]
+    payload = "alpha beta gamma delta epsilon zeta eta theta iota kappa".encode()
+    h = hashlib.md5(payload).hexdigest()
+    assert img.checksum == h
+    assert img.width == 160 + (int(h[0:2], 16) % 12) * 160
+    assert img.height == 120 + (int(h[2:4], 16) % 12) * 120
+    assert img.duration_s is None
+    audio = feats[1]
+    assert audio.duration_s == pytest.approx(audio.n_bytes / 16000.0)
+    video = feats[2]
+    assert video.n_frames >= 1
+    assert video.sampled_frames == list(range(0, video.n_frames, 30))
+
+
+def test_resize_stub_passthrough(docs):
+    media = mm.synthesize_media(docs, "doc_id", "text", "source")
+    out = mm.resize_images(media, 64, 48).collect()
+    assert len(out) == 1  # only the image row
+    assert out[0].width == 64 and out[0].height == 48
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "don't!!! 1234 x"), (3, "")], "id int, text string"
+    )
+    got = {
+        r.id: r.n
+        for r in df.select("id", tk.bpe_ish_token_count(F.col("text")).alias("n")).collect()
+    }
+    assert got[1] == 2
+    # don't -> 1, !!! -> 1, 1234 -> 123|4 -> 2, x -> 1
+    assert got[2] == 5
+    assert got[3] == 0
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c")], "id int, text string"
+    )
+    got = {r.id: r.h for r in df.select("id", tk.rolling_hash(F.col("text")).alias("h")).collect()}
+    assert got[1] == got[3]
+    assert got[1] != got[2]  # order matters, unlike bow_fingerprint
+    assert 0 <= got[1] < tk.MOD
+
+
+def test_window_fingerprints_shift_resistant(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    shifted = "PREFIX " + base  # same 8-token runs, shifted by one
+    df = spark.createDataFrame([(1, base), (2, shifted)], "id int, text string")
+    fps = df.select("id", F.explode(tk.window_fingerprints(F.col("text"), 8)).alias("fp"))
+    a = {r.fp for r in fps.filter("id=1").collect()}
+    b = {r.fp for r in fps.filter("id=2").collect()}
+    assert a & b  # shared verbatim runs detected despite the shift
+
+
+def test_hyperplane_lsh_similar_vectors_collide(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),  # nearly identical to 0
+        (2, [-1.0, 0.0, 0.0, 0.0]),  # opposite: every bit flips
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    got = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id", sim.hyperplane_bucket(F.col("v"), dim=4, nbits=4).alias("b")
+        ).collect()
+    }
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+    assert len(got[0]) == 4 and set(got[0]) <= {"0", "1"}
