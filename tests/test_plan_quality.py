@@ -1,0 +1,105 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+Correctness says what a query returns; these tests pin HOW Catalyst
+executes it. Each assertion is a property that must survive a 100x-1000x
+scale-up: filters reaching the parquet scan, column pruning, broadcast
+(not shuffle) joins for dimension tables, top-k via TakeOrderedAndProject
+(no global sort), and no Python UDFs anywhere in the relational surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from frontmatter_mcp_spark.workload import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = QUERIES[name].spark(spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = formatted_plan(spark, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached parquet
+
+
+def test_q01_column_pruning(spark):
+    plan = formatted_plan(spark, "q01_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # 16-column table, 7-column read: pruning reached the scan
+    assert "l_orderkey" not in read_cols and "l_partkey" not in read_cols
+    assert {"l_quantity", "l_returnflag", "l_linestatus"} <= read_cols
+
+
+def test_q01_partial_aggregation(spark):
+    # map-side combine: two HashAggregate nodes around the exchange
+    plan = formatted_plan(spark, "q01_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q06_all_filters_pushed(spark):
+    plan = formatted_plan(spark, "q06_forecast_revenue")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pushed
+
+
+def test_q02_topk_avoids_global_sort(spark):
+    plan = formatted_plan(spark, "q02_top_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort stage for a LIMIT 10
+
+
+def test_q03_dimension_broadcast(spark):
+    # the filtered customer dim must broadcast, never shuffle
+    plan = formatted_plan(spark, "q03_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q05_snowflake_all_broadcast_dims(spark):
+    plan = formatted_plan(spark, "q05_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q36_query_side_broadcast(spark):
+    # 5 query vectors join the candidate scan: must be a broadcast NLJ,
+    # never a shuffled cartesian
+    plan = formatted_plan(spark, "q36_ann_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q07_single_window_exchange(spark):
+    # one shuffle on the partition key; the rank filter must not add more
+    plan = formatted_plan(spark, "q07_top_orders_per_customer")
+    assert plan.count("Exchange hashpartitioning(o_custkey") <= 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in sorted(QUERIES) if n.startswith(("q0", "q1", "q2"))],
+)
+def test_relational_surface_has_no_python_udfs(spark, name):
+    # the entire relational surface must stay JVM-side (codegen'd);
+    # Python appears only in explicitly-Python stages (mapInPandas decode)
+    plan = formatted_plan(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q30_dedup_exact", "q31_minhash_signatures", "q34_simhash", "q35_text_profile"]
+)
+def test_text_dedup_operators_are_jvm_side(spark, name):
+    plan = formatted_plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
