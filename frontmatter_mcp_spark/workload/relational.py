@@ -823,6 +823,70 @@ def q25_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q26 — CDC/MERGE emulation: SCD1 upsert of latest-order facts into a dim
+# ---------------------------------------------------------------------------
+@register(
+    "q26_cdc_upsert",
+    """
+    WITH changes AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           ch.o_orderkey AS last_orderkey,
+           ch.o_totalprice AS last_totalprice,
+           strftime(ch.o_orderdate, '%Y-%m-%d') AS last_orderdate
+    FROM customer c
+    LEFT JOIN (SELECT * FROM changes WHERE rn = 1) ch
+      ON ch.o_custkey = c.c_custkey
+    """,
+    doc="MERGE-style SCD1 upsert emulated with dedup-latest + outer join "
+    "(the Delta-less CDC pattern: anti-join + union == left join here)",
+)
+def q26_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    latest = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_totalprice").alias("last_totalprice"),
+            _fmt("o_orderdate").alias("last_orderdate"),
+        )
+    )
+    return c.join(latest, c.c_custkey == latest.o_custkey, "left").select(
+        "c_custkey", "c_name", "c_mktsegment", "last_orderkey", "last_totalprice", "last_orderdate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — approximate aggregates (no cross-engine oracle: sketches differ by
+# design; the driver records the weaker rows-only check)
+# ---------------------------------------------------------------------------
+@register(
+    "q27_approx_stats",
+    None,
+    doc="approx_count_distinct (HLL) + percentile_approx: the constant-memory "
+    "sketch path for 100 TB cardinality/quantile estimation",
+)
+def q27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q22 — full outer join with null-handling
 # ---------------------------------------------------------------------------
 @register(

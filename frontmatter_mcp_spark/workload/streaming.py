@@ -62,6 +62,35 @@ def q51_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q53_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="streaming dropDuplicates with watermark == batch DISTINCT on the keys",
+)
+def q53_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    # watermarked stream dedup: state for a key can be dropped once the
+    # watermark passes it; output only the keys (which row "wins" inside a
+    # micro-batch is nondeterministic by design)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table("stream_dedup_out").select("user_id", "event_type").distinct()
+
+
+@register(
     "q52_stream_sessions",
     """
     WITH g AS (

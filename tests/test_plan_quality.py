@@ -81,7 +81,8 @@ def test_q36_query_side_broadcast(spark):
 def test_q07_single_window_exchange(spark):
     # one shuffle on the partition key; the rank filter must not add more
     plan = formatted_plan(spark, "q07_top_orders_per_customer")
-    assert plan.count("Exchange hashpartitioning(o_custkey") <= 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert re.search(r"Arguments: hashpartitioning\(o_custkey", plan)
 
 
 @pytest.mark.parametrize(
