@@ -183,6 +183,54 @@ class FrontmatterEngine:
             {"updated_count": len(updated), "updated_files": updated}, warnings
         )
 
+    def batch_update_distributed(
+        self,
+        glob: str,
+        set: dict[str, Any] | None = None,  # noqa: A002
+        unset: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """Scale path for A12: the per-file rewrite runs as a mapInPandas
+        stage on executors (same semantics and warnings contract as
+        batch_update). In local mode both paths touch the same
+        filesystem; on a cluster this is the one that works when the
+        vault lives on shared/object storage mounted on executors."""
+        from frontmatter_mcp_spark.sources.markdown import listing_df
+
+        base_dir = self.base_dir
+        set_props, unset_props = set, unset
+
+        def rewrite(batches):
+            import pandas as pd
+
+            from frontmatter_mcp_spark import files as _fm
+
+            for pdf in batches:
+                paths, changed, warnings = [], [], []
+                for abs_path, rel in zip(pdf["abs_path"], pdf["path"]):
+                    try:
+                        p = Path(abs_path)
+                        before = p.read_text(encoding="utf-8")
+                        _fm.update_file(p, base_dir, set_props, unset_props)
+                        paths.append(rel)
+                        changed.append(p.read_text(encoding="utf-8") != before)
+                        warnings.append(None)
+                    except Exception as e:  # noqa: BLE001 — partial success
+                        paths.append(rel)
+                        changed.append(False)
+                        warnings.append(f"Failed to update {rel}: {e}")
+                yield pd.DataFrame({"path": paths, "changed": changed, "warning": warnings})
+
+        status = listing_df(self.spark, self.base_dir, glob).mapInPandas(
+            rewrite, schema="path string, changed boolean, warning string"
+        )
+        rows = status.collect()
+        self.invalidate()
+        updated = sorted(r.path for r in rows if r.changed)
+        warnings = [r.warning for r in rows if r.warning]
+        return _build_response(
+            {"updated_count": len(updated), "updated_files": updated}, warnings
+        )
+
     def _batch_array_op(self, glob: str, prop: str, op) -> dict[str, Any]:
         updated, warnings = [], []
         for p in fm.collect_files(self.base_dir, glob):

@@ -74,6 +74,46 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stateful_user_counters(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event counters persisted in the state store across
+    micro-batches (the arbitrary-state API — what windowed aggregations
+    can't express: bespoke per-key state machines).
+
+    Emits (user_id, n_events, first_event_id, last_event_id) on every
+    update; integer-only outputs keep the operator deterministic under
+    any batch/arrival order.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, lo, hi = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_lo = int(pdf["event_id"].min())
+            batch_hi = int(pdf["event_id"].max())
+            lo = batch_lo if lo is None else min(lo, batch_lo)
+            hi = batch_hi if hi is None else max(hi, batch_hi)
+        state.update((n, lo, hi))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "first_event_id": [lo],
+                "last_event_id": [hi],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, first_event_id long, last_event_id long",
+        stateStructType="n long, lo long, hi long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_batch(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming aggregation to completion against the file source
     and return the final result as a batch DataFrame (memory sink,

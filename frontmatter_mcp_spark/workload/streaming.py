@@ -91,6 +91,41 @@ def q53_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q54_stream_stateful_counters",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           MIN(event_id) AS first_event_id,
+           MAX(event_id) AS last_event_id
+    FROM events GROUP BY user_id
+    """,
+    doc="custom stateful operator (applyInPandasWithState per-user state "
+    "machine) == batch aggregate at stream end",
+)
+def q54_stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    out = ev.stateful_user_counters(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_stateful_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    # update mode can emit a row per micro-batch per key: keep the final
+    # (maximal) state per user
+    latest = spark.table("stream_stateful_out")
+    return latest.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("first_event_id").alias("first_event_id"),
+        F.max("last_event_id").alias("last_event_id"),
+    )
+
+
+@register(
     "q52_stream_sessions",
     """
     WITH g AS (
