@@ -140,25 +140,25 @@ def lsh_candidate_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-document SimHash signature as a bit string column ``simhash``.
 
-    Bit j of a token is keyed-md5-derived (first hex char >= '8' == the
-    top bit of a uniform hash); the signature bit is the sign of the
-    +1/-1 vote sum over the distinct token set.
+    Bit j of a token is hex digit j of ONE md5 per token (digit >= '8'
+    == the top bit of that 4-bit nibble — 32 independent uniform bits
+    from a single hash, 32x fewer hash calls than keyed per-bit md5s,
+    max 32 bits). The signature bit is the sign of the +1/-1 vote sum
+    over the distinct token set.
 
     Explode + groupBy formulation for the same reason as
-    minhash_signatures: each of the bits*tokens md5 calls runs exactly
-    once, and map-side partial aggregation collapses the shuffle to one
-    row per doc.
+    minhash_signatures: each token's md5 runs exactly once, and map-side
+    partial aggregation collapses the shuffle to one row per doc.
     """
+    if bits > 32:
+        raise ValueError("simhash supports at most 32 bits (one md5 hex nibble each)")
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    h = F.md5(F.col("_tok"))
     votes = exploded.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(
-                    F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("_tok"))), 1, 1)
-                    >= "8",
-                    1,
-                ).otherwise(-1)
+                F.when(F.substring(h, j + 1, 1) >= "8", 1).otherwise(-1)
             ).alias(f"_v{j}")
             for j in range(bits)
         ]

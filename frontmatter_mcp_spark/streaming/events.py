@@ -114,21 +114,40 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_state_partitions(spark, n: int = 8):
+    """Stateful streaming spawns one state store per shuffle partition;
+    for bounded local key cardinalities the batch-oriented partition
+    count just multiplies per-partition overhead. Size it down for the
+    stream, restore after. (In production: set once before the first
+    run of a query — the count is sticky in the checkpoint.)"""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_stream_to_batch(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming aggregation to completion against the file source
     and return the final result as a batch DataFrame (memory sink,
     complete mode — the local smoke/oracle harness; a cluster deploy uses
     a real sink + append mode with the watermark bounding state)."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     return spark.table(name)

@@ -158,9 +158,10 @@ _SIMHASH_BITS = 32
 
 
 def _simhash_sql() -> str:
+    # bit j = hex digit j of one md5 per token (matches dedup.simhash)
     bit_cases = ", ".join(
         f"""CASE WHEN list_sum(list_transform(toks, t ->
-             CASE WHEN substr(md5('{j}|' || t), 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+             CASE WHEN substr(md5(t), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
            THEN '1' ELSE '0' END"""
         for j in range(_SIMHASH_BITS)
     )

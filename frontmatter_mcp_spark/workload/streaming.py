@@ -76,17 +76,18 @@ def q53_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(
         ["user_id", "event_type"]
     )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_dedup_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
+    with ev._stream_state_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_dedup_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     return spark.table("stream_dedup_out").select("user_id", "event_type").distinct()
 
 
@@ -104,17 +105,18 @@ def q53_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q54_stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ev.read_events_stream(spark, sf_dir)
     out = ev.stateful_user_counters(stream)
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("stream_stateful_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
+    with ev._stream_state_partitions(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("stream_stateful_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     # update mode can emit a row per micro-batch per key: keep the final
     # (maximal) state per user
     latest = spark.table("stream_stateful_out")
