@@ -62,7 +62,100 @@ def _rewrite_comma_unnest(sql: str) -> str:
     )
 
 
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_CLAUSE_END_RE = re.compile(r"\b(LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|WINDOW)\b", re.IGNORECASE)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren/quote depth zero."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(s)
+    in_str: str | None = None
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in "'\"":
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break  # closing paren of an enclosing subquery: clause ends
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:i])
+    return parts + ([s[i:]] if i < n else [])
+
+
+def _rewrite_null_ordering(sql: str) -> str:
+    """DuckDB defaults to NULLS LAST for ascending sorts; Spark to NULLS
+    FIRST. To keep ORDER BY results reference-identical, every ascending
+    sort item without an explicit NULLS modifier gets NULLS LAST.
+    (Descending sorts already agree: both default NULLS LAST.)
+
+    Paren/quote-aware so expressions with commas and nested subqueries
+    pass through untouched; items already carrying NULLS FIRST/LAST are
+    left alone.
+    """
+    out: list[str] = []
+    pos = 0
+    for m in _ORDER_BY_RE.finditer(sql):
+        if m.start() < pos:
+            continue
+        # find the end of this ORDER BY clause: top-level LIMIT/terminator,
+        # an unbalanced closing paren, or end of string
+        tail = sql[m.end() :]
+        # clause candidate: scan to depth-0 terminator keyword
+        depth = 0
+        in_str: str | None = None
+        end = len(tail)
+        i = 0
+        while i < len(tail):
+            c = tail[i]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+            elif c in "'\"":
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                km = _CLAUSE_END_RE.match(tail, i)
+                if km:
+                    end = i
+                    break
+            i += 1
+        clause = tail[:end]
+        items = _split_top_level(clause)
+        fixed = []
+        for item in items:
+            body = item.strip()
+            if not body or re.search(r"\bNULLS\s+(FIRST|LAST)\b", body, re.IGNORECASE):
+                fixed.append(item)
+            elif re.search(r"\bDESC\b\s*$", body, re.IGNORECASE):
+                fixed.append(item)  # DESC already defaults to NULLS LAST
+            else:
+                stripped = item.rstrip()
+                # preserve trailing whitespace so a following keyword
+                # (LIMIT/...) stays separated
+                fixed.append(stripped + " NULLS LAST" + item[len(stripped) :])
+        out.append(sql[pos : m.end()])
+        out.append(",".join(fixed))
+        pos = m.end() + end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def translate(sql: str) -> str:
     """Apply the documented DuckDB-ism rewrites; everything else passes
     through to Spark SQL verbatim."""
-    return _rewrite_comma_unnest(_rewrite_json_hint(sql))
+    return _rewrite_null_ordering(_rewrite_comma_unnest(_rewrite_json_hint(sql)))

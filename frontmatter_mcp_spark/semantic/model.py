@@ -18,26 +18,34 @@ import math
 
 class DeterministicHashEmbedder:
     """Bag-of-tokens hash embedding: each token adds an md5-derived
-    pseudo-random unit pattern; the sum is L2-normalized."""
+    pseudo-random pattern; the sum is L2-normalized.
+
+    Dimension i's contribution for a token comes from byte (i % 16) of
+    md5(f"{token}|{i // 16}") — chunk-KEYED hashes rather than digest
+    chaining, so the exact computation is re-expressible in any SQL
+    engine with md5/substr (the q44 oracle recomputes it bit-for-bit in
+    DuckDB). All arithmetic is sequential double folds in a fixed order.
+    """
 
     def __init__(self, dim: int = 64) -> None:
         self.dim = dim
-        self.name = f"hash-embedder-{dim}"
+        self.name = f"hash-embedder-v2-{dim}"
 
     def encode(self, texts: list[str]) -> list[list[float]]:
         return [self._encode_one(t) for t in texts]
 
     def _encode_one(self, text: str) -> list[float]:
+        toks = text.lower().split()
+        n_chunks = (self.dim + 15) // 16
         vec = [0.0] * self.dim
-        for tok in text.lower().split():
-            digest = hashlib.md5(tok.encode("utf-8")).digest()
-            # stretch the 16-byte digest across the dim with re-hashing
-            for i in range(self.dim):
-                byte = digest[i % 16]
-                if i and i % 16 == 0:
-                    digest = hashlib.md5(digest).digest()
-                    byte = digest[i % 16]
-                vec[i] += (byte / 255.0) - 0.5
+        for c in range(n_chunks):
+            digests = [hashlib.md5(f"{tok}|{c}".encode()).digest() for tok in toks]
+            for j in range(min(16, self.dim - c * 16)):
+                i = c * 16 + j
+                acc = 0.0
+                for d in digests:  # token order == text order, sequential fold
+                    acc += (d[j] / 255.0) - 0.5
+                vec[i] = acc
         norm = math.sqrt(sum(v * v for v in vec))
         if norm > 0:
             vec = [v / norm for v in vec]

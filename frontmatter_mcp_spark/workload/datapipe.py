@@ -582,3 +582,53 @@ def q43_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sim.lsh_topk(q, c, dim=_LSH_DIM, nbits=_LSH_NBITS, k=10)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q44 — embed() UDF verified bit-for-bit by a SQL oracle
+# ---------------------------------------------------------------------------
+def _embed_sql(dim: int = 64) -> str:
+    hexv = "(strpos('0123456789abcdef', substr(md5(t || '|{c}'), {p}, 1)) - 1)"
+    exprs = []
+    for i in range(dim):
+        c, j = i // 16, i % 16
+        b = (
+            hexv.format(c=c, p=2 * j + 1)
+            + " * 16 + "
+            + hexv.format(c=c, p=2 * j + 2)
+        )
+        exprs.append(f"list_sum([({b}) / 255.0 - 0.5 FOR t IN toks])")
+    raw = "[" + ",\n             ".join(exprs) + "]"
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    raw AS (SELECT doc_id, {raw} AS r FROM base),
+    n AS (SELECT doc_id, r, sqrt(list_sum([x * x FOR x IN r])) AS norm FROM raw)
+    SELECT doc_id, CAST(i AS INT) AS dim,
+           -- REAL round-trip: the pandas UDF returns array<float> (f32),
+           -- so the oracle must apply the same float32 rounding
+           CAST(CAST(CASE WHEN norm > 0 THEN r[i] / norm ELSE r[i] END AS REAL) AS DOUBLE) AS val
+    FROM n, UNNEST(generate_series(1, {dim})) AS t(i)
+    """
+
+
+@register(
+    "q44_embed_vectors",
+    _embed_sql(),
+    doc="the embed() pandas UDF itself, bit-for-bit verified: the hash "
+    "embedder's chunk-keyed md5 construction recomputed in pure SQL",
+)
+def q44_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.semantic.model import EmbeddingModel
+    from frontmatter_mcp_spark.semantic.query import register_embed_udf
+
+    register_embed_udf(spark, EmbeddingModel(dim=64))
+    d = load_table(spark, sf_dir, "documents")
+    vec = d.select("doc_id", F.expr("embed(text)").alias("v"))
+    return vec.select(
+        "doc_id",
+        F.posexplode(F.col("v").cast("array<double>")).alias("pos", "val"),
+    ).select("doc_id", (F.col("pos") + 1).cast("int").alias("dim"), "val")

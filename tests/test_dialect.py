@@ -32,6 +32,41 @@ def test_plain_sql_untouched():
     assert translate(sql) == sql
 
 
+def test_order_by_asc_gets_nulls_last():
+    assert (
+        translate("SELECT * FROM files ORDER BY date")
+        == "SELECT * FROM files ORDER BY date NULLS LAST"
+    )
+    assert (
+        translate("SELECT * FROM files ORDER BY date ASC LIMIT 5")
+        == "SELECT * FROM files ORDER BY date ASC NULLS LAST LIMIT 5"
+    )
+
+
+def test_order_by_desc_and_explicit_nulls_untouched():
+    assert (
+        translate("SELECT * FROM files ORDER BY date DESC")
+        == "SELECT * FROM files ORDER BY date DESC"
+    )
+    sql = "SELECT * FROM files ORDER BY date ASC NULLS FIRST"
+    assert translate(sql) == sql
+
+
+def test_order_by_multiple_items_and_functions():
+    out = translate("SELECT * FROM files ORDER BY coalesce(a, b), c DESC, d LIMIT 2")
+    assert out == (
+        "SELECT * FROM files ORDER BY coalesce(a, b) NULLS LAST, c DESC, d NULLS LAST LIMIT 2"
+    )
+
+
+def test_order_by_inside_subquery_and_window():
+    out = translate(
+        "SELECT rank() OVER (ORDER BY score) FROM (SELECT * FROM files ORDER BY path) t"
+    )
+    assert "ORDER BY score NULLS LAST" in out
+    assert "ORDER BY path NULLS LAST" in out
+
+
 def test_unknown_hint_untouched():
     sql = "SELECT from_json(x, '[\"STRUCTY\"]') FROM files"
     assert translate(sql) == sql

@@ -148,6 +148,13 @@ def test_snapshot_cache_reused_and_invalidated(engine, vault):
     assert out2["results"][0]["n"] == out1["results"][0]["n"] + 1
 
 
+def test_order_by_null_placement_matches_duckdb(engine):
+    # DuckDB sorts NULLS LAST on ASC; the dialect shim makes Spark agree
+    out = engine.query("**/*.md", "SELECT path, summary FROM files ORDER BY summary")
+    assert out["results"][0]["summary"] == "A summary"
+    assert out["results"][-1]["summary"] is None
+
+
 def test_query_inspect_schema(engine):
     out = engine.query_inspect("**/*.md")
     assert out["file_count"] == 3
