@@ -632,3 +632,74 @@ def q44_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.col("v").cast("array<double>")).alias("pos", "val"),
     ).select("doc_id", (F.col("pos") + 1).cast("int").alias("dim"), "val")
+
+
+# ---------------------------------------------------------------------------
+# q45 — end-to-end semantic search: embed a query string, rank documents
+# by cosine against embed(text) (the reference's headline README flow,
+# oracle-checked all the way through the UDF)
+# ---------------------------------------------------------------------------
+_SEARCH_QUERY = "spark join order batch window"
+
+
+def _semantic_search_sql(dim: int = 64, k: int = 20) -> str:
+    # per-doc embed vector CTE identical to q44's oracle, plus one for the
+    # literal query string, then a double-precision cosine fold over the
+    # float32-rounded components
+    hexv = "(strpos('0123456789abcdef', substr(md5(t || '|{c}'), {p}, 1)) - 1)"
+    exprs = []
+    for i in range(dim):
+        c, j = i // 16, i % 16
+        b = hexv.format(c=c, p=2 * j + 1) + " * 16 + " + hexv.format(c=c, p=2 * j + 2)
+        exprs.append(f"CAST(list_sum([({b}) / 255.0 - 0.5 FOR t IN toks]) AS DOUBLE)")
+    raw = "[" + ", ".join(exprs) + "]"
+    dot = "list_sum([CAST(a.v[i] AS DOUBLE) * b.v[i] FOR i IN generate_series(1, len(a.v))])"
+    na = "sqrt(list_sum([CAST(a.v[i] AS DOUBLE) * a.v[i] FOR i IN generate_series(1, len(a.v))]))"
+    nb = "sqrt(list_sum([CAST(b.v[i] AS DOUBLE) * b.v[i] FOR i IN generate_series(1, len(b.v))]))"
+    return f"""
+    WITH src AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+      UNION ALL
+      SELECT -1 AS doc_id,
+             list_filter(string_split_regex(lower('{_SEARCH_QUERY}'), '\\s+'), t -> t <> '') AS toks
+    ),
+    raw AS (SELECT doc_id, {raw} AS r FROM src),
+    n AS (SELECT doc_id, sqrt(list_sum([x * x FOR x IN r])) AS norm, r FROM raw),
+    vecs AS (
+      SELECT doc_id,
+             [CAST(CASE WHEN norm > 0 THEN x / norm ELSE x END AS REAL) FOR x IN r] AS v
+      FROM n
+    ),
+    scored AS (
+      SELECT a.doc_id, {dot} / ({na} * {nb}) AS score
+      FROM vecs a, vecs b
+      WHERE a.doc_id >= 0 AND b.doc_id = -1
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "q45_semantic_search",
+    _semantic_search_sql(),
+    doc="semantic search end-to-end: embed(query) vs embed(text) cosine top-k "
+    "(the reference README flow), oracle-checked through the UDF",
+)
+def q45_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.functions.vector import cosine_similarity
+    from frontmatter_mcp_spark.semantic.model import EmbeddingModel
+    from frontmatter_mcp_spark.semantic.query import register_embed_udf
+
+    register_embed_udf(spark, EmbeddingModel(dim=64))
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.expr("embed(text)").alias("v"))
+    qv = spark.sql(f"SELECT embed('{_SEARCH_QUERY}') AS qv")
+    scored = docs.crossJoin(F.broadcast(qv)).select(
+        "doc_id", cosine_similarity(F.col("v"), F.col("qv")).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)

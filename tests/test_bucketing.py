@@ -41,6 +41,24 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_partitioned_embeddings_prune_at_source(spark, tmp_path):
+    """The IVF scale path: embeddings written partitioned by the coarse
+    cell id (label) make a cell probe a partition-pruned read — the
+    query never touches the other cells' files."""
+    from frontmatter_mcp_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = str(tmp_path / "emb_by_label")
+    e.write.partitionBy("label").parquet(out)
+    probe = spark.read.parquet(out).filter("label IN (2, 5)")
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "label" in pf  # pruning happens at the file index, not post-scan
+    assert probe.count() == e.filter("label IN (2, 5)").count()
+
+
 def test_unbucketed_join_needs_exchanges(spark, bucketed_tables):
     # control: the same join over plain parquet shuffles both sides
     facts = spark.range(0, 10_000).selectExpr("id % 100 AS k", "id AS v")
