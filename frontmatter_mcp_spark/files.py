@@ -18,7 +18,6 @@ Contracts kept from the reference:
 from __future__ import annotations
 
 import json
-import os
 import re
 from dataclasses import dataclass, field
 from pathlib import Path

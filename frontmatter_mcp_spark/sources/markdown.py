@@ -19,7 +19,6 @@ Stage IRs:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 from pathlib import Path
 

@@ -14,7 +14,7 @@ loader (tables.load_table).
 
 from __future__ import annotations
 
-import os
+import contextlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -112,9 +112,6 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-
-
-import contextlib
 
 
 @contextlib.contextmanager

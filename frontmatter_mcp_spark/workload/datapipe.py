@@ -689,8 +689,6 @@ def _semantic_search_sql(dim: int = 64, k: int = 20) -> str:
     "(the reference README flow), oracle-checked through the UDF",
 )
 def q45_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     from frontmatter_mcp_spark.functions.vector import cosine_similarity
     from frontmatter_mcp_spark.semantic.model import EmbeddingModel
     from frontmatter_mcp_spark.semantic.query import register_embed_udf

@@ -823,6 +823,58 @@ def q25_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q28 — HAVING against a scalar subquery (TPC-H Q11 flavor)
+# ---------------------------------------------------------------------------
+@register(
+    "q28_having_subquery",
+    """
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) >
+           (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.002 FROM lineitem)
+    """,
+    doc="HAVING filtered by a scalar subquery over the same fact table "
+    "(two aggregations, the global one broadcast as a literal)",
+)
+def q28_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q28")
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        FROM lineitem_q28
+        GROUP BY l_partkey
+        HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) >
+               (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.002 FROM lineitem_q28)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29 — groupwise minimum via join-back (TPC-H Q2 flavor)
+# ---------------------------------------------------------------------------
+@register(
+    "q29_cheapest_part_per_brand",
+    """
+    SELECT p.p_brand, p.p_partkey, p.p_name, p.p_retailprice
+    FROM part p
+    JOIN (SELECT p_brand, MIN(p_retailprice) AS min_price FROM part GROUP BY p_brand) m
+      ON p.p_brand = m.p_brand AND p.p_retailprice = m.min_price
+    """,
+    doc="groupwise-min join-back (correlated-min pattern, TPC-H Q2 flavor)",
+)
+def q29_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    m = p.groupBy(F.col("p_brand").alias("mb")).agg(F.min("p_retailprice").alias("min_price"))
+    return p.join(
+        F.broadcast(m),
+        (p.p_brand == F.col("mb")) & (p.p_retailprice == F.col("min_price")),
+    ).select("p_brand", "p_partkey", "p_name", "p_retailprice")
+
+
+# ---------------------------------------------------------------------------
 # q26 — CDC/MERGE emulation: SCD1 upsert of latest-order facts into a dim
 # ---------------------------------------------------------------------------
 @register(
