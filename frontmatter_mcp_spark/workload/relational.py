@@ -939,6 +939,57 @@ def q27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q46 — ordered group concatenation (string_agg / listagg family)
+# ---------------------------------------------------------------------------
+@register(
+    "q46_group_concat",
+    """
+    SELECT n_regionkey,
+           array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="group concatenation with a deterministic (sorted-distinct) order",
+)
+def q46_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — correlated EXISTS with an aggregate inside (TPC-H Q21 flavor)
+# ---------------------------------------------------------------------------
+@register(
+    "q47_exists_with_agg",
+    """
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_big_items
+    FROM supplier s
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_quantity > 40
+      AND EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+      )
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    doc="join + correlated EXISTS (left-semi) + aggregate (TPC-H Q21 flavor)",
+)
+def q47_exists_with_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_big_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # q22 — full outer join with null-handling
 # ---------------------------------------------------------------------------
 @register(

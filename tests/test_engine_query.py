@@ -148,6 +148,13 @@ def test_snapshot_cache_reused_and_invalidated(engine, vault):
     assert out2["results"][0]["n"] == out1["results"][0]["n"] + 1
 
 
+def test_query_inspect_empty_vault(spark, tmp_path):
+    eng = FrontmatterEngine(spark, tmp_path)
+    out = eng.query_inspect("**/*.md")
+    assert out["file_count"] == 0
+    assert out["schema"] == {"path": {"type": "string", "nullable": False}}
+
+
 def test_order_by_null_placement_matches_duckdb(engine):
     # DuckDB sorts NULLS LAST on ASC; the dialect shim makes Spark agree
     out = engine.query("**/*.md", "SELECT path, summary FROM files ORDER BY summary")
