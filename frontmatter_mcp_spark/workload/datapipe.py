@@ -701,3 +701,73 @@ def q45_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", cosine_similarity(F.col("v"), F.col("qv")).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q48 — deterministic k-means (Lloyd) coarse quantizer, oracle-replayed
+# ---------------------------------------------------------------------------
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    dist = (
+        "list_sum([(CAST(v.embedding[i] AS DOUBLE) - c.cent[i]) * "
+        "(CAST(v.embedding[i] AS DOUBLE) - c.cent[i]) "
+        "FOR i IN generate_series(1, len(v.embedding))])"
+    )
+    ctes = [
+        f"""c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             CAST(embedding AS DOUBLE[]) AS cent
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""a{t} AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM embeddings v, c{t - 1} c
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""m{t} AS (
+      SELECT a.cid, i AS pos,
+             list_sum(list_sort(list(CAST(v.embedding[i] AS DOUBLE)))) / COUNT(*) AS mv
+      FROM a{t} a JOIN embeddings v USING (vec_id),
+           UNNEST(generate_series(1, len(v.embedding))) AS t(i)
+      GROUP BY a.cid, i
+    )"""
+        )
+        ctes.append(
+            f"""c{t} AS (
+      SELECT p.cid, COALESCE(n.cent, p.cent) AS cent
+      FROM c{t - 1} p
+      LEFT JOIN (SELECT cid, list(mv ORDER BY pos) AS cent FROM m{t} GROUP BY cid) n
+        USING (cid)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT vec_id, CAST(cid AS INT) AS cluster FROM a{iters}
+    """
+    )
+
+
+@register(
+    "q48_kmeans_clusters",
+    _kmeans_sql(),
+    doc="Lloyd's k-means coarse quantizer (k=8, 3 iterations), every "
+    "iteration bit-deterministic and replayed by the SQL oracle",
+)
+def q48_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=_KMEANS_K, iters=_KMEANS_ITERS)

@@ -1,0 +1,28 @@
+"""k-means operator tests: separation and determinism."""
+
+from __future__ import annotations
+
+from frontmatter_mcp_spark.operators.clustering import kmeans_assign
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    rows = []
+    for i in range(20):  # cluster around (10, 0)
+        rows.append((i, [10.0 + (i % 5) * 0.01, 0.0]))
+    for i in range(20, 40):  # cluster around (0, 10)
+        rows.append((i, [0.0, 10.0 + (i % 5) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cluster for r in kmeans_assign(df, k=2, iters=3).collect()}
+    left = {out[i] for i in range(20)}
+    right = {out[i] for i in range(20, 40)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from frontmatter_mcp_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = {r.vec_id: r.cluster for r in kmeans_assign(e, k=4, iters=2).collect()}
+    b = {r.vec_id: r.cluster for r in kmeans_assign(e, k=4, iters=2).collect()}
+    assert a == b
+    assert len(set(a.values())) > 1  # actually uses multiple clusters
