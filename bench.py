@@ -24,6 +24,55 @@ from frontmatter_mcp_spark.session import get_spark  # noqa: E402
 from frontmatter_mcp_spark.workload import QUERIES  # noqa: E402
 
 
+VAULT_FILES = 1000  # the reference's largest benchmark corpus
+TAG_POOL = ["python", "mcp", "duckdb", "markdown", "obsidian", "notes", "api", "cli"]
+
+
+def vault_benchmarks(spark) -> dict[str, float]:
+    """Mirror the reference's own pytest-benchmark op set
+    (tests/benchmarks/test_query.py: parse cold/warm, SELECT *,
+    WHERE+ORDER BY+LIMIT, e2e query) over a generated 1000-file vault."""
+    import tempfile
+    from pathlib import Path
+
+    from frontmatter_mcp_spark.engine import FrontmatterEngine
+
+    vault = Path(tempfile.mkdtemp(prefix="bench_vault_"))
+    for i in range(VAULT_FILES):
+        (vault / f"file_{i:04d}.md").write_text(
+            f"---\ntitle: doc {i}\ndate: 2024-{i % 12 + 1:02d}-{i % 28 + 1:02d}\n"
+            f"tags: [{TAG_POOL[i % 8]}, {TAG_POOL[(i + 3) % 8]}]\n"
+            f"draft: {str(i % 2 == 0).lower()}\npriority: {i % 5 + 1}\n---\n"
+            f"some body text for document {i}\n"
+        )
+    out: dict[str, float] = {}
+    eng = FrontmatterEngine(spark, vault)
+
+    t0 = time.perf_counter()
+    eng.query("*.md", "SELECT * FROM files")
+    out["vault_parse_cold_plus_scan"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    eng.query("*.md", "SELECT * FROM files")
+    out["vault_warm_scan"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    eng.query(
+        "*.md",
+        "SELECT path, date FROM files WHERE date >= '2024-06-01' ORDER BY date DESC LIMIT 50",
+    )
+    out["vault_filter_topk"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    eng.query(
+        "*.md",
+        'SELECT tag, COUNT(*) AS n FROM files, UNNEST(from_json(tags, \'["VARCHAR"]\')) '
+        "AS t(tag) GROUP BY tag ORDER BY n DESC, tag",
+    )
+    out["vault_unnest_groupby"] = round(time.perf_counter() - t0, 4)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -39,6 +88,7 @@ def main() -> None:
         t0 = time.perf_counter()
         q.spark(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+    timings.update(vault_benchmarks(spark))
 
     total = round(sum(timings.values()), 4)
     print(
