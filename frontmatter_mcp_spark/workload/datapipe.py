@@ -710,7 +710,7 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
-def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+def _kmeans_ctes(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     dist = (
         "list_sum([(CAST(v.embedding[i] AS DOUBLE) - c.cent[i]) * "
         "(CAST(v.embedding[i] AS DOUBLE) - c.cent[i]) "
@@ -751,9 +751,13 @@ def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
         USING (cid)
     )"""
         )
+    return ",\n    ".join(ctes)
+
+
+def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + _kmeans_ctes(k, iters)
         + f"""
     SELECT vec_id, CAST(cid AS INT) AS cluster FROM a{iters}
     """
@@ -771,3 +775,57 @@ def q48_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# q49 — IVF ANN over k-means cells end-to-end: quantize, probe, rank
+# ---------------------------------------------------------------------------
+@register(
+    "q49_ann_ivf_kmeans",
+    f"""
+    WITH {_kmeans_ctes()},
+    fincent AS (SELECT cid, cent FROM c{_KMEANS_ITERS}),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, a.cid
+      FROM embeddings e JOIN a{_KMEANS_ITERS} a USING (vec_id)
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT qid, qvec, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY {_duck_cos('qvec', 'cent')} DESC, cid ASC) AS cell_rank
+      FROM q, fincent
+    ),
+    probed AS (SELECT qid, qvec, cid FROM probe WHERE cell_rank <= 2),
+    pairs AS (
+      SELECT p.qid, c.vec_id AS cand_id, {_duck_cos('p.qvec', 'c.embedding')} AS sim
+      FROM probed p JOIN assigned c ON c.cid = p.cid
+    ),
+    ranked AS (
+      SELECT qid, cand_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cand_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT qid, cand_id, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+    """,
+    doc="the full IVF pipeline: k-means quantizer (q48) -> cell-pruned probe "
+    "(nprobe=2) -> exact cosine ranking; at scale the table is bucketed by "
+    "the cell id so the probe is a partition-pruned read",
+)
+def q49_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    clustered = e.join(
+        kmeans_assign(e, k=_KMEANS_K, iters=_KMEANS_ITERS), "vec_id"
+    ).select("vec_id", "embedding", "cluster")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = sim.ivf_topk(q, clustered, k=10, nprobe=2, label_col="cluster")
+    return out.select(
+        "qid",
+        F.col("vec_id").alias("cand_id"),
+        "sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
