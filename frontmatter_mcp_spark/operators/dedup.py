@@ -169,6 +169,53 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return votes.select(F.col(id_col), F.concat(*bits_cols).alias("simhash"))
 
 
+def neardup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+    max_df: int = 50,
+    iters: int = 3,
+) -> DataFrame:
+    """Assign every document a near-dup group id: the minimum doc id
+    reachable over the Jaccard-pair graph — the keeper-selection step
+    that turns pair lists into an actionable dedup decision.
+
+    Min-label propagation with a fixed iteration count: each round every
+    node takes the min of its own label and its neighbors' labels.
+    `iters` rounds resolve components of diameter <= 2^iters-ish; dedup
+    components are tiny chains in practice, and the fixed count keeps the
+    computation deterministic and oracle-replayable. Each round is one
+    join + one aggregate on the edge list (O(edges) shuffle).
+    """
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold, max_df)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("group_id")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -829,3 +829,73 @@ def q49_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q56 — near-dup GROUP assignment: min-label propagation over the
+# Jaccard pair graph (keeper selection, the last step of dedup)
+# ---------------------------------------------------------------------------
+_LP_ITERS = 3
+
+
+def _neardup_groups_sql(iters: int = _LP_ITERS) -> str:
+    ctes = [
+        f"""pairs AS (
+      SELECT id_a, id_b FROM (
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+        dfreq AS (SELECT shingle, COUNT(*) AS df_count FROM sh GROUP BY 1),
+        f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+              WHERE dfreq.df_count <= {_MAX_DF}),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common) >= {_JACCARD_THRESHOLD}
+      )
+    )""",
+        """edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b AS src, id_a AS dst FROM pairs
+    )""",
+        "l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""l{t} AS (
+      SELECT l.node,
+             LEAST(l.label, COALESCE(n.nbr_label, l.label)) AS label
+      FROM l{t - 1} l
+      LEFT JOIN (
+        SELECT e.src, MIN(p.label) AS nbr_label
+        FROM edges e JOIN l{t - 1} p ON p.node = e.dst
+        GROUP BY e.src
+      ) n ON n.src = l.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS doc_id, label AS group_id FROM l{iters}
+    """
+    )
+
+
+@register(
+    "q56_neardup_groups",
+    _neardup_groups_sql(),
+    doc="near-dup group ids via min-label propagation over the Jaccard "
+    "pair graph (fixed iterations, oracle-replayed) - keeper selection",
+)
+def q56_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.neardup_groups(
+        d, "doc_id", "text",
+        threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
+    )
