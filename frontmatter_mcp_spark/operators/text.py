@@ -107,6 +107,42 @@ def bow_fingerprint(text: Column) -> Column:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 3
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (keyword extraction).
+
+    tf = in-document term count, idf = ln(N / df). The token explode is
+    the only O(tokens) stage; tf and df aggregate map-side, and the final
+    ranking windows on the (small) per-doc term lists. Ties break on the
+    lexicographically smaller term so results are reproducible.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document text profile (narrow map, no shuffle)."""
     t = F.col(text_col)

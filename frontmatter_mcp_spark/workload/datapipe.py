@@ -899,3 +899,89 @@ def q56_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text",
         threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — deterministic hash split + stratified sampling (training-mix ops)
+# ---------------------------------------------------------------------------
+_SAMPLE_RATES = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 0.8, "zh": 1.0}
+
+
+def _hash_bucket_duck(col: str, buckets: int = 1000) -> str:
+    digits = " * 16 + ".join([])
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(1, 8):
+        expr = f"({expr}) * 16 + (strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), {i}, 1)) - 1)"
+    return f"CAST(({expr}) % {buckets} AS INT)"
+
+
+def _split_sample_sql() -> str:
+    b = _hash_bucket_duck("doc_id")
+    keep = " ".join(
+        f"WHEN lang = '{name}' THEN {b} < {int(rate * 1000)}"
+        for name, rate in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+    SELECT doc_id, lang,
+           {b} AS bucket,
+           CASE WHEN {b} < 800 THEN 'train'
+                WHEN {b} < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           CASE {keep} ELSE FALSE END AS kept
+    FROM documents
+    """
+
+
+@register(
+    "q57_hash_split_sample",
+    _split_sample_sql(),
+    doc="stable train/val/test split + per-language stratified sampling by "
+    "content hash (rerun/backfill/repartition-invariant, unlike df.sample)",
+)
+def q57_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators import sampling as sp
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        sp.hash_bucket(key).alias("bucket"),
+        sp.assign_split(key).alias("split"),
+        sp.stratified_keep(key, F.col("lang"), _SAMPLE_RATES).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — TF-IDF keyword extraction (top-3 terms per document)
+# ---------------------------------------------------------------------------
+@register(
+    "q58_tfidf_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf * ln(n.n_docs * 1.0 / dfreq.df) AS score
+      FROM tf JOIN dfreq USING (term), n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
+           round(score, 6) AS score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="TF-IDF keyword extraction: tf and df aggregate map-side, ranking "
+    "windows over tiny per-doc term lists",
+)
+def q58_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(d, "doc_id", "text", top_k=3)
