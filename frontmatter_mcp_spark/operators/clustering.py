@@ -1,9 +1,13 @@
 """Deterministic k-means (Lloyd) for IVF coarse quantization.
 
 The classic Spark k-means shape: centroids live on the driver (k x dim
-doubles — tiny), each iteration is one assignment job (cross join against
-broadcast centroids + per-key rank) and one update job (per-cluster
-per-dimension means). The candidate scan is never collected.
+doubles — tiny), each iteration is one assignment pass (a NARROW map
+against the centroids shipped as a literal array — no crossJoin, no
+shuffle) and one update job (per-cluster per-dimension means, whose
+shuffle carries one (cluster, dim) partial per task — independent of
+row count). The candidate scan is never collected; the scanned vectors
+are persisted across the iteration jobs so the parquet read happens
+once, and released before returning.
 
 Everything is bit-deterministic so an external SQL oracle can replay the
 exact iterations:
@@ -11,25 +15,45 @@ exact iterations:
 - distances: sequential double folds (engine-portable, see
   operators.similarity);
 - means: sorted sequential folds (no decimal-tie or order hazards);
-- argmin ties break on the smaller centroid id;
+- argmin ties break on the smaller centroid id (array_position returns
+  the FIRST index holding the exact minimum);
 - empty clusters keep their previous centroid.
-
-At 100 TB the update job's shuffle carries one (cluster, dim) partial
-per task — independent of row count; assignment is a narrow map against
-broadcast centroids.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window as W
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 
-def _sorted_fold_mean() -> F.Column:
+def _sorted_fold_mean() -> Column:
     return (
         F.aggregate(F.array_sort(F.collect_list("val")), F.lit(0.0), lambda a, x: a + x)
         / F.count("*")
     ).alias("mean_v")
+
+
+def _assign_cid(df: DataFrame, cents: list[list[float]], id_col: str) -> DataFrame:
+    """(id, v, cid) with cid = index of the nearest centroid.
+
+    The centroids travel inside the plan as one array<array<double>>
+    literal — the assignment is whole-stage-codegen'd per row with zero
+    shuffle, the distributed analogue of a broadcast variable. Ties take
+    the FIRST exact minimum (array_position), i.e. the smaller cid.
+    """
+    cents_lit = F.array(*[F.lit(c) for c in cents])
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    cid = (F.array_position(F.col("__dists"), F.array_min(F.col("__dists"))) - 1).cast(
+        "int"
+    )
+    return df.withColumn("__dists", dists).select(id_col, "v", cid.alias("cid"))
 
 
 def kmeans_assign(
@@ -40,42 +64,32 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Run `iters` Lloyd iterations; returns (id_col, cluster INT)."""
-    spark = embeddings.sparkSession
-    vecs = embeddings.select(
+    raw = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    init = vecs.orderBy(id_col).limit(k).collect()
-    cents: list[list[float]] = [list(r.v) for r in init]
+    vecs = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init = vecs.orderBy(id_col).limit(k).collect()
+        cents: list[list[float]] = [list(r.v) for r in init]
 
-    assigned = None
-    for _ in range(iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(i, c) for i, c in enumerate(cents)], "cid int, cent array<double>"
+        # iters-1 centroid updates: assignment vs the current centroids,
+        # then per-(cluster, dim) means. The final assignment needs no
+        # update job, and is built over `raw` (not the persisted handle)
+        # so the returned lazy plan doesn't pin the cache.
+        for _ in range(iters - 1):
+            dims = _assign_cid(vecs, cents, id_col).select(
+                "cid", F.posexplode("v").alias("pos", "val")
             )
-        )
-        dist = F.aggregate(
-            F.zip_with(F.col("v"), F.col("cent"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        w = W.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("cid"))
-        assigned = (
-            vecs.crossJoin(cdf)
-            .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "cid")
-        )
-        dims = assigned.join(vecs, id_col).select(
-            "cid", F.posexplode("v").alias("pos", "val")
-        )
-        means = dims.groupBy("cid", "pos").agg(_sorted_fold_mean()).collect()
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(r.cid, {})[r.pos] = r.mean_v
-        cents = [
-            [by_cid[i][p] for p in range(len(cents[i]))] if i in by_cid else cents[i]
-            for i in range(k)
-        ]
-    return assigned.select(F.col(id_col), F.col("cid").cast("int").alias("cluster"))
+            means = dims.groupBy("cid", "pos").agg(_sorted_fold_mean()).collect()
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cid.setdefault(r.cid, {})[r.pos] = r.mean_v
+            cents = [
+                [by_cid[i][p] for p in range(len(cents[i]))] if i in by_cid else cents[i]
+                for i in range(k)
+            ]
+    finally:
+        vecs.unpersist()
+    return _assign_cid(raw, cents, id_col).select(
+        F.col(id_col), F.col("cid").cast("int").alias("cluster")
+    )

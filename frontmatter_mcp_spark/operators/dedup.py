@@ -190,6 +190,10 @@ def neardup_groups(
     join + one aggregate on the edge list (O(edges) shuffle).
     """
     pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold, max_df)
+    # The edge subplan appears once per propagation round in the final
+    # plan; Catalyst's ReuseExchange computes the expensive shingle
+    # self-join shuffle once per action, so no explicit persist is needed
+    # (measured: persist only adds cache-serialization overhead here).
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
