@@ -264,3 +264,64 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return jac.select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_n: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate detection: word n-gram spans that repeat
+    across at least `min_docs` distinct documents (headers, footers,
+    license blurbs, templated text). The spans are what a cleaning pass
+    strips before training.
+
+    Shape: distinct spans per doc (narrow map) -> groupBy(span) with
+    map-side partial counts. The exchange carries one row per distinct
+    (span, doc) — never all occurrences; the min_docs filter happens
+    after the final aggregate (a HAVING over the hash aggregate).
+    """
+    spans = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), span_n)).alias("span")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.min(id_col).alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    span_n: int = 4,
+) -> DataFrame:
+    """Train/test decontamination: flag every train document that shares
+    at least one word n-gram with any held-out (test) document — the
+    standard benchmark-leakage scan run before training.
+
+    One shuffle on the span key joins train spans to the distinct test
+    span set (corpus-sized, NOT broadcast); per-doc overlap counts then
+    aggregate map-side. Returns (id, n_shared_spans) for flagged docs.
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.col(split_col),
+        F.explode(word_shingles(F.col(text_col), span_n)).alias("span"),
+    )
+    test_spans = (
+        spans.filter(F.col(split_col) == "test").select("span").distinct()
+    )
+    return (
+        spans.filter(F.col(split_col) == "train")
+        .join(test_spans, "span")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("int").alias("n_shared_spans"))
+    )

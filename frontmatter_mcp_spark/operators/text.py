@@ -157,3 +157,86 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         quality_score(t).alias("quality"),
         bow_fingerprint(t).alias("bow_fp"),
     )
+
+
+NORMALIZE_STOPWORDS = ["a", "the"]
+
+
+def normalize_text(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Canonical text-cleaning pass: lowercase, collapse runs of
+    whitespace, drop stopword tokens, space-rejoin. A narrow
+    whole-stage-codegen map — the shape of every pre-training cleanup
+    stage (PII masking, boilerplate stripping, unicode fixes slot in as
+    additional expression rewrites on the same column).
+    """
+    stop = NORMALIZE_STOPWORDS if stopwords is None else stopwords
+    toks = tokens(F.lower(text))
+    kept = F.filter(toks, lambda t: ~t.isin(*stop))
+    return F.array_join(kept, " ")
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the single most frequent word and by the most
+    frequent word bigram, plus lexical diversity. High top-fractions
+    mark degenerate/templated text that quality filters drop.
+
+    Two explode -> groupBy passes (words, bigrams), each with map-side
+    partial counts; the per-doc reduction is integer-only, and every
+    emitted double is a single division of exact integers (no folds, no
+    engine-order hazards).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    )
+    wstats = (
+        words.groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("int").alias("n_words"),
+            F.count("*").cast("int").alias("n_distinct_words"),
+            F.max("c").cast("int").alias("top_word_count"),
+        )
+    )
+    from frontmatter_mcp_spark.operators.dedup import word_shingles
+
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(
+            # all bigram occurrences (not the distinct set): slice+zip_with
+            # like word_shingles but without array_distinct
+            F.zip_with(
+                F.slice(tokens(F.lower(F.col(text_col))), 1, F.greatest(F.size(tokens(F.lower(F.col(text_col)))) - 1, F.lit(0))),
+                F.slice(tokens(F.lower(F.col(text_col))), 2, F.greatest(F.size(tokens(F.lower(F.col(text_col)))) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    bstats = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("int").alias("n_bigrams"),
+            F.max("c").cast("int").alias("top_bigram_count"),
+        )
+    )
+    return (
+        wstats.join(bstats, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            "n_distinct_words",
+            F.round(
+                F.col("n_distinct_words").cast("double") / F.col("n_words"), 6
+            ).alias("distinct_ratio"),
+            F.round(
+                F.col("top_word_count").cast("double") / F.col("n_words"), 6
+            ).alias("top_word_frac"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6
+            ).alias("top_bigram_frac"),
+        )
+    )

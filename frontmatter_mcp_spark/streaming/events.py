@@ -114,6 +114,44 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_interval_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same
+    user's clicks in the preceding `horizon`.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, so Spark can expire buffered state — the canonical
+    watermarked interval join. Locally both branches read the same file
+    source; on a cluster they'd be two Kafka topics.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user_id = user_id
+            AND click_ts <= purchase_ts
+            AND click_ts >= purchase_ts - INTERVAL {horizon}"""
+        ),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id")
+
+
 @contextlib.contextmanager
 def _stream_state_partitions(spark, n: int = 8):
     """Stateful streaming spawns one state store per shuffle partition;

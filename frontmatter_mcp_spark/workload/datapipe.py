@@ -985,3 +985,249 @@ def q57_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q58_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return tx.tfidf_top_terms(d, "doc_id", "text", top_k=3)
+
+
+# ---------------------------------------------------------------------------
+# q59 — boilerplate span detection (cross-doc repeated n-grams)
+# ---------------------------------------------------------------------------
+_SPAN_N = 4
+
+_SPANS_CTE = """
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+sp AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS span
+  FROM toks, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 4
+)
+"""
+
+
+@register(
+    "q59_boilerplate_spans",
+    f"""
+    WITH {_SPANS_CTE}
+    SELECT span, CAST(COUNT(*) AS INT) AS n_docs, MIN(doc_id) AS first_doc_id
+    FROM sp GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+    doc="boilerplate detection: word 4-gram spans repeated across >= 2 "
+    "docs (headers/footers/templates a cleaning pass strips); shuffle "
+    "carries one row per distinct (span, doc)",
+)
+def q59_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.boilerplate_spans(d, "doc_id", "text", span_n=_SPAN_N, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# q60 — train/test decontamination scan (benchmark-leakage n-gram overlap)
+# ---------------------------------------------------------------------------
+@register(
+    "q60_decontamination",
+    f"""
+    WITH {_SPANS_CTE},
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN {_hash_bucket_duck('doc_id')} < 800 THEN 'train'
+                  WHEN {_hash_bucket_duck('doc_id')} < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    test_spans AS (
+      SELECT DISTINCT span FROM sp JOIN splits USING (doc_id) WHERE split = 'test'
+    )
+    SELECT sp.doc_id, CAST(COUNT(*) AS INT) AS n_shared_spans
+    FROM sp JOIN splits USING (doc_id) JOIN test_spans USING (span)
+    WHERE split = 'train'
+    GROUP BY 1
+    """,
+    doc="decontamination: train docs sharing any word 4-gram with the "
+    "held-out test split (hash-bucket split, q57's rule); one shuffle on "
+    "the span key, never broadcast (test spans are corpus-sized)",
+)
+def q60_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators import sampling as smp
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "split", smp.assign_split(F.col("doc_id"))
+    )
+    return dd.decontaminate(d, "doc_id", "text", "split", span_n=_SPAN_N)
+
+
+# ---------------------------------------------------------------------------
+# q61 — Gopher-style repetition / quality signals per document
+# ---------------------------------------------------------------------------
+@register(
+    "q61_repetition_profile",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(w) AS wd FROM toks),
+    wc AS (SELECT doc_id, wd, COUNT(*) AS c FROM words GROUP BY 1, 2),
+    ws AS (
+      SELECT doc_id, CAST(SUM(c) AS INT) AS n_words,
+             CAST(COUNT(*) AS INT) AS n_distinct_words,
+             CAST(MAX(c) AS INT) AS top_word_count
+      FROM wc GROUP BY 1
+    ),
+    bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bs AS (
+      SELECT doc_id, CAST(SUM(c) AS INT) AS n_bigrams,
+             CAST(MAX(c) AS INT) AS top_bigram_count
+      FROM bc GROUP BY 1
+    )
+    SELECT ws.doc_id, n_words, n_distinct_words,
+           round(CAST(n_distinct_words AS DOUBLE) / n_words, 6) AS distinct_ratio,
+           round(CAST(top_word_count AS DOUBLE) / n_words, 6) AS top_word_frac,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           round(CAST(top_bigram_count AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+    FROM ws LEFT JOIN bs USING (doc_id)
+    """,
+    doc="Gopher-style repetition signals: top-word / top-bigram token "
+    "fractions + lexical diversity per doc (integer counts, single "
+    "divisions - engine-portable)",
+)
+def q61_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tx.repetition_profile(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q62 — text normalization pass (lowercase, collapse, stopword strip)
+# ---------------------------------------------------------------------------
+@register(
+    "q62_normalize_text",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, w, list_filter(w, x -> x NOT IN ('a', 'the')) AS kept
+      FROM toks
+    )
+    SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, CAST(len(kept) AS INT) AS n_kept,
+           md5(array_to_string(kept, ' ')) AS norm_fp
+    FROM k
+    """,
+    doc="canonical cleaning pass: lowercase + whitespace collapse + "
+    "stopword strip, fingerprinted; a narrow whole-stage-codegen map",
+)
+def q62_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(tx.tokens(tx.normalize_text(F.col("text")))).alias("n_kept"),
+        F.md5(tx.normalize_text(F.col("text"))).alias("norm_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — vocabulary build with cumulative coverage (tokenizer prep)
+# ---------------------------------------------------------------------------
+@register(
+    "q63_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    words AS (SELECT unnest(w) AS term FROM toks),
+    counts AS (SELECT term, COUNT(*) AS cnt FROM words GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total FROM counts)
+    SELECT term, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS INT) AS rank,
+           CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_cnt,
+           round(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / (SELECT total FROM tot), 6) AS coverage
+    FROM counts
+    """,
+    doc="vocabulary building: global term frequencies with cumulative "
+    "corpus coverage (how big a vocab covers X% of tokens). The window "
+    "is over the AGGREGATED vocab (small), not the corpus",
+)
+def q63_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"))
+    counts = words.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    # single-partition window: safe because it runs over the aggregated
+    # vocabulary (|vocab| rows), not the token stream
+    w = W.orderBy(F.desc("cnt"), F.asc("term")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "cnt",
+            F.row_number().over(w).cast("int").alias("rank"),
+            F.sum("cnt").over(w).alias("cum_cnt"),
+            F.round(
+                F.sum("cnt").over(w).cast("double") / F.col("total"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q64 — int8 embedding quantization (index compression)
+# ---------------------------------------------------------------------------
+@register(
+    "q64_embedding_quantize",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    d AS (
+      SELECT i AS pos, MIN(x[i]) AS dmin, MAX(x[i]) AS dmax
+      FROM v, UNNEST(generate_series(1, len(x))) AS t(i)
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT v.vec_id, d.pos, x[d.pos] AS xv, d.dmin, d.dmax,
+             CAST(GREATEST(LEAST(
+               CASE WHEN d.dmax - d.dmin > 0
+                    THEN floor((x[d.pos] - d.dmin) * 255.0 / (d.dmax - d.dmin))
+                    ELSE 0 END, 255), 0) AS INT) AS code
+      FROM v, UNNEST(generate_series(1, len(x))) AS t(i)
+      JOIN d ON d.pos = i
+    ),
+    e AS (
+      SELECT vec_id, pos, code,
+             (xv - (CAST(code AS DOUBLE) * (dmax - dmin) / 255.0 + dmin))
+             * (xv - (CAST(code AS DOUBLE) * (dmax - dmin) / 255.0 + dmin)) AS err
+      FROM c
+    )
+    SELECT vec_id, CAST(COUNT(*) AS INT) AS n_dims,
+           md5(array_to_string(list(CAST(code AS VARCHAR) ORDER BY pos), ',')) AS codes_fp,
+           round(list_sum(list_sort(list(err))), 12) AS recon_err
+    FROM e GROUP BY vec_id
+    """,
+    doc="per-dimension int8 scalar quantization of the embedding table "
+    "(4x index shrink before ANN serving); dim stats ride into a "
+    "shuffle-free encode map as literals, like the k-means assignment",
+)
+def q64_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators import quantize as qz
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return qz.int8_quantize(e, "vec_id", "embedding")

@@ -161,3 +161,35 @@ def q52_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("session_window.end"), _TS_FMT_US).alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "q55_stream_interval_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
+    """,
+    doc="watermarked stream-stream interval join (clicks -> purchases "
+    "within 1h, same user) == batch time-range self-join",
+)
+def q55_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    joined = ev.click_purchase_interval_join(stream, horizon="1 hour")
+    with ev._stream_state_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_interval_join_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    return spark.table("stream_interval_join_out").select(
+        "user_id", "click_id", "purchase_id"
+    )

@@ -133,3 +133,100 @@ def test_bow_fingerprint_order_insensitive(spark):
     ).collect()}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+# ---------------------------------------------------------------------------
+# new training-pipeline operators: boilerplate, decontamination, repetition,
+# normalization, quantization
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_spans_finds_shared_template(spark):
+    rows = [
+        (1, "copyright acme corp all rights reserved unique alpha text"),
+        (2, "copyright acme corp all rights reserved unique beta words"),
+        (3, "completely unrelated document body with no template at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {r.span: r for r in dd.boilerplate_spans(df, "doc_id", "text").collect()}
+    assert "copyright acme corp all" in spans
+    shared = spans["copyright acme corp all"]
+    assert shared.n_docs == 2 and shared.first_doc_id == 1
+    # nothing from the unrelated doc repeats
+    assert all("unrelated" not in s for s in spans)
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    rows = [
+        (1, "train", "the secret benchmark question appears right here today"),
+        (2, "train", "totally clean training document with original content"),
+        (3, "test", "the secret benchmark question appears in the test set"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "split", "text"])
+    flagged = {r.doc_id: r.n_shared_spans for r in
+               dd.decontaminate(df, "doc_id", "text", "split").collect()}
+    assert 1 in flagged and flagged[1] >= 1  # shares "the secret benchmark question"
+    assert 2 not in flagged
+
+
+def test_repetition_profile_degenerate_text(spark):
+    rows = [
+        (1, "spam spam spam spam"),
+        (2, "all four words differ"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in tx.repetition_profile(df, "doc_id", "text").collect()}
+    assert out[1].n_words == 4 and out[1].n_distinct_words == 1
+    assert out[1].top_word_frac == 1.0 and out[1].top_bigram_frac == 1.0
+    assert out[2].distinct_ratio == 1.0
+    assert out[2].top_word_frac == 0.25
+    assert out[2].n_bigrams == 3
+
+
+def test_normalize_text_strips_stopwords_and_case(spark):
+    df = spark.createDataFrame([(1, "  The   quick a  Fox  ")], ["doc_id", "text"])
+    out = df.select(tx.normalize_text(F.col("text")).alias("norm")).collect()[0]
+    assert out.norm == "quick fox"
+
+
+def test_int8_quantize_roundtrip_properties(spark):
+    from frontmatter_mcp_spark.operators import quantize as qz
+
+    rows = [
+        (1, [0.0, 10.0]),
+        (2, [1.0, 20.0]),
+        (3, [2.0, 30.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in qz.int8_quantize(df, "vec_id", "embedding").collect()}
+    assert all(r.n_dims == 2 for r in out.values())
+    # max quantization step is (max-min)/255; squared error per dim below step^2
+    step0, step1 = 2.0 / 255, 20.0 / 255
+    bound = step0**2 + step1**2
+    assert all(0.0 <= r.recon_err <= bound for r in out.values())
+    # distinct vectors get distinct codes
+    assert len({r.codes_fp for r in out.values()}) == 3
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """click->purchase interval join: streaming result == batch range join."""
+    import datetime as dt
+
+    from frontmatter_mcp_spark.streaming import events as ev
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # (event_id, ts_nanos, user_id, event_type, value, props)
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 7, "purchase", 5.0, "{}"),  # joins 1
+        (3, t0 + dt.timedelta(hours=3), 7, "purchase", 5.0, "{}"),  # out of window
+        (4, t0, 8, "purchase", 2.0, "{}"),  # other user, no click
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = ev.click_purchase_interval_join(
+        df.selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    got = {(r.user_id, r.click_id, r.purchase_id) for r in out.collect()}
+    assert got == {(7, 1, 2)}
