@@ -1019,3 +1019,239 @@ def q22_supplier_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q65 — TPC-H Q7 flavor: volume shipping between nation pairs
+# ---------------------------------------------------------------------------
+@register(
+    "q65_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 flavor: 6-way join (2 fact, 4 broadcast dims), revenue "
+    "between distinct nation pairs per ship year",
+)
+def q65_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(_dsum(vol, "revenue", 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66 — TPC-H Q8 flavor: national market share inside one region
+# ---------------------------------------------------------------------------
+@register(
+    "q66_market_share",
+    """
+    SELECT l_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_dec ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(vol_dec) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS l_year,
+             n1.n_name AS supp_nation,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS vol_dec
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q8 flavor: one nation's share of a region's revenue per "
+    "year - conditional decimal sums, one exact division at the end",
+)
+def q66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    vol_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    base = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("c_rk") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("l_year"),
+            F.col("supp_nation"),
+            vol_dec.alias("vol_dec"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return base.groupBy("l_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol_dec")).otherwise(zero)).cast("double")
+            / F.sum("vol_dec").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 — TPC-H Q15 flavor: top supplier(s) by quarterly revenue
+# ---------------------------------------------------------------------------
+@register(
+    "q67_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 flavor: CTE revenue view + scalar-subquery max filter "
+    "(Catalyst plans the scalar as a broadcast exchange, no second scan "
+    "thanks to exchange reuse)",
+)
+def q67_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(vol, "total_revenue", 6))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        F.broadcast(s)
+        .join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — TPC-H Q20 flavor: IN-subquery with HAVING (semi join on an agg)
+# ---------------------------------------------------------------------------
+@register(
+    "q68_bulk_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'STANDARD'
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > CAST(2900 AS DECIMAL(18,2))
+    )
+    """,
+    doc="TPC-H Q20 flavor: IN over an aggregated subquery -> left-semi "
+    "join against the HAVING'd aggregate",
+)
+def q68_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    heavy = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > F.lit(2900).cast("decimal(18,2)"))
+        .select("l_suppkey")
+    )
+    return s.join(
+        heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# q69 — TPC-H Q22 flavor: rich customers with no orders, by nation
+# ---------------------------------------------------------------------------
+@register(
+    "q69_rich_inactive_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name AS nation,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 flavor: scalar-subquery threshold + NOT EXISTS anti "
+    "join, grouped by nation",
+)
+def q69_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("a")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
