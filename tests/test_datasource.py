@@ -1,0 +1,128 @@
+"""Tests for the `frontmatter` Python DataSource (Spark 4 API).
+
+Covers the reference's scan contract re-expressed as a reader format:
+union-of-keys schema (query.py:41-43), all-strings values + JSON arrays
+(query.py:10-20, ADR-0006), relative path column (ADR-0007), malformed
+files as rows-with-_error not failures (files.py:70-107), plus
+source-specific behavior: partitioned reads and user-supplied schemas.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from frontmatter_mcp_spark.sources.datasource import FrontmatterDataSource
+
+
+@pytest.fixture(scope="module")
+def vault(tmp_path_factory):
+    v = tmp_path_factory.mktemp("ds_vault")
+    (v / "a.md").write_text(
+        "---\ntitle: Alpha\ntags:\n  - x\n  - y\ndate: 2025-11-01\n---\nbody A"
+    )
+    (v / "sub").mkdir()
+    (v / "sub" / "b.md").write_text("---\ntitle: Beta\nextra: 42\n---\nbody B")
+    (v / "c.md").write_text("---\nbad: [unclosed\n---\nbody C")
+    (v / "ignored.txt").write_text("not markdown")
+    return v
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(FrontmatterDataSource)
+    return spark
+
+
+def _read(spark, vault, **options):
+    r = spark.read.format("frontmatter")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(str(vault))
+
+
+def test_union_schema_and_values(registered, vault):
+    df = _read(registered, vault)
+    rows = {r.path: r for r in df.collect()}
+    assert set(rows) == {"a.md", "c.md", "sub/b.md"}  # relative paths, glob'd
+    assert rows["a.md"].title == "Alpha"
+    assert rows["a.md"].tags == '["x", "y"]'  # JSON-encoded array
+    assert rows["sub/b.md"].extra == "42"  # int -> string
+    assert rows["sub/b.md"].tags is None  # missing key -> NULL
+    assert df.schema["path"].nullable is False
+
+
+def test_malformed_file_is_error_row(registered, vault):
+    rows = {r.path: r for r in _read(registered, vault).collect()}
+    assert rows["c.md"]._error is not None and "c.md" in rows["c.md"]._error
+    assert rows["a.md"]._error is None
+
+
+def test_include_body_option(registered, vault):
+    df = _read(registered, vault, includeBody="true")
+    rows = {r.path: r for r in df.collect()}
+    assert rows["a.md"]._body == "body A"
+    assert "_body" not in _read(registered, vault).columns
+
+
+def test_partitioned_read_covers_all_files(registered, vault):
+    df = _read(registered, vault, numPartitions="3")
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 3
+
+
+def test_user_schema_skips_inference(registered, vault):
+    df = (
+        registered.read.format("frontmatter")
+        .schema("path string, title string, _error string")
+        .load(str(vault))
+    )
+    assert df.columns == ["path", "title", "_error"]
+    rows = {r.path: r.title for r in df.collect()}
+    assert rows["a.md"] == "Alpha"
+
+
+def test_sql_usable_as_table(registered, vault):
+    _read(registered, vault).createOrReplaceTempView("vault_files")
+    n = registered.sql(
+        "SELECT COUNT(*) AS n FROM vault_files WHERE title IS NOT NULL"
+    ).collect()[0].n
+    assert n == 2
+
+
+def test_stream_reader_differential_batches(registered, tmp_path):
+    """The streaming form emits only files whose mtime advanced — the
+    reference's differential indexer rule (cache.py:160-177) as a
+    Structured Streaming source."""
+    import time
+
+    v = tmp_path / "stream_vault"
+    v.mkdir()
+    (v / "a.md").write_text("---\ntitle: Alpha\n---\nA")
+    (v / "b.md").write_text("---\ntitle: Beta\n---\nB")
+    stream = registered.readStream.format("frontmatter").load(str(v))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ds_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = sorted(r.path for r in registered.table("ds_stream_test").collect())
+        assert first == ["a.md", "b.md"]
+        time.sleep(0.02)
+        (v / "a.md").write_text("---\ntitle: Alpha2\n---\nA2")
+        (v / "c.md").write_text("---\ntitle: Gamma\n---\nC")
+        q.processAllAvailable()
+        rows = sorted(
+            (r.path, r.title) for r in registered.table("ds_stream_test").collect()
+        )
+        # a.md re-emits with new content; b.md does NOT re-emit
+        assert rows == [
+            ("a.md", "Alpha"),
+            ("a.md", "Alpha2"),
+            ("b.md", "Beta"),
+            ("c.md", "Gamma"),
+        ]
+    finally:
+        q.stop()
