@@ -30,25 +30,45 @@ class DeterministicHashEmbedder:
     def __init__(self, dim: int = 64) -> None:
         self.dim = dim
         self.name = f"hash-embedder-v2-{dim}"
+        # token -> float64[dim] pattern. Tokens repeat heavily across a
+        # corpus, so memoizing the md5-derived pattern removes almost all
+        # hashing from the hot path (the real-model analogue: an
+        # embedding cache). Bounded to keep executor memory flat.
+        self._memo: dict[str, "object"] = {}
 
     def encode(self, texts: list[str]) -> list[list[float]]:
         return [self._encode_one(t) for t in texts]
 
+    def _token_pattern(self, tok: str):
+        import numpy as np
+
+        v = self._memo.get(tok)
+        if v is None:
+            n_chunks = (self.dim + 15) // 16
+            parts = []
+            for c in range(n_chunks):
+                d = hashlib.md5(f"{tok}|{c}".encode()).digest()
+                parts.append(
+                    np.frombuffer(d, dtype=np.uint8)[: min(16, self.dim - c * 16)]
+                )
+            # same per-element ops as the scalar form: byte/255.0 - 0.5
+            v = np.concatenate(parts).astype(np.float64) / 255.0 - 0.5
+            if len(self._memo) > 200_000:
+                self._memo.clear()
+            self._memo[tok] = v
+        return v
+
     def _encode_one(self, text: str) -> list[float]:
+        import numpy as np
+
         toks = text.lower().split()
-        n_chunks = (self.dim + 15) // 16
-        vec = [0.0] * self.dim
-        for c in range(n_chunks):
-            digests = [hashlib.md5(f"{tok}|{c}".encode()).digest() for tok in toks]
-            for j in range(min(16, self.dim - c * 16)):
-                i = c * 16 + j
-                acc = 0.0
-                for d in digests:  # token order == text order, sequential fold
-                    acc += (d[j] / 255.0) - 0.5
-                vec[i] = acc
+        acc = np.zeros(self.dim, dtype=np.float64)
+        for tok in toks:  # token order == text order, sequential fold
+            acc = acc + self._token_pattern(tok)
+        vec = acc.tolist()
         norm = math.sqrt(sum(v * v for v in vec))
         if norm > 0:
-            vec = [v / norm for v in vec]
+            return (acc / norm).tolist()
         return vec
 
     def get_dimension(self) -> int:
