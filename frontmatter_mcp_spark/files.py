@@ -173,6 +173,16 @@ def resolve_path(base_dir: str | Path, rel_path: str) -> Path:
     return target
 
 
+def resolve_write_path(base_dir: str | Path, rel_path: str) -> Path:
+    """Escape-checked resolve for files that may not exist yet (the
+    write-side half of the reference's path-safety rule, server.py:76-79)."""
+    base = Path(base_dir).resolve()
+    target = (base / rel_path).resolve()
+    if not target.is_relative_to(base):
+        raise ValueError(f"Path escapes base directory: {rel_path}")
+    return target
+
+
 def update_file(
     abs_path: Path,
     base_dir: str | Path,

@@ -28,12 +28,16 @@ from __future__ import annotations
 
 from pathlib import Path
 
+from dataclasses import dataclass
+
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from frontmatter_mcp_spark.files import collect_files, parse_document, serialize_value
@@ -82,6 +86,9 @@ class FrontmatterDataSource(DataSource):
 
     def simpleStreamReader(self, schema: T.StructType) -> "FrontmatterStreamReader":
         return FrontmatterStreamReader(self.options, schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "FrontmatterWriter":
+        return FrontmatterWriter(self.options, schema, overwrite)
 
 
 class FrontmatterReader(DataSourceReader):
@@ -189,6 +196,72 @@ class FrontmatterStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows(files))
 
     def commit(self, end: dict) -> None:
+        pass
+
+
+@dataclass
+class _WriteDone(WriterCommitMessage):
+    n_files: int
+
+
+class FrontmatterWriter(DataSourceWriter):
+    """Distributed markdown write-back: `df.write.format("frontmatter")
+    .mode("overwrite"|"append").save(vault_dir)`.
+
+    Each row becomes one markdown file: `path` (required, relative,
+    escape-checked) names the file, `_body` (optional) the content, and
+    every other non-null, non-underscore column a frontmatter property.
+    JSON-encoded array strings round-trip back to YAML lists, inverting
+    the reader's serialization (ADR-0006) — a frontmatter->frontmatter
+    copy pipeline is lossless. This is the reference's file-rewrite sink
+    (files.py:143-145) as a task-parallel write: each task writes its
+    partition's files independently; append mode refuses to clobber.
+    """
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        self.base_dir = options["path"]
+        self.overwrite = overwrite
+        self.cols = [f.name for f in schema.fields]
+        if "path" not in self.cols:
+            raise ValueError("frontmatter writer requires a 'path' column")
+
+    def write(self, iterator):
+        import json
+
+        from frontmatter_mcp_spark.files import dump_document, resolve_write_path
+
+        base = Path(self.base_dir)
+        base.mkdir(parents=True, exist_ok=True)
+        n = 0
+        for row in iterator:
+            d = row.asDict()
+            target = resolve_write_path(base, d["path"])
+            if target.exists() and not self.overwrite:
+                raise FileExistsError(
+                    f"{d['path']} exists; use mode('overwrite') to replace"
+                )
+            meta = {}
+            for k in self.cols:
+                if k == "path" or k.startswith("_") or d.get(k) is None:
+                    continue
+                v = d[k]
+                if isinstance(v, str) and v.startswith("[") and v.endswith("]"):
+                    try:
+                        parsed = json.loads(v)
+                        v = parsed if isinstance(parsed, list) else v
+                    except ValueError:
+                        pass
+                meta[k] = v
+            body = d.get("_body") or ""
+            target.parent.mkdir(parents=True, exist_ok=True)
+            target.write_text(dump_document(meta, body), encoding="utf-8")
+            n += 1
+        return _WriteDone(n)
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:
         pass
 
 

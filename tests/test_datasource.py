@@ -126,3 +126,42 @@ def test_stream_reader_differential_batches(registered, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_writer_roundtrip_lossless(registered, vault, tmp_path):
+    """read -> write -> read round-trips records exactly (arrays return
+    to YAML lists, bodies preserved) — the reference's file-rewrite sink
+    (files.py:143-145) as a task-parallel write."""
+    dst = tmp_path / "copy_vault"
+    df = (
+        registered.read.format("frontmatter")
+        .option("includeBody", "true")
+        .load(str(vault))
+        .filter("_error IS NULL")
+    )
+    df.write.format("frontmatter").mode("overwrite").save(str(dst))
+    back = (
+        registered.read.format("frontmatter")
+        .option("includeBody", "true")
+        .load(str(dst))
+    )
+    orig = {r.path: (r.title, r.tags, r._body) for r in df.collect()}
+    copied = {r.path: (r.title, r.tags, r._body) for r in back.collect()}
+    assert copied == orig and len(copied) == 2
+
+
+def test_writer_append_refuses_clobber(registered, vault, tmp_path):
+    dst = tmp_path / "clobber_vault"
+    df = (
+        registered.read.format("frontmatter").load(str(vault)).filter("_error IS NULL")
+    )
+    df.write.format("frontmatter").mode("overwrite").save(str(dst))
+    with pytest.raises(Exception, match="exists"):
+        df.write.format("frontmatter").mode("append").save(str(dst))
+
+
+def test_writer_rejects_escaping_path(registered, tmp_path):
+    dst = tmp_path / "safe_vault"
+    df = registered.createDataFrame([("../evil.md", "X")], "path string, title string")
+    with pytest.raises(Exception, match="[Ee]scapes"):
+        df.write.format("frontmatter").mode("overwrite").save(str(dst))
