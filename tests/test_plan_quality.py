@@ -104,3 +104,56 @@ def test_relational_surface_has_no_python_udfs(spark, name):
 def test_text_dedup_operators_are_jvm_side(spark, name):
     plan = formatted_plan(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q64_quantize_encode_is_narrow(spark):
+    # the encode pass must be a scan -> project map: no exchange, no
+    # join — the dim stats ride in as literals
+    plan = formatted_plan(spark, "q64_embedding_quantize")
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_q48_kmeans_assignment_is_narrow(spark):
+    # final assignment: literal-centroid argmin, zero shuffle
+    plan = formatted_plan(spark, "q48_kmeans_clusters")
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_q65_dims_broadcast_never_cartesian(spark):
+    plan = formatted_plan(spark, "q65_volume_shipping")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q60_span_join_is_shuffle_not_broadcast(spark):
+    # test-span set is corpus-sized: the contamination join must NOT
+    # plan a broadcast of it at scale (here we assert it's a real join
+    # over the span key, with partial aggregation after)
+    plan = formatted_plan(spark, "q60_decontamination")
+    assert "Join" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q62_normalize_is_narrow_map(spark):
+    plan = formatted_plan(spark, "q62_normalize_text")
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_relational_surface_has_no_python_udfs_extended(spark):
+    # the new relational queries stay fully JVM-side
+    for name in [
+        "q65_volume_shipping",
+        "q66_market_share",
+        "q67_top_supplier",
+        "q68_bulk_suppliers",
+        "q69_rich_inactive_customers",
+        "q59_boilerplate_spans",
+        "q60_decontamination",
+        "q61_repetition_profile",
+        "q62_normalize_text",
+        "q63_vocab_coverage",
+        "q64_embedding_quantize",
+    ]:
+        plan = formatted_plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
