@@ -1231,3 +1231,159 @@ def q64_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return qz.int8_quantize(e, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# q70 — incremental ingestion dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+@register(
+    "q70_incremental_dedup",
+    f"""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             CASE WHEN {_hash_bucket_duck('doc_id')} < 900 THEN 'existing'
+                  ELSE 'incoming' END AS batch
+      FROM documents
+    ),
+    exact_hit AS (
+      SELECT DISTINCT i.doc_id
+      FROM tagged i JOIN tagged e
+        ON e.batch = 'existing' AND i.batch = 'incoming'
+       AND md5(e.text) = md5(i.text)
+    ),
+    toks AS (SELECT doc_id, batch, string_split_regex(trim(text), '\\s+') AS w FROM tagged),
+    sh AS (
+      SELECT DISTINCT doc_id, batch, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    inter AS (
+      SELECT i.doc_id, i_sz.set_size AS size_i, e_sz.set_size AS size_e, COUNT(*) AS n_common
+      FROM sh i
+      JOIN sh e ON e.shingle = i.shingle AND e.batch = 'existing' AND i.batch = 'incoming'
+      JOIN sizes i_sz ON i_sz.doc_id = i.doc_id
+      JOIN sizes e_sz ON e_sz.doc_id = e.doc_id
+      GROUP BY 1, 2, 3
+    ),
+    near_hit AS (
+      SELECT DISTINCT doc_id FROM inter
+      WHERE n_common * 1.0 / (size_i + size_e - n_common) >= 0.6
+    )
+    SELECT t.doc_id,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nh.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict
+    FROM tagged t
+    LEFT JOIN exact_hit ex ON ex.doc_id = t.doc_id
+    LEFT JOIN near_hit nh ON nh.doc_id = t.doc_id
+    WHERE t.batch = 'incoming'
+    """,
+    doc="incremental ingestion: each incoming-batch doc gets a verdict "
+    "against the existing corpus - exact_dup (content hash), near_dup "
+    "(3-gram Jaccard >= 0.6 against any existing doc), or new. The "
+    "existing side is never rescanned per doc: one hash join + one "
+    "shingle join, both on corpus-sized keys",
+)
+def q70_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators import sampling as smp
+
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.withColumn(
+        "batch",
+        F.when(smp.hash_bucket(F.col("doc_id")) < 900, F.lit("existing")).otherwise(
+            F.lit("incoming")
+        ),
+    )
+    incoming = tagged.filter(F.col("batch") == "incoming")
+    existing = tagged.filter(F.col("batch") == "existing")
+    exact_hit = (
+        incoming.alias("i")
+        .join(
+            existing.alias("e"),
+            F.md5(F.col("e.text")) == F.md5(F.col("i.text")),
+            "left_semi",
+        )
+        .select(F.col("doc_id"))
+        .distinct()
+    )
+    sh = tagged.select(
+        F.col("doc_id"),
+        "batch",
+        F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    i_sh = sh.filter(F.col("batch") == "incoming").select(
+        F.col("doc_id").alias("i_id"), "shingle"
+    )
+    e_sh = sh.filter(F.col("batch") == "existing").select(
+        F.col("doc_id").alias("e_id"), "shingle"
+    )
+    inter = (
+        i_sh.join(e_sh, "shingle")
+        .join(sizes.select(F.col("doc_id").alias("i_id"), F.col("set_size").alias("size_i")), "i_id")
+        .join(sizes.select(F.col("doc_id").alias("e_id"), F.col("set_size").alias("size_e")), "e_id")
+        .groupBy("i_id", "size_i", "size_e")
+        .agg(F.count("*").alias("n_common"))
+    )
+    near_hit = (
+        inter.filter(
+            F.col("n_common")
+            / (F.col("size_i") + F.col("size_e") - F.col("n_common"))
+            >= 0.6
+        )
+        .select(F.col("i_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact_hit.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near_hit.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact").isNotNull(), "exact_dup")
+            .when(F.col("is_near").isNotNull(), "near_dup")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — dedup report: duplicate-cluster size histogram + ratios
+# ---------------------------------------------------------------------------
+@register(
+    "q71_dedup_report",
+    """
+    WITH groups AS (
+      SELECT md5(text) AS fp, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    )
+    SELECT n_docs AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(n_docs * COUNT(*) AS BIGINT) AS n_documents,
+           CAST(CAST((n_docs - 1) * COUNT(*) AS BIGINT) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents) AS removable_frac
+    FROM groups GROUP BY n_docs
+    """,
+    doc="dedup reporting: histogram of exact-duplicate cluster sizes and "
+    "the removable fraction per size - the summary a pipeline operator "
+    "reads before deciding thresholds",
+)
+def q71_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    total = d.agg(F.count("*").alias("n_total"))
+    groups = d.groupBy(F.md5("text").alias("fp")).agg(F.count("*").alias("n_docs"))
+    return (
+        groups.groupBy(F.col("n_docs").alias("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_documents"),
+            (
+                ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("bigint").cast("double")
+                / F.col("n_total")
+            ).alias("removable_frac"),
+        )
+    )
