@@ -1255,3 +1255,150 @@ def q69_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — gap-filled hourly resample (time-series spine + zero fill)
+# ---------------------------------------------------------------------------
+@register(
+    "q72_gapfill_hourly",
+    """
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL '1 hour')) AS hour FROM bounds
+    ),
+    hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(h.n, 0) AS n,
+           COALESCE(h.total_value, 0.0) AS total_value
+    FROM spine s LEFT JOIN hourly h ON h.hour = s.hour
+    """,
+    doc="hypertable-style gap-filled resample: generated hourly spine "
+    "LEFT JOIN the bucketed aggregate, empty buckets zero-filled - the "
+    "spine is sequence()-exploded from one aggregated row, never "
+    "driver-materialized",
+)
+def q72_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("value"), "total_value", 6),
+    )
+    return (
+        spine.join(hourly, "hour", "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — day-cohort retention matrix (distinct users per cohort x offset)
+# ---------------------------------------------------------------------------
+@register(
+    "q73_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS INT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    doc="retention cohorts: users bucketed by first-seen day, distinct "
+    "active users per (cohort, day offset); the firsts aggregate "
+    "shuffles once on user_id and joins back on the same key",
+)
+def q73_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    return (
+        e.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.date_trunc("day", "ts").cast("date"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 — ordered funnel: signup -> first click after -> first purchase after
+# ---------------------------------------------------------------------------
+@register(
+    "q74_event_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+    doc="ordered funnel: stage k = first qualifying event strictly after "
+    "the user's stage k-1 timestamp; each stage is one groupBy(user) + "
+    "join on user_id (co-partitioned shuffles, no windows over the "
+    "whole stream)",
+)
+def q74_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
