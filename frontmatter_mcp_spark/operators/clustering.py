@@ -62,8 +62,12 @@ def kmeans_assign(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Run `iters` Lloyd iterations; returns (id_col, cluster INT)."""
+    return_centroids: bool = False,
+):
+    """Run `iters` Lloyd iterations; returns (id_col, cluster INT) — or,
+    with return_centroids, a (DataFrame, centroids) pair where centroids
+    are the k x dim values the final assignment used (for downstream
+    quality metrics like inertia)."""
     raw = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -90,6 +94,9 @@ def kmeans_assign(
             ]
     finally:
         vecs.unpersist()
-    return _assign_cid(raw, cents, id_col).select(
+    out = _assign_cid(raw, cents, id_col).select(
         F.col(id_col), F.col("cid").cast("int").alias("cluster")
     )
+    if return_centroids:
+        return out, cents
+    return out

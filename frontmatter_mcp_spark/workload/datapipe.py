@@ -1387,3 +1387,162 @@ def q71_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("removable_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — MinHash estimator calibration: estimated vs exact Jaccard per
+# LSH candidate pair
+# ---------------------------------------------------------------------------
+def _minhash_calibration_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.sig_{h} = b.sig_{h} THEN 1 ELSE 0 END" for h in range(_NUM_HASHES)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    bb AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b, ({agree}) * 1.0 / {_NUM_HASHES} AS est_jaccard
+      FROM cand c JOIN sigs a ON a.doc_id = c.id_a JOIN sigs b ON b.doc_id = c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT e.id_a, e.id_b,
+           round(e.est_jaccard, 6) AS est_jaccard,
+           round(COALESCE(i.n_common, 0) * 1.0
+                 / (sa.set_size + sb.set_size - COALESCE(i.n_common, 0)), 6) AS exact_jaccard,
+           round(abs(e.est_jaccard
+                 - COALESCE(i.n_common, 0) * 1.0
+                   / (sa.set_size + sb.set_size - COALESCE(i.n_common, 0))), 6) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes sa ON sa.doc_id = e.id_a
+    JOIN sizes sb ON sb.doc_id = e.id_b
+    """
+
+
+@register(
+    "q75_minhash_calibration",
+    _minhash_calibration_sql(),
+    doc="estimator calibration: per LSH candidate pair, the MinHash "
+    "Jaccard estimate (signature agreement fraction) next to the exact "
+    "Jaccard computed only for those pairs - the exact pass is "
+    "candidate-restricted, never an uncapped all-pairs self-join",
+)
+def q75_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=_NUM_HASHES)
+    cand = dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig_{h}").alias(f"a_sig_{h}") for h in range(_NUM_HASHES)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig_{h}").alias(f"b_sig_{h}") for h in range(_NUM_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_sig_{h}") == F.col(f"b_sig_{h}"), 1).otherwise(0)
+        for h in range(_NUM_HASHES)
+    )
+    est = cand.join(a, "id_a").join(b, "id_b").select(
+        "id_a", "id_b", (agree * F.lit(1.0) / _NUM_HASHES).alias("est_jaccard")
+    )
+    sh = d.select(
+        F.col("doc_id"), F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
+        )
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    exact = nc * F.lit(1.0) / (F.col("size_a") + F.col("size_b") - nc)
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — quantizer quality: per-cluster inertia of the k-means assignment
+# ---------------------------------------------------------------------------
+@register(
+    "q76_kmeans_inertia",
+    f"""
+    WITH {_kmeans_ctes()},
+    dist AS (
+      SELECT a.cid AS cluster,
+             {'list_sum([(CAST(v.embedding[i] AS DOUBLE) - c.cent[i]) * '
+              '(CAST(v.embedding[i] AS DOUBLE) - c.cent[i]) '
+              'FOR i IN generate_series(1, len(v.embedding))])'} AS d2
+      FROM a{_KMEANS_ITERS} a
+      JOIN embeddings v USING (vec_id)
+      JOIN c{_KMEANS_ITERS - 1} c ON c.cid = a.cid
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) AS inertia
+    FROM dist GROUP BY 1
+    """,
+    doc="cluster quality report: per-cluster inertia (sum of squared "
+    "distance to the assigned centroid). The per-vector distance is the "
+    "same sequential fold as the assignment; the sum is decimal-exact "
+    "so it is order/partitioning independent at any scale",
+)
+def q76_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_assign(
+        e, k=_KMEANS_K, iters=_KMEANS_ITERS, return_centroids=True
+    )
+    cents_lit = F.array(*[F.lit(c) for c in cents])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.element_at(cents_lit, F.col("cluster") + 1),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.join(assigned, "vec_id")
+        .select(F.col("cluster"), d2.alias("d2"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("d2").cast("decimal(28,12)")).cast("double").alias("inertia"),
+        )
+    )
