@@ -100,3 +100,58 @@ def kmeans_assign(
     if return_centroids:
         return out, cents
     return out
+
+
+def power_iteration(
+    embeddings: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[float]:
+    """Dominant eigenvector of X^T X (the top principal direction of the
+    un-centered embedding cloud) by power iteration — the second
+    iterative-algorithm shape next to Lloyd's (kmeans_assign): a tiny
+    driver-held state vector, one aggregate job per iteration.
+
+    v_{t+1} = normalize( sum_i x_i (x_i . v_t) ). The per-row dot is the
+    usual sequential fold; the row sum per dimension is a DECIMAL-exact
+    aggregate, so it is independent of partitioning and row order — the
+    property that makes the iteration replayable by a SQL oracle and
+    reproducible run-to-run on a cluster. The normalization fold runs in
+    dimension order on the driver.
+    """
+    import math
+
+    x = F.col(vec_col).cast("array<double>")
+    vecs = embeddings.select(x.alias("_x")).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        first = vecs.select(F.size("_x").alias("n")).limit(1).collect()
+        dim = first[0].n
+        v = [1.0 / math.sqrt(dim)] * dim
+        for _ in range(iters):
+            dot = F.aggregate(
+                F.zip_with(F.col("_x"), F.lit(v), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, t: s + t,
+            )
+            sums = (
+                # dot is projected BEFORE the explode: Catalyst does no CSE
+                # around generators, so putting the fold in the same select
+                # as posexplode would re-evaluate it for every exploded row
+                vecs.select(F.col("_x"), dot.alias("dot"))
+                .select(F.posexplode("_x").alias("pos", "xd"), F.col("dot"))
+                .groupBy("pos")
+                .agg(
+                    F.sum((F.col("xd") * F.col("dot")).cast("decimal(28,12)"))
+                    .cast("double")
+                    .alias("s")
+                )
+                .orderBy("pos")
+                .collect()
+            )
+            s = [r.s for r in sums]
+            norm = math.sqrt(sum(t * t for t in s))  # sequential, dimension order
+            v = [t / norm for t in s]
+        return v
+    finally:
+        vecs.unpersist()

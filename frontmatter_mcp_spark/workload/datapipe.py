@@ -1546,3 +1546,59 @@ def q76_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d2").cast("decimal(28,12)")).cast("double").alias("inertia"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — power iteration: dominant eigenvector of X^T X, oracle-replayed
+# ---------------------------------------------------------------------------
+_PI_DIM = 64
+_PI_ITERS = 3
+
+
+def _power_iteration_sql(dim: int = _PI_DIM, iters: int = _PI_ITERS) -> str:
+    dot = f"list_sum([x.x[j] * vv.v[j] FOR j IN generate_series(1, {dim})])"
+    ctes = [
+        f"v0 AS (SELECT [1.0 / sqrt({dim}.0) FOR i IN generate_series(1, {dim})] AS v)",
+        "x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""s{t} AS (
+      SELECT i AS pos,
+             CAST(SUM(CAST(x.x[i] * {dot} AS DECIMAL(28,12))) AS DOUBLE) AS s
+      FROM x, v{t - 1} vv, UNNEST(generate_series(1, {dim})) AS t(i)
+      GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""n{t} AS (SELECT sqrt(list_sum(list(s * s ORDER BY pos))) AS norm FROM s{t})"""
+        )
+        ctes.append(
+            f"""v{t} AS (SELECT list(s / n{t}.norm ORDER BY pos) AS v FROM s{t}, n{t} GROUP BY n{t}.norm)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(i AS INT) AS pos, v[i] AS component
+    FROM v{iters}, UNNEST(generate_series(1, {dim})) AS t(i)
+    """
+    )
+
+
+@register(
+    "q77_power_iteration",
+    _power_iteration_sql(),
+    doc="power iteration for the dominant eigenvector of X^T X (top "
+    "principal direction): driver-held state vector, one decimal-exact "
+    "aggregate job per iteration, replayed bit-for-bit by the SQL "
+    "oracle - the iterative-ML pattern next to Lloyd's k-means",
+)
+def q77_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.clustering import power_iteration
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = power_iteration(e, iters=_PI_ITERS)
+    return spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(v)], "pos int, component double"
+    )

@@ -26,3 +26,17 @@ def test_kmeans_deterministic_across_runs(spark):
     b = {r.vec_id: r.cluster for r in kmeans_assign(e, k=4, iters=2).collect()}
     assert a == b
     assert len(set(a.values())) > 1  # actually uses multiple clusters
+
+
+def test_power_iteration_finds_dominant_direction(spark):
+    from frontmatter_mcp_spark.operators.clustering import power_iteration
+
+    # strongly anisotropic cloud: variance along axis 0 dominates
+    rows = [(i, [float(3 * (1 if i % 2 else -1)), 0.1 * (i % 3)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = power_iteration(df, iters=5)
+    assert len(v) == 2
+    assert abs(abs(v[0]) - 1.0) < 0.05  # aligned with axis 0
+    assert abs(v[1]) < 0.3
+    # deterministic: second run identical bit-for-bit
+    assert power_iteration(df, iters=5) == v
