@@ -1402,3 +1402,43 @@ def q74_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_click_after")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — two-phase salted aggregation over skewed keys
+# ---------------------------------------------------------------------------
+@register(
+    "q78_salted_aggregation",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           MIN(event_id) AS first_id,
+           MAX(event_id) AS last_id
+    FROM events GROUP BY 1
+    """,
+    doc="skew pattern: 5 hot keys aggregated via an explicit salt "
+    "(hash(event_id) % 8) -> partial per (key, salt) -> final per key; "
+    "the result is salt-invariant (decimal sums are order-free), which "
+    "is exactly why the oracle can be the plain GROUP BY",
+)
+def q78_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("_salt", hash_bucket(F.col("event_id"), 8))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+            F.min("event_id").alias("pmin"),
+            F.max("event_id").alias("pmax"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("total_value"),
+        F.min("pmin").alias("first_id"),
+        F.max("pmax").alias("last_id"),
+    )
