@@ -1602,3 +1602,111 @@ def q77_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, c) for i, c in enumerate(v)], "pos int, component double"
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — document chunking: overlapping token windows (RAG/packing prep)
+# ---------------------------------------------------------------------------
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+_CHUNK_MIN = 8
+
+
+@register(
+    "q79_doc_chunking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+             w[s : s + {_CHUNK_SIZE - 1}] AS chunk
+      FROM toks, UNNEST(generate_series(1, len(w), {_CHUNK_STRIDE})) AS t(s)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_fp
+    FROM chunks WHERE len(chunk) >= {_CHUNK_MIN}
+    """,
+    doc=f"document chunking for retrieval/packing: overlapping windows of "
+    f"{_CHUNK_SIZE} tokens at stride {_CHUNK_STRIDE} (tail chunks under "
+    f"{_CHUNK_MIN} tokens dropped); a narrow transform+explode, no shuffle",
+)
+def q79_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_STRIDE)),
+        lambda s: F.slice(toks, s, _CHUNK_SIZE),
+    )
+    return (
+        d.select(F.col("doc_id"), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .filter(F.size("chunk") >= _CHUNK_MIN)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("chunk").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 — sequence packing: cumulative-sum bin assignment
+# ---------------------------------------------------------------------------
+_PACK_CAPACITY = 2048
+
+
+@register(
+    "q80_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / {_PACK_CAPACITY}.0) AS INT) AS bin
+      FROM toks
+    )
+    SELECT bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed GROUP BY 1
+    """,
+    doc=f"sequence packing: docs assigned to {_PACK_CAPACITY}-token training "
+    "bins by exclusive cumulative sum in doc_id order. The global window "
+    "is the deterministic spec; at 100 TB the same rule runs per "
+    "partition range (sortWithinPartitions + per-range offsets)",
+)
+def q80_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(_PACK_CAPACITY)
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return packed.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

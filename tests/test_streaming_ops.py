@@ -48,3 +48,106 @@ def test_batch_update_distributed_matches_driver_path(spark, tmp_path):
     # idempotent second run: nothing changes
     out2 = eng.batch_update_distributed("*.md", set={"stage": "done"})
     assert out2["updated_count"] == 0
+
+
+def _write_events_parquet(spark, path, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(
+        pdf.astype({"event_id": "int64", "user_id": "int64"})
+    ).coalesce(1).write.mode("append").parquet(str(path))
+
+
+def test_watermark_evicts_late_rows(spark, tmp_path):
+    """A row arriving in a later micro-batch with event time behind the
+    advanced watermark must be dropped from the windowed aggregate —
+    the late-data contract that bounds state at scale."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_events"
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    on_time = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=5), 1, "click", 1.0, "{}"),  # advances watermark far
+    ]
+    _write_events_parquet(spark, src, on_time)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    with ev._stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("late_data_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # batch 2: a row 5h late — far behind the watermark
+            _write_events_parquet(
+                spark, src, [(3, t0 + dt.timedelta(minutes=1), 1, "click", 1.0, "{}")]
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    out = {
+        r["window"].start.isoformat(): r.n
+        for r in spark.table("late_data_out").collect()
+    }
+    # the late row must NOT have bumped the first window to 2
+    assert out.get("2024-01-01T00:00:00") == 1, out
+
+
+def test_foreach_batch_idempotent_parquet_sink(spark, tmp_path):
+    """foreachBatch sink: each micro-batch upserts into a parquet dir
+    keyed by batch id — the idempotent-sink pattern (a retried batch
+    overwrites its own output instead of duplicating it)."""
+    import datetime as dt
+
+    src = tmp_path / "sink_events"
+    out_dir = tmp_path / "sink_out"
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    _write_events_parquet(
+        spark, src, [(i, t0 + dt.timedelta(minutes=i), i % 3, "view", 1.0, "{}") for i in range(9)]
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).parquet(str(src))
+    )
+
+    def upsert(batch_df, batch_id):
+        from pyspark.sql import functions as F
+
+        # partition by batch id: replaying the same id overwrites, never appends
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    with ev._stream_state_partitions(spark):
+        q = stream.writeStream.foreachBatch(upsert).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    written = spark.read.parquet(f"{out_dir}/*")
+    assert written.count() == 9
+    assert set(r.event_id for r in written.select("event_id").collect()) == set(range(9))
