@@ -157,3 +157,15 @@ def test_relational_surface_has_no_python_udfs_extended(spark):
         plan = formatted_plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_q79_chunking_is_narrow(spark):
+    # chunking must stay transform+explode: no exchange anywhere
+    plan = formatted_plan(spark, "q79_doc_chunking")
+    assert "Exchange" not in plan, plan
+
+
+def test_q78_salted_agg_two_phase(spark):
+    # the salted aggregate still partial-aggregates map-side per phase
+    plan = formatted_plan(spark, "q78_salted_aggregation")
+    assert plan.count("HashAggregate") >= 3  # partials + salt phase + final
