@@ -63,7 +63,15 @@ def _rewrite_comma_unnest(sql: str) -> str:
 
 
 _ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
-_CLAUSE_END_RE = re.compile(r"\b(LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|WINDOW)\b", re.IGNORECASE)
+# A sort-item list ends at a set-op/limit keyword — or, inside an OVER(...)
+# window spec, at the frame clause (ROWS/RANGE/GROUPS ...).  The frame
+# keywords only terminate when followed by frame syntax, so a column
+# literally named "rows" or "groups" still parses as a sort item.
+_CLAUSE_END_RE = re.compile(
+    r"\b(LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|WINDOW)\b"
+    r"|\b(ROWS|RANGE|GROUPS)\b(?=\s+(BETWEEN|UNBOUNDED|CURRENT|[0-9]|INTERVAL|'))",
+    re.IGNORECASE,
+)
 
 
 def _split_top_level(s: str) -> list[str]:

@@ -67,6 +67,32 @@ def test_order_by_inside_subquery_and_window():
     assert "ORDER BY path NULLS LAST" in out
 
 
+def test_window_frame_rows_between():
+    # NULLS LAST must land BEFORE the frame clause, not after it
+    out = translate(
+        "SELECT SUM(n) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) FROM files"
+    )
+    assert (
+        out
+        == "SELECT SUM(n) OVER (ORDER BY d NULLS LAST ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) FROM files"
+    )
+
+
+def test_window_frame_variants():
+    out = translate("SELECT AVG(n) OVER (PARTITION BY k ORDER BY d RANGE UNBOUNDED PRECEDING) FROM files")
+    assert "ORDER BY d NULLS LAST RANGE UNBOUNDED PRECEDING" in out
+    out = translate("SELECT SUM(n) OVER (ORDER BY d DESC ROWS 3 PRECEDING) FROM files")
+    assert "ORDER BY d DESC ROWS 3 PRECEDING" in out  # DESC: untouched
+    out = translate("SELECT COUNT(*) OVER (ORDER BY d GROUPS CURRENT ROW) FROM files")
+    assert "ORDER BY d NULLS LAST GROUPS CURRENT ROW" in out
+
+
+def test_column_named_rows_still_gets_modifier():
+    # frame keywords only terminate when followed by frame syntax
+    out = translate("SELECT * FROM files ORDER BY rows LIMIT 1")
+    assert out == "SELECT * FROM files ORDER BY rows NULLS LAST LIMIT 1"
+
+
 def test_unknown_hint_untouched():
     sql = "SELECT from_json(x, '[\"STRUCTY\"]') FROM files"
     assert translate(sql) == sql
