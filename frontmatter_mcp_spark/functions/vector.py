@@ -37,6 +37,32 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# Fixed-point grid for cross-engine-exact means: floor(v * 2^49) is
+# bit-identical in any IEEE-754 engine (power-of-two scaling is exact,
+# floor is exact), unlike double->DECIMAL casts, whose rounding path is
+# engine-specific (Spark rounds the exact value HALF_UP; DuckDB rounds
+# fl(v * 10^s), a double-rounding).  2^49 keeps |v| < 16 inside 2^53,
+# so the scaled value is integer-exact for every float32-derived input.
+FIXED_POINT_POW2 = 49
+FIXED_POINT_SCALE = float(2**FIXED_POINT_POW2)  # 562949953421312.0
+
+
+def fixed_point_mean(col: Column) -> Column:
+    """Scale-safe, order/partition-independent, cross-engine-deterministic
+    mean of a double column: sum exact 2^49 fixed-point integers in
+    DECIMAL(38,0) (one partial per task -- a map-side-combined aggregate,
+    never a per-group array), then a single int->double rounding.
+
+    Replaces the collect_list sorted-fold mean, whose per-group array is
+    an executor memory bomb for popular groups at 100 TB scale.
+
+    DuckDB replay: CAST(SUM(CAST(FLOOR(v * 2^49) AS DECIMAL(38,0)))
+                        AS DOUBLE) / COUNT(*) / 2^49
+    """
+    fx = F.floor(col * F.lit(FIXED_POINT_SCALE)).cast("decimal(38,0)")
+    return F.sum(fx).cast("double") / F.count(F.lit(1)) / F.lit(FIXED_POINT_SCALE)
+
+
 def exact_dot_product(a: Column, b: Column, scale: int = 12) -> Column:
     """Order-independent dot product: per-element double products are cast
     to DECIMAL before the exact decimal sum, so the result is bit-identical

@@ -14,7 +14,9 @@ exact iterations:
 - init: the k smallest ids, in id order;
 - distances: sequential double folds (engine-portable, see
   operators.similarity);
-- means: sorted sequential folds (no decimal-tie or order hazards);
+- means: 2^49 fixed-point integer sums (functions.vector.fixed_point_mean)
+  -- order/partition independent, one map-side partial per task, no
+  per-group array;
 - argmin ties break on the smaller centroid id (array_position returns
   the FIRST index holding the exact minimum);
 - empty clusters keep their previous centroid.
@@ -22,15 +24,10 @@ exact iterations:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-
-def _sorted_fold_mean() -> Column:
-    return (
-        F.aggregate(F.array_sort(F.collect_list("val")), F.lit(0.0), lambda a, x: a + x)
-        / F.count("*")
-    ).alias("mean_v")
+from frontmatter_mcp_spark.functions.vector import fixed_point_mean
 
 
 def _assign_cid(df: DataFrame, cents: list[list[float]], id_col: str) -> DataFrame:
@@ -84,7 +81,11 @@ def kmeans_assign(
             dims = _assign_cid(vecs, cents, id_col).select(
                 "cid", F.posexplode("v").alias("pos", "val")
             )
-            means = dims.groupBy("cid", "pos").agg(_sorted_fold_mean()).collect()
+            means = (
+                dims.groupBy("cid", "pos")
+                .agg(fixed_point_mean(F.col("val")).alias("mean_v"))
+                .collect()
+            )
             by_cid: dict[int, dict[int, float]] = {}
             for r in means:
                 by_cid.setdefault(r.cid, {})[r.pos] = r.mean_v

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
-from frontmatter_mcp_spark.functions.vector import cosine_similarity
+from frontmatter_mcp_spark.functions.vector import cosine_similarity, fixed_point_mean
 
 
 def cosine_topk(
@@ -49,21 +49,19 @@ def cosine_topk(
 def label_centroids(embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Exact per-label centroid: posexplode -> order-independent mean per
     dimension -> reassemble ordered array. Acts as the IVF coarse
-    quantizer. The mean sums a *sorted* value list with a sequential
-    double fold: deterministic under any partitioning (and bit-identical
-    to an external oracle doing the same — decimal rounding is avoided
-    because float32 values can land exactly on decimal rounding ties,
-    which HALF_UP vs HALF_EVEN engines break differently)."""
+    quantizer. The mean is a 2^49 fixed-point integer sum
+    (functions.vector.fixed_point_mean): deterministic under any
+    partitioning, map-side combined (one partial per task, never a
+    per-group array — a popular label at 100 TB would OOM a collect_list
+    buffer), and bit-replayable by an external SQL oracle. Double->DECIMAL
+    casts are avoided: Spark rounds the exact value HALF_UP while DuckDB
+    double-rounds via fl(v*10^s), so float32-dyadic inputs can land on
+    rounding ties the engines break differently."""
     dims = embeddings.select(
         label_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
     )
     means = dims.groupBy(label_col, "pos").agg(
-        (
-            F.aggregate(
-                F.array_sort(F.collect_list("v")), F.lit(0.0), lambda acc, x: acc + x
-            )
-            / F.count("*")
-        ).alias("mean_v")
+        fixed_point_mean(F.col("v")).alias("mean_v")
     )
     return (
         means.groupBy(label_col)

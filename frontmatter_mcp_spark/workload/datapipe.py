@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from frontmatter_mcp_spark.functions import vector
 from frontmatter_mcp_spark.operators import dedup as dd
 from frontmatter_mcp_spark.operators import similarity as sim
 from frontmatter_mcp_spark.operators import text as tx
@@ -297,16 +298,29 @@ def q36_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q37 — IVF-pruned top-k (coarse cells = label centroids, nprobe=2)
 # ---------------------------------------------------------------------------
+# 2^49 fixed-point mean (functions.vector.fixed_point_mean): floor() of a
+# power-of-two scaling is bit-identical in any IEEE engine, the DECIMAL(38,0)
+# integer sum is exact and order-independent, and there is a single
+# int->double rounding at the end.  (A double->DECIMAL(_,s) cast is NOT
+# portable: Spark rounds the exact value HALF_UP, DuckDB rounds fl(v*10^s) —
+# float32-dyadic data lands on ties the engines break differently.)
+_FXS = "562949953421312.0"  # 2^49
+
+
+def _fx_mean(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {_FXS}) AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / COUNT(*) / {_FXS}"
+    )
+
+
 def _centroid_cte() -> str:
-    # order-independent per-dimension mean: sorted sequential double fold
-    # (decimal rounding would hit exact float32 dyadic ties that HALF_UP /
-    # HALF_EVEN engines break differently)
-    return """
+    return f"""
     cents AS (
       SELECT label, list(mean_v ORDER BY pos) AS centroid
       FROM (
         SELECT label, i AS pos,
-               list_sum(list_sort(list(CAST(embedding[i] AS DOUBLE)))) / COUNT(*) AS mean_v
+               {_fx_mean('CAST(embedding[i] AS DOUBLE)')} AS mean_v
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
         GROUP BY label, i
       ) GROUP BY label
@@ -377,14 +391,15 @@ def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q39_label_centroids",
-    """
+    f"""
     SELECT label, CAST(i AS INT) AS dim,
-           list_sum(list_sort(list(CAST(embedding[i] AS DOUBLE)))) / COUNT(*) AS mean_v,
+           {_fx_mean('CAST(embedding[i] AS DOUBLE)')} AS mean_v,
            COUNT(*) AS n_vectors
     FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
     GROUP BY label, i
     """,
-    doc="per-label centroid components via sorted-fold means (order-independent)",
+    doc="per-label centroid components via fixed-point means (order-independent, "
+    "map-side combined — no per-group array at any scale)",
 )
 def q39_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -392,12 +407,7 @@ def q39_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
     )
     return dims.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim")).agg(
-        (
-            F.aggregate(
-                F.array_sort(F.collect_list("v")), F.lit(0.0), lambda acc, x: acc + x
-            )
-            / F.count("*")
-        ).alias("mean_v"),
+        vector.fixed_point_mean(F.col("v")).alias("mean_v"),
         F.count("*").alias("n_vectors"),
     )
 
@@ -737,7 +747,7 @@ def _kmeans_ctes(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
         ctes.append(
             f"""m{t} AS (
       SELECT a.cid, i AS pos,
-             list_sum(list_sort(list(CAST(v.embedding[i] AS DOUBLE)))) / COUNT(*) AS mv
+             {_fx_mean('CAST(v.embedding[i] AS DOUBLE)')} AS mv
       FROM a{t} a JOIN embeddings v USING (vec_id),
            UNNEST(generate_series(1, len(v.embedding))) AS t(i)
       GROUP BY a.cid, i

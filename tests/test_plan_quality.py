@@ -165,6 +165,38 @@ def test_q79_chunking_is_narrow(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_q39_centroid_mean_has_no_collect_list(spark):
+    # the per-(label, dim) mean must be a map-side-combined sum, never a
+    # collect_list buffer (a popular label at 100 TB OOMs an executor);
+    # two HashAggregates = partial + final around the exchange
+    plan = formatted_plan(spark, "q39_label_centroids")
+    # the ONLY collect_list allowed is the dim-bounded array reassembly
+    # in the final centroid build — the per-value mean aggregate must not
+    # have one, so the sorted-fold marker array_sort(collect_list) is out
+    assert "array_sort(collect_list" not in plan, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_kmeans_update_mean_has_no_collect_list(spark):
+    # same property for the k-means centroid-update job (q48/q49/q76 path)
+    from frontmatter_mcp_spark.operators.clustering import _assign_cid
+    from frontmatter_mcp_spark.functions.vector import fixed_point_mean
+    from frontmatter_mcp_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = [[0.0] * 64, [0.1] * 64]
+    dims = _assign_cid(vecs, cents, "vec_id").select(
+        "cid", F.posexplode("v").alias("pos", "val")
+    )
+    means = dims.groupBy("cid", "pos").agg(fixed_point_mean(F.col("val")).alias("mean_v"))
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = means._jdf.queryExecution().explainString(jmode)
+    assert "collect_list" not in plan, plan
+    assert plan.count("HashAggregate") >= 2  # map-side partials
+
+
 def test_q78_salted_agg_two_phase(spark):
     # the salted aggregate still partial-aggregates map-side per phase
     plan = formatted_plan(spark, "q78_salted_aggregation")
