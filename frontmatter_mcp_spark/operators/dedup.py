@@ -61,6 +61,31 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def minhash_signatures_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    shingle_col: str = "_shingle",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signatures over an already-exploded (id, shingle) DataFrame.
+
+    Split out so a calibration/report query can build ONE shingle subplan
+    and feed it to the signature, candidate, and exact-Jaccard stages:
+    identical subplans canonicalize equal, so Catalyst's ReuseExchange
+    computes the signature aggregation once per action even when several
+    downstream branches consume it.
+    """
+    return sh.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_shingles"),
+        *[
+            F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{h}|"), F.col(shingle_col))), 1, 16)
+            ).alias(f"sig_{h}")
+            for h in range(num_hashes)
+        ],
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -83,15 +108,7 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_shingle"),
     )
-    return sh.groupBy(id_col).agg(
-        F.count("*").cast("int").alias("n_shingles"),
-        *[
-            F.min(
-                F.substring(F.md5(F.concat(F.lit(f"{h}|"), F.col("_shingle"))), 1, 16)
-            ).alias(f"sig_{h}")
-            for h in range(num_hashes)
-        ],
-    )
+    return minhash_signatures_from_shingles(sh, id_col, "_shingle", num_hashes)
 
 
 def lsh_band_buckets(
@@ -114,6 +131,22 @@ def lsh_band_buckets(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def candidate_pairs_from_signatures(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs from an existing signature DataFrame (see
+    minhash_signatures_from_shingles for why the stages compose)."""
+    bb = lsh_band_buckets(signatures, id_col, num_hashes, bands)
+    a = bb.withColumnRenamed(id_col, "id_a")
+    b = bb.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -126,15 +159,7 @@ def lsh_candidate_pairs(
     collide in at least one band. The join key is (band, bucket) so the
     shuffle volume is O(corpus), not O(corpus^2)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    bb = lsh_band_buckets(sigs, id_col, num_hashes, bands)
-    a = bb.withColumnRenamed(id_col, "id_a")
-    b = bb.withColumnRenamed(id_col, "id_b")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return candidate_pairs_from_signatures(sigs, id_col, num_hashes, bands)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

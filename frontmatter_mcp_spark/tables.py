@@ -51,6 +51,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition to cluster parallelism — but ONLY when the scan
+    yields fewer partitions than the cluster has slots.
+
+    CPU-heavy per-row pipelines (tokenize -> shingle -> md5) inherit the
+    scan's partitioning. A 100 TB table arrives as thousands of splits and
+    this is a no-op; the single-small-file test datasets arrive as ONE
+    split (one row group), which would serialize the whole pipeline on one
+    core. The repartition keys on the id column, so a following
+    groupBy(id) reuses the partitioning instead of adding a shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols])
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every sf table as a temp view of the same name."""
     for name in TABLE_NAMES:

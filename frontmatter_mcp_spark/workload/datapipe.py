@@ -17,7 +17,7 @@ from frontmatter_mcp_spark.operators import similarity as sim
 from frontmatter_mcp_spark.operators import text as tx
 from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
-from frontmatter_mcp_spark.tables import load_table
+from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
 from frontmatter_mcp_spark.workload.registry import register
 
 # ---------------------------------------------------------------------------
@@ -80,7 +80,7 @@ def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash signatures: k keyed-md5 min-hashes over word-3gram shingles",
 )
 def q31_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return dd.minhash_signatures(d, "doc_id", "text", num_hashes=_NUM_HASHES)
 
 
@@ -112,7 +112,7 @@ def _lsh_pairs_sql() -> str:
     "(shuffle is O(corpus) on the bucket key, never all-pairs)",
 )
 def q32_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
 
 
@@ -146,7 +146,7 @@ _MAX_DF = 50
     doc="exact n-gram Jaccard pairs >= 0.4 (df-capped shingle self-join)",
 )
 def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return dd.ngram_jaccard_pairs(
         d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
     )
@@ -179,7 +179,7 @@ def _simhash_sql() -> str:
     doc="SimHash: 32-bit per-doc signature from keyed-md5 bit votes (narrow map)",
 )
 def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return dd.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
 
 
@@ -245,7 +245,7 @@ def _text_profile_sql() -> str:
     "+ bag-of-words fingerprint, all codegen'd column expressions",
 )
 def q35_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return tx.text_profile(d, "doc_id", "text")
 
 
@@ -444,7 +444,7 @@ def _tokenstats_sql() -> str:
     "+ order-sensitive polynomial rolling hash (all JVM expressions)",
 )
 def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -478,7 +478,7 @@ def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(rolling window fingerprints joined on the hash key)",
 )
 def q41_window_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     fps = d.select(
         "doc_id", F.explode(tk.window_fingerprints(F.col("text"), window=8)).alias("fp")
     )
@@ -904,7 +904,7 @@ def _neardup_groups_sql(iters: int = _LP_ITERS) -> str:
     "pair graph (fixed iterations, oracle-replayed) - keeper selection",
 )
 def q56_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return dd.neardup_groups(
         d, "doc_id", "text",
         threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
@@ -993,7 +993,7 @@ def q57_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "windows over tiny per-doc term lists",
 )
 def q58_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return tx.tfidf_top_terms(d, "doc_id", "text", top_k=3)
 
 
@@ -1025,7 +1025,7 @@ sp AS (
     "carries one row per distinct (span, doc)",
 )
 def q59_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return dd.boilerplate_spans(d, "doc_id", "text", span_n=_SPAN_N, min_docs=2)
 
 
@@ -1058,7 +1058,7 @@ def q59_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q60_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frontmatter_mcp_spark.operators import sampling as smp
 
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id").withColumn(
         "split", smp.assign_split(F.col("doc_id"))
     )
     return dd.decontaminate(d, "doc_id", "text", "split", span_n=_SPAN_N)
@@ -1107,7 +1107,7 @@ def q60_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "divisions - engine-portable)",
 )
 def q61_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return tx.repetition_profile(d, "doc_id", "text")
 
 
@@ -1298,7 +1298,7 @@ def q64_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q70_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frontmatter_mcp_spark.operators import sampling as smp
 
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     tagged = d.withColumn(
         "batch",
         F.when(smp.hash_bucket(F.col("doc_id")) < 900, F.lit("existing")).otherwise(
@@ -1380,7 +1380,7 @@ def q70_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reads before deciding thresholds",
 )
 def q71_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     total = d.agg(F.count("*").alias("n_total"))
     groups = d.groupBy(F.md5("text").alias("fp")).agg(F.count("*").alias("n_docs"))
     return (
@@ -1458,15 +1458,29 @@ def _minhash_calibration_sql() -> str:
     "candidate-restricted, never an uncapped all-pairs self-join",
 )
 def q75_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=_NUM_HASHES)
-    cand = dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
+    # ONE shingle subplan and ONE signature aggregation feed every stage:
+    # the signatures are consumed by the estimate join (twice), the
+    # candidate generation, and the set sizes (n_shingles IS the set size,
+    # so the separate size aggregation is gone). The signature table is
+    # doc-count-sized (8 x 16-char sigs per doc — KBs per million docs),
+    # so it is persisted: column pruning gives each consumer a different
+    # aggregate schema, which defeats exchange reuse, and without the
+    # cache the whole shingle->md5->aggregate pipeline would run once per
+    # consumer (the round-1 formulation measured ~3x the work).
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = d.select(
+        F.col("doc_id"), F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    sigs = dd.minhash_signatures_from_shingles(sh, "doc_id", "shingle", _NUM_HASHES).persist()
+    cand = dd.candidate_pairs_from_signatures(sigs, "doc_id", _NUM_HASHES, _BANDS)
     a = sigs.select(
         F.col("doc_id").alias("id_a"),
+        F.col("n_shingles").alias("size_a"),
         *[F.col(f"sig_{h}").alias(f"a_sig_{h}") for h in range(_NUM_HASHES)],
     )
     b = sigs.select(
         F.col("doc_id").alias("id_b"),
+        F.col("n_shingles").alias("size_b"),
         *[F.col(f"sig_{h}").alias(f"b_sig_{h}") for h in range(_NUM_HASHES)],
     )
     agree = sum(
@@ -1474,12 +1488,12 @@ def q75_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h in range(_NUM_HASHES)
     )
     est = cand.join(a, "id_a").join(b, "id_b").select(
-        "id_a", "id_b", (agree * F.lit(1.0) / _NUM_HASHES).alias("est_jaccard")
+        "id_a",
+        "id_b",
+        "size_a",
+        "size_b",
+        (agree * F.lit(1.0) / _NUM_HASHES).alias("est_jaccard"),
     )
-    sh = d.select(
-        F.col("doc_id"), F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     inter = (
         cand.join(
             sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
@@ -1492,8 +1506,6 @@ def q75_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = nc * F.lit(1.0) / (F.col("size_a") + F.col("size_b") - nc)
     return (
         est.join(inter, ["id_a", "id_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
         .select(
             "id_a",
             "id_b",
