@@ -73,6 +73,55 @@ def vault_benchmarks(spark) -> dict[str, float]:
     return out
 
 
+REGRESSION_THRESHOLD = 1.5
+
+
+def load_prev_bench(sf: float | None) -> tuple[int, dict[str, float]] | None:
+    """Latest BENCH_r{N}.json the driver recorded in the repo root, if any.
+
+    Per-query deltas against it catch a query silently regressing between
+    rounds even when the workload total stays flat (new fast queries can
+    mask one slow one). Records at a different scale factor are skipped —
+    an sf0.001 smoke vs the sf0.1 record would flag every fixed-overhead
+    query as a phantom regression."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict[str, float]] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if best is not None and rnd <= best[0]:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        prev_sf = data.get("sf")
+        if sf is not None and prev_sf is not None and abs(prev_sf - sf) > 1e-9:
+            continue
+        queries = data.get("queries")
+        if not isinstance(queries, dict):
+            parsed = data.get("parsed")
+            if isinstance(parsed, dict):
+                queries = parsed.get("queries")
+        if not isinstance(queries, dict):
+            # driver records truncate the JSON line to a 'tail' string
+            # fragment; scrape whatever complete "name": secs pairs survive
+            tail = data.get("tail")
+            if isinstance(tail, str):
+                queries = {
+                    k: float(v)
+                    for k, v in re.findall(r'"(q\d{2}_\w+|vault_\w+)": ([0-9.]+)', tail)
+                }
+        if isinstance(queries, dict) and queries:
+            best = (rnd, {k: float(v) for k, v in queries.items()})
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -91,17 +140,39 @@ def main() -> None:
     timings.update(vault_benchmarks(spark))
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "workload_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result: dict = {
+        "metric": "workload_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    prev = load_prev_bench(sf)
+    if prev is not None:
+        prev_round, prev_q = prev
+        ratios = {
+            name: round(t / prev_q[name], 3)
+            for name, t in timings.items()
+            if name in prev_q and prev_q[name] > 0
+        }
+        # ratio AND absolute floor: sub-second queries jitter by 100s of
+        # ms (JIT, GC) — a 0.3s->0.5s wobble is noise, not a regression
+        regressions = {
+            n: r
+            for n, r in sorted(ratios.items())
+            if r > REGRESSION_THRESHOLD and timings[n] - prev_q[n] > 1.0
+        }
+        result[f"vs_r{prev_round:02d}"] = ratios
+        result["regressions"] = regressions
+        for name, r in regressions.items():
+            print(
+                f"REGRESSION {name}: {r}x vs BENCH_r{prev_round:02d} "
+                f"({prev_q[name]}s -> {timings[name]}s)",
+                file=sys.stderr,
+            )
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -172,10 +172,10 @@ class FrontmatterEngine:
         for p in fm.collect_files(self.base_dir, glob):
             rel = p.relative_to(self.base_dir).as_posix()
             try:
-                before = p.read_text(encoding="utf-8")
-                fm.update_file(p, self.base_dir, set, unset)
-                if p.read_text(encoding="utf-8") != before:
-                    updated.append(rel)
+                out = fm.update_file(p, self.base_dir, set, unset)
+                # every successfully processed file counts as updated,
+                # even a no-op set (reference server.py:294-306)
+                updated.append(out["path"])
             except Exception as e:  # noqa: BLE001 — partial success contract
                 warnings.append(f"Failed to update {rel}: {e}")
         self.invalidate()
@@ -208,11 +208,10 @@ class FrontmatterEngine:
                 paths, changed, warnings = [], [], []
                 for abs_path, rel in zip(pdf["abs_path"], pdf["path"]):
                     try:
-                        p = Path(abs_path)
-                        before = p.read_text(encoding="utf-8")
-                        _fm.update_file(p, base_dir, set_props, unset_props)
+                        _fm.update_file(Path(abs_path), base_dir, set_props, unset_props)
                         paths.append(rel)
-                        changed.append(p.read_text(encoding="utf-8") != before)
+                        # success == updated (reference server.py:294-306)
+                        changed.append(True)
                         warnings.append(None)
                     except Exception as e:  # noqa: BLE001 — partial success
                         paths.append(rel)

@@ -190,20 +190,21 @@ def update_file(
     unset_props: list[str] | None = None,
 ) -> dict[str, Any]:
     """Set/unset frontmatter properties (reference files.py:110-150).
-    `unset` wins over `set` for the same key; writes only when changed;
+    `unset` wins over `set` for the same key; rewrites the file whenever
+    set/unset is provided — even a no-op set renormalizes the YAML and
+    bumps mtime, matching the reference's frontmatter.dump behavior;
     creates a frontmatter block if the file has none."""
     set_props = set_props or {}
     unset_props = unset_props or []
     content = abs_path.read_text(encoding="utf-8")
     doc = parse_document(content)
     metadata, body = dict(doc["metadata"]), doc["body"]
-    original = dict(metadata)
     for k, v in set_props.items():
         if k not in unset_props:
             metadata[k] = v
     for k in unset_props:
         metadata.pop(k, None)
-    if metadata != original:
+    if set_props or unset_props:
         abs_path.write_text(dump_document(metadata, body), encoding="utf-8")
     rel = Path(abs_path).relative_to(base_dir).as_posix()
     return {"path": rel, "frontmatter": metadata}

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -84,6 +85,24 @@ def test_update_file_set_unset_precedence(tmp_path):
     reparsed = fm.parse_file(tmp_path / "a.md", tmp_path)
     assert reparsed.metadata == {"keep": "kept", "added": 1}
     assert reparsed.body.strip() == "Body"
+
+
+def test_update_noop_set_still_rewrites(tmp_path):
+    # reference files.py:142-145 writes whenever set/unset is provided —
+    # a no-op set renormalizes the YAML and bumps mtime
+    write(tmp_path / "a.md", "---\nk:    v\n---\nBody\n")
+    st0 = (tmp_path / "a.md").stat()
+    os.utime(tmp_path / "a.md", (st0.st_atime, st0.st_mtime - 10))
+    before_mtime = (tmp_path / "a.md").stat().st_mtime
+    fm.update_file(tmp_path / "a.md", tmp_path, set_props={"k": "v"})
+    assert (tmp_path / "a.md").stat().st_mtime > before_mtime
+    assert "k: v" in (tmp_path / "a.md").read_text()
+    # but with neither set nor unset, nothing is written
+    st1 = (tmp_path / "a.md").stat()
+    os.utime(tmp_path / "a.md", (st1.st_atime, st1.st_mtime - 10))
+    before_mtime = (tmp_path / "a.md").stat().st_mtime
+    fm.update_file(tmp_path / "a.md", tmp_path)
+    assert (tmp_path / "a.md").stat().st_mtime == before_mtime
 
 
 def test_update_creates_frontmatter_when_absent(tmp_path):

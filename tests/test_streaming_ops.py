@@ -45,9 +45,10 @@ def test_batch_update_distributed_matches_driver_path(spark, tmp_path):
     assert len(out["warnings"]) == 1 and "bad.md" in out["warnings"][0]
     meta = parse_file(tmp_path / "f07.md", tmp_path).metadata
     assert meta == {"n": 7, "stage": "done"}
-    # idempotent second run: nothing changes
+    # reference semantics: every successfully processed file counts as
+    # updated even when values are unchanged (reference server.py:294-306)
     out2 = eng.batch_update_distributed("*.md", set={"stage": "done"})
-    assert out2["updated_count"] == 0
+    assert out2["updated_count"] == 20
 
 
 def _write_events_parquet(spark, path, rows):
