@@ -253,10 +253,66 @@ class FrontmatterEngine:
             {"updated_count": len(updated), "updated_files": updated}, warnings
         )
 
+    def _batch_array_op_distributed(self, glob: str, prop: str, op) -> dict[str, Any]:
+        """Executor-parallel variant of _batch_array_op: the per-file
+        parse → mutate → rewrite runs as a mapInPandas stage over the
+        listing (same design as batch_update_distributed, engine.py:186).
+        `op` is a pure (current, rel) -> (new, changed, warning) closure
+        from mutations.py, shipped to executors by cloudpickle. A
+        million-file vault mutates at cluster parallelism instead of
+        single-threaded on the driver; semantics and the warnings /
+        partial-success contract are identical (asserted by
+        tests/test_engine_mutations.py against the driver path)."""
+        from frontmatter_mcp_spark.sources.markdown import listing_df
+
+        def rewrite(batches):
+            import pandas as pd
+
+            from frontmatter_mcp_spark import files as _fm
+
+            for pdf in batches:
+                paths, changed, warns = [], [], []
+                for abs_path, rel in zip(pdf["abs_path"], pdf["path"]):
+                    try:
+                        p = Path(abs_path)
+                        doc = _fm.parse_document(p.read_text(encoding="utf-8"))
+                        metadata, body = dict(doc["metadata"]), doc["body"]
+                        new_value, chg, warning = op(metadata.get(prop), rel)
+                        if chg:
+                            metadata[prop] = new_value
+                            p.write_text(
+                                _fm.dump_document(metadata, body), encoding="utf-8"
+                            )
+                        paths.append(rel)
+                        changed.append(chg)
+                        warns.append(warning)
+                    except Exception as e:  # noqa: BLE001 — partial success
+                        paths.append(rel)
+                        changed.append(False)
+                        warns.append(f"Failed to update {rel}: {e}")
+                yield pd.DataFrame({"path": paths, "changed": changed, "warning": warns})
+
+        status = listing_df(self.spark, self.base_dir, glob).mapInPandas(
+            rewrite, schema="path string, changed boolean, warning string"
+        )
+        rows = status.collect()
+        self.invalidate()
+        updated = sorted(r.path for r in rows if r.changed)
+        warnings = sorted(r.warning for r in rows if r.warning)
+        return _build_response(
+            {"updated_count": len(updated), "updated_files": updated}, warnings
+        )
+
     def batch_array_add(
-        self, glob: str, property: str, value: Any, allow_duplicates: bool = False  # noqa: A002
+        self,
+        glob: str,
+        property: str,  # noqa: A002
+        value: Any,
+        allow_duplicates: bool = False,
+        distributed: bool = False,
     ) -> dict[str, Any]:
-        return self._batch_array_op(
+        run = self._batch_array_op_distributed if distributed else self._batch_array_op
+        return run(
             glob,
             property,
             lambda cur, rel: mut.add_value(
@@ -264,15 +320,24 @@ class FrontmatterEngine:
             ),
         )
 
-    def batch_array_remove(self, glob: str, property: str, value: Any) -> dict[str, Any]:  # noqa: A002
-        return self._batch_array_op(
+    def batch_array_remove(
+        self, glob: str, property: str, value: Any, distributed: bool = False  # noqa: A002
+    ) -> dict[str, Any]:
+        run = self._batch_array_op_distributed if distributed else self._batch_array_op
+        return run(
             glob, property, lambda cur, rel: mut.remove_value(cur, value, path=rel, prop=property)
         )
 
     def batch_array_replace(
-        self, glob: str, property: str, old_value: Any, new_value: Any  # noqa: A002
+        self,
+        glob: str,
+        property: str,  # noqa: A002
+        old_value: Any,
+        new_value: Any,
+        distributed: bool = False,
     ) -> dict[str, Any]:
-        return self._batch_array_op(
+        run = self._batch_array_op_distributed if distributed else self._batch_array_op
+        return run(
             glob,
             property,
             lambda cur, rel: mut.replace_value(
@@ -280,15 +345,21 @@ class FrontmatterEngine:
             ),
         )
 
-    def batch_array_sort(self, glob: str, property: str, reverse: bool = False) -> dict[str, Any]:  # noqa: A002
-        return self._batch_array_op(
+    def batch_array_sort(
+        self, glob: str, property: str, reverse: bool = False, distributed: bool = False  # noqa: A002
+    ) -> dict[str, Any]:
+        run = self._batch_array_op_distributed if distributed else self._batch_array_op
+        return run(
             glob,
             property,
             lambda cur, rel: mut.sort_values(cur, path=rel, prop=property, reverse=reverse),
         )
 
-    def batch_array_unique(self, glob: str, property: str) -> dict[str, Any]:  # noqa: A002
-        return self._batch_array_op(
+    def batch_array_unique(
+        self, glob: str, property: str, distributed: bool = False  # noqa: A002
+    ) -> dict[str, Any]:
+        run = self._batch_array_op_distributed if distributed else self._batch_array_op
+        return run(
             glob, property, lambda cur, rel: mut.unique_values(cur, path=rel, prop=property)
         )
 

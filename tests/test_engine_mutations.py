@@ -122,6 +122,41 @@ def test_batch_partial_success_with_malformed_file(engine, vault):
     assert len(out["warnings"]) == 1 and "bad.md" in out["warnings"][0]
 
 
+def _mutation_vault(root):
+    root.mkdir()
+    (root / "a.md").write_text(
+        "---\ndate: 2025-11-27\ntags:\n  - python\n  - mcp\n  - python\n---\nBody A\n"
+    )
+    (root / "b.md").write_text("---\ndate: 2025-11-26\ntags:\n  - duckdb\n---\nBody B\n")
+    (root / "c.md").write_text("---\ntags: scalar-not-array\n---\nBody C\n")
+    (root / "bad.md").write_text("---\nbroken: [oops\n---\n")
+    return root
+
+
+def test_batch_array_distributed_matches_driver_path(spark, tmp_path):
+    """A13-A17 scale path: every array op through mapInPandas produces the
+    exact driver-loop response (updated files, counts, warnings) and the
+    same resulting file bytes."""
+    ops = [
+        ("batch_array_add", {"value": "spark"}),
+        ("batch_array_add", {"value": "python", "allow_duplicates": True}),
+        ("batch_array_remove", {"value": "python"}),
+        ("batch_array_replace", {"old_value": "mcp", "new_value": "model-ctx"}),
+        ("batch_array_sort", {"reverse": True}),
+        ("batch_array_unique", {}),
+    ]
+    eng_d = FrontmatterEngine(spark, _mutation_vault(tmp_path / "driver"))
+    eng_x = FrontmatterEngine(spark, _mutation_vault(tmp_path / "dist"))
+    for method, kwargs in ops:
+        out_d = getattr(eng_d, method)("*.md", "tags", **kwargs)
+        out_x = getattr(eng_x, method)("*.md", "tags", **kwargs, distributed=True)
+        assert out_x == out_d, f"{method}({kwargs}) diverged"
+        for name in ("a.md", "b.md", "c.md"):
+            assert (tmp_path / "dist" / name).read_text() == (
+                tmp_path / "driver" / name
+            ).read_text(), f"{method} left different bytes in {name}"
+
+
 def test_mutation_invalidates_query_snapshot(engine, vault):
     out0 = engine.query("*.md", "SELECT * FROM files")
     assert "reviewed" not in out0["columns"]  # dynamic schema: column absent
