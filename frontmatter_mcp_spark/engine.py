@@ -78,6 +78,28 @@ class FrontmatterEngine:
             )
             register_embed_udf(spark, self.model)
 
+    @classmethod
+    def from_settings(
+        cls, spark: SparkSession, settings: "Settings | None" = None
+    ) -> "FrontmatterEngine":
+        """Build an engine from FRONTMATTER_* environment variables —
+        the reference server's construction path (settings.py:12-51 +
+        dependencies.py:19-46): base dir, semantic enable flag, model
+        name, and cache dir all come from the environment."""
+        from frontmatter_mcp_spark.settings import get_settings
+
+        s = settings or get_settings()
+        model = None
+        if s.enable_semantic:
+            model = EmbeddingModel(model_name=s.embedding_model)
+        return cls(
+            spark,
+            s.base_dir,
+            semantic=s.enable_semantic,
+            model=model,
+            cache_dir=s.cache_dir if s.enable_semantic else None,
+        )
+
     # ------------------------------------------------------------------
     # files-table construction with the snapshot cache (A3/A4)
     # ------------------------------------------------------------------
