@@ -49,9 +49,20 @@ class EmbeddingStore:
                 self.clear()
         self.meta_path.write_text(json.dumps({"model": self.model_name, "dim": self.dim}))
 
+    # -- crash recovery ----------------------------------------------------
+    def _recover(self) -> None:
+        """Heal the swap's crash window: if a previous process died after
+        renaming data_dir aside but before renaming tmp in, the '.old'
+        snapshot is still complete — restore it instead of reading empty
+        (and instead of letting the stranded dir wedge the next swap)."""
+        old = Path(str(self.data_dir) + ".old")
+        if not self.data_dir.exists() and old.exists():
+            os.replace(old, self.data_dir)
+
     # -- reads -------------------------------------------------------------
     def read(self) -> DataFrame:
         """Current snapshot; empty (schema-stable) when nothing indexed."""
+        self._recover()
         if self.data_dir.exists():
             return self.spark.read.schema(STORE_SCHEMA).parquet(str(self.data_dir))
         return self.spark.createDataFrame([], STORE_SCHEMA)
@@ -61,9 +72,20 @@ class EmbeddingStore:
 
     # -- writes ------------------------------------------------------------
     def _swap_in(self, df: DataFrame) -> None:
+        """Atomic-enough snapshot swap that tolerates every leftover
+        state a crash can strand: stale '.tmp' (overwritten), stranded
+        non-empty '.old' (removed before the rename that would otherwise
+        raise ENOTEMPTY and wedge all future swaps), and a missing
+        data_dir with a complete '.old' (recovered first). data_dir is
+        renamed aside only after tmp is fully written, so the
+        no-current-snapshot window is two renames wide and _recover
+        closes it."""
+        self._recover()
         tmp = str(self.data_dir) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
         old = str(self.data_dir) + ".old"
+        shutil.rmtree(old, ignore_errors=True)
         if self.data_dir.exists():
             os.replace(self.data_dir, old)
         os.replace(tmp, self.data_dir)

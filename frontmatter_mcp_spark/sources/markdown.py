@@ -131,9 +131,16 @@ def files_dataframe(
     if keys is None:
         keys = key_union(parsed)
     ok = parsed.filter(F.col("error").isNull())
+    # a frontmatter key literally named 'path' must yield ONE column with
+    # the metadata value winning per-file (the reference's dict-update
+    # precedence, query.py records |= metadata) — never two ambiguous
+    # 'path' columns
+    path_col = F.col("path")
+    if "path" in keys:
+        path_col = F.coalesce(F.col("props").getItem("path"), F.col("path"))
     return ok.select(
-        F.col("path"),
-        *[F.col("props").getItem(k).alias(k) for k in keys],
+        path_col.alias("path"),
+        *[F.col("props").getItem(k).alias(k) for k in keys if k != "path"],
     )
 
 

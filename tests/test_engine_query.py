@@ -172,3 +172,15 @@ def test_query_inspect_schema(engine):
     assert schema["date"]["nullable"] is False
     assert schema["summary"]["nullable"] is True
     assert "A summary" in schema["summary"]["examples"]
+
+
+def test_frontmatter_key_named_path_single_column(spark, tmp_path):
+    """A frontmatter key literally named 'path' must not create a second
+    ambiguous 'path' column; the metadata value wins per-file (the
+    reference's dict-update precedence)."""
+    (tmp_path / "a.md").write_text("---\npath: custom/value\nk: 1\n---\nA\n")
+    (tmp_path / "b.md").write_text("---\nk: 2\n---\nB\n")
+    eng = FrontmatterEngine(spark, tmp_path)
+    out = eng.query("*.md", "SELECT path, k FROM files ORDER BY k")
+    assert out["columns"].count("path") == 1
+    assert [r["path"] for r in out["results"]] == ["custom/value", "b.md"]

@@ -4,6 +4,8 @@ differential indexing, model-change invalidation."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 
 from frontmatter_mcp_spark.engine import FrontmatterEngine
@@ -143,6 +145,31 @@ def test_store_upsert_replaces_by_path(spark, tmp_path):
     store.upsert(spark.createDataFrame([("a", 2.0, [2.0] * 4), ("b", 1.0, [3.0] * 4)], schema))
     rows = {r.path: (r.mtime, r.vector[0]) for r in store.read().collect()}
     assert rows == {"a": (2.0, 2.0), "b": (1.0, 3.0)}
+
+
+def test_store_swap_survives_crash_leftovers(spark, tmp_path):
+    """Every dir state a crash can strand must neither wedge the next
+    swap (ENOTEMPTY on '.old') nor lose the snapshot (empty-read window
+    between the two renames)."""
+    import os
+    import shutil
+
+    store = EmbeddingStore(spark, tmp_path / "c", "m", 4)
+    schema = store.read().schema
+    store.upsert(spark.createDataFrame([("a", 1.0, [1.0] * 4)], schema))
+
+    # crash window: data_dir renamed aside, tmp never renamed in
+    os.replace(store.data_dir, str(store.data_dir) + ".old")
+    assert not store.data_dir.exists()
+    assert store.count() == 1  # read() recovers from .old
+    assert store.data_dir.exists()
+
+    # stranded non-empty .old AND stale .tmp from an earlier crash
+    shutil.copytree(store.data_dir, str(store.data_dir) + ".old")
+    shutil.copytree(store.data_dir, str(store.data_dir) + ".tmp")
+    store.upsert(spark.createDataFrame([("b", 2.0, [2.0] * 4)], schema))
+    assert {r.path for r in store.read().collect()} == {"a", "b"}
+    assert not Path(str(store.data_dir) + ".old").exists()
 
 
 def test_embed_udf_registered(engine):
