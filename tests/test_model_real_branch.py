@@ -1,0 +1,86 @@
+"""Real-model branch of EmbeddingModel, exercised via an injected fake
+sentence_transformers module (the real library isn't in this container;
+reference behavior at semantic/model.py:28-37, ADR-0009)."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+from frontmatter_mcp_spark.semantic.model import EmbeddingModel
+
+
+class _FakeST:
+    """Deterministic stand-in for sentence_transformers.SentenceTransformer."""
+
+    dim = 8
+    instances: list["_FakeST"] = []
+
+    def __init__(self, model_name):
+        self.model_name = model_name
+        self.encode_calls: list[list[str]] = []
+        _FakeST.instances.append(self)
+
+    def get_sentence_embedding_dimension(self):
+        return self.dim
+
+    def encode(self, texts):
+        import numpy as np
+
+        self.encode_calls.append(list(texts))
+        # row i = [len(text), i, 1...] as float32, like a real model's ndarray
+        return np.array(
+            [[float(len(t)), float(i)] + [1.0] * (self.dim - 2) for i, t in enumerate(texts)],
+            dtype=np.float32,
+        )
+
+
+@pytest.fixture()
+def fake_st(monkeypatch):
+    mod = types.ModuleType("sentence_transformers")
+    mod.SentenceTransformer = _FakeST
+    monkeypatch.setitem(sys.modules, "sentence_transformers", mod)
+    _FakeST.instances.clear()
+    yield mod
+
+
+def test_real_branch_loads_model_lazily(fake_st):
+    m = EmbeddingModel(model_name="cl-nagoya/ruri-v3-30m")
+    assert _FakeST.instances == []  # nothing loaded yet
+    assert m.get_dimension() == 8  # dimension discovered from the model
+    assert len(_FakeST.instances) == 1  # loaded exactly once
+    assert _FakeST.instances[0].model_name == "cl-nagoya/ruri-v3-30m"
+    assert m.name == "cl-nagoya/ruri-v3-30m"  # model-name metadata
+    m.encode(["x"])
+    assert len(_FakeST.instances) == 1  # cached across calls
+
+
+def test_real_branch_encode_batching_and_types(fake_st):
+    m = EmbeddingModel(model_name="some/model")
+    out = m.encode(["hello", "worldly"])
+    st = _FakeST.instances[0]
+    assert st.encode_calls == [["hello", "worldly"]]  # one batched call
+    assert len(out) == 2 and all(len(v) == 8 for v in out)
+    # ndarray rows converted to plain python float lists (pickle-able
+    # into pandas UDF closures)
+    assert all(type(x) is float for v in out for x in v)
+    assert out[0][0] == 5.0 and out[1][0] == 7.0
+    assert out[0][1] == 0.0 and out[1][1] == 1.0
+
+
+def test_no_model_name_uses_hash_embedder_even_when_lib_present(fake_st):
+    m = EmbeddingModel()
+    assert m.get_dimension() == 64
+    assert m.name.startswith("hash-embedder")
+    assert _FakeST.instances == []
+
+
+def test_missing_lib_falls_back_to_hash_embedder(monkeypatch):
+    monkeypatch.setitem(sys.modules, "sentence_transformers", None)  # forces ImportError
+    m = EmbeddingModel(model_name="some/model")
+    assert m.name.startswith("hash-embedder")
+    assert m.get_dimension() == 64
+    vecs = m.encode(["deterministic text"])
+    assert len(vecs) == 1 and len(vecs[0]) == 64
