@@ -413,6 +413,67 @@ def q39_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q81 — IVF probe over a label-PARTITIONED store (the 100 TB layout)
+# ---------------------------------------------------------------------------
+def _partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings re-materialized partitioned by the coarse cell id
+    (label) — the layout a production IVF index uses so a cell probe is
+    a partition-pruned read. Written once per scale factor into a temp
+    store and reused; the data is identical to the source table."""
+    import tempfile
+    from pathlib import Path
+
+    out = (
+        Path(tempfile.gettempdir())
+        / f"spark_graft_ivf_store_{Path(sf_dir).name}"
+        / "emb_by_label"
+    )
+    if not (out / "_SUCCESS").exists():
+        load_table(spark, sf_dir, "embeddings").write.mode("overwrite").partitionBy(
+            "label"
+        ).parquet(str(out))
+    return spark.read.parquet(str(out))
+
+
+@register(
+    "q81_ivf_partitioned",
+    f"""
+    WITH {_centroid_cte()},
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT qid, qvec, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY {_duck_cos('qvec', 'centroid')} DESC, label ASC) AS cell_rank
+      FROM q, cents
+    ),
+    probed AS (SELECT qid, qvec, label FROM probe WHERE cell_rank <= 2),
+    pairs AS (
+      SELECT p.qid, e.vec_id AS cid, {_duck_cos('p.qvec', 'e.embedding')} AS sim
+      FROM probed p JOIN embeddings e ON e.label = p.label
+    ),
+    ranked AS (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+      FROM pairs
+    )
+    SELECT qid, cid, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+    """,
+    doc="IVF probe against a label-partitioned parquet store: the broadcast "
+    "probe set dynamic-partition-prunes the candidate scan (plan-gated), so "
+    "only the probed cells' files are read — same results as q37",
+)
+def q81_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _partitioned_embeddings(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = sim.ivf_topk(q, store, k=10, nprobe=2)
+    return out.withColumnRenamed("vec_id", "cid").withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q40 — BPE-ish token counting + rolling-hash fingerprint
 # ---------------------------------------------------------------------------
 _HEXVAL_DUCK = "(strpos('0123456789abcdef', substr(md5(t), {i}, 1)) - 1)"

@@ -201,3 +201,17 @@ def test_q78_salted_agg_two_phase(spark):
     # the salted aggregate still partial-aggregates map-side per phase
     plan = formatted_plan(spark, "q78_salted_aggregation")
     assert plan.count("HashAggregate") >= 3  # partials + salt phase + final
+
+
+def test_q81_probe_scan_partition_pruned(spark):
+    # the IVF probe over the label-partitioned store must prune at the
+    # file index via dynamic partition pruning from the broadcast probe
+    # set — only the probed cells' files are ever read; at 1000x the
+    # store this is the difference between reading 2 cells and all of
+    # them
+    plan = formatted_plan(spark, "q81_ivf_partitioned")
+    pruned_scans = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "dynamicpruning" in l
+    ]
+    assert pruned_scans, plan
