@@ -144,6 +144,30 @@ def hyperplane_bucket(vec: Column, dim: int, nbits: int = 4) -> Column:
     return F.concat(*bits)
 
 
+def probe_buckets(bucket: Column, nbits: int, radius: int) -> Column:
+    """All bucket ids within Hamming distance ``radius`` of ``bucket``
+    (inclusive), as an array — the multi-probe set. Generated as a
+    static expression over ``itertools.combinations`` of bit positions,
+    so it is replayable verbatim by an external SQL oracle. Intended for
+    the small nbits of a bucketing code (probe count is
+    sum_{r<=radius} C(nbits, r))."""
+    from itertools import combinations
+
+    def flipped(positions: tuple[int, ...]) -> Column:
+        chars = []
+        for j in range(nbits):
+            ch = F.substring(bucket, j + 1, 1)
+            if j in positions:
+                ch = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+            chars.append(ch)
+        return F.concat(*chars)
+
+    variants: list[Column] = [bucket]
+    for r in range(1, radius + 1):
+        variants.extend(flipped(c) for c in combinations(range(nbits), r))
+    return F.array(*variants)
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -154,12 +178,31 @@ def lsh_topk(
     query_vec: str = "qvec",
     cand_id: str = "cid",
     cand_vec: str = "cvec",
+    probe_radius: int = 0,
 ) -> DataFrame:
     """Bucketed ANN: exact cosine ranking *within* the query's LSH
-    bucket. The candidate scan shuffles on the bucket key once; at scale
-    the candidate table is written bucketed by this key, making the probe
-    a partition-pruned read instead of a join."""
-    q = queries.withColumn("bucket", hyperplane_bucket(F.col(query_vec), dim, nbits))
+    bucket(s). The candidate scan shuffles on the bucket key once; at
+    scale the candidate table is written bucketed by this key, making the
+    probe a partition-pruned read instead of a join.
+
+    ``probe_radius`` > 0 enables multi-probe: each query also probes
+    every bucket within that Hamming distance — the standard recall
+    rescue for single-band hyperplane LSH (a near neighbor differing in
+    one sign bit lands one bucket over). The probe fan-out multiplies
+    only the broadcast-side rows (queries x probe count), never the
+    candidate scan, so the plan shape is unchanged at scale. Each
+    candidate still owns exactly ONE bucket, so probing distinct buckets
+    can never duplicate a (query, candidate) pair."""
+    q = queries.withColumn("_home", hyperplane_bucket(F.col(query_vec), dim, nbits))
+    if probe_radius > 0:
+        q = q.select(
+            query_id,
+            query_vec,
+            "_home",
+            F.explode(probe_buckets(F.col("_home"), nbits, probe_radius)).alias("bucket"),
+        )
+    else:
+        q = q.withColumn("bucket", F.col("_home"))
     c = candidates.withColumn("bucket", hyperplane_bucket(F.col(cand_vec), dim, nbits))
     pairs = c.join(F.broadcast(q), "bucket").withColumn(
         "sim", cosine_similarity(F.col(query_vec), F.col(cand_vec))

@@ -57,6 +57,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q80_sequence_packing",
     # new this round
     "q81_ivf_partitioned",
+    "q82_lsh_recall",
     # rotation of driver-green round-1 queries (CORRECTNESS_r01 all-pass),
     # most-load-bearing first: the dedup/ANN datapipe block, then the
     # relational queries whose plans changed most recently
@@ -84,7 +85,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q29_cheapest_part_per_brand",
     "q66_market_share",
     "q65_volume_shipping",
-    "q22_supplier_customer_nations",
 ]
 
 

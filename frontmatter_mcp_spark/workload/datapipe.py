@@ -656,6 +656,129 @@ def q43_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q82 — multi-probe LSH recall calibration vs brute-force ground truth
+# ---------------------------------------------------------------------------
+def _duck_lsh_bucket(col: str) -> str:
+    """DuckDB expression for the hyperplane bucket of an embedding column
+    — same md5-derived planes as similarity.hyperplane_bucket."""
+    planes = sim.hyperplanes(_LSH_DIM, _LSH_NBITS)
+    bits = []
+    for plane in planes:
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_sum([CAST({col}[i] AS DOUBLE) * ({arr}::DOUBLE[])[i] "
+            f"FOR i IN generate_series(1, len({col}))])"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _duck_probe_list(bucket: str, nbits: int) -> str:
+    """DuckDB list of the bucket plus all Hamming-distance-1 flips —
+    mirrors similarity.probe_buckets(radius=1)."""
+    variants = [bucket]
+    for j in range(1, nbits + 1):
+        variants.append(
+            f"substr({bucket}, 1, {j - 1}) || "
+            f"(CASE WHEN substr({bucket}, {j}, 1) = '1' THEN '0' ELSE '1' END) || "
+            f"substr({bucket}, {j + 1})"
+        )
+    return "list_value(" + ", ".join(variants) + ")"
+
+
+def _lsh_recall_sql() -> str:
+    nbits = _LSH_NBITS
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_duck_lsh_bucket('embedding')} AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS cvec, bucket FROM b WHERE vec_id >= 5),
+    truth AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {_duck_cos('q.qvec', 'c.cvec')} DESC, c.cid ASC) AS rank
+        FROM q, c
+      ) WHERE rank <= 10
+    ),
+    single AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {_duck_cos('q.qvec', 'c.cvec')} DESC, c.cid ASC) AS rank
+        FROM q JOIN c ON q.bucket = c.bucket
+      ) WHERE rank <= 10
+    ),
+    probes AS (
+      SELECT qid, qvec, probe
+      FROM q, UNNEST({_duck_probe_list('bucket', nbits)}) AS t(probe)
+    ),
+    multi AS (
+      SELECT qid, cid FROM (
+        SELECT p.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.qid
+                                  ORDER BY {_duck_cos('p.qvec', 'c.cvec')} DESC, c.cid ASC) AS rank
+        FROM probes p JOIN c ON p.probe = c.bucket
+      ) WHERE rank <= 10
+    ),
+    hits_single AS (
+      SELECT t.qid, COUNT(*) AS n FROM truth t JOIN single s
+        ON t.qid = s.qid AND t.cid = s.cid GROUP BY t.qid
+    ),
+    hits_multi AS (
+      SELECT t.qid, COUNT(*) AS n FROM truth t JOIN multi m
+        ON t.qid = m.qid AND t.cid = m.cid GROUP BY t.qid
+    )
+    SELECT 'single_probe' AS method, q.qid,
+           CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+           COALESCE(h.n, 0) / 10.0 AS recall_at_10
+    FROM (SELECT qid FROM q) q LEFT JOIN hits_single h ON q.qid = h.qid
+    UNION ALL
+    SELECT 'multi_probe' AS method, q.qid,
+           CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+           COALESCE(h.n, 0) / 10.0 AS recall_at_10
+    FROM (SELECT qid FROM q) q LEFT JOIN hits_multi h ON q.qid = h.qid
+    """
+
+
+@register(
+    "q82_lsh_recall",
+    _lsh_recall_sql(),
+    doc="ANN recall calibration: single-probe vs Hamming-radius-1 multi-probe "
+    "LSH scored against brute-force ground truth, per query — the measurement "
+    "that decides probe_radius before a 100 TB rollout",
+)
+def q82_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    truth = sim.cosine_topk(q, c, k=10).select("qid", "cid")
+    qids = q.select("qid")
+    outs = []
+    for method, radius in (("single_probe", 0), ("multi_probe", 1)):
+        got = sim.lsh_topk(
+            q, c, dim=_LSH_DIM, nbits=_LSH_NBITS, k=10, probe_radius=radius
+        ).select("qid", "cid")
+        hits = truth.join(got, ["qid", "cid"]).groupBy("qid").agg(
+            F.count("*").alias("n")
+        )
+        outs.append(
+            qids.join(hits, "qid", "left").select(
+                F.lit(method).alias("method"),
+                "qid",
+                F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
+                (F.coalesce(F.col("n"), F.lit(0)) / F.lit(10.0)).alias("recall_at_10"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+# ---------------------------------------------------------------------------
 # q44 — embed() UDF verified bit-for-bit by a SQL oracle
 # ---------------------------------------------------------------------------
 def _embed_sql(dim: int = 64) -> str:

@@ -230,3 +230,38 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     )
     got = {(r.user_id, r.click_id, r.purchase_id) for r in out.collect()}
     assert got == {(7, 1, 2)}
+
+
+def test_probe_buckets_radius_sets(spark):
+    from frontmatter_mcp_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("0110",)], "b string")
+    r1 = df.select(sim.probe_buckets(F.col("b"), 4, 1).alias("p")).collect()[0].p
+    assert r1 == ["0110", "1110", "0010", "0100", "0111"]
+    r0 = df.select(sim.probe_buckets(F.col("b"), 4, 0).alias("p")).collect()[0].p
+    assert r0 == ["0110"]
+    r2 = df.select(sim.probe_buckets(F.col("b"), 4, 2).alias("p")).collect()[0].p
+    assert len(r2) == 1 + 4 + 6 and len(set(r2)) == 11  # all distinct
+
+
+def test_multiprobe_lsh_recall_dominates_single(spark):
+    from frontmatter_mcp_spark.operators import similarity as sim
+    from frontmatter_mcp_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    single = sim.lsh_topk(q, c, dim=64, nbits=4, k=10, probe_radius=0)
+    multi = sim.lsh_topk(q, c, dim=64, nbits=4, k=10, probe_radius=1)
+    s_pairs = {(r.qid, r.cid) for r in single.collect()}
+    m_pairs = {(r.qid, r.cid) for r in multi.collect()}
+    # multi-probe candidates are a superset of the single-probe bucket's,
+    # so its top-k can only be at-least-as-similar; and no duplicates
+    assert len(m_pairs) == multi.count()
+    assert multi.count() >= single.count()
