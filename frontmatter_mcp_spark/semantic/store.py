@@ -2,13 +2,31 @@
 
 The reference persists embeddings in a DuckDB file DB
 ``embeddings(path PK, mtime, vector FLOAT[dim])`` plus model metadata;
-the Spark-native equivalent is an immutable parquet snapshot + a JSON
-sidecar. Upserts rewrite the snapshot atomically (write-new-then-swap),
-which also gives the reference's "read-only, never blocks the indexer"
-read behavior for free — readers see either the old or the new snapshot.
+the Spark-native equivalent is an immutable parquet layout, hash-
+bucketed by path::
 
-At 100 TB scale this store is a Delta/Iceberg table and upsert becomes
-MERGE; the interface here is shaped so only this module changes.
+    store_dir/embeddings.parquet/bucket=NN/part-*.parquet
+
+Upsert/delete are **bucket-incremental**: only the buckets containing
+touched paths are rewritten (merge-on-write per bucket), so a refresh
+that re-embeds k files rewrites O(k/N_BUCKETS) of the store instead of
+all of it — the parquet-native approximation of a Delta/Iceberg MERGE,
+and the property that keeps refresh cost flat as the corpus grows.
+Bucket membership is a Hive partition (``bucket=NN`` dirs), so the
+merge's read of the affected buckets is partition-pruned at the source.
+
+Each bucket directory is replaced via a write-aside swap that tolerates
+every crash-strandable state (stale staging, stranded ``.old``, missing
+dir with complete ``.old``); readers see each bucket either old or new.
+Cross-bucket atomicity is deliberately NOT promised (the reference's
+single-file DB transaction has it; a real lakehouse table format would
+restore it) — a reader during a multi-bucket refresh may see bucket A
+new and bucket B old, which the indexer's mtime reconciliation already
+tolerates.
+
+The bucket id is the first 4 md5 hex digits of the path mod N_BUCKETS —
+engine-portable and stable across Spark versions (no reliance on
+internal hash functions).
 """
 
 from __future__ import annotations
@@ -18,7 +36,7 @@ import os
 import shutil
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 STORE_SCHEMA = T.StructType(
@@ -28,6 +46,17 @@ STORE_SCHEMA = T.StructType(
         T.StructField("vector", T.ArrayType(T.FloatType()), False),
     ]
 )
+
+READ_SCHEMA = T.StructType(
+    list(STORE_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType(), True)]
+)
+
+N_BUCKETS = 64
+
+
+def path_bucket(col: Column) -> Column:
+    """Stable, engine-portable bucket id for a path."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int") % N_BUCKETS
 
 
 class EmbeddingStore:
@@ -50,61 +79,117 @@ class EmbeddingStore:
         self.meta_path.write_text(json.dumps({"model": self.model_name, "dim": self.dim}))
 
     # -- crash recovery ----------------------------------------------------
+    def _bucket_dir(self, bucket: int) -> Path:
+        return self.data_dir / f"bucket={bucket}"
+
     def _recover(self) -> None:
-        """Heal the swap's crash window: if a previous process died after
-        renaming data_dir aside but before renaming tmp in, the '.old'
-        snapshot is still complete — restore it instead of reading empty
-        (and instead of letting the stranded dir wedge the next swap)."""
-        old = Path(str(self.data_dir) + ".old")
-        if not self.data_dir.exists() and old.exists():
-            os.replace(old, self.data_dir)
+        """Heal per-bucket swap crash windows: a bucket dir renamed aside
+        whose replacement never landed is restored from its complete
+        '.old'; an '.old' whose live dir DOES exist is a completed swap's
+        leftover and is removed (it would otherwise pollute partition
+        discovery and wedge the next swap of that bucket)."""
+        if not self.data_dir.exists():
+            return
+        for old in self.data_dir.glob("bucket=*.old"):
+            live = Path(str(old)[: -len(".old")])
+            if live.exists():
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.replace(old, live)
 
     # -- reads -------------------------------------------------------------
+    def _read_with_bucket(self) -> DataFrame | None:
+        """Snapshot including the bucket partition column, or None when
+        the store is empty. Filters on ``bucket`` partition-prune."""
+        self._recover()
+        if self.data_dir.exists() and any(self.data_dir.glob("bucket=*")):
+            return (
+                self.spark.read.schema(READ_SCHEMA)
+                .option("basePath", str(self.data_dir))
+                .parquet(str(self.data_dir))
+            )
+        return None
+
     def read(self) -> DataFrame:
         """Current snapshot; empty (schema-stable) when nothing indexed."""
-        self._recover()
-        if self.data_dir.exists():
-            return self.spark.read.schema(STORE_SCHEMA).parquet(str(self.data_dir))
-        return self.spark.createDataFrame([], STORE_SCHEMA)
+        df = self._read_with_bucket()
+        if df is None:
+            return self.spark.createDataFrame([], STORE_SCHEMA)
+        return df.select("path", "mtime", "vector")
 
     def count(self) -> int:
         return self.read().count()
 
     # -- writes ------------------------------------------------------------
-    def _swap_in(self, df: DataFrame) -> None:
-        """Atomic-enough snapshot swap that tolerates every leftover
-        state a crash can strand: stale '.tmp' (overwritten), stranded
-        non-empty '.old' (removed before the rename that would otherwise
-        raise ENOTEMPTY and wedge all future swaps), and a missing
-        data_dir with a complete '.old' (recovered first). data_dir is
-        renamed aside only after tmp is fully written, so the
-        no-current-snapshot window is two renames wide and _recover
-        closes it."""
-        self._recover()
-        tmp = str(self.data_dir) + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        old = str(self.data_dir) + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if self.data_dir.exists():
-            os.replace(self.data_dir, old)
-        os.replace(tmp, self.data_dir)
-        shutil.rmtree(old, ignore_errors=True)
+    def _affected_buckets(self, paths_df: DataFrame) -> list[int]:
+        rows = paths_df.select(path_bucket(F.col("path")).alias("b")).distinct().collect()
+        return sorted(r.b for r in rows)
+
+    def _rewrite_buckets(self, merged: DataFrame, buckets: list[int]) -> None:
+        """Materialize the merged rows of ``buckets`` to a staging dir
+        (partitioned by bucket — the staging write executes the full
+        merge plan while the live bucket dirs it reads are untouched),
+        then swap each bucket dir in. A bucket with no surviving rows
+        ends up absent, which IS its new state."""
+        if not buckets:
+            return
+        staging = Path(str(self.data_dir) + ".staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            merged.withColumn("bucket", path_bucket(F.col("path")))
+            .repartition("bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(str(staging))
+        )
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        for b in buckets:
+            live = self._bucket_dir(b)
+            new = staging / f"bucket={b}"
+            old = Path(str(live) + ".old")
+            shutil.rmtree(old, ignore_errors=True)
+            if live.exists():
+                os.replace(live, old)
+            if new.exists():
+                os.replace(new, live)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
 
     def upsert(self, records: DataFrame) -> None:
-        """Insert-or-replace by path (reference cache.py:127-141):
-        new records win over existing rows with the same path."""
-        current = self.read()
-        merged = current.join(records.select("path"), "path", "left_anti").unionByName(
-            records.select("path", "mtime", "vector")
-        )
-        self._swap_in(merged)
+        """Insert-or-replace by path (reference cache.py:127-141): new
+        records win over existing rows with the same path. Only the hash
+        buckets containing the new paths are read and rewritten."""
+        records = records.select("path", "mtime", "vector")
+        buckets = self._affected_buckets(records)
+        if not buckets:
+            return
+        current = self._read_with_bucket()
+        if current is None:
+            merged = records
+        else:
+            touched = current.filter(F.col("bucket").isin(buckets)).select(
+                "path", "mtime", "vector"
+            )
+            merged = touched.join(
+                records.select("path"), "path", "left_anti"
+            ).unionByName(records)
+        self._rewrite_buckets(merged, buckets)
 
     def delete(self, paths: list[str]) -> None:
         if not paths:
             return
-        current = self.read()
-        self._swap_in(current.filter(~F.col("path").isin(paths)))
+        current = self._read_with_bucket()
+        if current is None:
+            return
+        paths_df = self.spark.createDataFrame([(p,) for p in paths], "path string")
+        buckets = self._affected_buckets(paths_df)
+        survivors = (
+            current.filter(F.col("bucket").isin(buckets))
+            .select("path", "mtime", "vector")
+            .filter(~F.col("path").isin(paths))
+        )
+        self._rewrite_buckets(survivors, buckets)
 
     def clear(self) -> None:
         shutil.rmtree(self.data_dir, ignore_errors=True)
+        shutil.rmtree(str(self.data_dir) + ".staging", ignore_errors=True)

@@ -148,28 +148,60 @@ def test_store_upsert_replaces_by_path(spark, tmp_path):
 
 
 def test_store_swap_survives_crash_leftovers(spark, tmp_path):
-    """Every dir state a crash can strand must neither wedge the next
-    swap (ENOTEMPTY on '.old') nor lose the snapshot (empty-read window
-    between the two renames)."""
+    """Every dir state a per-bucket swap crash can strand must neither
+    wedge the next swap (ENOTEMPTY on '.old') nor lose the bucket
+    (missing-dir window between the two renames)."""
     import os
     import shutil
 
     store = EmbeddingStore(spark, tmp_path / "c", "m", 4)
     schema = store.read().schema
     store.upsert(spark.createDataFrame([("a", 1.0, [1.0] * 4)], schema))
+    live = next(iter(store.data_dir.glob("bucket=*")))
 
-    # crash window: data_dir renamed aside, tmp never renamed in
-    os.replace(store.data_dir, str(store.data_dir) + ".old")
-    assert not store.data_dir.exists()
-    assert store.count() == 1  # read() recovers from .old
-    assert store.data_dir.exists()
+    # crash window: bucket dir renamed aside, replacement never landed
+    os.replace(live, str(live) + ".old")
+    assert store.count() == 1  # read() recovers the bucket from .old
+    assert live.exists()
 
-    # stranded non-empty .old AND stale .tmp from an earlier crash
-    shutil.copytree(store.data_dir, str(store.data_dir) + ".old")
-    shutil.copytree(store.data_dir, str(store.data_dir) + ".tmp")
+    # stranded non-empty .old (live present) AND stale staging dir
+    shutil.copytree(live, str(live) + ".old")
+    shutil.copytree(store.data_dir, str(store.data_dir) + ".staging")
     store.upsert(spark.createDataFrame([("b", 2.0, [2.0] * 4)], schema))
     assert {r.path for r in store.read().collect()} == {"a", "b"}
-    assert not Path(str(store.data_dir) + ".old").exists()
+    assert not list(store.data_dir.glob("bucket=*.old"))
+
+
+def test_store_upsert_rewrites_only_affected_buckets(spark, tmp_path):
+    """The 100 TB refresh property: an upsert touching one path must
+    leave every other bucket's files byte-untouched (no whole-store
+    rewrite)."""
+    store = EmbeddingStore(spark, tmp_path / "c", "m", 4)
+    schema = store.read().schema
+    rows = [(f"doc_{i}.md", 1.0, [float(i)] * 4) for i in range(40)]
+    store.upsert(spark.createDataFrame(rows, schema))
+    assert len(list(store.data_dir.glob("bucket=*"))) > 5  # spread out
+
+    from frontmatter_mcp_spark.semantic.store import N_BUCKETS, path_bucket
+    from pyspark.sql import functions as F
+
+    target_bucket = (
+        spark.createDataFrame([("doc_7.md",)], "path string")
+        .select(path_bucket(F.col("path")).alias("b"))
+        .collect()[0]
+        .b
+    )
+    before = {
+        f: f.stat().st_mtime_ns
+        for f in store.data_dir.rglob("*.parquet")
+        if f"bucket={target_bucket}/" not in str(f)
+    }
+    store.upsert(spark.createDataFrame([("doc_7.md", 2.0, [9.0] * 4)], schema))
+    after = {f: f.stat().st_mtime_ns for f in store.data_dir.rglob("*.parquet")}
+    for f, mt in before.items():
+        assert after[f] == mt, f"untouched bucket file rewritten: {f}"
+    got = {r.path: r.mtime for r in store.read().collect()}
+    assert got["doc_7.md"] == 2.0 and len(got) == 40
 
 
 def test_embed_udf_registered(engine):
