@@ -429,9 +429,13 @@ def _partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         / "emb_by_label"
     )
     if not (out / "_SUCCESS").exists():
-        load_table(spark, sf_dir, "embeddings").write.mode("overwrite").partitionBy(
-            "label"
-        ).parquet(str(out))
+        # repartition by the partition key first: one task owns each
+        # cell, so the store is one file per cell instead of
+        # (input-partitions x cells) fragments — at scale, compacted
+        # cells are what makes the pruned probe read fast
+        load_table(spark, sf_dir, "embeddings").repartition("label").write.mode(
+            "overwrite"
+        ).partitionBy("label").parquet(str(out))
     return spark.read.parquet(str(out))
 
 
