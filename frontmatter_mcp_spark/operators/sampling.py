@@ -51,3 +51,34 @@ def stratified_keep(
     for name, rate in sorted(rates.items()):
         expr = F.when(stratum == name, b < int(rate * buckets)).otherwise(expr)
     return expr
+
+
+def quota_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    quotas: dict[str, int],
+    default_quota: int = 0,
+) -> DataFrame:
+    """Absolute-count mixture construction: keep the first
+    ``quotas[stratum]`` documents of each stratum in a deterministic
+    pseudo-random order (md5 of the key, key as tiebreaker). This is the
+    quota complement of ``stratified_keep``'s rates — how a training mix
+    hits '2M docs of src A, 500k of src B' targets exactly.
+
+    One shuffle on the stratum key + a rank window per stratum. A
+    dominant stratum at extreme scale funnels through one partition's
+    sort; the skew fix is a two-phase pre-rank by (stratum, hash-prefix)
+    — not needed while strata are O(file-count) sized. Output keeps
+    ``mix_rank`` so downstream can tighten a quota without resampling."""
+    order_key = F.md5(F.col(key_col).cast("string"))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(stratum_col).orderBy(order_key, F.col(key_col))
+    quota = F.lit(default_quota)
+    for name, n in sorted(quotas.items()):
+        quota = F.when(F.col(stratum_col) == name, F.lit(n)).otherwise(quota)
+    return (
+        df.withColumn("mix_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("mix_rank") <= quota)
+    )

@@ -58,6 +58,8 @@ _DRIVER_PRIORITY: list[str] = [
     # new this round
     "q81_ivf_partitioned",
     "q82_lsh_recall",
+    "q83_mixture_quota",
+    "q84_safety_profile",
     # rotation of driver-green round-1 queries (CORRECTNESS_r01 all-pass),
     # most-load-bearing first: the dedup/ANN datapipe block, then the
     # relational queries whose plans changed most recently
@@ -83,8 +85,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q46_group_concat",
     "q47_exists_with_agg",
     "q29_cheapest_part_per_brand",
-    "q66_market_share",
-    "q65_volume_shipping",
 ]
 
 

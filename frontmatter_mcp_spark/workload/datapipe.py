@@ -9,7 +9,7 @@ sequential folds (see operators.similarity docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from frontmatter_mcp_spark.functions import vector
 from frontmatter_mcp_spark.operators import dedup as dd
@@ -1147,6 +1147,110 @@ def q57_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sp.hash_bucket(key).alias("bucket"),
         sp.assign_split(key).alias("split"),
         sp.stratified_keep(key, F.col("lang"), _SAMPLE_RATES).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q83 — quota-capped mixture construction (absolute per-source targets)
+# ---------------------------------------------------------------------------
+_MIX_QUOTAS = {
+    **{f"src{i}": 15 for i in range(5)},
+    **{f"src{i}": 8 for i in range(5, 10)},
+}
+_MIX_DEFAULT_QUOTA = 3
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{name}' THEN {n}" for name, n in sorted(_MIX_QUOTAS.items())
+    )
+    return f"""
+    SELECT doc_id, source, mix_rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INT) AS mix_rank
+      FROM documents
+    )
+    WHERE mix_rank <= (CASE {cases} ELSE {_MIX_DEFAULT_QUOTA} END)
+    """
+
+
+@register(
+    "q83_mixture_quota",
+    _mixture_sql(),
+    doc="training-mix construction with absolute per-source quotas: "
+    "deterministic md5-ordered rank per stratum, kept iff rank <= quota "
+    "(rerun/backfill-invariant; mix_rank retained so a tighter quota "
+    "needs no resample)",
+)
+def q83_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators import sampling as sp
+
+    d = load_table(spark, sf_dir, "documents")
+    return sp.quota_sample(
+        d.select("doc_id", "source"), "doc_id", "source",
+        _MIX_QUOTAS, default_quota=_MIX_DEFAULT_QUOTA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — PII/safety profile (regex counters + composite risk score)
+# ---------------------------------------------------------------------------
+# patterns restricted to syntax RE2 (DuckDB) and java.util.regex agree on
+_PII_PATTERNS = {
+    "n_emails": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "n_urls": r"https?://[^ ]+",
+    "n_phones": r"\d{3}[-.]\d{3,4}[-.]\d{4}",
+    "n_long_digit_runs": r"\d{9,}",
+}
+
+
+def _safety_sql() -> str:
+    counters = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS {name}"
+        for name, pat in _PII_PATTERNS.items()
+    )
+    return f"""
+    SELECT doc_id,
+           {counters},
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digit_chars,
+           CAST(len(regexp_extract_all(text, '[A-Z]')) AS INT) AS n_upper_chars,
+           CAST(len(text) - len(replace(text, ' ', '')) AS INT) AS n_spaces,
+           CAST((len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) * 5
+             + len(regexp_extract_all(text, '\\d{{9,}}')) * 3
+             + len(regexp_extract_all(text, '\\d{{3}}[-.]\\d{{3,4}}[-.]\\d{{4}}')) * 4) AS INT)
+             AS risk_score
+    FROM documents
+    """
+
+
+@register(
+    "q84_safety_profile",
+    _safety_sql(),
+    doc="per-doc PII/safety counters (emails, urls, phone-shaped, long digit "
+    "runs, digit/upper char counts) + weighted risk score — all "
+    "RE2-and-Java-portable regex, pure narrow codegen map",
+)
+def q84_safety_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    def cnt(pat: str) -> Column:
+        return F.regexp_count(t, F.lit(pat)).cast("int")
+
+    return d.select(
+        "doc_id",
+        *[cnt(pat).alias(name) for name, pat in _PII_PATTERNS.items()],
+        cnt(r"[0-9]").alias("n_digit_chars"),
+        cnt(r"[A-Z]").alias("n_upper_chars"),
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))).cast("int").alias("n_spaces"),
+        (
+            cnt(_PII_PATTERNS["n_emails"]) * 5
+            + cnt(_PII_PATTERNS["n_long_digit_runs"]) * 3
+            + cnt(_PII_PATTERNS["n_phones"]) * 4
+        ).cast("int").alias("risk_score"),
     )
 
 

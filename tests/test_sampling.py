@@ -34,3 +34,20 @@ def test_hash_bucket_range_and_determinism(spark):
     df = spark.range(0, 1_000).select(sp.hash_bucket(F.col("id")).alias("b"))
     stats = df.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).collect()[0]
     assert 0 <= stats.lo and stats.hi <= 999
+
+
+def test_quota_sample_exact_counts_and_stability(spark):
+    df = spark.range(0, 600).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("stratum"),
+    )
+    out = sp.quota_sample(df, "k", "stratum", {"s0": 10, "s1": 5}, default_quota=2)
+    counts = {r.stratum: r.n for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 10, "s1": 5, "s2": 2}
+    assert out.agg(F.max("mix_rank")).collect()[0][0] == 10
+    # deterministic: same selection under a different partitioning
+    again = sp.quota_sample(df.repartition(13), "k", "stratum", {"s0": 10, "s1": 5}, 2)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+    # quota larger than the stratum keeps the whole stratum
+    big = sp.quota_sample(df, "k", "stratum", {"s0": 10_000}, default_quota=0)
+    assert big.count() == 200
