@@ -93,6 +93,14 @@ class FrontmatterDataSource(DataSource):
 
 class FrontmatterReader(DataSourceReader):
     def __init__(self, options, schema: T.StructType):
+        if "path" not in options:
+            raise ValueError(
+                "frontmatter: 'path' option is required. Persistent catalog "
+                "tables (CREATE TABLE ... USING frontmatter) do not forward "
+                "OPTIONS to the scan in Spark's Python DataSource API — use "
+                "CREATE TEMPORARY VIEW ... USING frontmatter OPTIONS "
+                "(path '...') or spark.read.format('frontmatter') instead."
+            )
         self.base_dir = options["path"]
         self.glob = options.get("glob", _DEFAULT_GLOB)
         self.num_partitions = int(options.get("numPartitions", str(_DEFAULT_PARTITIONS)))

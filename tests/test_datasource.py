@@ -89,6 +89,29 @@ def test_sql_usable_as_table(registered, vault):
     assert n == 2
 
 
+def test_ddl_temporary_view(registered, vault):
+    """CREATE TEMPORARY VIEW ... USING frontmatter works end-to-end:
+    options reach schema inference AND the scan (persistent catalog
+    tables do not forward options in Spark's Python DataSource API —
+    the reader raises a directed error for that case, below)."""
+    registered.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW fm_ddl USING frontmatter "
+        f"OPTIONS (path '{vault}')"
+    )
+    rows = registered.sql(
+        "SELECT path, title FROM fm_ddl WHERE title IS NOT NULL ORDER BY path"
+    ).collect()
+    assert [r.title for r in rows] == ["Alpha", "Beta"]
+    registered.catalog.dropTempView("fm_ddl")
+
+
+def test_reader_missing_path_option_directed_error(registered):
+    from frontmatter_mcp_spark.sources.datasource import FrontmatterReader
+
+    with pytest.raises(ValueError, match="TEMPORARY VIEW"):
+        FrontmatterReader({}, None)
+
+
 def test_stream_reader_differential_batches(registered, tmp_path):
     """The streaming form emits only files whose mtime advanced — the
     reference's differential indexer rule (cache.py:160-177) as a
