@@ -215,3 +215,19 @@ def test_q81_probe_scan_partition_pruned(spark):
         if "PartitionFilters" in l and "dynamicpruning" in l
     ]
     assert pruned_scans, plan
+
+
+def test_q84_safety_profile_narrow_no_python(spark):
+    # the safety profile must stay a pure codegen map: no exchange, no
+    # Python worker — regex counters run inside the JVM scan stage
+    plan = formatted_plan(spark, "q84_safety_profile")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_q83_mixture_single_shuffle(spark):
+    # quota sampling is one shuffle on the stratum key + a rank window;
+    # a second exchange would mean the rank recomputed post-filter
+    plan = formatted_plan(spark, "q83_mixture_quota")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    assert "Python" not in plan, plan
