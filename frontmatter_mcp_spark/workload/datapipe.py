@@ -1254,6 +1254,55 @@ def q84_safety_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q85 — per-source length-outlier filter (exact-percentile fences)
+# ---------------------------------------------------------------------------
+# fences at 1/32 and 31/32: exact binary fractions, so Spark `percentile`
+# and DuckDB `quantile_cont` interpolate bit-identically (the q24 technique)
+_LEN_P_LOW = 1 / 32
+_LEN_P_HIGH = 31 / 32
+
+
+@register(
+    "q85_length_outliers",
+    f"""
+    WITH stats AS (
+      SELECT source,
+             quantile_cont(n_chars, {_LEN_P_LOW!r}) AS p_low,
+             quantile_cont(n_chars, {_LEN_P_HIGH!r}) AS p_high
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars, s.p_low, s.p_high,
+           CASE WHEN d.n_chars < s.p_low THEN 'too_short' ELSE 'too_long' END AS reason
+    FROM documents d JOIN stats s ON d.source = s.source
+    WHERE d.n_chars < s.p_low OR d.n_chars > s.p_high
+    """,
+    doc="pretraining length filter: per-source percentile fences (exact "
+    "interpolated, cross-engine bit-identical at binary fractions) flag "
+    "docs outside [p(1/32), p(31/32)] — stats aggregate once, broadcast "
+    "back, narrow filter (no second shuffle of the corpus)",
+)
+def q85_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(_LEN_P_LOW)).alias("p_low"),
+        F.percentile("n_chars", F.lit(_LEN_P_HIGH)).alias("p_high"),
+    )
+    return (
+        d.join(F.broadcast(stats), "source")
+        .filter((F.col("n_chars") < F.col("p_low")) | (F.col("n_chars") > F.col("p_high")))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "p_low",
+            "p_high",
+            F.when(F.col("n_chars") < F.col("p_low"), F.lit("too_short"))
+            .otherwise(F.lit("too_long"))
+            .alias("reason"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # q58 — TF-IDF keyword extraction (top-3 terms per document)
 # ---------------------------------------------------------------------------

@@ -231,3 +231,11 @@ def test_q83_mixture_single_shuffle(spark):
     plan = formatted_plan(spark, "q83_mixture_quota")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
     assert "Python" not in plan, plan
+
+
+def test_q85_stats_broadcast_back(spark):
+    # the percentile fences join back via broadcast: the corpus is
+    # scanned and filtered without a second shuffle
+    plan = formatted_plan(spark, "q85_length_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
