@@ -61,6 +61,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q83_mixture_quota",
     "q84_safety_profile",
     "q85_length_outliers",
+    "q86_bloom_prefilter_dedup",
     # rotation of driver-green round-1 queries (CORRECTNESS_r01 all-pass),
     # most-load-bearing first: the dedup/ANN datapipe block, then the
     # relational queries whose plans changed most recently
@@ -84,7 +85,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q07_top_orders_per_customer",
     "q08_running_totals",
     "q46_group_concat",
-    "q47_exists_with_agg",
 ]
 
 

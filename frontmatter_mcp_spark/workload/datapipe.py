@@ -1304,6 +1304,75 @@ def q85_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q86 — bloom-prefiltered incremental dedup (prune BEFORE the shuffle)
+# ---------------------------------------------------------------------------
+_BLOOM_M = 4096  # bit positions
+_BLOOM_K = 3  # hashes per fingerprint
+
+
+def _bloom_positions(fp: Column) -> Column:
+    """k bit positions from non-overlapping 8-hex-digit slices of the md5
+    fingerprint — engine-portable (no internal hash functions)."""
+    return F.array(
+        *[
+            (F.conv(F.substring(fp, 1 + 8 * i, 8), 16, 10).cast("long") % _BLOOM_M).cast(
+                "int"
+            )
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+@register(
+    "q86_bloom_prefilter_dedup",
+    f"""
+    WITH tagged AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE WHEN {{b}} < 900 THEN 'existing' ELSE 'incoming' END AS batch
+      FROM documents
+    )
+    SELECT DISTINCT i.doc_id
+    FROM tagged i JOIN tagged e ON i.fp = e.fp
+    WHERE i.batch = 'incoming' AND e.batch = 'existing'
+    """.format(b=_hash_bucket_duck("doc_id")),
+    doc="incremental exact dedup with a bloom prefilter: the existing "
+    "batch's fingerprints build a compact bit-position set (bounded "
+    "collect_set <= M, broadcast as one row); incoming docs failing ANY "
+    "of the k membership bits never reach the join shuffle. The exact "
+    "fingerprint join then removes bloom false positives, so the result "
+    "is identical to the plain exact join (the oracle) — at 100 TB the "
+    "bloom turns a full-corpus shuffle into a shuffle of candidate hits",
+)
+def q86_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators import sampling as smp
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    tagged = d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.when(smp.hash_bucket(F.col("doc_id")) < 900, F.lit("existing"))
+        .otherwise(F.lit("incoming"))
+        .alias("batch"),
+    )
+    existing = tagged.filter(F.col("batch") == "existing")
+    incoming = tagged.filter(F.col("batch") == "incoming")
+    bloom = (
+        existing.select(F.explode(_bloom_positions(F.col("fp"))).alias("p"))
+        .agg(F.collect_set("p").alias("bits"))
+    )
+    prefiltered = incoming.crossJoin(F.broadcast(bloom)).filter(
+        F.forall(
+            _bloom_positions(F.col("fp")), lambda p: F.array_contains(F.col("bits"), p)
+        )
+    )
+    return (
+        prefiltered.join(existing.select("fp"), "fp", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # q58 — TF-IDF keyword extraction (top-3 terms per document)
 # ---------------------------------------------------------------------------
 @register(

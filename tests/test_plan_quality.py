@@ -239,3 +239,14 @@ def test_q85_stats_broadcast_back(spark):
     plan = formatted_plan(spark, "q85_length_outliers")
     assert "BroadcastHashJoin" in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_q86_bloom_prefilter_before_join(spark):
+    # the bloom bit-set is a bounded aggregate broadcast as one row, and
+    # incoming fingerprints are membership-filtered BEFORE the exact
+    # fingerprint join — at scale the join shuffles candidate hits, not
+    # the whole incoming batch
+    plan = formatted_plan(spark, "q86_bloom_prefilter_dedup")
+    assert "ObjectHashAggregate" in plan, plan  # collect_set bloom build
+    assert "array_contains" in plan, plan  # k-position membership filter
+    assert "BroadcastNestedLoopJoin" in plan, plan  # one-row bloom attach
