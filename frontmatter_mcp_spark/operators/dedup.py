@@ -291,6 +291,49 @@ def ngram_jaccard_pairs(
     return jac.select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: |A ∩ B| / min(|A|, |B|) >= t.
+
+    The partial-copy detector Jaccard misses: a paragraph quoted inside
+    a much longer document scores near-zero Jaccard (union dominated by
+    the long doc) but containment ~1. Same df-capped shingle self-join
+    pipeline as ngram_jaccard_pairs — one scale-bounded shuffle on the
+    shingle key — only the final score differs."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
+    filtered = sh.join(dfreq.filter(F.col("df_count") <= max_df), "shingle")
+    a = filtered.select(F.col(id_col).alias("id_a"), "shingle")
+    b = filtered.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.least("size_a", "size_b"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", F.round("containment", 6).alias("containment"))
+    )
+
+
 def boilerplate_spans(
     df: DataFrame,
     id_col: str,

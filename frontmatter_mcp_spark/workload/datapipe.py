@@ -153,6 +153,43 @@ def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q87 — exact n-gram containment pairs (partial-copy detector)
+# ---------------------------------------------------------------------------
+_CONTAINMENT_THRESHOLD = 0.5
+
+
+@register(
+    "q87_containment_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    dfreq AS (SELECT shingle, COUNT(*) AS df_count FROM sh GROUP BY 1),
+    f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+          WHERE dfreq.df_count <= {_MAX_DF}),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common * 1.0 / least(sa.set_size, sb.set_size), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / least(sa.set_size, sb.set_size) >= {_CONTAINMENT_THRESHOLD}
+    """,
+    doc="partial-copy detector: |A∩B| / min(|A|,|B|) >= 0.5 — catches a "
+    "paragraph quoted inside a longer doc, which Jaccard scores near zero; "
+    "same df-capped single-shuffle shingle pipeline as q33",
+)
+def q87_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    return dd.ngram_containment_pairs(
+        d, "doc_id", "text", threshold=_CONTAINMENT_THRESHOLD, max_df=_MAX_DF
+    )
+
+
+# ---------------------------------------------------------------------------
 # q34 — SimHash signatures
 # ---------------------------------------------------------------------------
 _SIMHASH_BITS = 32

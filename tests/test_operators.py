@@ -265,3 +265,18 @@ def test_multiprobe_lsh_recall_dominates_single(spark):
     # so its top-k can only be at-least-as-similar; and no duplicates
     assert len(m_pairs) == multi.count()
     assert multi.count() >= single.count()
+
+
+def test_containment_catches_partial_copy_jaccard_misses(spark):
+    from frontmatter_mcp_spark.operators import dedup as dd
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler)], "doc_id long, text string"
+    )
+    cont = dd.ngram_containment_pairs(df, "doc_id", "text", threshold=0.9, max_df=50)
+    rows = cont.collect()
+    assert len(rows) == 1 and rows[0].containment == 1.0  # quote fully contained
+    jac = dd.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.4, max_df=50)
+    assert jac.count() == 0  # union dominated by the long doc
