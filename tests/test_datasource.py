@@ -188,3 +188,62 @@ def test_writer_rejects_escaping_path(registered, tmp_path):
     df = registered.createDataFrame([("../evil.md", "X")], "path string, title string")
     with pytest.raises(Exception, match="[Ee]scapes"):
         df.write.format("frontmatter").mode("overwrite").save(str(dst))
+
+
+def test_stream_into_bucketed_embedding_store(registered, tmp_path):
+    """End-to-end streaming ingestion: differential markdown stream ->
+    foreachBatch encode -> bucket-incremental store upsert. Each
+    micro-batch embeds ONLY mtime-advanced files, and the store merges
+    them without rewriting untouched buckets — the streaming form of
+    the reference's background indexer."""
+    import time
+
+    from frontmatter_mcp_spark.semantic.model import EmbeddingModel
+    from frontmatter_mcp_spark.semantic.store import EmbeddingStore
+
+    v = tmp_path / "vault"
+    v.mkdir()
+    for name, body in [("a.md", "alpha text"), ("b.md", "beta text")]:
+        (v / name).write_text(f"---\nt: x\n---\n{body}")
+    model = EmbeddingModel()
+    store = EmbeddingStore(registered, tmp_path / "cache", model.name, model.get_dimension())
+    seen_batches: list[list[str]] = []
+
+    def ingest(batch_df, batch_id):
+        rows = batch_df.select("path", "_mtime", "_body").collect()
+        if not rows:
+            return
+        seen_batches.append(sorted(r.path for r in rows))
+        vecs = model.encode([r._body or "" for r in rows])
+        records = registered.createDataFrame(
+            [(r.path, float(r._mtime), [float(x) for x in vec])
+             for r, vec in zip(rows, vecs)],
+            store.read().schema,
+        )
+        store.upsert(records)
+
+    stream = (
+        registered.readStream.format("frontmatter")
+        .option("includeBody", "true")
+        .load(str(v))
+    )
+    q = stream.writeStream.foreachBatch(ingest).start()
+    try:
+        q.processAllAvailable()
+        assert store.count() == 2
+        time.sleep(0.02)
+        (v / "a.md").write_text("---\nt: x\n---\nalpha CHANGED")
+        (v / "c.md").write_text("---\nt: x\n---\ngamma text")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert store.count() == 3
+    # second batch carried only the changed + new file, never b.md
+    later = [b for b in seen_batches[1:] if b]
+    assert later and all(b == ["a.md", "c.md"] for b in later)
+    # the changed file's vector tracks the new body (store is float32)
+    import numpy as np
+
+    got = {r.path: r.vector for r in store.read().collect()}
+    expect = [float(np.float32(x)) for x in model.encode(["alpha CHANGED"])[0]]
+    assert got["a.md"] == expect
