@@ -119,8 +119,8 @@ class FrontmatterEngine:
             self._snapshot[1].unpersist()
         parsed = md.parsed_df(self.spark, self.base_dir, glob)
         parsed.cache()
-        warnings = md.parse_warnings(parsed)
-        files_df = md.files_dataframe(parsed)
+        keys, warnings = md.parse_summary(parsed)
+        files_df = md.files_dataframe(parsed, keys)
         self._snapshot_key = key
         self._snapshot = (files_df, parsed, warnings)
         return files_df, warnings

@@ -61,8 +61,14 @@ def listing_df(spark: SparkSession, base_dir: str | Path, glob: str) -> DataFram
     )
     df = spark.createDataFrame(rows, schema)
     if rows:
-        # spread file I/O across executors; one task per ~512 files
-        df = df.repartition(max(1, min(len(rows) // 512 + 1, 64)))
+        # spread file I/O across executors: enough tasks to use the
+        # cluster (≥ ~32 files each), capped so a million-file vault
+        # doesn't drown in task overhead. A 1000-file vault on 32 cores
+        # parses 32-way (the old flat ~512-files/task sizing gave it
+        # only 2 tasks — measured 2.5x slower end-to-end).
+        target = spark.sparkContext.defaultParallelism
+        n = max(1, min(len(rows) // 32 + 1, max(64, target * 4)))
+        df = df.repartition(n)
     return df
 
 
@@ -107,6 +113,30 @@ def parsed_df(spark: SparkSession, base_dir: str | Path, glob: str) -> DataFrame
     return listing_df(spark, base_dir, glob).mapInPandas(
         _parse_partition, schema=PARSED_SCHEMA
     )
+
+
+def parse_summary(parsed: DataFrame) -> tuple[list[str], list[str]]:
+    """(sorted key union, sorted parse warnings) in ONE job.
+
+    The cold query path previously ran two driver actions over the
+    cached parse (warnings collect, then key-union collect); fusing them
+    halves the pre-SQL job count. Warnings sort by their leading path,
+    matching the reference's per-file iteration order (the old collect
+    order was partition-interleaved anyway)."""
+    row = (
+        parsed.select(
+            F.col("error"),
+            F.when(F.col("error").isNull(), F.map_keys("props")).alias("ks"),
+        )
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("ks")))
+            ).alias("keys"),
+            F.array_sort(F.collect_list("error")).alias("errs"),
+        )
+        .collect()[0]
+    )
+    return list(row.keys or []), list(row.errs or [])
 
 
 def key_union(parsed: DataFrame) -> list[str]:
