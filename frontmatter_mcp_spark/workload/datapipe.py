@@ -1409,6 +1409,83 @@ def q86_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q88 — composite quality gate (one scan, one broadcast, all filters)
+# ---------------------------------------------------------------------------
+_MIN_TOKENS = 5
+
+
+def _quality_gate_sql() -> str:
+    pii = (
+        f"len(regexp_extract_all(text, '{_PII_PATTERNS['n_emails']}')) * 5"
+        f" + len(regexp_extract_all(text, '{_PII_PATTERNS['n_long_digit_runs']}')) * 3"
+        f" + len(regexp_extract_all(text, '{_PII_PATTERNS['n_phones']}')) * 4"
+    )
+    return f"""
+    WITH stats AS (
+      SELECT source,
+             quantile_cont(n_chars, {_LEN_P_LOW!r}) AS p_low,
+             quantile_cont(n_chars, {_LEN_P_HIGH!r}) AS p_high
+      FROM documents GROUP BY source
+    ),
+    flagged AS (
+      SELECT d.doc_id,
+             list_filter([
+               CASE WHEN ({pii}) > 0 THEN 'pii_risk' ELSE NULL END,
+               CASE WHEN len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                             t -> t <> '')) < {_MIN_TOKENS} THEN 'tiny_doc' ELSE NULL END,
+               CASE WHEN d.n_chars < s.p_low THEN 'too_short'
+                    WHEN d.n_chars > s.p_high THEN 'too_long' ELSE NULL END
+             ], r -> r IS NOT NULL) AS reasons
+      FROM documents d JOIN stats s ON d.source = s.source
+    )
+    SELECT doc_id, len(reasons) = 0 AS keep, list_sort(reasons) AS reasons
+    FROM flagged
+    """
+
+
+@register(
+    "q88_quality_gate",
+    _quality_gate_sql(),
+    doc="composite keep/drop gate: PII risk + per-source length fences + "
+    "tiny-doc filter composed over ONE corpus scan and one broadcast stats "
+    "join — the filter-pipeline shape a production cleaning stage uses "
+    "(per-doc reasons retained for audit)",
+)
+def q88_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(_LEN_P_LOW)).alias("p_low"),
+        F.percentile("n_chars", F.lit(_LEN_P_HIGH)).alias("p_high"),
+    )
+    t = F.col("text")
+    risk = (
+        F.regexp_count(t, F.lit(_PII_PATTERNS["n_emails"])) * 5
+        + F.regexp_count(t, F.lit(_PII_PATTERNS["n_long_digit_runs"])) * 3
+        + F.regexp_count(t, F.lit(_PII_PATTERNS["n_phones"])) * 4
+    )
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(t), r"\s+", -1), lambda x: x != F.lit(""))
+    )
+    reasons = F.array_sort(
+        F.filter(
+            F.array(
+                F.when(risk > 0, F.lit("pii_risk")),
+                F.when(n_tokens < _MIN_TOKENS, F.lit("tiny_doc")),
+                F.when(F.col("n_chars") < F.col("p_low"), F.lit("too_short")).when(
+                    F.col("n_chars") > F.col("p_high"), F.lit("too_long")
+                ),
+            ),
+            lambda r: r.isNotNull(),
+        )
+    )
+    return (
+        d.join(F.broadcast(stats), "source")
+        .select("doc_id", reasons.alias("reasons"))
+        .select("doc_id", (F.size("reasons") == 0).alias("keep"), "reasons")
+        .select("doc_id", "keep", "reasons")
+    )
+
+
 # ---------------------------------------------------------------------------
 # q58 — TF-IDF keyword extraction (top-3 terms per document)
 # ---------------------------------------------------------------------------

@@ -250,3 +250,12 @@ def test_q86_bloom_prefilter_before_join(spark):
     assert "ObjectHashAggregate" in plan, plan  # collect_set bloom build
     assert "array_contains" in plan, plan  # k-position membership filter
     assert "BroadcastNestedLoopJoin" in plan, plan  # one-row bloom attach
+
+
+def test_q88_quality_gate_one_scan_one_broadcast(spark):
+    # the composite gate must not multiply corpus scans: all filters run
+    # in one pass with the percentile stats broadcast back
+    plan = formatted_plan(spark, "q88_quality_gate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    assert "Python" not in plan, plan
