@@ -46,7 +46,30 @@ def _build_response(base: dict[str, Any], warnings: list[str]) -> dict[str, Any]
     return base
 
 
+def _referenced_identifiers(sql: str) -> set[str]:
+    """Lexical superset of the identifiers a SQL string references —
+    bare words plus backtick/double-quoted names, with '*' recorded for
+    SELECT *. Used only to NARROW the wide-vault projection, so over-
+    approximation is safe (an extra column costs a map lookup; a missed
+    one would break the query)."""
+    import re
+
+    ids = set(re.findall(r"`([^`]+)`", sql))
+    ids |= set(re.findall(r'"([^"]+)"', sql))
+    ids |= set(re.findall(r"\b\w+\b", sql))
+    if "*" in sql:
+        ids.add("*")
+    return ids
+
+
 class FrontmatterEngine:
+    #: key-count threshold above which the files view stops pivoting
+    #: EVERY frontmatter key into a column and instead projects only the
+    #: keys each query references (SURVEY §7.4: thousands of distinct
+    #: keys would otherwise build a thousands-of-columns row — Catalyst
+    #: analysis cost and row width both blow up)
+    WIDE_SCHEMA_LIMIT = 512
+
     def __init__(
         self,
         spark: SparkSession,
@@ -54,15 +77,20 @@ class FrontmatterEngine:
         semantic: bool = False,
         model: EmbeddingModel | None = None,
         cache_dir: str | Path | None = None,
+        wide_schema_limit: int | None = None,
     ) -> None:
         self.spark = spark
         self.base_dir = Path(base_dir)
+        self.wide_schema_limit = (
+            wide_schema_limit if wide_schema_limit is not None else self.WIDE_SCHEMA_LIMIT
+        )
         from frontmatter_mcp_spark.session import ship_package_to_executors
 
         ship_package_to_executors(spark)  # user-supplied sessions too
         register_sql_functions(spark)
         self._snapshot_key: tuple | None = None
-        self._snapshot: tuple[DataFrame, DataFrame, list[str]] | None = None
+        # (files_df | None-when-wide, parsed, warnings, keys)
+        self._snapshot: tuple[DataFrame | None, DataFrame, list[str], list[str]] | None = None
 
         self.semantic_enabled = semantic
         self.indexer: EmbeddingIndexer | None = None
@@ -110,19 +138,32 @@ class FrontmatterEngine:
             tuple((p.relative_to(self.base_dir).as_posix(), p.stat().st_mtime) for p in paths),
         )
 
-    def _build_files(self, glob: str) -> tuple[DataFrame, list[str]]:
+    def _build_files(self, glob: str, sql: str | None = None) -> tuple[DataFrame, list[str]]:
         key = self._listing_signature(glob)
-        if self._snapshot is not None and self._snapshot_key == key:
-            files_df, _, warnings = self._snapshot
-            return files_df, warnings
-        if self._snapshot is not None:
-            self._snapshot[1].unpersist()
-        parsed = md.parsed_df(self.spark, self.base_dir, glob)
-        parsed.cache()
-        keys, warnings = md.parse_summary(parsed)
-        files_df = md.files_dataframe(parsed, keys)
-        self._snapshot_key = key
-        self._snapshot = (files_df, parsed, warnings)
+        if self._snapshot is None or self._snapshot_key != key:
+            if self._snapshot is not None:
+                self._snapshot[1].unpersist()
+            parsed = md.parsed_df(self.spark, self.base_dir, glob)
+            parsed.cache()
+            keys, warnings = md.parse_summary(parsed)
+            # narrow vaults pivot every key once and cache the view;
+            # wide vaults (> wide_schema_limit keys) defer to a
+            # per-query projection of only the referenced keys
+            files_df = (
+                md.files_dataframe(parsed, keys)
+                if len(keys) <= self.wide_schema_limit
+                else None
+            )
+            self._snapshot_key = key
+            self._snapshot = (files_df, parsed, warnings, keys)
+        files_df, parsed, warnings, keys = self._snapshot
+        if files_df is None:
+            use = keys  # SELECT * (or no SQL context): the full width
+            if sql is not None:
+                refs = _referenced_identifiers(sql)
+                if "*" not in refs:
+                    use = sorted(set(keys) & refs)
+            files_df = md.files_dataframe(parsed, use)
         return files_df, warnings
 
     def _parsed(self, glob: str) -> DataFrame:
@@ -141,7 +182,7 @@ class FrontmatterEngine:
     # ------------------------------------------------------------------
     def query(self, glob: str, sql: str) -> dict[str, Any]:
         """The main entry point (reference server.py:121-169)."""
-        files_df, warnings = self._build_files(glob)
+        files_df, warnings = self._build_files(glob, sql)
         if (
             self.semantic_enabled
             and self.indexer is not None

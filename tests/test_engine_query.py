@@ -184,3 +184,28 @@ def test_frontmatter_key_named_path_single_column(spark, tmp_path):
     out = eng.query("*.md", "SELECT path, k FROM files ORDER BY k")
     assert out["columns"].count("path") == 1
     assert [r["path"] for r in out["results"]] == ["custom/value", "b.md"]
+
+
+def test_wide_vault_projects_only_referenced_keys(spark, tmp_path):
+    """SURVEY §7.4 scale guard: a vault whose key union exceeds
+    wide_schema_limit must not build a thousands-of-columns view —
+    each query projects only the keys it references (plus path), while
+    SELECT * still returns the full width."""
+    for i in range(30):
+        (tmp_path / f"f{i:02d}.md").write_text(
+            f"---\nkey_{i:02d}: v{i}\nshared: s{i}\n---\nbody\n"
+        )
+    eng = FrontmatterEngine(spark, tmp_path, wide_schema_limit=10)
+    out = eng.query("*.md", "SELECT path, key_07 FROM files WHERE key_07 IS NOT NULL")
+    assert out["results"] == [{"path": "f07.md", "key_07": "v7"}]
+    # the registered view carried only the referenced keys
+    narrow_cols = set(spark.table("files").columns)
+    assert narrow_cols == {"path", "key_07"}  # unreferenced keys not pivoted
+    # SELECT * still yields every key as a column
+    out = eng.query("*.md", "SELECT * FROM files")
+    assert len(out["columns"]) == 32  # path + 30 key_NN + shared
+    # under the limit: behavior unchanged (full pivot cached)
+    eng2 = FrontmatterEngine(spark, tmp_path, wide_schema_limit=100)
+    out = eng2.query("*.md", "SELECT path FROM files ORDER BY path LIMIT 1")
+    assert out["results"] == [{"path": "f00.md"}]
+    assert len(spark.table("files").columns) == 32
