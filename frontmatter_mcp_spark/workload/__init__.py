@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q86_bloom_prefilter_dedup",
     "q87_containment_pairs",
     "q88_quality_gate",
+    "q89_event_spikes",
     # rotation of driver-green round-1 queries (CORRECTNESS_r01 all-pass),
     # most-load-bearing first: the dedup/ANN datapipe block, then the
     # relational queries whose plans changed most recently
@@ -84,7 +85,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q72_gapfill_hourly",
     "q73_retention_cohorts",
     "q74_event_funnel",
-    "q07_top_orders_per_customer",
 ]
 
 

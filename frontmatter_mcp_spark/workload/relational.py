@@ -1311,6 +1311,79 @@ def q72_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q89 — event-rate spike detection (trailing-window z-score)
+# ---------------------------------------------------------------------------
+# mean/variance from exact BIGINT window sums (s, ss) with an identical
+# double-arithmetic sequence on both engines: mean = s/c, var = ss/c -
+# mean*mean, z = (n - mean)/sqrt(var) — every intermediate is the same
+# IEEE op on the same bits, so even the var > 0 guard agrees
+_SPIKE_MIN_HISTORY = 12
+_SPIKE_Z = 2.0
+
+
+@register(
+    "q89_event_spikes",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, hour, n,
+             COUNT(n) OVER tw AS c, SUM(n) OVER tw AS s, SUM(n * n) OVER tw AS ss
+      FROM hourly
+      WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_type, hour, n, c,
+             CAST(ss AS DOUBLE) / CAST(c AS DOUBLE)
+               - (CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) AS var,
+             (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+               / sqrt(CAST(ss AS DOUBLE) / CAST(c AS DOUBLE)
+                      - (CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(c AS DOUBLE))) AS z
+      FROM win WHERE c >= {_SPIKE_MIN_HISTORY}
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, n, round(z, 6) AS z
+    FROM scored WHERE var > 0 AND z >= {_SPIKE_Z}
+    """,
+    doc="rate-spike monitor: hourly counts per event type scored against a "
+    "trailing 24h window z-score (exact integer window sums; one shuffle "
+    "shared by the aggregate and the window) — flags hours whose volume "
+    "sits >= 2 sigma above trailing behavior",
+)
+def q89_event_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    tw = W.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    c = F.count("n").over(tw)
+    s = F.sum("n").over(tw)
+    ss = F.sum(F.col("n") * F.col("n")).over(tw)
+    mean = s.cast("double") / c.cast("double")
+    var = ss.cast("double") / c.cast("double") - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        hourly.select(
+            "event_type",
+            "hour",
+            "n",
+            c.alias("c"),
+            var.alias("var"),
+            z.alias("z"),
+        )
+        .filter((F.col("c") >= _SPIKE_MIN_HISTORY) & (F.col("var") > 0) & (F.col("z") >= _SPIKE_Z))
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            F.round("z", 6).alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q73 — day-cohort retention matrix (distinct users per cohort x offset)
 # ---------------------------------------------------------------------------
 @register(
