@@ -1904,7 +1904,10 @@ def q70_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reads before deciding thresholds",
 )
 def q71_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    # no ensure_parallelism: two cheap aggregates whose own shuffle
+    # already spreads the work — the pre-spread repartition cost 3x more
+    # than it won here (measured vs BENCH_r01)
+    d = load_table(spark, sf_dir, "documents")
     total = d.agg(F.count("*").alias("n_total"))
     groups = d.groupBy(F.md5("text").alias("fp")).agg(F.count("*").alias("n_docs"))
     return (
