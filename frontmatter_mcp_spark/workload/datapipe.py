@@ -621,7 +621,8 @@ def _mm_sql() -> str:
            CASE WHEN media_type = 'video'
                 THEN CAST(1 + ({b2}) % 240 AS INT) END AS n_frames,
            CASE WHEN media_type = 'video'
-                THEN [CAST(x AS INT) FOR x IN generate_series(0, ({b2}) % 240) IF x % 30 = 0]
+                THEN array_to_string(
+                    [CAST(x AS INT) FOR x IN generate_series(0, ({b2}) % 240) IF x % 30 = 0], ',')
                 END AS sampled_frames
     FROM m
     """
@@ -637,7 +638,14 @@ def _mm_sql() -> str:
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = mm.synthesize_media(d, "doc_id", "text", "source")
-    return mm.extract_features(media)
+    # The operator returns a real array<int> frame-sample column; the driver's
+    # canonicalizer can only hash scalars, so the workload projection joins it
+    # into a deterministic comma-separated string (same on the DuckDB side).
+    feats = mm.extract_features(media)
+    return feats.withColumn(
+        "sampled_frames",
+        F.array_join(F.transform("sampled_frames", lambda x: x.cast("string")), ","),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1438,7 +1446,8 @@ def _quality_gate_sql() -> str:
              ], r -> r IS NOT NULL) AS reasons
       FROM documents d JOIN stats s ON d.source = s.source
     )
-    SELECT doc_id, len(reasons) = 0 AS keep, list_sort(reasons) AS reasons
+    SELECT doc_id, len(reasons) = 0 AS keep,
+           coalesce(array_to_string(list_sort(reasons), ','), '') AS reasons
     FROM flagged
     """
 
@@ -1481,8 +1490,13 @@ def q88_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.join(F.broadcast(stats), "source")
         .select("doc_id", reasons.alias("reasons"))
-        .select("doc_id", (F.size("reasons") == 0).alias("keep"), "reasons")
-        .select("doc_id", "keep", "reasons")
+        # comma-join the audit reasons so the driver canonicalizer can hash
+        # them (arrays are unhashable in its pandas sort); '' == clean doc
+        .select(
+            "doc_id",
+            (F.size("reasons") == 0).alias("keep"),
+            F.array_join("reasons", ",").alias("reasons"),
+        )
     )
 
 
