@@ -24,79 +24,91 @@ from frontmatter_mcp_spark.workload import datapipe  # noqa: E402,F401
 from frontmatter_mcp_spark.workload import streaming  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate hash-checks only the first 50 registry
-# entries per round, so coverage is rotated: queries that have never had a
-# driver-verified row come first, then queries new this round, then a
-# rotation of previously driver-green queries.  Rows-only queries (no
-# DuckDB oracle: approx sketches, streaming) sort last — they would spend
-# a window slot on a weaker check.
-_DRIVER_PRIORITY: list[str] = [
-    # never driver-checked as of CORRECTNESS_r01 (registered after slot 50)
-    "q40_token_stats",
-    "q41_window_fingerprint_pairs",
-    "q42_multimodal_features",
-    "q43_ann_lsh",
-    "q44_embed_vectors",
-    "q45_semantic_search",
-    "q48_kmeans_clusters",
-    "q49_ann_ivf_kmeans",
-    "q56_neardup_groups",
-    "q57_hash_split_sample",
-    "q58_tfidf_keywords",
-    "q59_boilerplate_spans",
-    "q60_decontamination",
-    "q61_repetition_profile",
-    "q62_normalize_text",
-    "q63_vocab_coverage",
-    "q64_embedding_quantize",
-    "q70_incremental_dedup",
-    "q71_dedup_report",
-    "q75_minhash_calibration",
-    "q76_kmeans_inertia",
-    "q77_power_iteration",
-    "q79_doc_chunking",
-    "q80_sequence_packing",
-    # new this round
-    "q81_ivf_partitioned",
-    "q82_lsh_recall",
-    "q83_mixture_quota",
-    "q84_safety_profile",
-    "q85_length_outliers",
-    "q86_bloom_prefilter_dedup",
-    "q87_containment_pairs",
-    "q88_quality_gate",
-    "q89_event_spikes",
-    # rotation of driver-green round-1 queries (CORRECTNESS_r01 all-pass),
-    # most-load-bearing first: the dedup/ANN datapipe block, then the
-    # relational queries whose plans changed most recently
-    "q30_dedup_exact",
-    "q31_minhash_signatures",
-    "q32_lsh_candidates",
-    "q33_ngram_jaccard_pairs",
-    "q34_simhash",
-    "q35_text_profile",
-    "q36_ann_bruteforce",
-    "q37_ann_ivf",
-    "q38_embedding_neardup",
-    "q39_label_centroids",
-    "q78_salted_aggregation",
-    "q26_cdc_upsert",
-    "q18_asof_click_purchase",
-    "q19_sessionization",
-    "q72_gapfill_hourly",
-    "q73_retention_cohorts",
-    "q74_event_funnel",
-]
+# entries per round, so coverage is rotated. The order is DERIVED, not
+# hand-listed: queries with no recorded green row ever come first (new
+# queries land here automatically — nothing to remember), then queries
+# whose implementation changed since their last green row, then everything
+# else stalest-green-first. Rows-only queries (oracle=None) sort last —
+# they would spend a window slot on a weaker check.
+DRIVER_WINDOW = 50
+
+# Last round each query had a driver-green CORRECTNESS row (rows + schema +
+# hash all true). Updated each round from CORRECTNESS_r{N}.json. A query
+# absent from this dict is treated as never-verified and jumps to the front
+# of the window automatically.
+_LAST_GREEN_ROUND: dict[str, int] = {
+    # green in CORRECTNESS_r02.json
+    **dict.fromkeys(
+        [
+            "q18_asof_click_purchase", "q19_sessionization", "q26_cdc_upsert",
+            "q30_dedup_exact", "q31_minhash_signatures", "q32_lsh_candidates",
+            "q33_ngram_jaccard_pairs", "q34_simhash", "q35_text_profile",
+            "q36_ann_bruteforce", "q37_ann_ivf", "q38_embedding_neardup",
+            "q39_label_centroids", "q40_token_stats",
+            "q41_window_fingerprint_pairs", "q43_ann_lsh", "q44_embed_vectors",
+            "q45_semantic_search", "q48_kmeans_clusters", "q49_ann_ivf_kmeans",
+            "q56_neardup_groups", "q57_hash_split_sample", "q58_tfidf_keywords",
+            "q59_boilerplate_spans", "q60_decontamination",
+            "q61_repetition_profile", "q62_normalize_text", "q63_vocab_coverage",
+            "q64_embedding_quantize", "q70_incremental_dedup", "q71_dedup_report",
+            "q72_gapfill_hourly", "q73_retention_cohorts", "q74_event_funnel",
+            "q75_minhash_calibration", "q76_kmeans_inertia",
+            "q77_power_iteration", "q78_salted_aggregation", "q79_doc_chunking",
+            "q80_sequence_packing", "q81_ivf_partitioned", "q82_lsh_recall",
+            "q83_mixture_quota", "q84_safety_profile", "q85_length_outliers",
+            "q86_bloom_prefilter_dedup", "q87_containment_pairs",
+            "q89_event_spikes",
+        ],
+        2,
+    ),
+    # green in CORRECTNESS_r01.json only (not re-checked since)
+    **dict.fromkeys(
+        [
+            "q01_pricing_summary", "q02_top_orders", "q03_shipping_priority",
+            "q04_priority_counts", "q05_region_revenue", "q06_forecast_revenue",
+            "q07_top_orders_per_customer", "q08_running_totals",
+            "q09_customer_setops", "q10_rollup_quantity", "q11_distinct_parts",
+            "q12_part_strings", "q13_monthly_orders", "q14_json_events",
+            "q15_word_counts", "q16_above_avg_orders", "q17_inactive_customers",
+            "q20_event_pivot", "q21_cube_events", "q22_supplier_customer_nations",
+            "q23_grouping_sets", "q24_quantity_percentiles",
+            "q25_date_arithmetic", "q28_having_subquery",
+            "q29_cheapest_part_per_brand", "q46_group_concat",
+            "q47_exists_with_agg", "q65_volume_shipping", "q66_market_share",
+            "q67_top_supplier", "q68_bulk_suppliers",
+            "q69_rich_inactive_customers",
+        ],
+        1,
+    ),
+}
+
+# Queries whose Spark plan or oracle changed since their last green row —
+# once green they would otherwise sort by staleness and could fall outside
+# the window exactly when they most need re-verification.
+_MODIFIED_SINCE_GREEN: set[str] = {
+    "q75_minhash_calibration",  # r3: persist lifecycle change
+    "q83_mixture_quota",  # r3: two-phase quota ranking
+}
+
+
+def driver_window_order() -> list[str]:
+    """All registered query names, window-priority first (derived)."""
+    reg_index = {n: i for i, n in enumerate(QUERIES)}
+
+    def key(name: str):
+        return (
+            QUERIES[name].oracle is None,  # oracle-bearing first
+            name in _LAST_GREEN_ROUND,  # never-verified first
+            name not in _MODIFIED_SINCE_GREEN,  # then modified-since-green
+            _LAST_GREEN_ROUND.get(name, 0),  # then stalest green first
+            reg_index[name],  # stable within a group
+        )
+
+    return sorted(QUERIES, key=key)
 
 
 def _reorder_for_driver_window() -> None:
-    in_priority = [n for n in _DRIVER_PRIORITY if n in QUERIES]
-    with_oracle = [
-        n for n in QUERIES if n not in in_priority and QUERIES[n].oracle is not None
-    ]
-    rows_only = [
-        n for n in QUERIES if n not in in_priority and QUERIES[n].oracle is None
-    ]
-    snapshot = {n: QUERIES[n] for n in in_priority + with_oracle + rows_only}
+    snapshot = {n: QUERIES[n] for n in driver_window_order()}
     QUERIES.clear()
     QUERIES.update(snapshot)
 

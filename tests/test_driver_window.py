@@ -1,0 +1,83 @@
+"""Guards for the derived driver-correctness-window rotation.
+
+The external gate hash-checks only the first DRIVER_WINDOW registry
+entries per round, so registration order IS coverage policy. These tests
+make silent coverage loss impossible: a new query, a modified query, or a
+never-verified query that fails to land inside the window fails the suite.
+"""
+
+from __future__ import annotations
+
+from frontmatter_mcp_spark import workload
+from frontmatter_mcp_spark.workload import (
+    _LAST_GREEN_ROUND,
+    _MODIFIED_SINCE_GREEN,
+    DRIVER_WINDOW,
+    QUERIES,
+    driver_window_order,
+)
+
+
+def _window() -> list[str]:
+    return list(QUERIES)[:DRIVER_WINDOW]
+
+
+def test_registry_order_matches_derived_order():
+    assert list(QUERIES) == driver_window_order()
+
+
+def test_window_is_full_and_oracle_bearing():
+    window = _window()
+    assert len(window) == DRIVER_WINDOW
+    for name in window:
+        assert QUERIES[name].oracle is not None, (
+            f"{name} occupies a window slot but only gets a rows-only check"
+        )
+
+
+def test_never_verified_queries_lead_the_window():
+    never = [n for n in QUERIES if n not in _LAST_GREEN_ROUND and QUERIES[n].oracle]
+    window = set(_window())
+    missing = [n for n in never if n not in window]
+    assert not missing, f"never-verified queries outside the window: {missing}"
+
+
+def test_modified_queries_are_inside_the_window():
+    window = set(_window())
+    missing = sorted(_MODIFIED_SINCE_GREEN - window)
+    assert not missing, f"modified-since-green queries outside the window: {missing}"
+
+
+def test_green_history_names_are_real_queries():
+    ghosts = sorted(set(_LAST_GREEN_ROUND) - set(QUERIES))
+    ghosts += sorted(_MODIFIED_SINCE_GREEN - set(QUERIES))
+    assert not ghosts, f"green-history entries for unregistered queries: {ghosts}"
+
+
+def test_every_query_outside_the_window_was_green_once():
+    # the only acceptable reason to sit outside the window is a recorded
+    # green row (or having no oracle at all, the weaker rows-only check)
+    unverified = [
+        n
+        for n in list(QUERIES)[DRIVER_WINDOW:]
+        if QUERIES[n].oracle is not None and n not in _LAST_GREEN_ROUND
+    ]
+    assert not unverified, (
+        f"oracle-bearing queries that would never be verified: {unverified}"
+    )
+
+
+def test_streaming_queries_carry_oracles_into_this_round_window():
+    # round-3 policy: the six streaming queries have never had a driver row;
+    # they must occupy window slots until CORRECTNESS records them green
+    streaming = [n for n in QUERIES if n.startswith("q5") and "stream" in n]
+    assert len(streaming) == 6
+    window = set(_window())
+    outside = [n for n in streaming if n not in window and n not in _LAST_GREEN_ROUND]
+    assert not outside, f"never-verified streaming queries outside window: {outside}"
+
+
+def test_reorder_is_idempotent():
+    before = list(QUERIES)
+    workload._reorder_for_driver_window()
+    assert list(QUERIES) == before
