@@ -6,42 +6,50 @@ watermarked tumbling / sliding / session windows over an event stream.
 
 Locally the stream is driven from the parquet events table (file source
 + ``processAllAvailable`` makes a streaming query complete synchronously);
-on a cluster the same code points at Kafka. Events.ts is written as
-TIMESTAMP(NANOS) which Spark reads as long — the explicit schema +
-nanos->micros conversion below handles that identically to the batch
-loader (tables.load_table).
+on a cluster the same code points at Kafka. Events.ts normalization
+mirrors the batch loader (tables.load_table) exactly: the stream schema
+is taken from a batch footer read of the same file, and the
+nanos-as-long -> micros conversion is applied only when the file really
+stores TIMESTAMP(NANOS) — hardcoding either representation silently
+compresses/expands every event time when the writer changes (that bug
+shipped in round 3: ts was timestamp[us], the forced long schema read
+micros, and ``div 1000`` collapsed a month of events into 43 minutes).
 """
 
 from __future__ import annotations
 
 import contextlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) under nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table with normalized timestamps."""
+    """File-source stream of the events table with normalized timestamps.
+
+    The schema comes from a driver-side batch footer read (cheap — no
+    job) so the stream decodes the file exactly as the batch loader
+    does. Production note: on a real deployment pass a pinned schema
+    instead of inferring per-start, and point at Kafka.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file stream source wants a directory; glob-filter to the one table.
-    # ts div 1000: integer nanos->micros (double division would lose precision)
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory; glob-filter to the one table
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) read as long: integer nanos->micros
+        # (double division would lose precision above 2^53)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks demand TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    # on ntz); the session tz is pinned to UTC (session.py) so the cast
+    # from the file's ntz wall clock is lossless
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:

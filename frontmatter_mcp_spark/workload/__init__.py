@@ -37,10 +37,35 @@ DRIVER_WINDOW = 50
 # absent from this dict is treated as never-verified and jumps to the front
 # of the window automatically.
 _LAST_GREEN_ROUND: dict[str, int] = {
-    # green in CORRECTNESS_r02.json
+    # green in CORRECTNESS_r03.json (q50/q51/q52/q55 were RED there — the
+    # stream reader's forced-nanos schema collapsed event time; they stay
+    # absent from this dict and so resume front-of-window priority)
     **dict.fromkeys(
         [
-            "q18_asof_click_purchase", "q19_sessionization", "q26_cdc_upsert",
+            "q01_pricing_summary", "q02_top_orders", "q03_shipping_priority",
+            "q04_priority_counts", "q05_region_revenue", "q06_forecast_revenue",
+            "q07_top_orders_per_customer", "q08_running_totals",
+            "q09_customer_setops", "q10_rollup_quantity", "q11_distinct_parts",
+            "q12_part_strings", "q13_monthly_orders", "q14_json_events",
+            "q15_word_counts", "q16_above_avg_orders", "q17_inactive_customers",
+            "q18_asof_click_purchase", "q19_sessionization", "q20_event_pivot",
+            "q21_cube_events", "q22_supplier_customer_nations",
+            "q23_grouping_sets", "q24_quantity_percentiles",
+            "q25_date_arithmetic", "q26_cdc_upsert", "q28_having_subquery",
+            "q29_cheapest_part_per_brand", "q42_multimodal_features",
+            "q46_group_concat", "q47_exists_with_agg", "q53_stream_dedup",
+            "q54_stream_stateful_counters", "q65_volume_shipping",
+            "q66_market_share", "q67_top_supplier", "q68_bulk_suppliers",
+            "q69_rich_inactive_customers", "q72_gapfill_hourly",
+            "q73_retention_cohorts", "q74_event_funnel",
+            "q75_minhash_calibration", "q78_salted_aggregation",
+            "q83_mixture_quota", "q88_quality_gate", "q89_event_spikes",
+        ],
+        3,
+    ),
+    # green in CORRECTNESS_r02.json (not re-checked since)
+    **dict.fromkeys(
+        [
             "q30_dedup_exact", "q31_minhash_signatures", "q32_lsh_candidates",
             "q33_ngram_jaccard_pairs", "q34_simhash", "q35_text_profile",
             "q36_ann_bruteforce", "q37_ann_ivf", "q38_embedding_neardup",
@@ -51,34 +76,12 @@ _LAST_GREEN_ROUND: dict[str, int] = {
             "q59_boilerplate_spans", "q60_decontamination",
             "q61_repetition_profile", "q62_normalize_text", "q63_vocab_coverage",
             "q64_embedding_quantize", "q70_incremental_dedup", "q71_dedup_report",
-            "q72_gapfill_hourly", "q73_retention_cohorts", "q74_event_funnel",
-            "q75_minhash_calibration", "q76_kmeans_inertia",
-            "q77_power_iteration", "q78_salted_aggregation", "q79_doc_chunking",
+            "q76_kmeans_inertia", "q77_power_iteration", "q79_doc_chunking",
             "q80_sequence_packing", "q81_ivf_partitioned", "q82_lsh_recall",
-            "q83_mixture_quota", "q84_safety_profile", "q85_length_outliers",
+            "q84_safety_profile", "q85_length_outliers",
             "q86_bloom_prefilter_dedup", "q87_containment_pairs",
-            "q89_event_spikes",
         ],
         2,
-    ),
-    # green in CORRECTNESS_r01.json only (not re-checked since)
-    **dict.fromkeys(
-        [
-            "q01_pricing_summary", "q02_top_orders", "q03_shipping_priority",
-            "q04_priority_counts", "q05_region_revenue", "q06_forecast_revenue",
-            "q07_top_orders_per_customer", "q08_running_totals",
-            "q09_customer_setops", "q10_rollup_quantity", "q11_distinct_parts",
-            "q12_part_strings", "q13_monthly_orders", "q14_json_events",
-            "q15_word_counts", "q16_above_avg_orders", "q17_inactive_customers",
-            "q20_event_pivot", "q21_cube_events", "q22_supplier_customer_nations",
-            "q23_grouping_sets", "q24_quantity_percentiles",
-            "q25_date_arithmetic", "q28_having_subquery",
-            "q29_cheapest_part_per_brand", "q46_group_concat",
-            "q47_exists_with_agg", "q65_volume_shipping", "q66_market_share",
-            "q67_top_supplier", "q68_bulk_suppliers",
-            "q69_rich_inactive_customers",
-        ],
-        1,
     ),
 }
 
@@ -86,8 +89,10 @@ _LAST_GREEN_ROUND: dict[str, int] = {
 # once green they would otherwise sort by staleness and could fall outside
 # the window exactly when they most need re-verification.
 _MODIFIED_SINCE_GREEN: set[str] = {
-    "q75_minhash_calibration",  # r3: persist lifecycle change
-    "q83_mixture_quota",  # r3: two-phase quota ranking
+    # r4: shared stream reader changed (batch-footer schema + conditional
+    # nanos conversion) after these two went green in r03
+    "q53_stream_dedup",
+    "q54_stream_stateful_counters",
 }
 
 

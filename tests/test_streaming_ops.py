@@ -35,6 +35,64 @@ def test_stateful_counters_match_batch_aggregate(spark):
     assert got == expect
 
 
+def test_stream_ts_decodes_like_batch_loader(spark):
+    """The stream source must decode events.ts exactly as tables.load_table
+    does, whatever physical type the writer used (timestamp[us] today,
+    TIMESTAMP(NANOS) historically). Round 3 hardcoded the nanos branch and
+    collapsed a month of event time into minutes — window/session/interval
+    queries silently produced garbage while ts-independent ones passed."""
+    from pyspark.sql import functions as F
+
+    from frontmatter_mcp_spark.tables import load_table
+
+    stream_minmax = (
+        ev.read_events_stream(spark, SF)
+        .withWatermark("ts", "1 hour")
+        .groupBy()
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    )
+    out = ev.run_stream_to_batch(stream_minmax, "stream_ts_decode_out").collect()[0]
+    batch = (
+        load_table(spark, SF, "events")
+        .agg(
+            F.min("ts").cast("timestamp").alias("lo"),
+            F.max("ts").cast("timestamp").alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert (out.lo, out.hi) == (batch.lo, batch.hi)
+
+
+def test_stream_tumbling_matches_batch_windows(spark):
+    """q50's streaming tumbling aggregate == the same windows computed in
+    batch from the batch loader — the driver-oracle comparison in miniature,
+    covering the ts-dependent path the stateful-counter test can't."""
+    from pyspark.sql import functions as F
+
+    from frontmatter_mcp_spark.tables import load_table
+
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in QUERIES["q50_stream_tumbling"].spark(spark, SF).collect()
+    }
+    expect = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in load_table(spark, SF, "events")
+        .groupBy(
+            F.date_format(F.window(F.col("ts").cast("timestamp"), "1 hour").start, "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
 def test_batch_update_distributed_matches_driver_path(spark, tmp_path):
     for i in range(20):
         (tmp_path / f"f{i:02d}.md").write_text(f"---\nn: {i}\n---\nbody {i}\n")
