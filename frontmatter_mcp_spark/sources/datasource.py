@@ -156,8 +156,17 @@ class FrontmatterStreamReader(SimpleDataSourceStreamReader):
 
         spark.readStream.format("frontmatter").load(vault)
 
-    The offset is `{"watermark": <max mtime seen>}`; a file edit bumps
-    its mtime above the watermark so it re-emits (the stale-path rule of
+    The offset is `{"watermark": <max mtime emitted>, "boundary":
+    [relative paths emitted at exactly that mtime]}`. A bare max-mtime
+    watermark is ambiguous at filesystem mtime granularity: with
+    strictly-greater a file created in the same tick as the watermark is
+    missed forever, with greater-or-equal every boundary file re-emits
+    each batch (the round-2/3 flake). The boundary set resolves the tie
+    exactly — a file at the watermark emits only if it is not already in
+    the boundary — and stays bounded by the number of files sharing one
+    mtime tick, unlike a full per-path offset map which would grow the
+    checkpointed offset with vault size. A file edit bumps its mtime
+    above the watermark so it re-emits (the stale-path rule of
     cache.py:160-177). Listing runs on the driver per micro-batch —
     cheap relative to parse — and rows carry the same schema as the
     batch reader. Deletions, which the indexer handles via the cache
@@ -171,18 +180,26 @@ class FrontmatterStreamReader(SimpleDataSourceStreamReader):
         self.schema_cols = [f.name for f in schema.fields]
 
     def initialOffset(self) -> dict:
-        return {"watermark": 0.0}
+        return {"watermark": 0.0, "boundary": []}
 
-    def _snapshot(self, newer_than: float):
-        base = Path(self.base_dir)
+    def _rel(self, p: Path) -> str:
+        return p.relative_to(Path(self.base_dir)).as_posix()
+
+    def _snapshot(self, start: dict):
+        """Files newer than `start`, plus the advanced offset."""
+        w = start["watermark"]
+        seen = set(start.get("boundary", []))
         out = []
-        hi = newer_than
-        for p in collect_files(base, self.glob):
+        hi = w
+        for p in collect_files(Path(self.base_dir), self.glob):
             m = p.stat().st_mtime
-            if m > newer_than:
+            if m > w or (m == w and self._rel(p) not in seen):
                 out.append((p, m))
                 hi = max(hi, m)
-        return out, hi
+        boundary = sorted(self._rel(p) for p, m in out if m == hi)
+        if hi == w:
+            boundary = sorted(set(boundary) | seen)
+        return out, {"watermark": hi, "boundary": boundary}
 
     def _rows(self, files):
         chunk = _PathChunk(self.base_dir, [str(p) for p, _ in files])
@@ -195,12 +212,18 @@ class FrontmatterStreamReader(SimpleDataSourceStreamReader):
         return list(reader.read(chunk))
 
     def read(self, start: dict):
-        files, hi = self._snapshot(start["watermark"])
-        return iter(self._rows(files)), {"watermark": hi}
+        files, end = self._snapshot(start)
+        return iter(self._rows(files)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files, _ = self._snapshot(start["watermark"])
-        files = [(p, m) for p, m in files if m <= end["watermark"]]
+        files, _ = self._snapshot(start)
+        w_end = end["watermark"]
+        end_boundary = set(end.get("boundary", []))
+        files = [
+            (p, m)
+            for p, m in files
+            if m < w_end or (m == w_end and self._rel(p) in end_boundary)
+        ]
         return iter(self._rows(files))
 
     def commit(self, end: dict) -> None:

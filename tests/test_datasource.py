@@ -115,13 +115,18 @@ def test_reader_missing_path_option_directed_error(registered):
 def test_stream_reader_differential_batches(registered, tmp_path):
     """The streaming form emits only files whose mtime advanced — the
     reference's differential indexer rule (cache.py:160-177) as a
-    Structured Streaming source."""
-    import time
+    Structured Streaming source. Mtimes are forced with os.utime so the
+    batch boundaries are deterministic regardless of filesystem
+    timestamp granularity or scheduler timing (the round-2/3 flake)."""
+    import os
 
     v = tmp_path / "stream_vault"
     v.mkdir()
     (v / "a.md").write_text("---\ntitle: Alpha\n---\nA")
     (v / "b.md").write_text("---\ntitle: Beta\n---\nB")
+    t0 = 1_700_000_000.0
+    os.utime(v / "a.md", (t0, t0))
+    os.utime(v / "b.md", (t0, t0))
     stream = registered.readStream.format("frontmatter").load(str(v))
     q = (
         stream.writeStream.format("memory")
@@ -133,9 +138,10 @@ def test_stream_reader_differential_batches(registered, tmp_path):
         q.processAllAvailable()
         first = sorted(r.path for r in registered.table("ds_stream_test").collect())
         assert first == ["a.md", "b.md"]
-        time.sleep(0.02)
         (v / "a.md").write_text("---\ntitle: Alpha2\n---\nA2")
         (v / "c.md").write_text("---\ntitle: Gamma\n---\nC")
+        os.utime(v / "a.md", (t0 + 10, t0 + 10))
+        os.utime(v / "c.md", (t0 + 10, t0 + 10))
         q.processAllAvailable()
         rows = sorted(
             (r.path, r.title) for r in registered.table("ds_stream_test").collect()
@@ -149,6 +155,57 @@ def test_stream_reader_differential_batches(registered, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_stream_offset_mtime_tie_semantics(tmp_path):
+    """Offset boundary semantics, driven directly (no Spark): a file at
+    exactly the watermark emits once and only once, and a NEW file
+    landing in the same mtime tick as the watermark is not missed —
+    the two failure modes of a bare max-mtime watermark."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from frontmatter_mcp_spark.sources.datasource import FrontmatterStreamReader
+
+    v = tmp_path / "tie_vault"
+    v.mkdir()
+    t0 = 1_700_000_000.0
+    for name in ("a.md", "b.md"):
+        (v / name).write_text(f"---\ntitle: {name}\n---\nx")
+        os.utime(v / name, (t0, t0))
+    schema = T.StructType([T.StructField("path", T.StringType(), False)])
+    r = FrontmatterStreamReader({"path": str(v)}, schema)
+
+    files, off1 = r._snapshot(r.initialOffset())
+    assert sorted(p.name for p, _ in files) == ["a.md", "b.md"]
+    assert off1 == {"watermark": t0, "boundary": ["a.md", "b.md"]}
+
+    # steady state: nothing new -> nothing emitted, offset unchanged
+    files, off2 = r._snapshot(off1)
+    assert files == [] and off2 == off1
+
+    # a new file created in the SAME mtime tick as the watermark emits
+    (v / "c.md").write_text("---\ntitle: c\n---\nx")
+    os.utime(v / "c.md", (t0, t0))
+    files, off3 = r._snapshot(off1)
+    assert [p.name for p, _ in files] == ["c.md"]
+    assert off3 == {"watermark": t0, "boundary": ["a.md", "b.md", "c.md"]}
+
+    # ...and does not re-emit afterwards
+    files, off4 = r._snapshot(off3)
+    assert files == [] and off4 == off3
+
+    # an edit past the watermark re-emits and resets the boundary
+    (v / "a.md").write_text("---\ntitle: a2\n---\nx")
+    os.utime(v / "a.md", (t0 + 5, t0 + 5))
+    files, off5 = r._snapshot(off3)
+    assert [p.name for p, _ in files] == ["a.md"]
+    assert off5 == {"watermark": t0 + 5, "boundary": ["a.md"]}
+
+    # replay of the committed range reproduces exactly that batch
+    replay = list(r.readBetweenOffsets(off3, off5))
+    assert [row[0] for row in replay] == ["a.md"]
 
 
 def test_writer_roundtrip_lossless(registered, vault, tmp_path):
