@@ -59,6 +59,7 @@ def quota_sample(
     stratum_col: str,
     quotas: dict[str, int],
     default_quota: int = 0,
+    prefix_chars: int = 2,
 ) -> DataFrame:
     """Absolute-count mixture construction: keep the first
     ``quotas[stratum]`` documents of each stratum in a deterministic
@@ -66,19 +67,51 @@ def quota_sample(
     quota complement of ``stratified_keep``'s rates — how a training mix
     hits '2M docs of src A, 500k of src B' targets exactly.
 
-    One shuffle on the stratum key + a rank window per stratum. A
-    dominant stratum at extreme scale funnels through one partition's
-    sort; the skew fix is a two-phase pre-rank by (stratum, hash-prefix)
-    — not needed while strata are O(file-count) sized. Output keeps
-    ``mix_rank`` so downstream can tighten a quota without resampling."""
-    order_key = F.md5(F.col(key_col).cast("string"))
+    Two-phase rank so no stratum ever sorts in a single task (a dominant
+    stratum at 100 TB would otherwise funnel through one partition):
+
+    1. rank locally within (stratum, first ``prefix_chars`` hex chars of
+       the md5 order key) — 16^prefix_chars sub-sorts per stratum, each
+       bounded at stratum_size/256 rows for the default 2;
+    2. global rank = local rank + the total count of lexicographically
+       earlier prefixes in the same stratum, a 16^prefix_chars-per-
+       stratum offset table built by a map-side-partial count (its
+       shuffle moves one row per (stratum, prefix), not data) and
+       broadcast back.
+
+    Because the md5 key is fixed-width hex, ordering by (prefix, then
+    order key within prefix) IS ordering by the order key, so
+    ``mix_rank`` is byte-identical to a single `row_number` over the
+    whole stratum. Rows whose LOCAL rank already exceeds the quota are
+    dropped before the join (offsets are non-negative, so local rank is
+    a lower bound on global rank). Output keeps ``mix_rank`` so
+    downstream can tighten a quota without resampling."""
     from pyspark.sql.window import Window as W
 
-    w = W.partitionBy(stratum_col).orderBy(order_key, F.col(key_col))
     quota = F.lit(default_quota)
     for name, n in sorted(quotas.items()):
         quota = F.when(F.col(stratum_col) == name, F.lit(n)).otherwise(quota)
+
+    keyed = df.withColumn("_ok", F.md5(F.col(key_col).cast("string"))).withColumn(
+        "_pfx", F.substring("_ok", 1, prefix_chars)
+    )
+    local_w = W.partitionBy(stratum_col, "_pfx").orderBy("_ok", F.col(key_col))
+    ranked = keyed.withColumn("_lrank", F.row_number().over(local_w))
+
+    counts = keyed.groupBy(stratum_col, "_pfx").agg(F.count("*").alias("_n"))
+    cum_w = (
+        W.partitionBy(stratum_col)
+        .orderBy("_pfx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(cum_w), F.lit(0))
+    ).drop("_n")
+
     return (
-        df.withColumn("mix_rank", F.row_number().over(w).cast("int"))
+        ranked.filter(F.col("_lrank") <= quota)
+        .join(F.broadcast(offsets), [stratum_col, "_pfx"])
+        .withColumn("mix_rank", (F.col("_off") + F.col("_lrank")).cast("int"))
         .filter(F.col("mix_rank") <= quota)
+        .select(*df.columns, "mix_rank")
     )

@@ -225,12 +225,20 @@ def test_q84_safety_profile_narrow_no_python(spark):
     assert "Python" not in plan, plan
 
 
-def test_q83_mixture_single_shuffle(spark):
-    # quota sampling is one shuffle on the stratum key + a rank window;
-    # a second exchange would mean the rank recomputed post-filter
+def test_q83_mixture_two_phase_rank(spark):
+    # two-phase quota sampling: the big-side rank window must partition
+    # by (stratum, md5-prefix) — a window keyed on the stratum alone
+    # would sort a dominant stratum in ONE task at 100 TB — and the
+    # offset table must come back via broadcast, never a shuffled join
     plan = formatted_plan(spark, "q83_mixture_quota")
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
     assert "Python" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the row_number spec carries the sub-split key; the only other
+    # window is the cumulative offset over the tiny counts aggregate
+    rank_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)", plan)
+    assert rank_specs, plan
+    for spec in rank_specs:
+        assert "_pfx" in spec, (spec, plan)
 
 
 def test_q85_stats_broadcast_back(spark):
