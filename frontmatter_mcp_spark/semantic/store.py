@@ -2,31 +2,38 @@
 
 The reference persists embeddings in a DuckDB file DB
 ``embeddings(path PK, mtime, vector FLOAT[dim])`` plus model metadata;
-the Spark-native equivalent is an immutable parquet layout, hash-
-bucketed by path::
+the Spark-native equivalent is an immutable, manifest-committed parquet
+layout, hash-bucketed by path::
 
-    store_dir/embeddings.parquet/bucket=NN/part-*.parquet
+    store_dir/manifest.json               <- THE commit point
+    store_dir/embeddings.parquet/
+        gen-000001/bucket=NN/part-*.parquet
+        gen-000002/bucket=MM/part-*.parquet
 
 Upsert/delete are **bucket-incremental**: only the buckets containing
-touched paths are rewritten (merge-on-write per bucket), so a refresh
-that re-embeds k files rewrites O(k/N_BUCKETS) of the store instead of
-all of it — the parquet-native approximation of a Delta/Iceberg MERGE,
-and the property that keeps refresh cost flat as the corpus grows.
-Bucket membership is a Hive partition (``bucket=NN`` dirs), so the
-merge's read of the affected buckets is partition-pruned at the source.
+touched paths are merged and rewritten — into a fresh immutable
+generation directory — so a refresh that re-embeds k files writes
+O(k/N_BUCKETS) of the store instead of all of it. The manifest maps
+each bucket to the generation holding its current data; flipping the
+manifest (write-aside + ``os.replace``, atomic on POSIX) commits every
+touched bucket at once. That restores the reference's cross-bucket
+snapshot isolation (its single-file DuckDB transaction,
+cache.py:56-70,127-141) without a lakehouse table format: a reader
+resolves the manifest once and sees the store entirely before or
+entirely after a multi-bucket upsert, never mixed. This is the same
+manifest-points-at-immutable-files commit protocol Iceberg/Delta use,
+scaled down to one JSON file.
 
-Each bucket directory is replaced via a write-aside swap that tolerates
-every crash-strandable state (stale staging, stranded ``.old``, missing
-dir with complete ``.old``); readers see each bucket either old or new.
-Cross-bucket atomicity is deliberately NOT promised (the reference's
-single-file DB transaction has it; a real lakehouse table format would
-restore it) — a reader during a multi-bucket refresh may see bucket A
-new and bucket B old, which the indexer's mtime reconciliation already
-tolerates.
+Superseded bucket directories are retired through the manifest and
+physically deleted one commit later, so a reader holding a manifest
+that is one commit stale still resolves every file it plans to scan
+(the scaled-down analogue of snapshot expiry). Writers are assumed
+single-process (the reference's DuckDB store has the same contract).
 
 The bucket id is the first 4 md5 hex digits of the path mod N_BUCKETS —
-engine-portable and stable across Spark versions (no reliance on
-internal hash functions).
+engine-portable and stable across Spark versions — and is recomputed
+from ``path`` at read time, so bucket pruning is pure path selection:
+reading 3 buckets lists 3 directories, no partition discovery pass.
 """
 
 from __future__ import annotations
@@ -47,11 +54,9 @@ STORE_SCHEMA = T.StructType(
     ]
 )
 
-READ_SCHEMA = T.StructType(
-    list(STORE_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType(), True)]
-)
-
 N_BUCKETS = 64
+
+_EMPTY_MANIFEST: dict = {"gen": 0, "buckets": {}, "retired": []}
 
 
 def path_bucket(col: Column) -> Column:
@@ -65,10 +70,12 @@ class EmbeddingStore:
         self.store_dir = Path(store_dir)
         self.data_dir = self.store_dir / "embeddings.parquet"
         self.meta_path = self.store_dir / "metadata.json"
+        self.manifest_path = self.store_dir / "manifest.json"
         self.model_name = model_name
         self.dim = dim
         self.store_dir.mkdir(parents=True, exist_ok=True)
         self._check_model_metadata()
+        self._recover()
 
     # -- model-change invalidation (reference cache.py metadata tables) ----
     def _check_model_metadata(self) -> None:
@@ -78,37 +85,68 @@ class EmbeddingStore:
                 self.clear()
         self.meta_path.write_text(json.dumps({"model": self.model_name, "dim": self.dim}))
 
-    # -- crash recovery ----------------------------------------------------
-    def _bucket_dir(self, bucket: int) -> Path:
-        return self.data_dir / f"bucket={bucket}"
+    # -- manifest ----------------------------------------------------------
+    def _load_manifest(self) -> dict:
+        try:
+            return json.loads(self.manifest_path.read_text())
+        except (OSError, ValueError):
+            return dict(_EMPTY_MANIFEST)
 
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = Path(str(self.manifest_path) + ".tmp")
+        tmp.write_text(json.dumps(manifest, sort_keys=True))
+        os.replace(tmp, self.manifest_path)
+
+    def _bucket_dir(self, gen: str, bucket: int) -> Path:
+        return self.data_dir / gen / f"bucket={bucket}"
+
+    # -- crash recovery ----------------------------------------------------
     def _recover(self) -> None:
-        """Heal per-bucket swap crash windows: a bucket dir renamed aside
-        whose replacement never landed is restored from its complete
-        '.old'; an '.old' whose live dir DOES exist is a completed swap's
-        leftover and is removed (it would otherwise pollute partition
-        discovery and wedge the next swap of that bucket)."""
+        """Delete data the manifest does not reference: stray staging
+        dirs, a generation renamed into place whose manifest flip never
+        landed, and retired bucket dirs whose physical deletion crashed
+        mid-way. The manifest is the sole source of truth, so recovery
+        never has to *restore* anything — unreferenced files are garbage
+        by construction."""
         if not self.data_dir.exists():
             return
-        for old in self.data_dir.glob("bucket=*.old"):
-            live = Path(str(old)[: -len(".old")])
-            if live.exists():
-                shutil.rmtree(old, ignore_errors=True)
-            else:
-                os.replace(old, live)
+        m = self._load_manifest()
+        live = {(g, int(b)) for b, g in m["buckets"].items()}
+        grace = {(g, int(b)) for g, b in m["retired"]}
+        referenced = live | grace
+        for gen_dir in self.data_dir.glob("gen-*"):
+            if gen_dir.name.endswith(".staging"):
+                shutil.rmtree(gen_dir, ignore_errors=True)
+                continue
+            kept = False
+            for bdir in gen_dir.glob("bucket=*"):
+                b = int(bdir.name.split("=", 1)[1])
+                if (gen_dir.name, b) in referenced:
+                    kept = True
+                else:
+                    shutil.rmtree(bdir, ignore_errors=True)
+            if not kept:
+                shutil.rmtree(gen_dir, ignore_errors=True)
 
     # -- reads -------------------------------------------------------------
-    def _read_with_bucket(self) -> DataFrame | None:
-        """Snapshot including the bucket partition column, or None when
-        the store is empty. Filters on ``bucket`` partition-prune."""
-        self._recover()
-        if self.data_dir.exists() and any(self.data_dir.glob("bucket=*")):
-            return (
-                self.spark.read.schema(READ_SCHEMA)
-                .option("basePath", str(self.data_dir))
-                .parquet(str(self.data_dir))
-            )
-        return None
+    def _read_with_bucket(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """Snapshot resolved through the manifest (optionally restricted
+        to ``buckets`` — pruning is pure path selection), or None when
+        empty. ``bucket`` is recomputed from ``path``, not stored."""
+        m = self._load_manifest()
+        entries = [
+            (int(b), g)
+            for b, g in m["buckets"].items()
+            if buckets is None or int(b) in buckets
+        ]
+        dirs = [str(self._bucket_dir(g, b)) for b, g in entries]
+        if not dirs:
+            return None
+        return (
+            self.spark.read.schema(STORE_SCHEMA)
+            .parquet(*dirs)
+            .withColumn("bucket", path_bucket(F.col("path")))
+        )
 
     def read(self) -> DataFrame:
         """Current snapshot; empty (schema-stable) when nothing indexed."""
@@ -125,15 +163,20 @@ class EmbeddingStore:
         rows = paths_df.select(path_bucket(F.col("path")).alias("b")).distinct().collect()
         return sorted(r.b for r in rows)
 
-    def _rewrite_buckets(self, merged: DataFrame, buckets: list[int]) -> None:
-        """Materialize the merged rows of ``buckets`` to a staging dir
-        (partitioned by bucket — the staging write executes the full
-        merge plan while the live bucket dirs it reads are untouched),
-        then swap each bucket dir in. A bucket with no surviving rows
-        ends up absent, which IS its new state."""
+    def _commit(self, merged: DataFrame, buckets: list[int]) -> None:
+        """Write the merged rows of ``buckets`` into a fresh generation
+        (the staging write executes the full merge plan while every
+        directory it reads is immutable), then commit all touched
+        buckets at once by flipping the manifest. Bucket dirs the new
+        manifest supersedes enter its ``retired`` list; dirs retired by
+        the PREVIOUS commit are deleted now — one commit of grace for
+        concurrent readers. A touched bucket with no surviving rows
+        simply leaves the manifest."""
         if not buckets:
             return
-        staging = Path(str(self.data_dir) + ".staging")
+        m = self._load_manifest()
+        gen = f"gen-{m['gen'] + 1:06d}"
+        staging = self.data_dir / (gen + ".staging")
         shutil.rmtree(staging, ignore_errors=True)
         (
             merged.withColumn("bucket", path_bucket(F.col("path")))
@@ -142,18 +185,30 @@ class EmbeddingStore:
             .mode("overwrite")
             .parquet(str(staging))
         )
-        self.data_dir.mkdir(parents=True, exist_ok=True)
+        os.replace(staging, self.data_dir / gen)
+
+        written = {
+            int(d.name.split("=", 1)[1]) for d in (self.data_dir / gen).glob("bucket=*")
+        }
+        newly_retired = []
+        new_buckets = dict(m["buckets"])
         for b in buckets:
-            live = self._bucket_dir(b)
-            new = staging / f"bucket={b}"
-            old = Path(str(live) + ".old")
-            shutil.rmtree(old, ignore_errors=True)
-            if live.exists():
-                os.replace(live, old)
-            if new.exists():
-                os.replace(new, live)
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
+            prev = new_buckets.pop(str(b), None)
+            if prev is not None:
+                newly_retired.append([prev, b])
+            if b in written:
+                new_buckets[str(b)] = gen
+        if not written:
+            shutil.rmtree(self.data_dir / gen, ignore_errors=True)
+        self._write_manifest(
+            {"gen": m["gen"] + 1, "buckets": new_buckets, "retired": newly_retired}
+        )
+        # physical deletion of what the PREVIOUS commit retired
+        for old_gen, b in m["retired"]:
+            shutil.rmtree(self._bucket_dir(old_gen, b), ignore_errors=True)
+            gen_dir = self.data_dir / old_gen
+            if gen_dir.exists() and not any(gen_dir.glob("bucket=*")):
+                shutil.rmtree(gen_dir, ignore_errors=True)
 
     def upsert(self, records: DataFrame) -> None:
         """Insert-or-replace by path (reference cache.py:127-141): new
@@ -163,33 +218,35 @@ class EmbeddingStore:
         buckets = self._affected_buckets(records)
         if not buckets:
             return
-        current = self._read_with_bucket()
+        current = self._read_with_bucket(buckets)
         if current is None:
             merged = records
         else:
-            touched = current.filter(F.col("bucket").isin(buckets)).select(
-                "path", "mtime", "vector"
+            merged = (
+                current.select("path", "mtime", "vector")
+                .join(records.select("path"), "path", "left_anti")
+                .unionByName(records)
             )
-            merged = touched.join(
-                records.select("path"), "path", "left_anti"
-            ).unionByName(records)
-        self._rewrite_buckets(merged, buckets)
+        self._commit(merged, buckets)
 
     def delete(self, paths: list[str]) -> None:
         if not paths:
             return
-        current = self._read_with_bucket()
-        if current is None:
-            return
         paths_df = self.spark.createDataFrame([(p,) for p in paths], "path string")
         buckets = self._affected_buckets(paths_df)
-        survivors = (
-            current.filter(F.col("bucket").isin(buckets))
-            .select("path", "mtime", "vector")
-            .filter(~F.col("path").isin(paths))
+        current = self._read_with_bucket(buckets)
+        if current is None:
+            return
+        survivors = current.select("path", "mtime", "vector").filter(
+            ~F.col("path").isin(paths)
         )
-        self._rewrite_buckets(survivors, buckets)
+        self._commit(survivors, buckets)
 
     def clear(self) -> None:
+        with_manifest = Path(str(self.manifest_path) + ".tmp")
+        for p in (self.manifest_path, with_manifest):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
         shutil.rmtree(self.data_dir, ignore_errors=True)
-        shutil.rmtree(str(self.data_dir) + ".staging", ignore_errors=True)

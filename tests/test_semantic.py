@@ -147,29 +147,53 @@ def test_store_upsert_replaces_by_path(spark, tmp_path):
     assert rows == {"a": (2.0, 2.0), "b": (1.0, 3.0)}
 
 
-def test_store_swap_survives_crash_leftovers(spark, tmp_path):
-    """Every dir state a per-bucket swap crash can strand must neither
-    wedge the next swap (ENOTEMPTY on '.old') nor lose the bucket
-    (missing-dir window between the two renames)."""
-    import os
+def test_store_recovery_deletes_unreferenced_data(spark, tmp_path):
+    """Every dir state a crashed commit can strand — stale staging, a
+    generation renamed into place whose manifest flip never landed,
+    retired dirs whose deletion crashed — is garbage the manifest does
+    not reference; a reopen must remove it without changing the
+    committed state."""
     import shutil
 
     store = EmbeddingStore(spark, tmp_path / "c", "m", 4)
     schema = store.read().schema
     store.upsert(spark.createDataFrame([("a", 1.0, [1.0] * 4)], schema))
-    live = next(iter(store.data_dir.glob("bucket=*")))
+    live_gen = next(iter(store.data_dir.glob("gen-*")))
 
-    # crash window: bucket dir renamed aside, replacement never landed
-    os.replace(live, str(live) + ".old")
-    assert store.count() == 1  # read() recovers the bucket from .old
-    assert live.exists()
+    # crash window 1: staging dir written, rename never happened
+    shutil.copytree(live_gen, store.data_dir / "gen-000099.staging")
+    # crash window 2: generation renamed into place, manifest flip lost
+    shutil.copytree(live_gen, store.data_dir / "gen-000098")
 
-    # stranded non-empty .old (live present) AND stale staging dir
-    shutil.copytree(live, str(live) + ".old")
-    shutil.copytree(store.data_dir, str(store.data_dir) + ".staging")
+    store = EmbeddingStore(spark, tmp_path / "c", "m", 4)  # reopen recovers
+    assert not (store.data_dir / "gen-000099.staging").exists()
+    assert not (store.data_dir / "gen-000098").exists()
+    assert {r.path for r in store.read().collect()} == {"a"}
+
     store.upsert(spark.createDataFrame([("b", 2.0, [2.0] * 4)], schema))
     assert {r.path for r in store.read().collect()} == {"a", "b"}
-    assert not list(store.data_dir.glob("bucket=*.old"))
+
+
+def test_store_multi_bucket_upsert_is_snapshot_isolated(spark, tmp_path):
+    """The reference's single-file DB gives transactional upserts
+    (cache.py:56-70,127-141); the manifest commit restores that across
+    buckets: a reader plan resolved BEFORE a multi-bucket upsert reads
+    the all-old snapshot even when collected after the commit (retired
+    dirs live one commit of grace), and a plan resolved after reads
+    all-new — never a mix."""
+    store = EmbeddingStore(spark, tmp_path / "c", "m", 4)
+    schema = store.read().schema
+    rows_v1 = [(f"doc_{i}.md", 1.0, [1.0] * 4) for i in range(20)]
+    store.upsert(spark.createDataFrame(rows_v1, schema))
+
+    before = store.read()  # plan resolved against the pre-commit manifest
+    rows_v2 = [(f"doc_{i}.md", 2.0, [2.0] * 4) for i in range(20)]
+    store.upsert(spark.createDataFrame(rows_v2, schema))  # touches many buckets
+
+    got_before = {r.mtime for r in before.collect()}
+    assert got_before == {1.0}, "stale reader saw a mixed snapshot"
+    got_after = {r.mtime for r in store.read().collect()}
+    assert got_after == {2.0}
 
 
 def test_store_upsert_rewrites_only_affected_buckets(spark, tmp_path):
@@ -180,7 +204,7 @@ def test_store_upsert_rewrites_only_affected_buckets(spark, tmp_path):
     schema = store.read().schema
     rows = [(f"doc_{i}.md", 1.0, [float(i)] * 4) for i in range(40)]
     store.upsert(spark.createDataFrame(rows, schema))
-    assert len(list(store.data_dir.glob("bucket=*"))) > 5  # spread out
+    assert len(list(store.data_dir.rglob("bucket=*"))) > 5  # spread out
 
     from frontmatter_mcp_spark.semantic.store import N_BUCKETS, path_bucket
     from pyspark.sql import functions as F
