@@ -77,24 +77,28 @@ REGRESSION_THRESHOLD = 1.5
 
 
 def load_prev_bench(sf: float | None) -> tuple[int, dict[str, float]] | None:
-    """Latest BENCH_r{N}.json the driver recorded in the repo root, if any.
+    """Best-known per-query times across every BENCH_r{N}.json recorded in
+    the repo root (returned with the latest round number seen).
 
-    Per-query deltas against it catch a query silently regressing between
-    rounds even when the workload total stays flat (new fast queries can
-    mask one slow one). Records at a different scale factor are skipped —
-    an sf0.001 smoke vs the sf0.1 record would flag every fixed-overhead
-    query as a phantom regression."""
+    Per-query deltas against the best-known time catch a query silently
+    regressing between rounds even when the workload total stays flat —
+    and, unlike comparing against only the latest round, survive a round
+    whose record was inflated by host contention (the r03 record measured
+    individual queries up to 20x slower than reproducible times; using it
+    alone as the baseline would mask every real regression in r04).
+    Records at a different scale factor are skipped — an sf0.001 smoke vs
+    the sf0.1 record would flag every fixed-overhead query as a phantom
+    regression."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, dict[str, float]] | None = None
+    latest = 0
+    best_q: dict[str, float] = {}
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
-        if best is not None and rnd <= best[0]:
-            continue
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -111,15 +115,63 @@ def load_prev_bench(sf: float | None) -> tuple[int, dict[str, float]] | None:
         if not isinstance(queries, dict):
             # driver records truncate the JSON line to a 'tail' string
             # fragment; scrape whatever complete "name": secs pairs survive
+            # — but only from the "queries" section: the vs_*/regressions
+            # dicts that follow hold RATIOS under the same query names
+            # (scraping those poisoned the r03 comparison baseline)
             tail = data.get("tail")
             if isinstance(tail, str):
+                tail = re.split(r'"vs_|"regressions"', tail)[0]
                 queries = {
                     k: float(v)
                     for k, v in re.findall(r'"(q\d{2}_\w+|vault_\w+)": ([0-9.]+)', tail)
                 }
         if isinstance(queries, dict) and queries:
-            best = (rnd, {k: float(v) for k, v in queries.items()})
-    return best
+            latest = max(latest, rnd)
+            for k, v in queries.items():
+                v = float(v)
+                if v > 0 and (k not in best_q or v < best_q[k]):
+                    best_q[k] = v
+    # the driver tails truncate the head of the JSON line, losing early
+    # queries entirely; BENCH_LOCAL.json (written below on every run)
+    # keeps a complete per-sf record of the best time each query has
+    # ever posted on this host
+    local = _load_local_best(sf)
+    for k, v in local.items():
+        if v > 0 and (k not in best_q or v < best_q[k]):
+            best_q[k] = v
+    if not best_q:
+        return None
+    return latest, best_q
+
+
+def _local_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+
+
+def _load_local_best(sf: float | None) -> dict[str, float]:
+    try:
+        with open(_local_path()) as f:
+            data = json.load(f)
+        return {k: float(v) for k, v in data.get(str(sf), {}).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def save_local_best(sf: float | None, timings: dict[str, float]) -> None:
+    """Merge this run's timings into the per-sf best-known record."""
+    try:
+        with open(_local_path()) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        data = {}
+    best = data.setdefault(str(sf), {})
+    for k, v in timings.items():
+        if v > 0 and (k not in best or v < float(best[k])):
+            best[k] = v
+    tmp = _local_path() + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, _local_path())
 
 
 def main() -> None:
@@ -206,15 +258,16 @@ def main() -> None:
             for n, r in sorted(ratios.items())
             if r > REGRESSION_THRESHOLD and timings[n] - prev_q[n] > 1.0
         }
-        result[f"vs_r{prev_round:02d}"] = ratios
+        result[f"vs_best_thru_r{prev_round:02d}"] = ratios
         result["regressions"] = regressions
         for name, r in regressions.items():
             print(
-                f"REGRESSION {name}: {r}x vs BENCH_r{prev_round:02d} "
+                f"REGRESSION {name}: {r}x vs best through r{prev_round:02d} "
                 f"({prev_q[name]}s -> {timings[name]}s)",
                 file=sys.stderr,
             )
 
+    save_local_best(sf, timings)
     print(json.dumps(result))
 
 
