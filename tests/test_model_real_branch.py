@@ -77,6 +77,92 @@ def test_no_model_name_uses_hash_embedder_even_when_lib_present(fake_st):
     assert _FakeST.instances == []
 
 
+@pytest.fixture()
+def fake_ruri(monkeypatch):
+    # Defined INSIDE the fixture on purpose: test modules are not
+    # importable from executor workers, so the class must be local for
+    # cloudpickle to serialize engine closures holding it BY VALUE.
+    class _FakeRuri:
+        """256-dim stand-in honoring the reference's ruri-v3-30m
+        contract (ADR-0009: dim 256): deterministic, similarity-
+        preserving (delegates to the hash embedder), float32 ndarray
+        output like the real library."""
+
+        dim = 256
+
+        def __init__(self, model_name):
+            from frontmatter_mcp_spark.semantic.model import DeterministicHashEmbedder
+
+            self.model_name = model_name
+            self._h = DeterministicHashEmbedder(self.dim)
+
+        def get_sentence_embedding_dimension(self):
+            return self.dim
+
+        def encode(self, texts):
+            import numpy as np
+
+            return np.array(self._h.encode(list(texts)), dtype=np.float32)
+
+    mod = types.ModuleType("sentence_transformers")
+    mod.SentenceTransformer = _FakeRuri
+    monkeypatch.setitem(sys.modules, "sentence_transformers", mod)
+    yield mod
+
+
+def test_real_model_dim256_plumbing_end_to_end(spark, tmp_path, fake_ruri):
+    """The reference's real-model path end-to-end (its test at
+    tests/semantic/test_model.py:23-78: dim contract + similar-text
+    ranking), with the library faked at dim 256: the dimension must
+    flow through store metadata, indexed vectors, the schema
+    advertisement, and cosine ranking must put same-topic docs first."""
+    import json
+
+    from frontmatter_mcp_spark.engine import FrontmatterEngine
+
+    vault = tmp_path / "vault"
+    vault.mkdir()
+    (vault / "spark.md").write_text(
+        "---\ntitle: spark\n---\nspark catalyst optimizer shuffles partitions\n"
+    )
+    (vault / "cooking.md").write_text(
+        "---\ntitle: cooking\n---\nrecipe butter flour sugar oven baking\n"
+    )
+    eng = FrontmatterEngine(
+        spark,
+        vault,
+        semantic=True,
+        cache_dir=tmp_path / "cache",
+        model=EmbeddingModel(model_name="cl-nagoya/ruri-v3-30m"),
+    )
+    assert eng.model.name == "cl-nagoya/ruri-v3-30m"
+    assert eng.model.get_dimension() == 256
+
+    eng.indexer.start()
+    eng.index_wait(60)
+
+    meta = json.loads((tmp_path / "cache" / "metadata.json").read_text())
+    assert meta == {"model": "cl-nagoya/ruri-v3-30m", "dim": 256}
+    vecs = {r.path: r.vector for r in eng.store.read().collect()}
+    assert len(vecs) == 2 and all(len(v) == 256 for v in vecs.values())
+
+    inspect = eng.query_inspect("**/*.md")
+    assert inspect["schema"]["embedding"]["type"] == "FLOAT[256]"
+
+    out = eng.query(
+        "**/*.md",
+        """
+        SELECT path,
+               array_cosine_similarity(
+                 CAST(embedding AS ARRAY<DOUBLE>),
+                 CAST(embed('spark catalyst optimizer') AS ARRAY<DOUBLE>)) AS score
+        FROM files WHERE embedding IS NOT NULL ORDER BY score DESC
+        """,
+    )
+    assert [r["path"] for r in out["results"]] == ["spark.md", "cooking.md"]
+    assert len(out["results"][0]) == 2
+
+
 def test_missing_lib_falls_back_to_hash_embedder(monkeypatch):
     monkeypatch.setitem(sys.modules, "sentence_transformers", None)  # forces ImportError
     m = EmbeddingModel(model_name="some/model")
