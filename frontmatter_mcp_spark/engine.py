@@ -78,9 +78,11 @@ class FrontmatterEngine:
         model: EmbeddingModel | None = None,
         cache_dir: str | Path | None = None,
         wide_schema_limit: int | None = None,
+        max_rows: int | None = None,
     ) -> None:
         self.spark = spark
         self.base_dir = Path(base_dir)
+        self.max_rows = max_rows
         self.wide_schema_limit = (
             wide_schema_limit if wide_schema_limit is not None else self.WIDE_SCHEMA_LIMIT
         )
@@ -126,6 +128,7 @@ class FrontmatterEngine:
             semantic=s.enable_semantic,
             model=model,
             cache_dir=s.cache_dir if s.enable_semantic else None,
+            max_rows=s.max_rows,
         )
 
     # ------------------------------------------------------------------
@@ -191,7 +194,25 @@ class FrontmatterEngine:
             files_df = attach_embeddings(files_df, self.store)
         files_df.createOrReplaceTempView("files")
         result = self.spark.sql(translate(sql))
-        rows = [r.asDict(recursive=True) for r in result.collect()]
+        if self.max_rows is None:
+            # the reference's response contract: the full result, collected
+            rows = [r.asDict(recursive=True) for r in result.collect()]
+        else:
+            # driver-OOM escape hatch for vault-scale SELECT *: stream
+            # partitions through the driver and stop at the cap instead of
+            # materializing the whole result (collect() of an unbounded
+            # query over a 100 TB corpus would OOM the driver)
+            import itertools
+
+            it = result.toLocalIterator(prefetchPartitions=False)
+            rows = [r.asDict(recursive=True) for r in itertools.islice(it, self.max_rows + 1)]
+            if len(rows) > self.max_rows:
+                rows = rows[: self.max_rows]
+                warnings = warnings + [
+                    f"result truncated to max_rows={self.max_rows}; add a "
+                    "LIMIT (with ORDER BY for determinism) to control which "
+                    "rows are returned"
+                ]
         return _build_response(
             {"results": rows, "row_count": len(rows), "columns": result.columns},
             warnings,

@@ -40,6 +40,10 @@ class Settings:
     frontmatter_enable_semantic: bool = False
     frontmatter_embedding_model: str = DEFAULT_EMBEDDING_MODEL
     frontmatter_cache_dir: Path | None = None
+    # Spark-side extension (not in the reference, which collects every
+    # result into its process): cap on rows returned by the query tool.
+    # None preserves the reference contract exactly.
+    frontmatter_max_rows: int | None = None
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "Settings":
@@ -48,6 +52,7 @@ class Settings:
         if not base:
             raise ValueError("FRONTMATTER_BASE_DIR environment variable is required")
         cache = env.get("FRONTMATTER_CACHE_DIR")
+        max_rows_raw = env.get("FRONTMATTER_MAX_ROWS", "").strip()
         return cls(
             frontmatter_base_dir=Path(base),
             frontmatter_enable_semantic=_parse_bool(
@@ -58,6 +63,7 @@ class Settings:
                 "FRONTMATTER_EMBEDDING_MODEL", DEFAULT_EMBEDDING_MODEL
             ),
             frontmatter_cache_dir=Path(cache) if cache else None,
+            frontmatter_max_rows=int(max_rows_raw) if max_rows_raw else None,
         )
 
     @property
@@ -76,6 +82,10 @@ class Settings:
     @property
     def embedding_model(self) -> str:
         return self.frontmatter_embedding_model
+
+    @property
+    def max_rows(self) -> int | None:
+        return self.frontmatter_max_rows
 
     @property
     def cache_dir(self) -> Path:

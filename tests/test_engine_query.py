@@ -209,3 +209,30 @@ def test_wide_vault_projects_only_referenced_keys(spark, tmp_path):
     out = eng2.query("*.md", "SELECT path FROM files ORDER BY path LIMIT 1")
     assert out["results"] == [{"path": "f00.md"}]
     assert len(spark.table("files").columns) == 32
+
+
+def test_max_rows_caps_result_with_warning(spark, vault):
+    """Driver-OOM escape hatch: with max_rows set, an over-cap result is
+    streamed (toLocalIterator), truncated, and flagged; the default
+    engine keeps the reference's collect-everything contract."""
+    eng = FrontmatterEngine(spark, vault, max_rows=2)
+    out = eng.query("**/*.md", "SELECT path FROM files ORDER BY path")
+    assert out["row_count"] == 2
+    assert [r["path"] for r in out["results"]] == ["a.md", "b.md"]
+    assert any("max_rows=2" in w for w in out["warnings"])
+
+    # under the cap: no truncation, no warning
+    out2 = eng.query("**/*.md", "SELECT path FROM files WHERE path = 'a.md'")
+    assert out2["row_count"] == 1 and "warnings" not in out2
+
+
+def test_max_rows_from_settings(spark, vault, monkeypatch):
+    from frontmatter_mcp_spark.settings import Settings
+
+    s = Settings.from_env(
+        {"FRONTMATTER_BASE_DIR": str(vault), "FRONTMATTER_MAX_ROWS": "1"}
+    )
+    eng = FrontmatterEngine.from_settings(spark, s)
+    out = eng.query("**/*.md", "SELECT path FROM files ORDER BY path")
+    assert out["row_count"] == 1
+    assert any("max_rows=1" in w for w in out["warnings"])
