@@ -211,8 +211,15 @@ def neardup_groups(
     node takes the min of its own label and its neighbors' labels.
     `iters` rounds resolve components of diameter <= 2^iters-ish; dedup
     components are tiny chains in practice, and the fixed count keeps the
-    computation deterministic and oracle-replayable. Each round is one
-    join + one aggregate on the edge list (O(edges) shuffle).
+    computation deterministic and oracle-replayable.
+
+    Propagation runs over the EDGE-NODE set only: an isolated document
+    (no near-dup pair — the overwhelming majority of a deduplicated
+    corpus) can never change label, so looping it through every round
+    would shuffle O(corpus) rows per iteration for nothing. Each round
+    is one join + one aggregate on the edge list (O(edges) shuffle,
+    O(graph-nodes) labels); the full corpus is touched exactly once, by
+    the final label join-back.
     """
     pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold, max_df)
     # The edge subplan appears once per propagation round in the final
@@ -224,7 +231,10 @@ def neardup_groups(
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    # symmetric edges: distinct src enumerates every non-isolated node
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
     for _ in range(iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -240,8 +250,13 @@ def neardup_groups(
                 ).alias("label"),
             )
         )
-    return labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("group_id")
+    return (
+        df.select(F.col(id_col))
+        .join(labels, df[id_col] == labels.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("label", F.col(id_col)).alias("group_id"),
+        )
     )
 
 

@@ -93,6 +93,10 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # nanos conversion) after these two went green in r03
     "q53_stream_dedup",
     "q54_stream_stateful_counters",
+    # r4: two-phase quota ranking replaced the per-stratum window
+    "q83_mixture_quota",
+    # r4: label propagation restricted to the edge-node set
+    "q56_neardup_groups",
 }
 
 

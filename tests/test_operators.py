@@ -280,3 +280,19 @@ def test_containment_catches_partial_copy_jaccard_misses(spark):
     assert len(rows) == 1 and rows[0].containment == 1.0  # quote fully contained
     jac = dd.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.4, max_df=50)
     assert jac.count() == 0  # union dominated by the long doc
+
+
+def test_neardup_groups_isolated_and_chain(docs):
+    """Labels propagate over the pair graph only: a planted dup chain
+    collapses to its minimum id while isolated docs (the overwhelming
+    majority at corpus scale — they never enter the propagation loop)
+    keep their own id."""
+    got = {
+        r.doc_id: r.group_id
+        for r in dd.neardup_groups(
+            docs, "doc_id", "text", threshold=0.4, max_df=50, iters=3
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1  # dup chain -> min id
+    assert got[4] == 4 and got[5] == 5  # isolated docs: own id
+    assert set(got) == {1, 2, 3, 4, 5}  # every doc labeled exactly once
