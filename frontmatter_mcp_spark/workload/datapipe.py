@@ -2273,3 +2273,52 @@ def q80_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — SemDeDup-style semantic dedup: k-means blocking + cosine pruning
+# ---------------------------------------------------------------------------
+_SEMDEDUP_THRESHOLD = 0.3
+
+
+@register(
+    "q90_semantic_dedup",
+    f"""
+    WITH {_kmeans_ctes()},
+    assign AS (SELECT vec_id, CAST(cid AS INT) AS cluster FROM a{_KMEANS_ITERS}),
+    dropped AS (
+      SELECT DISTINCT y.vec_id
+      FROM assign x
+      JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+      WHERE {_duck_cos('a.embedding', 'b.embedding')} >= {_SEMDEDUP_THRESHOLD}
+    )
+    SELECT s.vec_id, s.cluster,
+           s.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+    FROM assign s
+    """,
+    doc="SemDeDup-style semantic dedup (cluster-then-prune): k-means "
+    "clusters block the cosine comparison, then any vector with a "
+    "smaller-id cluster-mate above the similarity threshold is pruned "
+    "(the transitive-prune variant — deterministic and engine-portable, "
+    "unlike greedy keeper chains). At 100 TB, k scales with the corpus "
+    "so cluster blocks stay bounded; the pair join is within-block only, "
+    "never all-pairs — the same blocking discipline as q38, with the "
+    "blocking learned by q48's quantizer instead of given",
+)
+def q90_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    clustered = e.select("vec_id", "embedding").join(assign, "vec_id")
+    pairs = sim.neardup_pairs_by_cosine(
+        clustered, threshold=_SEMDEDUP_THRESHOLD, block_col="cluster"
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        clustered.select("vec_id", "cluster")
+        .join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cluster", F.col("__d").isNull().alias("kept"))
+    )

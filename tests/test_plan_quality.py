@@ -267,3 +267,12 @@ def test_q88_quality_gate_one_scan_one_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
     assert "Python" not in plan, plan
+
+
+def test_q90_semantic_dedup_pair_join_is_cluster_blocked(spark):
+    # the cosine pair comparison must key on the learned cluster id —
+    # a cartesian / nested-loop pair join would be all-pairs at scale
+    plan = formatted_plan(spark, "q90_semantic_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert re.search(r"Left keys \[1\]: \[cluster#\d+\]", plan), plan
