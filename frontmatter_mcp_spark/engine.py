@@ -79,10 +79,12 @@ class FrontmatterEngine:
         cache_dir: str | Path | None = None,
         wide_schema_limit: int | None = None,
         max_rows: int | None = None,
+        distributed_mutation_threshold: int = 1000,
     ) -> None:
         self.spark = spark
         self.base_dir = Path(base_dir)
         self.max_rows = max_rows
+        self.distributed_mutation_threshold = distributed_mutation_threshold
         self.wide_schema_limit = (
             wide_schema_limit if wide_schema_limit is not None else self.WIDE_SCHEMA_LIMIT
         )
@@ -246,12 +248,26 @@ class FrontmatterEngine:
         self.invalidate()
         return out
 
+    def _use_distributed(self, glob: str, distributed: bool | None) -> bool:
+        """Auto-dispatch rule for the batch mutation tools: an explicit
+        flag wins; otherwise rewrite executor-parallel once the glob
+        matches at least `distributed_mutation_threshold` files (below
+        that, Spark job overhead exceeds the driver loop; both paths
+        produce byte-identical files and responses — tested)."""
+        if distributed is not None:
+            return distributed
+        files = fm.collect_files(self.base_dir, glob)
+        return len(files) >= self.distributed_mutation_threshold
+
     def batch_update(
         self,
         glob: str,
         set: dict[str, Any] | None = None,  # noqa: A002
         unset: list[str] | None = None,
+        distributed: bool | None = None,
     ) -> dict[str, Any]:
+        if self._use_distributed(glob, distributed):
+            return self.batch_update_distributed(glob, set, unset)
         updated, warnings = [], []
         for p in fm.collect_files(self.base_dir, glob):
             rel = p.relative_to(self.base_dir).as_posix()
@@ -393,9 +409,13 @@ class FrontmatterEngine:
         property: str,  # noqa: A002
         value: Any,
         allow_duplicates: bool = False,
-        distributed: bool = False,
+        distributed: bool | None = None,
     ) -> dict[str, Any]:
-        run = self._batch_array_op_distributed if distributed else self._batch_array_op
+        run = (
+            self._batch_array_op_distributed
+            if self._use_distributed(glob, distributed)
+            else self._batch_array_op
+        )
         return run(
             glob,
             property,
@@ -405,9 +425,13 @@ class FrontmatterEngine:
         )
 
     def batch_array_remove(
-        self, glob: str, property: str, value: Any, distributed: bool = False  # noqa: A002
+        self, glob: str, property: str, value: Any, distributed: bool | None = None  # noqa: A002
     ) -> dict[str, Any]:
-        run = self._batch_array_op_distributed if distributed else self._batch_array_op
+        run = (
+            self._batch_array_op_distributed
+            if self._use_distributed(glob, distributed)
+            else self._batch_array_op
+        )
         return run(
             glob, property, lambda cur, rel: mut.remove_value(cur, value, path=rel, prop=property)
         )
@@ -418,9 +442,13 @@ class FrontmatterEngine:
         property: str,  # noqa: A002
         old_value: Any,
         new_value: Any,
-        distributed: bool = False,
+        distributed: bool | None = None,
     ) -> dict[str, Any]:
-        run = self._batch_array_op_distributed if distributed else self._batch_array_op
+        run = (
+            self._batch_array_op_distributed
+            if self._use_distributed(glob, distributed)
+            else self._batch_array_op
+        )
         return run(
             glob,
             property,
@@ -430,9 +458,13 @@ class FrontmatterEngine:
         )
 
     def batch_array_sort(
-        self, glob: str, property: str, reverse: bool = False, distributed: bool = False  # noqa: A002
+        self, glob: str, property: str, reverse: bool = False, distributed: bool | None = None  # noqa: A002
     ) -> dict[str, Any]:
-        run = self._batch_array_op_distributed if distributed else self._batch_array_op
+        run = (
+            self._batch_array_op_distributed
+            if self._use_distributed(glob, distributed)
+            else self._batch_array_op
+        )
         return run(
             glob,
             property,
@@ -440,9 +472,13 @@ class FrontmatterEngine:
         )
 
     def batch_array_unique(
-        self, glob: str, property: str, distributed: bool = False  # noqa: A002
+        self, glob: str, property: str, distributed: bool | None = None  # noqa: A002
     ) -> dict[str, Any]:
-        run = self._batch_array_op_distributed if distributed else self._batch_array_op
+        run = (
+            self._batch_array_op_distributed
+            if self._use_distributed(glob, distributed)
+            else self._batch_array_op
+        )
         return run(
             glob, property, lambda cur, rel: mut.unique_values(cur, path=rel, prop=property)
         )

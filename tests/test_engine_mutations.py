@@ -163,3 +163,39 @@ def test_mutation_invalidates_query_snapshot(engine, vault):
     engine.batch_update("*.md", set={"reviewed": True})
     out1 = engine.query("*.md", "SELECT COUNT(*) n FROM files WHERE reviewed = 'True'")
     assert out1["results"][0]["n"] == 2  # snapshot invalidated + new column
+
+
+def test_batch_mutations_auto_dispatch_by_file_count(spark, tmp_path):
+    """With no explicit flag, batch mutations pick the executor-parallel
+    path once the glob matches distributed_mutation_threshold files, and
+    the driver loop below it — same results either way."""
+    vault = tmp_path / "auto"
+    vault.mkdir()
+    for i in range(4):
+        (vault / f"f{i}.md").write_text("---\ntags:\n  - a\n---\nbody\n")
+    eng = FrontmatterEngine(spark, vault, distributed_mutation_threshold=3)
+
+    calls = {"dist": 0, "driver": 0}
+    orig_dist, orig_drv = eng._batch_array_op_distributed, eng._batch_array_op
+
+    def spy_dist(*a, **k):
+        calls["dist"] += 1
+        return orig_dist(*a, **k)
+
+    def spy_drv(*a, **k):
+        calls["driver"] += 1
+        return orig_drv(*a, **k)
+
+    eng._batch_array_op_distributed, eng._batch_array_op = spy_dist, spy_drv
+
+    out = eng.batch_array_add("*.md", "tags", "x")  # 4 files >= 3 -> distributed
+    assert out["updated_count"] == 4 and calls == {"dist": 1, "driver": 0}
+    out = eng.batch_array_add("f0.md", "tags", "y")  # 1 file < 3 -> driver loop
+    assert out["updated_count"] == 1 and calls == {"dist": 1, "driver": 1}
+    # explicit flag always wins over the count rule
+    out = eng.batch_array_remove("f0.md", "tags", "y", distributed=True)
+    assert out["updated_count"] == 1 and calls["dist"] == 2
+
+    # batch_update auto-dispatches through the same rule
+    out = eng.batch_update("*.md", set={"seen": True})
+    assert out["updated_count"] == 4
