@@ -97,6 +97,8 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q83_mixture_quota",
     # r4: label propagation restricted to the edge-node set
     "q56_neardup_groups",
+    # r4: recall calibration extended to the (nbits x radius) matrix
+    "q82_lsh_recall",
 }
 
 

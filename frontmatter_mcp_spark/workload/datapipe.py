@@ -707,10 +707,10 @@ def q43_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q82 — multi-probe LSH recall calibration vs brute-force ground truth
 # ---------------------------------------------------------------------------
-def _duck_lsh_bucket(col: str) -> str:
+def _duck_lsh_bucket(col: str, nbits: int) -> str:
     """DuckDB expression for the hyperplane bucket of an embedding column
     — same md5-derived planes as similarity.hyperplane_bucket."""
-    planes = sim.hyperplanes(_LSH_DIM, _LSH_NBITS)
+    planes = sim.hyperplanes(_LSH_DIM, nbits)
     bits = []
     for plane in planes:
         arr = "[" + ", ".join(repr(x) for x in plane) + "]"
@@ -722,81 +722,105 @@ def _duck_lsh_bucket(col: str) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
-def _duck_probe_list(bucket: str, nbits: int) -> str:
-    """DuckDB list of the bucket plus all Hamming-distance-1 flips —
-    mirrors similarity.probe_buckets(radius=1)."""
+def _duck_probe_list(bucket: str, nbits: int, radius: int) -> str:
+    """DuckDB list of the bucket plus every Hamming-distance<=radius
+    flip — mirrors similarity.probe_buckets (same combination order)."""
+    from itertools import combinations
+
+    def flipped(positions: tuple[int, ...]) -> str:
+        chars = []
+        for j in range(1, nbits + 1):
+            ch = f"substr({bucket}, {j}, 1)"
+            if (j - 1) in positions:
+                ch = f"(CASE WHEN {ch} = '1' THEN '0' ELSE '1' END)"
+            chars.append(ch)
+        return " || ".join(chars)
+
     variants = [bucket]
-    for j in range(1, nbits + 1):
-        variants.append(
-            f"substr({bucket}, 1, {j - 1}) || "
-            f"(CASE WHEN substr({bucket}, {j}, 1) = '1' THEN '0' ELSE '1' END) || "
-            f"substr({bucket}, {j + 1})"
-        )
+    for r in range(1, radius + 1):
+        variants.extend(flipped(c) for c in combinations(range(nbits), r))
     return "list_value(" + ", ".join(variants) + ")"
 
 
+# the calibration matrix: bucket width x probe radius. Wider codes make
+# emptier buckets (cheaper probes, worse single-probe recall) which
+# larger radii claw back — the measurement that picks the operating
+# point before a 100 TB rollout.
+_LSH_RECALL_CONFIGS = [
+    ("nbits4_r0", 4, 0),
+    ("nbits4_r1", 4, 1),
+    ("nbits6_r1", 6, 1),
+    ("nbits6_r2", 6, 2),
+]
+
+
 def _lsh_recall_sql() -> str:
-    nbits = _LSH_NBITS
-    return f"""
-    WITH b AS (
-      SELECT vec_id, embedding, {_duck_lsh_bucket('embedding')} AS bucket FROM embeddings
+    blocks = []
+    selects = []
+    for tag, nbits, radius in _LSH_RECALL_CONFIGS:
+        blocks.append(
+            f"""b_{tag} AS (
+      SELECT vec_id, embedding, {_duck_lsh_bucket('embedding', nbits)} AS bucket
+      FROM embeddings
     ),
-    q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id < 5),
-    c AS (SELECT vec_id AS cid, embedding AS cvec, bucket FROM b WHERE vec_id >= 5),
-    truth AS (
-      SELECT qid, cid FROM (
-        SELECT q.qid, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY q.qid
-                                  ORDER BY {_duck_cos('q.qvec', 'c.cvec')} DESC, c.cid ASC) AS rank
-        FROM q, c
-      ) WHERE rank <= 10
-    ),
-    single AS (
-      SELECT qid, cid FROM (
-        SELECT q.qid, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY q.qid
-                                  ORDER BY {_duck_cos('q.qvec', 'c.cvec')} DESC, c.cid ASC) AS rank
-        FROM q JOIN c ON q.bucket = c.bucket
-      ) WHERE rank <= 10
-    ),
-    probes AS (
+    probes_{tag} AS (
       SELECT qid, qvec, probe
-      FROM q, UNNEST({_duck_probe_list('bucket', nbits)}) AS t(probe)
+      FROM (SELECT vec_id AS qid, embedding AS qvec, bucket
+            FROM b_{tag} WHERE vec_id < 5) q,
+           UNNEST({_duck_probe_list('bucket', nbits, radius)}) AS t(probe)
     ),
-    multi AS (
+    got_{tag} AS (
       SELECT qid, cid FROM (
         SELECT p.qid, c.cid,
                ROW_NUMBER() OVER (PARTITION BY p.qid
                                   ORDER BY {_duck_cos('p.qvec', 'c.cvec')} DESC, c.cid ASC) AS rank
-        FROM probes p JOIN c ON p.probe = c.bucket
+        FROM probes_{tag} p
+        JOIN (SELECT vec_id AS cid, embedding AS cvec, bucket
+              FROM b_{tag} WHERE vec_id >= 5) c
+          ON p.probe = c.bucket
       ) WHERE rank <= 10
     ),
-    hits_single AS (
-      SELECT t.qid, COUNT(*) AS n FROM truth t JOIN single s
-        ON t.qid = s.qid AND t.cid = s.cid GROUP BY t.qid
+    hits_{tag} AS (
+      SELECT t.qid, COUNT(*) AS n FROM truth t JOIN got_{tag} g
+        ON t.qid = g.qid AND t.cid = g.cid GROUP BY t.qid
+    )"""
+        )
+        selects.append(
+            f"""SELECT '{tag}' AS method, q.qid,
+           CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+           COALESCE(h.n, 0) / 10.0 AS recall_at_10
+    FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5) q
+    LEFT JOIN hits_{tag} h ON q.qid = h.qid"""
+        )
+    return (
+        """
+    WITH q0 AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id >= 5),
+    truth AS (
+      SELECT qid, cid FROM (
+        SELECT q0.qid, c0.cid,
+               ROW_NUMBER() OVER (PARTITION BY q0.qid
+                                  ORDER BY """
+        + _duck_cos("q0.qvec", "c0.cvec")
+        + """ DESC, c0.cid ASC) AS rank
+        FROM q0, c0
+      ) WHERE rank <= 10
     ),
-    hits_multi AS (
-      SELECT t.qid, COUNT(*) AS n FROM truth t JOIN multi m
-        ON t.qid = m.qid AND t.cid = m.cid GROUP BY t.qid
-    )
-    SELECT 'single_probe' AS method, q.qid,
-           CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
-           COALESCE(h.n, 0) / 10.0 AS recall_at_10
-    FROM (SELECT qid FROM q) q LEFT JOIN hits_single h ON q.qid = h.qid
-    UNION ALL
-    SELECT 'multi_probe' AS method, q.qid,
-           CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
-           COALESCE(h.n, 0) / 10.0 AS recall_at_10
-    FROM (SELECT qid FROM q) q LEFT JOIN hits_multi h ON q.qid = h.qid
     """
+        + ",\n    ".join(blocks)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
 
 
 @register(
     "q82_lsh_recall",
     _lsh_recall_sql(),
-    doc="ANN recall calibration: single-probe vs Hamming-radius-1 multi-probe "
-    "LSH scored against brute-force ground truth, per query — the measurement "
-    "that decides probe_radius before a 100 TB rollout",
+    doc="ANN recall calibration matrix: (bucket width x Hamming probe "
+    "radius) scored against brute-force ground truth per query — wider "
+    "codes make emptier buckets, larger radii claw recall back; the "
+    "measurement that picks the (nbits, probe_radius) operating point "
+    "before a 100 TB rollout",
 )
 def q82_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -809,9 +833,9 @@ def q82_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = sim.cosine_topk(q, c, k=10).select("qid", "cid")
     qids = q.select("qid")
     outs = []
-    for method, radius in (("single_probe", 0), ("multi_probe", 1)):
+    for method, nbits, radius in _LSH_RECALL_CONFIGS:
         got = sim.lsh_topk(
-            q, c, dim=_LSH_DIM, nbits=_LSH_NBITS, k=10, probe_radius=radius
+            q, c, dim=_LSH_DIM, nbits=nbits, k=10, probe_radius=radius
         ).select("qid", "cid")
         hits = truth.join(got, ["qid", "cid"]).groupBy("qid").agg(
             F.count("*").alias("n")
@@ -824,7 +848,10 @@ def q82_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.coalesce(F.col("n"), F.lit(0)) / F.lit(10.0)).alias("recall_at_10"),
             )
         )
-    return outs[0].unionByName(outs[1])
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 # ---------------------------------------------------------------------------
