@@ -2349,3 +2349,111 @@ def q90_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left")
         .select("vec_id", "cluster", F.col("__d").isNull().alias("kept"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — MinHash-LSH banding sweep: (bands x rows) scored vs exact Jaccard
+# ---------------------------------------------------------------------------
+# more bands = lower collision bar per band (higher recall, more false
+# candidates); fewer bands = stricter (cheaper verify pass, misses
+# borderline pairs). The S-curve operating point, measured — the banding
+# complement of q82's (nbits x radius) matrix for hyperplane LSH.
+_BAND_SWEEP = [("bands2_rows4", 2), ("bands4_rows2", 4), ("bands8_rows1", 8)]
+
+
+def _banding_sweep_sql() -> str:
+    blocks, selects = [], []
+    for tag, bands in _BAND_SWEEP:
+        rows = _NUM_HASHES // bands
+        band_rows = " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+                b=b,
+                parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+            )
+            for b in range(bands)
+        )
+        blocks.append(
+            f"""bb_{tag} AS ({band_rows}),
+    cand_{tag} AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb_{tag} a JOIN bb_{tag} b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )"""
+        )
+        selects.append(
+            f"""SELECT '{tag}' AS method,
+           CAST((SELECT COUNT(*) FROM cand_{tag}) AS INT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM truth) AS INT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM truth t JOIN cand_{tag} c
+                 ON t.id_a = c.id_a AND t.id_b = c.id_b) AS INT) AS n_caught,
+           (SELECT COUNT(*) FROM truth t JOIN cand_{tag} c
+            ON t.id_a = c.id_a AND t.id_b = c.id_b) * CAST(1.0 AS DOUBLE)
+             / nullif((SELECT COUNT(*) FROM truth), 0) AS recall,
+           (SELECT COUNT(*) FROM truth t JOIN cand_{tag} c
+            ON t.id_a = c.id_a AND t.id_b = c.id_b) * CAST(1.0 AS DOUBLE)
+             / nullif((SELECT COUNT(*) FROM cand_{tag}), 0) AS precision"""
+        )
+    return (
+        f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    dfreq AS (SELECT shingle, COUNT(*) AS df_count FROM sh GROUP BY 1),
+    f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+          WHERE dfreq.df_count <= {_MAX_DF}),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common)
+            >= {_JACCARD_THRESHOLD}
+    ),
+    """
+        + ",\n    ".join(blocks)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+@register(
+    "q91_banding_sweep",
+    _banding_sweep_sql(),
+    doc="MinHash-LSH banding sweep: candidate recall/precision per "
+    "(bands x rows) config vs the exact df-capped Jaccard ground truth "
+    "— ONE signature subplan feeds every config (ReuseExchange), the "
+    "S-curve measurement that picks the banding before a 100 TB dedup",
+)
+def q91_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=_NUM_HASHES)
+    truth = dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
+    ).select("id_a", "id_b")
+    outs = []
+    for method, bands in _BAND_SWEEP:
+        cand = dd.candidate_pairs_from_signatures(sigs, "doc_id", _NUM_HASHES, bands)
+        caught = truth.join(cand, ["id_a", "id_b"])
+        outs.append(
+            cand.agg(F.count("*").cast("int").alias("n_candidates"))
+            .crossJoin(truth.agg(F.count("*").cast("int").alias("n_truth")))
+            .crossJoin(caught.agg(F.count("*").cast("int").alias("n_caught")))
+            .select(
+                F.lit(method).alias("method"),
+                "n_candidates",
+                "n_truth",
+                "n_caught",
+                F.expr("CAST(n_caught AS DOUBLE) / nullif(n_truth, 0)").alias("recall"),
+                F.expr(
+                    "CAST(n_caught AS DOUBLE) / nullif(n_candidates, 0)"
+                ).alias("precision"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
