@@ -51,3 +51,41 @@ def test_quota_sample_exact_counts_and_stability(spark):
     # quota larger than the stratum keeps the whole stratum
     big = sp.quota_sample(df, "k", "stratum", {"s0": 10_000}, default_quota=0)
     assert big.count() == 200
+
+
+def test_quota_sample_two_phase_equals_single_window(spark):
+    """Randomized equivalence: the two-phase rank (local rank within
+    (stratum, md5-prefix) + broadcast offsets) must reproduce the naive
+    single-window row_number byte-for-byte — including mix_rank — on
+    arbitrary key/stratum distributions, skew included."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    rng = random.Random(11)
+    rows = []
+    # heavy skew on one stratum + singleton strata + colliding keys
+    for i in range(400):
+        rows.append((f"k{rng.randrange(350)}", "dominant"))
+    for i in range(40):
+        rows.append((f"r{i}", rng.choice(["a", "b", "c"])))
+    rows.append(("only", "singleton"))
+    df = spark.createDataFrame(rows, ["key", "stratum"]).distinct()
+    quotas = {"dominant": 37, "a": 5, "b": 0, "singleton": 3}
+
+    got = sp.quota_sample(df, "key", "stratum", quotas, default_quota=2)
+
+    order_key = F.md5(F.col("key").cast("string"))
+    w = W.partitionBy("stratum").orderBy(order_key, F.col("key"))
+    quota = F.lit(2)
+    for name, n in sorted(quotas.items()):
+        quota = F.when(F.col("stratum") == name, F.lit(n)).otherwise(quota)
+    expect = (
+        df.withColumn("mix_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("mix_rank") <= quota)
+    )
+
+    a = {(r.key, r.stratum, r.mix_rank) for r in got.collect()}
+    b = {(r.key, r.stratum, r.mix_rank) for r in expect.collect()}
+    assert a == b
+    assert got.columns == expect.columns
