@@ -193,3 +193,54 @@ def q55_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_interval_join_out").select(
         "user_id", "click_id", "purchase_id"
     )
+
+
+def _ingest_gate_sql() -> str:
+    from frontmatter_mcp_spark.workload.datapipe import _MIN_TOKENS, _PII_PATTERNS
+
+    pii = (
+        f"len(regexp_extract_all(text, '{_PII_PATTERNS['n_emails']}')) * 5"
+        f" + len(regexp_extract_all(text, '{_PII_PATTERNS['n_long_digit_runs']}')) * 3"
+        f" + len(regexp_extract_all(text, '{_PII_PATTERNS['n_phones']}')) * 4"
+    )
+    return f"""
+    WITH u AS (
+      SELECT DISTINCT source, md5(text) AS fp,
+             ({pii}) = 0
+             AND len(list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t <> '')) >= {_MIN_TOKENS} AS keep
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS INT) AS n_unique,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept
+    FROM u GROUP BY source
+    """
+
+
+@register(
+    "q92_stream_ingest_gate",
+    _ingest_gate_sql(),
+    doc="streaming ingestion gate: per-source dedup (first-seen content "
+    "fp) + quality verdicts + running counts in ONE streaming pass "
+    "(dropDuplicates chained into an aggregation — two stateful "
+    "operators) == batch DISTINCT + GROUP BY",
+)
+def q92_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.streaming import ingest
+    from frontmatter_mcp_spark.workload.datapipe import _MIN_TOKENS, _PII_PATTERNS
+
+    t = F.col("text")
+    risk = (
+        F.regexp_count(t, F.lit(_PII_PATTERNS["n_emails"])) * 5
+        + F.regexp_count(t, F.lit(_PII_PATTERNS["n_long_digit_runs"])) * 3
+        + F.regexp_count(t, F.lit(_PII_PATTERNS["n_phones"])) * 4
+    )
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(t), r"\s+", -1), lambda x: x != F.lit(""))
+    )
+    keep = (risk == 0) & (n_tokens >= _MIN_TOKENS)
+    stream = ingest.read_documents_stream(spark, sf_dir)
+    stats = ingest.unique_content_stats(stream, keep)
+    return ev.run_stream_to_batch(stats, "stream_ingest_gate_out").select(
+        "source", "n_unique", "n_kept"
+    )

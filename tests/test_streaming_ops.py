@@ -210,3 +210,46 @@ def test_foreach_batch_idempotent_parquet_sink(spark, tmp_path):
     written = spark.read.parquet(f"{out_dir}/*")
     assert written.count() == 9
     assert set(r.event_id for r in written.select("event_id").collect()) == set(range(9))
+
+
+def test_stream_ingest_gate_matches_batch_distinct(spark):
+    """q92's one-pass dedup+gate+count (two chained stateful operators)
+    must equal the batch DISTINCT (source, fp) + GROUP BY — and the
+    verdicts must be invariant to which duplicate row survived, since
+    keep is a pure function of the deduped text."""
+    from pyspark.sql import functions as F
+
+    from frontmatter_mcp_spark.tables import load_table
+
+    got = {
+        r.source: (r.n_unique, r.n_kept)
+        for r in QUERIES["q92_stream_ingest_gate"].spark(spark, SF).collect()
+    }
+    from frontmatter_mcp_spark.workload.datapipe import _MIN_TOKENS, _PII_PATTERNS
+
+    t = F.col("text")
+    risk = (
+        F.regexp_count(t, F.lit(_PII_PATTERNS["n_emails"])) * 5
+        + F.regexp_count(t, F.lit(_PII_PATTERNS["n_long_digit_runs"])) * 3
+        + F.regexp_count(t, F.lit(_PII_PATTERNS["n_phones"])) * 4
+    )
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(t), r"\s+", -1), lambda x: x != F.lit(""))
+    )
+    expect = {
+        r.source: (r.n_unique, r.n_kept)
+        for r in load_table(spark, SF, "documents")
+        .select(
+            "source",
+            F.md5("text").alias("fp"),
+            ((risk == 0) & (n_tokens >= _MIN_TOKENS)).alias("keep"),
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("int").alias("n_unique"),
+            F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+        )
+        .collect()
+    }
+    assert got == expect
