@@ -2429,11 +2429,21 @@ def _banding_sweep_sql() -> str:
     "S-curve measurement that picks the banding before a 100 TB dedup",
 )
 def q91_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both shared inputs are persisted (the q75 lesson): the banding
+    # branches project different sig columns, which defeats exchange
+    # canonicalization, so without the cache the shingle->md5->aggregate
+    # pipeline runs once per band branch and the expensive df-capped
+    # Jaccard self-join once per config (measured ~2x total). Both
+    # tables are tiny: doc-count-sized sigs, pair-count-sized truth.
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=_NUM_HASHES)
-    truth = dd.ngram_jaccard_pairs(
-        d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
-    ).select("id_a", "id_b")
+    sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=_NUM_HASHES).persist()
+    truth = (
+        dd.ngram_jaccard_pairs(
+            d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
     outs = []
     for method, bands in _BAND_SWEEP:
         cand = dd.candidate_pairs_from_signatures(sigs, "doc_id", _NUM_HASHES, bands)
