@@ -37,12 +37,10 @@ DRIVER_WINDOW = 50
 # absent from this dict is treated as never-verified and jumps to the front
 # of the window automatically.
 _LAST_GREEN_ROUND: dict[str, int] = {
-    # green in CORRECTNESS_r03.json (q50/q51/q52/q55 were RED there — the
-    # stream reader's forced-nanos schema collapsed event time; they stay
-    # absent from this dict and so resume front-of-window priority)
+    # green in CORRECTNESS_r03.json, not in the r04 window
     **dict.fromkeys(
         [
-            "q01_pricing_summary", "q02_top_orders", "q03_shipping_priority",
+            "q03_shipping_priority",
             "q04_priority_counts", "q05_region_revenue", "q06_forecast_revenue",
             "q07_top_orders_per_customer", "q08_running_totals",
             "q09_customer_setops", "q10_rollup_quantity", "q11_distinct_parts",
@@ -53,35 +51,39 @@ _LAST_GREEN_ROUND: dict[str, int] = {
             "q23_grouping_sets", "q24_quantity_percentiles",
             "q25_date_arithmetic", "q26_cdc_upsert", "q28_having_subquery",
             "q29_cheapest_part_per_brand", "q42_multimodal_features",
-            "q46_group_concat", "q47_exists_with_agg", "q53_stream_dedup",
-            "q54_stream_stateful_counters", "q65_volume_shipping",
+            "q46_group_concat", "q47_exists_with_agg", "q65_volume_shipping",
             "q66_market_share", "q67_top_supplier", "q68_bulk_suppliers",
             "q69_rich_inactive_customers", "q72_gapfill_hourly",
             "q73_retention_cohorts", "q74_event_funnel",
             "q75_minhash_calibration", "q78_salted_aggregation",
-            "q83_mixture_quota", "q88_quality_gate", "q89_event_spikes",
+            "q88_quality_gate", "q89_event_spikes",
         ],
         3,
     ),
-    # green in CORRECTNESS_r02.json (not re-checked since)
+    # green in CORRECTNESS_r04.json (50/50 of the r04 window)
     **dict.fromkeys(
         [
-            "q30_dedup_exact", "q31_minhash_signatures", "q32_lsh_candidates",
+            "q01_pricing_summary", "q02_top_orders", "q30_dedup_exact",
+            "q31_minhash_signatures", "q32_lsh_candidates",
             "q33_ngram_jaccard_pairs", "q34_simhash", "q35_text_profile",
             "q36_ann_bruteforce", "q37_ann_ivf", "q38_embedding_neardup",
             "q39_label_centroids", "q40_token_stats",
             "q41_window_fingerprint_pairs", "q43_ann_lsh", "q44_embed_vectors",
             "q45_semantic_search", "q48_kmeans_clusters", "q49_ann_ivf_kmeans",
-            "q56_neardup_groups", "q57_hash_split_sample", "q58_tfidf_keywords",
+            "q50_stream_tumbling", "q51_stream_sliding", "q52_stream_sessions",
+            "q53_stream_dedup", "q54_stream_stateful_counters",
+            "q55_stream_interval_join", "q56_neardup_groups",
+            "q57_hash_split_sample", "q58_tfidf_keywords",
             "q59_boilerplate_spans", "q60_decontamination",
             "q61_repetition_profile", "q62_normalize_text", "q63_vocab_coverage",
             "q64_embedding_quantize", "q70_incremental_dedup", "q71_dedup_report",
             "q76_kmeans_inertia", "q77_power_iteration", "q79_doc_chunking",
             "q80_sequence_packing", "q81_ivf_partitioned", "q82_lsh_recall",
-            "q84_safety_profile", "q85_length_outliers",
+            "q83_mixture_quota", "q84_safety_profile", "q85_length_outliers",
             "q86_bloom_prefilter_dedup", "q87_containment_pairs",
+            "q90_semantic_dedup", "q91_banding_sweep", "q92_stream_ingest_gate",
         ],
-        2,
+        4,
     ),
 }
 
@@ -89,16 +91,15 @@ _LAST_GREEN_ROUND: dict[str, int] = {
 # once green they would otherwise sort by staleness and could fall outside
 # the window exactly when they most need re-verification.
 _MODIFIED_SINCE_GREEN: set[str] = {
-    # r4: shared stream reader changed (batch-footer schema + conditional
-    # nanos conversion) after these two went green in r03
-    "q53_stream_dedup",
-    "q54_stream_stateful_counters",
-    # r4: two-phase quota ranking replaced the per-stratum window
-    "q83_mixture_quota",
-    # r4: label propagation restricted to the edge-node set
-    "q56_neardup_groups",
-    # r4: recall calibration extended to the (nbits x radius) matrix
-    "q82_lsh_recall",
+    # r5: persisted the shared clustered subplan (q91's fix applied to q90)
+    "q90_semantic_dedup",
+    # r5: sweep inputs now unpersisted after the final union materializes
+    "q91_banding_sweep",
+    # r5: ingestion gate state bounded by a watermark
+    "q92_stream_ingest_gate",
+    # r5: corpus/batch split now driven by the derived ingestion-batch column
+    "q70_incremental_dedup",
+    "q86_bloom_prefilter_dedup",
 }
 
 

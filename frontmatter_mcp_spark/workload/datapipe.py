@@ -18,7 +18,7 @@ from frontmatter_mcp_spark.operators import text as tx
 from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
-from frontmatter_mcp_spark.workload.registry import register
+from frontmatter_mcp_spark.workload.registry import pin, register
 
 # ---------------------------------------------------------------------------
 # shared DuckDB oracle fragments
@@ -2031,15 +2031,16 @@ def q75_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate generation, and the set sizes (n_shingles IS the set size,
     # so the separate size aggregation is gone). The signature table is
     # doc-count-sized (8 x 16-char sigs per doc — KBs per million docs),
-    # so it is persisted: column pruning gives each consumer a different
+    # so it is pinned: column pruning gives each consumer a different
     # aggregate schema, which defeats exchange reuse, and without the
     # cache the whole shingle->md5->aggregate pipeline would run once per
-    # consumer (the round-1 formulation measured ~3x the work).
+    # consumer (the round-1 formulation measured ~3x the work). pin()
+    # releases the blocks at the next query invocation (registry.py).
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = d.select(
         F.col("doc_id"), F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle")
     )
-    sigs = dd.minhash_signatures_from_shingles(sh, "doc_id", "shingle", _NUM_HASHES).persist()
+    sigs = pin(dd.minhash_signatures_from_shingles(sh, "doc_id", "shingle", _NUM_HASHES))
     cand = dd.candidate_pairs_from_signatures(sigs, "doc_id", _NUM_HASHES, _BANDS)
     a = sigs.select(
         F.col("doc_id").alias("id_a"),
@@ -2339,7 +2340,11 @@ def q90_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     assign = kmeans_assign(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
-    clustered = e.select("vec_id", "embedding").join(assign, "vec_id")
+    # clustered feeds BOTH the blocked pair join and the final label
+    # join-back; column pruning gives the two consumers different subplans,
+    # so without the pin the scan+assignment runs twice (the exact shape
+    # q91 fixed — measured ~1.8x before the persist). Doc-count-sized.
+    clustered = pin(e.select("vec_id", "embedding").join(assign, "vec_id"))
     pairs = sim.neardup_pairs_by_cosine(
         clustered, threshold=_SEMDEDUP_THRESHOLD, block_col="cluster"
     )
@@ -2429,20 +2434,19 @@ def _banding_sweep_sql() -> str:
     "S-curve measurement that picks the banding before a 100 TB dedup",
 )
 def q91_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Both shared inputs are persisted (the q75 lesson): the banding
+    # Both shared inputs are pinned (the q75 lesson): the banding
     # branches project different sig columns, which defeats exchange
     # canonicalization, so without the cache the shingle->md5->aggregate
     # pipeline runs once per band branch and the expensive df-capped
     # Jaccard self-join once per config (measured ~2x total). Both
     # tables are tiny: doc-count-sized sigs, pair-count-sized truth.
+    # pin() releases them at the next query invocation (registry.py).
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=_NUM_HASHES).persist()
-    truth = (
+    sigs = pin(dd.minhash_signatures(d, "doc_id", "text", num_hashes=_NUM_HASHES))
+    truth = pin(
         dd.ngram_jaccard_pairs(
             d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
-        )
-        .select("id_a", "id_b")
-        .persist()
+        ).select("id_a", "id_b")
     )
     outs = []
     for method, bands in _BAND_SWEEP:
