@@ -79,7 +79,12 @@ REGRESSION_THRESHOLD = 1.5
 # every earlier timing (e.g. a calibration query that now measures twice
 # the configs). Times recorded before that round are dropped from the
 # comparison baseline instead of producing a permanent false regression.
-REBASELINED = {"q82_lsh_recall": 4}
+REBASELINED = {
+    "q82_lsh_recall": 4,
+    # r5: bounded-error oracle added — now also computes the exact
+    # COUNT(DISTINCT) and exact percentile rank window per group
+    "q27_approx_stats": 5,
+}
 
 
 def load_prev_bench(sf: float | None) -> tuple[int, dict[str, float]] | None:

@@ -91,6 +91,9 @@ _LAST_GREEN_ROUND: dict[str, int] = {
 # once green they would otherwise sort by staleness and could fall outside
 # the window exactly when they most need re-verification.
 _MODIFIED_SINCE_GREEN: set[str] = {
+    # r5: bounded-error oracle replaced the rows-only check (also absent
+    # from _LAST_GREEN_ROUND, so it front-loads either way)
+    "q27_approx_stats",
     # r5: persisted the shared clustered subplan (q91's fix applied to q90)
     "q90_semantic_dedup",
     # r5: sweep inputs now unpersisted after the final union materializes

@@ -920,21 +920,58 @@ def q26_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q27 — approximate aggregates (no cross-engine oracle: sketches differ by
-# design; the driver records the weaker rows-only check)
+# q27 — approximate aggregates under a bounded-error oracle. Sketch values
+# differ per engine by design, so they cannot hash-match a DuckDB run —
+# instead the EXACT counterparts (row count, COUNT(DISTINCT)) are emitted
+# and cross-checked, and the sketches are asserted against their published
+# error bounds as booleans: HLL within 5x the requested rsd, approx median
+# inside the exact [0.49, 0.51] rank window (100x the 1/accuracy rank
+# guarantee). Both engines agree on the exact columns; the booleans are
+# TRUE on the oracle side and computed on the Spark side, so a sketch
+# drifting out of bound hash-mismatches and turns the row red.
 # ---------------------------------------------------------------------------
+_HLL_RSD = 0.02
+
+
 @register(
     "q27_approx_stats",
-    None,
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS n_distinct_parts,
+           TRUE AS hll_within_5rsd,
+           TRUE AS median_within_rank_window
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="approx_count_distinct (HLL) + percentile_approx: the constant-memory "
-    "sketch path for 100 TB cardinality/quantile estimation",
+    "sketch path for 100 TB cardinality/quantile estimation — verified by a "
+    "bounded-error oracle (exact values hash-checked cross-engine, sketches "
+    "asserted within their published error bounds as booleans)",
 )
 def q27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median_price"),
+    g = l.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
+        F.count_distinct("l_partkey").alias("n_distinct_parts"),
+        F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("__approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("__approx_median"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.49D, 0.51D))"
+        ).alias("__rank_window"),
+    )
+    within_rsd = (
+        F.abs(F.col("__approx_parts") - F.col("n_distinct_parts"))
+        <= F.lit(5 * _HLL_RSD) * F.col("n_distinct_parts")
+    )
+    within_rank = F.col("__approx_median").between(
+        F.col("__rank_window")[0], F.col("__rank_window")[1]
+    )
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        "n_distinct_parts",
+        within_rsd.alias("hll_within_5rsd"),
+        within_rank.alias("median_within_rank_window"),
     )
 
 
