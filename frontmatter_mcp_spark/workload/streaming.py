@@ -240,7 +240,17 @@ def q92_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keep = (risk == 0) & (n_tokens >= _MIN_TOKENS)
     stream = ingest.read_documents_stream(spark, sf_dir)
-    stats = ingest.unique_content_stats(stream, keep)
+    # The synthetic table has no arrival time, so one is DERIVED
+    # deterministically (doc_id mod 1h of seconds past a fixed epoch).
+    # The span (<=1h) is far inside the 24h retention, so every duplicate
+    # pair is deduped and the result equals the batch DISTINCT oracle —
+    # while the query itself runs the bounded-state operator
+    # (dropDuplicatesWithinWatermark) a real deployment needs.
+    stream = stream.withColumn(
+        "arrival_ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 3600),
+    )
+    stats = ingest.unique_content_stats(stream, keep, ts_col="arrival_ts")
     return ev.run_stream_to_batch(stats, "stream_ingest_gate_out").select(
         "source", "n_unique", "n_kept"
     )

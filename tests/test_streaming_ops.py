@@ -253,3 +253,87 @@ def test_stream_ingest_gate_matches_batch_distinct(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_ingest_gate_watermark_evicts_dedup_state(spark, tmp_path):
+    """The ingestion gate's fingerprint state must be BOUNDED by the
+    retention watermark, not corpus-sized: once the watermark passes a
+    fingerprint's arrival + retention its state is evicted, and a later
+    re-arrival of the same content is re-admitted (counted again). Three
+    single-file micro-batches: 'dup' arrives at t0; a filler 10 days
+    later advances the watermark far past t0 + 1h retention (evicting
+    'dup'); 'dup' re-arrives and must count AGAIN — n_unique == 3, which
+    is only possible if the state was dropped. The dedup operator's
+    numRowsRemoved metric confirms the eviction explicitly.
+
+    The watermark a batch applies comes from the END of the previous
+    batch, so eviction lands one batch after the filler that advanced
+    the clock — a second filler batch gives it room before the dup
+    re-arrives."""
+    import datetime
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from frontmatter_mcp_spark.streaming import events as ev
+    from frontmatter_mcp_spark.streaming import ingest
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    mid = t0 + datetime.timedelta(days=10)
+    later = mid + datetime.timedelta(minutes=1)
+
+    def write_file(name: str, rows, mtime: int) -> None:
+        tmp = str(tmp_path / "_tmp")
+        (
+            spark.createDataFrame(
+                rows, "doc_id long, source string, text string, arrival_ts timestamp"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        dest = str(d / name)
+        shutil.move(globmod.glob(tmp + "/part-*.parquet")[0], dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))  # file source orders by mod time
+
+    write_file("a.parquet", [(0, "s", "dup", t0)], 1_000)
+    write_file("b.parquet", [(1, "s", "filler", mid)], 2_000)
+    write_file("c.parquet", [(2, "s", "filler2", later)], 3_000)
+    write_file("d.parquet", [(3, "s", "dup", later)], 4_000)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, text string, arrival_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    stats = ingest.unique_content_stats(
+        stream, F.lit(True), ts_col="arrival_ts", retention="1 hour"
+    )
+    with ev._stream_state_partitions(spark):
+        q = (
+            stats.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("ingest_evict_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            removed = sum(
+                so.get("numRowsRemoved", 0)
+                for p in q.recentProgress
+                for so in p.get("stateOperators", [])
+                if "dedupe" in so.get("operatorName", "").lower()
+            )
+        finally:
+            q.stop()
+            q.awaitTermination()
+    got = {r.source: r.n_unique for r in spark.table("ingest_evict_out").collect()}
+    assert got == {"s": 4}, f"expected re-admission after eviction, got {got}"
+    assert removed >= 1, "dedup state was never evicted by the watermark"
