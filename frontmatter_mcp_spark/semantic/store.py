@@ -25,10 +25,23 @@ manifest-points-at-immutable-files commit protocol Iceberg/Delta use,
 scaled down to one JSON file.
 
 Superseded bucket directories are retired through the manifest and
-physically deleted one commit later, so a reader holding a manifest
-that is one commit stale still resolves every file it plans to scan
-(the scaled-down analogue of snapshot expiry). Writers are assumed
-single-process (the reference's DuckDB store has the same contract).
+physically deleted ``retention_commits`` commits later (default 1), so
+a reader holding a manifest that many commits stale still resolves
+every file it plans to scan (the scaled-down analogue of snapshot
+expiry — raise it for longer-running concurrent readers). Writers are
+assumed single-process (the reference's DuckDB store has the same
+contract).
+
+Long-running writers strand live buckets across ever more generation
+directories (one new generation per commit, each holding only the few
+buckets that commit touched — the lakehouse small-file problem).
+``compact()`` folds the buckets living in the OLDEST generations into
+one fresh generation whenever the live-generation count exceeds a
+bound; upsert/delete trigger it automatically, so the directory count
+a reader must list — and the small-file count under it — stays
+O(max_live_generations), not O(commits). Compaction reads only the
+stranded old-generation buckets, never the whole store, so its cost is
+incremental at any scale.
 
 The bucket id is the first 4 md5 hex digits of the path mod N_BUCKETS —
 engine-portable and stable across Spark versions — and is recomputed
@@ -64,8 +77,25 @@ def path_bucket(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int") % N_BUCKETS
 
 
+def _retired_entry(e: list) -> tuple[str, int, int]:
+    """(gen, bucket, retired_at_commit) from a manifest retired entry;
+    2-element entries predate the retention policy (retired_at 0 —
+    immediately past any grace window)."""
+    return str(e[0]), int(e[1]), int(e[2]) if len(e) > 2 else 0
+
+
 class EmbeddingStore:
-    def __init__(self, spark: SparkSession, store_dir: str | Path, model_name: str, dim: int) -> None:
+    # live-generation bound before upsert/delete trigger a compaction
+    MAX_LIVE_GENERATIONS = 16
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str | Path,
+        model_name: str,
+        dim: int,
+        retention_commits: int = 1,
+    ) -> None:
         self.spark = spark
         self.store_dir = Path(store_dir)
         self.data_dir = self.store_dir / "embeddings.parquet"
@@ -73,6 +103,7 @@ class EmbeddingStore:
         self.manifest_path = self.store_dir / "manifest.json"
         self.model_name = model_name
         self.dim = dim
+        self.retention_commits = max(1, retention_commits)
         self.store_dir.mkdir(parents=True, exist_ok=True)
         self._check_model_metadata()
         self._recover()
@@ -112,7 +143,7 @@ class EmbeddingStore:
             return
         m = self._load_manifest()
         live = {(g, int(b)) for b, g in m["buckets"].items()}
-        grace = {(g, int(b)) for g, b in m["retired"]}
+        grace = {(g, b) for g, b, _ in map(_retired_entry, m["retired"])}
         referenced = live | grace
         for gen_dir in self.data_dir.glob("gen-*"):
             if gen_dir.name.endswith(".staging"):
@@ -168,14 +199,16 @@ class EmbeddingStore:
         (the staging write executes the full merge plan while every
         directory it reads is immutable), then commit all touched
         buckets at once by flipping the manifest. Bucket dirs the new
-        manifest supersedes enter its ``retired`` list; dirs retired by
-        the PREVIOUS commit are deleted now — one commit of grace for
-        concurrent readers. A touched bucket with no surviving rows
-        simply leaves the manifest."""
+        manifest supersedes enter its ``retired`` list stamped with this
+        commit number; entries ``retention_commits`` commits old are
+        deleted now — that many commits of grace for concurrent readers.
+        A touched bucket with no surviving rows simply leaves the
+        manifest."""
         if not buckets:
             return
         m = self._load_manifest()
-        gen = f"gen-{m['gen'] + 1:06d}"
+        commit_no = m["gen"] + 1
+        gen = f"gen-{commit_no:06d}"
         staging = self.data_dir / (gen + ".staging")
         shutil.rmtree(staging, ignore_errors=True)
         (
@@ -185,6 +218,12 @@ class EmbeddingStore:
             .mode("overwrite")
             .parquet(str(staging))
         )
+        # a prior attempt that crashed between this rename and its
+        # manifest flip leaves the gen dir stranded (unreferenced by
+        # construction — the manifest's gen counter never advanced);
+        # os.replace onto a non-empty dir raises ENOTEMPTY and would
+        # wedge every subsequent write until the store is reopened
+        shutil.rmtree(self.data_dir / gen, ignore_errors=True)
         os.replace(staging, self.data_dir / gen)
 
         written = {
@@ -195,20 +234,55 @@ class EmbeddingStore:
         for b in buckets:
             prev = new_buckets.pop(str(b), None)
             if prev is not None:
-                newly_retired.append([prev, b])
+                newly_retired.append([prev, b, commit_no])
             if b in written:
                 new_buckets[str(b)] = gen
         if not written:
             shutil.rmtree(self.data_dir / gen, ignore_errors=True)
+        carried, expired = [], []
+        for g, b, at in map(_retired_entry, m["retired"]):
+            if commit_no - at >= self.retention_commits:
+                expired.append((g, b))
+            else:
+                carried.append([g, b, at])
         self._write_manifest(
-            {"gen": m["gen"] + 1, "buckets": new_buckets, "retired": newly_retired}
+            {
+                "gen": commit_no,
+                "buckets": new_buckets,
+                "retired": carried + newly_retired,
+            }
         )
-        # physical deletion of what the PREVIOUS commit retired
-        for old_gen, b in m["retired"]:
+        # physical deletion of retirements past the grace window
+        for old_gen, b in expired:
             shutil.rmtree(self._bucket_dir(old_gen, b), ignore_errors=True)
             gen_dir = self.data_dir / old_gen
             if gen_dir.exists() and not any(gen_dir.glob("bucket=*")):
                 shutil.rmtree(gen_dir, ignore_errors=True)
+
+    def live_generations(self) -> list[str]:
+        """Generation dirs the current manifest references as live."""
+        return sorted(set(self._load_manifest()["buckets"].values()))
+
+    def compact(self, max_live_gens: int | None = None) -> bool:
+        """Fold buckets stranded in old generations into one fresh
+        generation whenever live data is spread over more than
+        ``max_live_gens`` generation dirs. Only the buckets living in
+        the oldest generations are read and rewritten (the newest
+        ``max_live_gens - 1`` generations are untouched), so each pass
+        is incremental — never a full-store rewrite. Returns whether a
+        compaction ran."""
+        limit = self.MAX_LIVE_GENERATIONS if max_live_gens is None else max_live_gens
+        m = self._load_manifest()
+        gens = sorted(set(m["buckets"].values()))
+        if len(gens) <= limit:
+            return False
+        keep = set(gens[-(limit - 1):]) if limit > 1 else set()
+        old_buckets = sorted(int(b) for b, g in m["buckets"].items() if g not in keep)
+        current = self._read_with_bucket(old_buckets)
+        if current is None:
+            return False
+        self._commit(current.select("path", "mtime", "vector"), old_buckets)
+        return True
 
     def upsert(self, records: DataFrame) -> None:
         """Insert-or-replace by path (reference cache.py:127-141): new
@@ -228,6 +302,7 @@ class EmbeddingStore:
                 .unionByName(records)
             )
         self._commit(merged, buckets)
+        self.compact()
 
     def delete(self, paths: list[str]) -> None:
         if not paths:
@@ -241,6 +316,7 @@ class EmbeddingStore:
             ~F.col("path").isin(paths)
         )
         self._commit(survivors, buckets)
+        self.compact()
 
     def clear(self) -> None:
         with_manifest = Path(str(self.manifest_path) + ".tmp")

@@ -49,3 +49,67 @@ def test_store_matches_dict_model_under_random_ops(spark, tmp_path, seed):
         assert got == model, f"diverged at step {step} after {op}"
 
     assert store.count() == len(model)
+
+
+def test_store_size_bounded_under_sustained_churn(spark, tmp_path):
+    """A long-running writer must not strand live data across ever more
+    generation dirs: with auto-compaction the on-disk generation count
+    stays O(MAX_LIVE_GENERATIONS) however many commits have run, and
+    the contents remain exactly the dict model throughout."""
+    store = EmbeddingStore(spark, tmp_path / "churn", "m", DIM)
+    store.MAX_LIVE_GENERATIONS = 3
+    schema = store.read().schema
+    model: dict[str, tuple[float, list[float]]] = {}
+
+    for step in range(14):
+        p = PATHS[step % 7]
+        rows = [(p, float(step), _vec(step))]
+        store.upsert(spark.createDataFrame(rows, schema))
+        model[p] = (float(step), _vec(step))
+        on_disk = len(list(store.data_dir.glob("gen-*")))
+        # live gens <= 3 (compaction bound) plus at most a couple of
+        # retired dirs inside their one-commit grace window
+        assert on_disk <= 6, f"step {step}: {on_disk} generation dirs on disk"
+        assert len(store.live_generations()) <= 3
+
+    got = {r.path: (r.mtime, list(r.vector)) for r in store.read().collect()}
+    assert got == model
+
+
+def test_retention_grace_keeps_stale_reader_resolvable(spark, tmp_path):
+    """retention_commits widens the snapshot-expiry grace: a reader that
+    resolved the manifest N-1 commits ago must still find every file it
+    plans to scan. With retention_commits=3 a snapshot survives two
+    subsequent commits (and still sees its ORIGINAL values)."""
+    store = EmbeddingStore(spark, tmp_path / "grace", "m", DIM, retention_commits=3)
+    schema = store.read().schema
+    store.upsert(spark.createDataFrame([("a.md", 1.0, _vec(1))], schema))
+
+    snapshot = store.read()  # resolves the commit-1 manifest NOW, lazily
+    store.upsert(spark.createDataFrame([("a.md", 2.0, _vec(2))], schema))
+    store.upsert(spark.createDataFrame([("a.md", 3.0, _vec(3))], schema))
+
+    got = [(r.path, r.mtime) for r in snapshot.collect()]
+    assert got == [("a.md", 1.0)], got
+    assert [(r.path, r.mtime) for r in store.read().collect()] == [("a.md", 3.0)]
+
+
+def test_stranded_generation_does_not_wedge_commits(spark, tmp_path):
+    """A crash between the staging rename and the manifest flip strands
+    a fully-renamed generation dir while the manifest's counter never
+    advanced. The NEXT commit in the same process computes the same gen
+    name — os.replace onto the non-empty stranded dir used to raise
+    ENOTEMPTY and wedge every write until reopen. The stranded dir is
+    unreferenced by construction, so the commit must clear and proceed."""
+    store = EmbeddingStore(spark, tmp_path / "wedge", "m", DIM)
+    schema = store.read().schema
+    store.upsert(spark.createDataFrame([("a.md", 1.0, _vec(1))], schema))
+
+    m_gen = 1  # manifest gen after one commit
+    stranded = store.data_dir / f"gen-{m_gen + 1:06d}"
+    (stranded / "bucket=0").mkdir(parents=True)
+    (stranded / "bucket=0" / "part-junk.parquet").write_text("junk")
+
+    store.upsert(spark.createDataFrame([("b.md", 2.0, _vec(2))], schema))
+    got = {r.path: r.mtime for r in store.read().collect()}
+    assert got == {"a.md": 1.0, "b.md": 2.0}
