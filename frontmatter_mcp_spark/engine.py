@@ -248,16 +248,21 @@ class FrontmatterEngine:
         self.invalidate()
         return out
 
-    def _use_distributed(self, glob: str, distributed: bool | None) -> bool:
+    def _dispatch_mutation(
+        self, glob: str, distributed: bool | None
+    ) -> tuple[bool, list[Path] | None]:
         """Auto-dispatch rule for the batch mutation tools: an explicit
         flag wins; otherwise rewrite executor-parallel once the glob
         matches at least `distributed_mutation_threshold` files (below
         that, Spark job overhead exceeds the driver loop; both paths
-        produce byte-identical files and responses — tested)."""
+        produce byte-identical files and responses — tested). Returns
+        the listing the decision walked (None when the explicit flag
+        skipped it) so the driver-loop path reuses it instead of
+        re-walking the vault."""
         if distributed is not None:
-            return distributed
+            return distributed, None
         files = fm.collect_files(self.base_dir, glob)
-        return len(files) >= self.distributed_mutation_threshold
+        return len(files) >= self.distributed_mutation_threshold, files
 
     def batch_update(
         self,
@@ -266,10 +271,11 @@ class FrontmatterEngine:
         unset: list[str] | None = None,
         distributed: bool | None = None,
     ) -> dict[str, Any]:
-        if self._use_distributed(glob, distributed):
+        use_dist, files = self._dispatch_mutation(glob, distributed)
+        if use_dist:
             return self.batch_update_distributed(glob, set, unset)
         updated, warnings = [], []
-        for p in fm.collect_files(self.base_dir, glob):
+        for p in files if files is not None else fm.collect_files(self.base_dir, glob):
             rel = p.relative_to(self.base_dir).as_posix()
             try:
                 out = fm.update_file(p, self.base_dir, set, unset)
@@ -330,9 +336,11 @@ class FrontmatterEngine:
             {"updated_count": len(updated), "updated_files": updated}, warnings
         )
 
-    def _batch_array_op(self, glob: str, prop: str, op) -> dict[str, Any]:
+    def _batch_array_op(
+        self, glob: str, prop: str, op, files: list[Path] | None = None
+    ) -> dict[str, Any]:
         updated, warnings = [], []
-        for p in fm.collect_files(self.base_dir, glob):
+        for p in files if files is not None else fm.collect_files(self.base_dir, glob):
             rel = p.relative_to(self.base_dir).as_posix()
             try:
                 content = p.read_text(encoding="utf-8")
@@ -411,29 +419,31 @@ class FrontmatterEngine:
         allow_duplicates: bool = False,
         distributed: bool | None = None,
     ) -> dict[str, Any]:
-        run = (
-            self._batch_array_op_distributed
-            if self._use_distributed(glob, distributed)
-            else self._batch_array_op
-        )
-        return run(
+        return self._run_array_op(
             glob,
             property,
+            distributed,
             lambda cur, rel: mut.add_value(
                 cur, value, path=rel, prop=property, allow_duplicates=allow_duplicates
             ),
         )
 
+    def _run_array_op(
+        self, glob: str, prop: str, distributed: bool | None, op
+    ) -> dict[str, Any]:
+        use_dist, files = self._dispatch_mutation(glob, distributed)
+        if use_dist:
+            return self._batch_array_op_distributed(glob, prop, op)
+        return self._batch_array_op(glob, prop, op, files=files)
+
     def batch_array_remove(
         self, glob: str, property: str, value: Any, distributed: bool | None = None  # noqa: A002
     ) -> dict[str, Any]:
-        run = (
-            self._batch_array_op_distributed
-            if self._use_distributed(glob, distributed)
-            else self._batch_array_op
-        )
-        return run(
-            glob, property, lambda cur, rel: mut.remove_value(cur, value, path=rel, prop=property)
+        return self._run_array_op(
+            glob,
+            property,
+            distributed,
+            lambda cur, rel: mut.remove_value(cur, value, path=rel, prop=property),
         )
 
     def batch_array_replace(
@@ -444,14 +454,10 @@ class FrontmatterEngine:
         new_value: Any,
         distributed: bool | None = None,
     ) -> dict[str, Any]:
-        run = (
-            self._batch_array_op_distributed
-            if self._use_distributed(glob, distributed)
-            else self._batch_array_op
-        )
-        return run(
+        return self._run_array_op(
             glob,
             property,
+            distributed,
             lambda cur, rel: mut.replace_value(
                 cur, old_value, new_value, path=rel, prop=property
             ),
@@ -460,27 +466,21 @@ class FrontmatterEngine:
     def batch_array_sort(
         self, glob: str, property: str, reverse: bool = False, distributed: bool | None = None  # noqa: A002
     ) -> dict[str, Any]:
-        run = (
-            self._batch_array_op_distributed
-            if self._use_distributed(glob, distributed)
-            else self._batch_array_op
-        )
-        return run(
+        return self._run_array_op(
             glob,
             property,
+            distributed,
             lambda cur, rel: mut.sort_values(cur, path=rel, prop=property, reverse=reverse),
         )
 
     def batch_array_unique(
         self, glob: str, property: str, distributed: bool | None = None  # noqa: A002
     ) -> dict[str, Any]:
-        run = (
-            self._batch_array_op_distributed
-            if self._use_distributed(glob, distributed)
-            else self._batch_array_op
-        )
-        return run(
-            glob, property, lambda cur, rel: mut.unique_values(cur, path=rel, prop=property)
+        return self._run_array_op(
+            glob,
+            property,
+            distributed,
+            lambda cur, rel: mut.unique_values(cur, path=rel, prop=property),
         )
 
     # ------------------------------------------------------------------

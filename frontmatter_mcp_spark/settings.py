@@ -53,6 +53,15 @@ class Settings:
             raise ValueError("FRONTMATTER_BASE_DIR environment variable is required")
         cache = env.get("FRONTMATTER_CACHE_DIR")
         max_rows_raw = env.get("FRONTMATTER_MAX_ROWS", "").strip()
+        if max_rows_raw:
+            try:
+                max_rows = int(max_rows_raw)
+            except ValueError:
+                raise ValueError(
+                    f"FRONTMATTER_MAX_ROWS: cannot parse {max_rows_raw!r} as an integer"
+                ) from None
+        else:
+            max_rows = None
         return cls(
             frontmatter_base_dir=Path(base),
             frontmatter_enable_semantic=_parse_bool(
@@ -63,7 +72,7 @@ class Settings:
                 "FRONTMATTER_EMBEDDING_MODEL", DEFAULT_EMBEDDING_MODEL
             ),
             frontmatter_cache_dir=Path(cache) if cache else None,
-            frontmatter_max_rows=int(max_rows_raw) if max_rows_raw else None,
+            frontmatter_max_rows=max_rows,
         )
 
     @property

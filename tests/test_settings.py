@@ -64,6 +64,13 @@ def test_bool_parse_garbage_rejected(tmp_path):
         )
 
 
+def test_max_rows_garbage_names_the_var(tmp_path):
+    with pytest.raises(ValueError, match="FRONTMATTER_MAX_ROWS.*'lots'"):
+        Settings.from_env(
+            {"FRONTMATTER_BASE_DIR": str(tmp_path), "FRONTMATTER_MAX_ROWS": "lots"}
+        )
+
+
 def test_singleton_reads_process_env(tmp_path, monkeypatch):
     monkeypatch.setenv("FRONTMATTER_BASE_DIR", str(tmp_path))
     reset_settings()
