@@ -24,6 +24,18 @@ def hash_bucket(col: Column, buckets: int = 1000) -> Column:
     return (val % buckets).cast("int")
 
 
+def hash_bucket_sql(col: str, buckets: int = 1000) -> str:
+    """The exact same bucket computation as ``hash_bucket``, as an ANSI
+    SQL string a DuckDB oracle can run (strpos/substr digit folds)."""
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(1, 8):
+        expr = (
+            f"({expr}) * 16 + (strpos('{_HEX}', "
+            f"substr(md5(CAST({col} AS VARCHAR)), {i}, 1)) - 1)"
+        )
+    return f"CAST(({expr}) % {buckets} AS INT)"
+
+
 def assign_split(
     key: Column,
     train: float = 0.8,

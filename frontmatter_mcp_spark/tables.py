@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 TABLE_NAMES = [
     "region",
@@ -49,6 +49,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
+
+
+# ---------------------------------------------------------------------------
+# ingestion-batch fixture shape (incremental-dedup operators q70/q86)
+# ---------------------------------------------------------------------------
+# In a production pipeline every document row arrives stamped with the
+# ingestion batch that delivered it; the synthetic fixtures are read-only
+# and carry no such column, so the loading layer derives a deterministic
+# one (md5 hash bucket of doc_id — engine-portable) and serves it WITH the
+# table. Consumers split on the column like they would in production,
+# instead of re-deriving ad-hoc filters per query.
+INGEST_EXISTING_BUCKETS = 900  # of 1000 -> ~90% existing corpus, 10% incoming
+
+
+def ingest_batch_col(doc_id: Column) -> Column:
+    """'existing' | 'incoming' ingestion-batch stamp for a document id."""
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    return F.when(
+        hash_bucket(doc_id) < INGEST_EXISTING_BUCKETS, F.lit("existing")
+    ).otherwise(F.lit("incoming"))
+
+
+def ingest_batch_sql(col: str = "doc_id") -> str:
+    """The same stamp as ``ingest_batch_col`` in DuckDB-runnable SQL."""
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    return (
+        f"CASE WHEN {hash_bucket_sql(col)} < {INGEST_EXISTING_BUCKETS} "
+        "THEN 'existing' ELSE 'incoming' END"
+    )
+
+
+def load_documents_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with its ``ingest_batch`` column attached —
+    the fixture shape incremental operators consume."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.withColumn("ingest_batch", ingest_batch_col(F.col("doc_id")))
 
 
 def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:

@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import similarity as sim
 from frontmatter_mcp_spark.operators import text as tx
 from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
+from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
 from frontmatter_mcp_spark.workload.registry import pin, register
 
@@ -1177,12 +1178,7 @@ def q56_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_RATES = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 0.8, "zh": 1.0}
 
 
-def _hash_bucket_duck(col: str, buckets: int = 1000) -> str:
-    digits = " * 16 + ".join([])
-    expr = "CAST(0 AS BIGINT)"
-    for i in range(1, 8):
-        expr = f"({expr}) * 16 + (strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), {i}, 1)) - 1)"
-    return f"CAST(({expr}) % {buckets} AS INT)"
+from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql as _hash_bucket_duck  # noqa: E402
 
 
 def _split_sample_sql() -> str:
@@ -1399,32 +1395,29 @@ def _bloom_positions(fp: Column) -> Column:
     "q86_bloom_prefilter_dedup",
     f"""
     WITH tagged AS (
-      SELECT doc_id, md5(text) AS fp,
-             CASE WHEN {{b}} < 900 THEN 'existing' ELSE 'incoming' END AS batch
+      SELECT doc_id, md5(text) AS fp, {{b}} AS batch
       FROM documents
     )
     SELECT DISTINCT i.doc_id
     FROM tagged i JOIN tagged e ON i.fp = e.fp
     WHERE i.batch = 'incoming' AND e.batch = 'existing'
-    """.format(b=_hash_bucket_duck("doc_id")),
+    """.format(b=tables.ingest_batch_sql("doc_id")),
     doc="incremental exact dedup with a bloom prefilter: the existing "
     "batch's fingerprints build a compact bit-position set (bounded "
     "collect_set <= M, broadcast as one row); incoming docs failing ANY "
     "of the k membership bits never reach the join shuffle. The exact "
     "fingerprint join then removes bloom false positives, so the result "
     "is identical to the plain exact join (the oracle) — at 100 TB the "
-    "bloom turns a full-corpus shuffle into a shuffle of candidate hits",
+    "bloom turns a full-corpus shuffle into a shuffle of candidate hits. "
+    "The corpus/batch split comes from the loader's ingest_batch column "
+    "(tables.load_documents_batched), not a per-query filter",
 )
 def q86_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frontmatter_mcp_spark.operators import sampling as smp
-
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    d = ensure_parallelism(tables.load_documents_batched(spark, sf_dir), "doc_id")
     tagged = d.select(
         "doc_id",
         F.md5("text").alias("fp"),
-        F.when(smp.hash_bucket(F.col("doc_id")) < 900, F.lit("existing"))
-        .otherwise(F.lit("incoming"))
-        .alias("batch"),
+        F.col("ingest_batch").alias("batch"),
     )
     existing = tagged.filter(F.col("batch") == "existing")
     incoming = tagged.filter(F.col("batch") == "incoming")
@@ -1815,9 +1808,7 @@ def q64_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q70_incremental_dedup",
     f"""
     WITH tagged AS (
-      SELECT doc_id, text,
-             CASE WHEN {_hash_bucket_duck('doc_id')} < 900 THEN 'existing'
-                  ELSE 'incoming' END AS batch
+      SELECT doc_id, text, {tables.ingest_batch_sql('doc_id')} AS batch
       FROM documents
     ),
     exact_hit AS (
@@ -1858,18 +1849,13 @@ def q64_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against the existing corpus - exact_dup (content hash), near_dup "
     "(3-gram Jaccard >= 0.6 against any existing doc), or new. The "
     "existing side is never rescanned per doc: one hash join + one "
-    "shingle join, both on corpus-sized keys",
+    "shingle join, both on corpus-sized keys. The corpus/batch split "
+    "comes from the loader's ingest_batch column "
+    "(tables.load_documents_batched), not a per-query filter",
 )
 def q70_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frontmatter_mcp_spark.operators import sampling as smp
-
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    tagged = d.withColumn(
-        "batch",
-        F.when(smp.hash_bucket(F.col("doc_id")) < 900, F.lit("existing")).otherwise(
-            F.lit("incoming")
-        ),
-    )
+    d = ensure_parallelism(tables.load_documents_batched(spark, sf_dir), "doc_id")
+    tagged = d.withColumn("batch", F.col("ingest_batch"))
     incoming = tagged.filter(F.col("batch") == "incoming")
     existing = tagged.filter(F.col("batch") == "existing")
     exact_hit = (
