@@ -128,9 +128,16 @@ def load_prev_bench(sf: float | None) -> tuple[int, dict[str, float]] | None:
             # fragment; scrape whatever complete "name": secs pairs survive
             # — but only from the "queries" section: the vs_*/regressions
             # dicts that follow hold RATIOS under the same query names
-            # (scraping those poisoned the r03 comparison baseline)
+            # (scraping those poisoned the r03 comparison baseline). A tail
+            # that starts PAST the section markers is indistinguishable
+            # from a ratio fragment (the r04 record did exactly that and
+            # fed ~1.2 "second" baselines to every slow query), so scrape
+            # only when a marker proves which section we are in; dropped
+            # records lose nothing — every bench run (driver's included)
+            # writes its real per-query seconds into BENCH_LOCAL.json.
             tail = data.get("tail")
-            if isinstance(tail, str):
+            if isinstance(tail, str) and '"queries"' in tail:
+                tail = tail.split('"queries"', 1)[1]
                 tail = re.split(r'"vs_|"regressions"', tail)[0]
                 queries = {
                     k: float(v)
