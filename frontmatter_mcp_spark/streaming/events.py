@@ -161,6 +161,39 @@ def click_purchase_interval_join(events: DataFrame, horizon: str = "1 hour") -> 
 
 
 @contextlib.contextmanager
+def rocksdb_state_store(spark):
+    """Run streaming queries under the RocksDB state store provider —
+    the production choice when stateful-operator state (dedup
+    fingerprints, open windows, join buffers) exceeds executor heap:
+    state lives off-heap in a per-partition local RocksDB instead of an
+    in-memory map, so a 100 TB/day ingest gate's retention window is
+    bounded by local disk, not heap. The provider is picked up at query
+    START (per-query, not sticky in the checkpoint), so wrapping the
+    harness call is enough. Local default stays the HDFS-backed
+    in-memory provider — cheaper for bounded test state.
+
+    Every streaming operator here is provider-agnostic by construction;
+    tests assert identical results under both providers."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:  # unset — Spark raises on missing conf
+        old = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+@contextlib.contextmanager
 def _stream_state_partitions(spark, n: int = 8):
     """Stateful streaming spawns one state store per shuffle partition;
     for bounded local key cardinalities the batch-oriented partition

@@ -337,3 +337,20 @@ def test_ingest_gate_watermark_evicts_dedup_state(spark, tmp_path):
     got = {r.source: r.n_unique for r in spark.table("ingest_evict_out").collect()}
     assert got == {"s": 4}, f"expected re-admission after eviction, got {got}"
     assert removed >= 1, "dedup state was never evicted by the watermark"
+
+
+def test_streaming_results_identical_under_rocksdb_state_store(spark):
+    """The production state-store provider (RocksDB — off-heap state,
+    the 100 TB path where dedup fingerprints and open windows exceed
+    executor heap) must produce bit-identical results to the default
+    in-memory provider for the stateful query shapes: chained
+    dedup+agg (q92) and session windows (q52)."""
+    for name in ["q92_stream_ingest_gate", "q52_stream_sessions"]:
+        default_rows = sorted(
+            map(tuple, QUERIES[name].spark(spark, SF).collect())
+        )
+        with ev.rocksdb_state_store(spark):
+            rocks_rows = sorted(
+                map(tuple, QUERIES[name].spark(spark, SF).collect())
+            )
+        assert rocks_rows == default_rows, name
