@@ -28,9 +28,22 @@ Superseded bucket directories are retired through the manifest and
 physically deleted ``retention_commits`` commits later (default 1), so
 a reader holding a manifest that many commits stale still resolves
 every file it plans to scan (the scaled-down analogue of snapshot
-expiry — raise it for longer-running concurrent readers). Writers are
-assumed single-process (the reference's DuckDB store has the same
-contract).
+expiry — raise it for longer-running concurrent readers).
+
+**Multi-writer coordination**: every commit runs under an exclusive
+``flock`` on ``store_dir/writer.lock`` and re-reads the manifest AFTER
+acquiring it, so two writer processes on the same (shared) filesystem
+serialize their read-merge-flip cycles instead of silently dropping
+each other's buckets — the file-lock analogue of the lakehouse
+optimistic-CAS commit (here pessimistic: merges re-read bucket state
+under the lock, so there is nothing to retry). The reference's DuckDB
+file DB gets the equivalent from DuckDB's own file locking.
+
+**Time travel**: each commit also writes its manifest into
+``manifests/manifest-NNNNNN.json``; ``read(at_generation=G)`` resolves
+that snapshot as long as its bucket dirs survive the retention window
+(history files past retention are pruned with them) — the scaled-down
+Iceberg snapshot log.
 
 Long-running writers strand live buckets across ever more generation
 directories (one new generation per commit, each holding only the few
@@ -51,6 +64,7 @@ reading 3 buckets lists 3 directories, no partition discovery pass.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -101,12 +115,41 @@ class EmbeddingStore:
         self.data_dir = self.store_dir / "embeddings.parquet"
         self.meta_path = self.store_dir / "metadata.json"
         self.manifest_path = self.store_dir / "manifest.json"
+        self.history_dir = self.store_dir / "manifests"
+        self.lock_path = self.store_dir / "writer.lock"
         self.model_name = model_name
         self.dim = dim
         self.retention_commits = max(1, retention_commits)
+        self._lock_depth = 0
         self.store_dir.mkdir(parents=True, exist_ok=True)
         self._check_model_metadata()
         self._recover()
+
+    @contextlib.contextmanager
+    def _writer_lock(self):
+        """Exclusive flock serializing the whole read-merge-flip cycle
+        across writer PROCESSES on a shared filesystem (pessimistic
+        analogue of the lakehouse CAS commit — merges re-read bucket
+        state under the lock, so there is no retry path). Re-entrant
+        within this instance: compact() runs inside upsert's lock."""
+        if self._lock_depth > 0:
+            self._lock_depth += 1
+            try:
+                yield
+            finally:
+                self._lock_depth -= 1
+            return
+        import fcntl
+
+        self.lock_path.touch(exist_ok=True)
+        with open(self.lock_path) as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            self._lock_depth = 1
+            try:
+                yield
+            finally:
+                self._lock_depth = 0
+                fcntl.flock(fh, fcntl.LOCK_UN)
 
     # -- model-change invalidation (reference cache.py metadata tables) ----
     def _check_model_metadata(self) -> None:
@@ -127,6 +170,30 @@ class EmbeddingStore:
         tmp = Path(str(self.manifest_path) + ".tmp")
         tmp.write_text(json.dumps(manifest, sort_keys=True))
         os.replace(tmp, self.manifest_path)
+        # snapshot log: every committed manifest is also kept under its
+        # generation number while the dirs it references survive the
+        # retention window (the scaled-down Iceberg snapshot log)
+        self.history_dir.mkdir(exist_ok=True)
+        (self.history_dir / f"manifest-{manifest['gen']:06d}.json").write_text(
+            json.dumps(manifest, sort_keys=True)
+        )
+        for old in self.history_dir.glob("manifest-*.json"):
+            try:
+                g = int(old.stem.split("-", 1)[1])
+            except ValueError:
+                continue
+            if manifest["gen"] - g > self.retention_commits:
+                old.unlink(missing_ok=True)
+
+    def _load_manifest_at(self, generation: int) -> dict:
+        p = self.history_dir / f"manifest-{generation:06d}.json"
+        if not p.exists():
+            raise ValueError(
+                f"snapshot {generation} is not in the retention window "
+                f"(retention_commits={self.retention_commits}); "
+                f"available: {sorted(h.stem for h in self.history_dir.glob('manifest-*.json')) if self.history_dir.exists() else []}"
+            )
+        return json.loads(p.read_text())
 
     def _bucket_dir(self, gen: str, bucket: int) -> Path:
         return self.data_dir / gen / f"bucket={bucket}"
@@ -160,11 +227,13 @@ class EmbeddingStore:
                 shutil.rmtree(gen_dir, ignore_errors=True)
 
     # -- reads -------------------------------------------------------------
-    def _read_with_bucket(self, buckets: list[int] | None = None) -> DataFrame | None:
+    def _read_with_bucket(
+        self, buckets: list[int] | None = None, manifest: dict | None = None
+    ) -> DataFrame | None:
         """Snapshot resolved through the manifest (optionally restricted
         to ``buckets`` — pruning is pure path selection), or None when
         empty. ``bucket`` is recomputed from ``path``, not stored."""
-        m = self._load_manifest()
+        m = self._load_manifest() if manifest is None else manifest
         entries = [
             (int(b), g)
             for b, g in m["buckets"].items()
@@ -179,12 +248,21 @@ class EmbeddingStore:
             .withColumn("bucket", path_bucket(F.col("path")))
         )
 
-    def read(self) -> DataFrame:
-        """Current snapshot; empty (schema-stable) when nothing indexed."""
-        df = self._read_with_bucket()
+    def read(self, at_generation: int | None = None) -> DataFrame:
+        """Current snapshot — or, with ``at_generation``, the store as of
+        that committed generation (time travel; raises a directed error
+        once the snapshot has aged past the retention window). Empty
+        (schema-stable) when nothing indexed."""
+        manifest = (
+            None if at_generation is None else self._load_manifest_at(at_generation)
+        )
+        df = self._read_with_bucket(manifest=manifest)
         if df is None:
             return self.spark.createDataFrame([], STORE_SCHEMA)
         return df.select("path", "mtime", "vector")
+
+    def current_generation(self) -> int:
+        return int(self._load_manifest()["gen"])
 
     def count(self) -> int:
         return self.read().count()
@@ -272,17 +350,20 @@ class EmbeddingStore:
         is incremental — never a full-store rewrite. Returns whether a
         compaction ran."""
         limit = self.MAX_LIVE_GENERATIONS if max_live_gens is None else max_live_gens
-        m = self._load_manifest()
-        gens = sorted(set(m["buckets"].values()))
-        if len(gens) <= limit:
-            return False
-        keep = set(gens[-(limit - 1):]) if limit > 1 else set()
-        old_buckets = sorted(int(b) for b, g in m["buckets"].items() if g not in keep)
-        current = self._read_with_bucket(old_buckets)
-        if current is None:
-            return False
-        self._commit(current.select("path", "mtime", "vector"), old_buckets)
-        return True
+        with self._writer_lock():
+            m = self._load_manifest()
+            gens = sorted(set(m["buckets"].values()))
+            if len(gens) <= limit:
+                return False
+            keep = set(gens[-(limit - 1):]) if limit > 1 else set()
+            old_buckets = sorted(
+                int(b) for b, g in m["buckets"].items() if g not in keep
+            )
+            current = self._read_with_bucket(old_buckets)
+            if current is None:
+                return False
+            self._commit(current.select("path", "mtime", "vector"), old_buckets)
+            return True
 
     def upsert(self, records: DataFrame) -> None:
         """Insert-or-replace by path (reference cache.py:127-141): new
@@ -292,31 +373,33 @@ class EmbeddingStore:
         buckets = self._affected_buckets(records)
         if not buckets:
             return
-        current = self._read_with_bucket(buckets)
-        if current is None:
-            merged = records
-        else:
-            merged = (
-                current.select("path", "mtime", "vector")
-                .join(records.select("path"), "path", "left_anti")
-                .unionByName(records)
-            )
-        self._commit(merged, buckets)
-        self.compact()
+        with self._writer_lock():
+            current = self._read_with_bucket(buckets)
+            if current is None:
+                merged = records
+            else:
+                merged = (
+                    current.select("path", "mtime", "vector")
+                    .join(records.select("path"), "path", "left_anti")
+                    .unionByName(records)
+                )
+            self._commit(merged, buckets)
+            self.compact()
 
     def delete(self, paths: list[str]) -> None:
         if not paths:
             return
         paths_df = self.spark.createDataFrame([(p,) for p in paths], "path string")
         buckets = self._affected_buckets(paths_df)
-        current = self._read_with_bucket(buckets)
-        if current is None:
-            return
-        survivors = current.select("path", "mtime", "vector").filter(
-            ~F.col("path").isin(paths)
-        )
-        self._commit(survivors, buckets)
-        self.compact()
+        with self._writer_lock():
+            current = self._read_with_bucket(buckets)
+            if current is None:
+                return
+            survivors = current.select("path", "mtime", "vector").filter(
+                ~F.col("path").isin(paths)
+            )
+            self._commit(survivors, buckets)
+            self.compact()
 
     def clear(self) -> None:
         with_manifest = Path(str(self.manifest_path) + ".tmp")
@@ -325,4 +408,5 @@ class EmbeddingStore:
                 os.remove(p)
             except OSError:
                 pass
+        shutil.rmtree(self.history_dir, ignore_errors=True)
         shutil.rmtree(self.data_dir, ignore_errors=True)

@@ -113,3 +113,66 @@ def test_stranded_generation_does_not_wedge_commits(spark, tmp_path):
     store.upsert(spark.createDataFrame([("b.md", 2.0, _vec(2))], schema))
     got = {r.path: r.mtime for r in store.read().collect()}
     assert got == {"a.md": 1.0, "b.md": 2.0}
+
+
+def test_time_travel_within_retention(spark, tmp_path):
+    """read(at_generation=G) resolves the store as of commit G while the
+    snapshot's dirs survive the retention window, and raises a directed
+    error once it has aged out — the scaled-down Iceberg snapshot log."""
+    store = EmbeddingStore(spark, tmp_path / "tt", "m", DIM, retention_commits=2)
+    schema = store.read().schema
+    store.upsert(spark.createDataFrame([("a.md", 1.0, _vec(1))], schema))
+    g1 = store.current_generation()
+    store.upsert(spark.createDataFrame([("a.md", 2.0, _vec(2))], schema))
+
+    old = [(r.path, r.mtime) for r in store.read(at_generation=g1).collect()]
+    assert old == [("a.md", 1.0)]
+    assert [(r.path, r.mtime) for r in store.read().collect()] == [("a.md", 2.0)]
+
+    # two more commits age the g1 snapshot past retention_commits=2
+    store.upsert(spark.createDataFrame([("a.md", 3.0, _vec(3))], schema))
+    store.upsert(spark.createDataFrame([("a.md", 4.0, _vec(4))], schema))
+    with pytest.raises(ValueError, match="retention window"):
+        store.read(at_generation=g1)
+
+
+def test_concurrent_writers_serialize_instead_of_losing_updates(spark, tmp_path):
+    """Two writer handles upserting DIFFERENT paths in the SAME bucket
+    concurrently: without the writer lock one read-merge-flip can build
+    its merge from a manifest that predates the other's commit and
+    silently drop that bucket's rows. The flock serializes the whole
+    cycle, so every path must survive."""
+    import hashlib
+    import threading
+
+    def bucket_of(path: str) -> int:
+        return int(hashlib.md5(path.encode()).hexdigest()[:4], 16) % 64
+
+    # find several distinct paths hashing into one bucket
+    same_bucket = []
+    i = 0
+    while len(same_bucket) < 4:
+        p = f"doc_{i}.md"
+        if bucket_of(p) == bucket_of("doc_0.md"):
+            same_bucket.append(p)
+        i += 1
+
+    a = EmbeddingStore(spark, tmp_path / "mw", "m", DIM)
+    b = EmbeddingStore(spark, tmp_path / "mw", "m", DIM)
+    schema = a.read().schema
+    errs = []
+
+    def write(store, paths, mt):
+        try:
+            rows = [(p, mt, _vec(int(mt))) for p in paths]
+            store.upsert(spark.createDataFrame(rows, schema))
+        except Exception as e:  # noqa: BLE001 - surface in main thread
+            errs.append(e)
+
+    t1 = threading.Thread(target=write, args=(a, same_bucket[:2], 1.0))
+    t2 = threading.Thread(target=write, args=(b, same_bucket[2:], 2.0))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    got = {r.path for r in a.read().collect()}
+    assert got == set(same_bucket), f"lost update: {set(same_bucket) - got}"
