@@ -32,6 +32,10 @@ _SQL_FUNCTIONS: dict[str, str] = {
         "RETURNS BOOLEAN RETURN array_contains(arr, v)"
     ),
     # (no `len` alias needed: Spark 4 ships `len` natively)
+    "array_to_string": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION array_to_string(arr ARRAY<STRING>, sep STRING) "
+        "RETURNS STRING RETURN array_join(arr, sep)"
+    ),
     # vector kernels (reference exposes DuckDB VSS names)
     "array_cosine_similarity": (
         "CREATE OR REPLACE TEMPORARY FUNCTION array_cosine_similarity(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) "

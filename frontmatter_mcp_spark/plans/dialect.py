@@ -12,6 +12,13 @@ two syntactic DuckDB-isms exercised by the reference's README/tests
    Spark wants a DDL type: rewrite to ``from_json(col, 'array<string>')``.
 2. comma-UNNEST laterals: ``FROM files, UNNEST(expr) AS t(tag)`` —
    rewrite to ``FROM files LATERAL VIEW explode(expr) t AS tag``.
+3. DuckDB ``list_*`` lambda/utility functions over Spark's array
+   builtins. DuckDB and Spark share the same lambda syntax
+   (``x -> expr``), so these are pure function-name renames:
+   ``list_filter``→``filter``, ``list_transform``→``transform``,
+   ``list_sort``→``array_sort`` (both default ASC NULLS LAST),
+   ``list_distinct``→``array_distinct``,
+   ``string_split_regex``→``split``.
 
 The rewrites are deliberately conservative token-level transforms of
 exactly these documented constructs; any other SQL passes through
@@ -59,6 +66,27 @@ def _rewrite_comma_unnest(sql: str) -> str:
     return _UNNEST_RE.sub(
         lambda m: f" LATERAL VIEW explode({m.group('expr')}) {m.group('tab')} AS {m.group('col')}",
         sql,
+    )
+
+
+# DuckDB list function -> Spark array builtin taking the SAME arguments
+# (lambda syntax included — both engines spell it `x -> expr`)
+_LIST_FN_RENAMES = {
+    "list_filter": "filter",
+    "list_transform": "transform",
+    "list_sort": "array_sort",
+    "list_distinct": "array_distinct",
+    "string_split_regex": "split",
+}
+
+_LIST_FN_RE = re.compile(
+    r"\b(" + "|".join(_LIST_FN_RENAMES) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_list_functions(sql: str) -> str:
+    return _LIST_FN_RE.sub(
+        lambda m: _LIST_FN_RENAMES[m.group(1).lower()] + "(", sql
     )
 
 
@@ -166,4 +194,6 @@ def _rewrite_null_ordering(sql: str) -> str:
 def translate(sql: str) -> str:
     """Apply the documented DuckDB-ism rewrites; everything else passes
     through to Spark SQL verbatim."""
-    return _rewrite_null_ordering(_rewrite_comma_unnest(_rewrite_json_hint(sql)))
+    return _rewrite_null_ordering(
+        _rewrite_comma_unnest(_rewrite_list_functions(_rewrite_json_hint(sql)))
+    )

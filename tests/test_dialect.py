@@ -96,3 +96,41 @@ def test_column_named_rows_still_gets_modifier():
 def test_unknown_hint_untouched():
     sql = "SELECT from_json(x, '[\"STRUCTY\"]') FROM files"
     assert translate(sql) == sql
+
+
+def test_list_function_renames():
+    out = translate("SELECT list_filter(tags, t -> t <> 'x') FROM files")
+    assert out == "SELECT filter(tags, t -> t <> 'x') FROM files"
+    out = translate("SELECT LIST_TRANSFORM(tags, t -> upper(t)) FROM files")
+    assert out == "SELECT transform(tags, t -> upper(t)) FROM files"
+    out = translate("SELECT list_sort(list_distinct(tags)) FROM files")
+    assert out == "SELECT array_sort(array_distinct(tags)) FROM files"
+    out = translate("SELECT string_split_regex(trim(x), '\\s+') FROM files")
+    assert out == "SELECT split(trim(x), '\\s+') FROM files"
+    # word boundary: a user identifier CONTAINING a shim name is untouched
+    sql = "SELECT my_list_filter(x) FROM files"
+    assert translate(sql) == sql
+
+
+def test_list_lambda_end_to_end_through_engine(spark, tmp_path):
+    """A DuckDB-shaped tags query using list lambdas runs unchanged
+    against the engine (the reference forwards it verbatim to DuckDB)."""
+    from frontmatter_mcp_spark.engine import FrontmatterEngine
+
+    (tmp_path / "a.md").write_text("---\ntags: [python, spark, x]\n---\nbody\n")
+    (tmp_path / "b.md").write_text("---\ntags: [x]\n---\nbody\n")
+    eng = FrontmatterEngine(spark, tmp_path)
+    out = eng.query(
+        "*.md",
+        """
+        SELECT path,
+               array_to_string(
+                 list_sort(list_filter(from_json(tags, '["VARCHAR"]'), t -> t <> 'x')),
+                 ',') AS kept
+        FROM files ORDER BY path
+        """,
+    )
+    assert [(r["path"], r["kept"]) for r in out["results"]] == [
+        ("a.md", "python,spark"),
+        ("b.md", ""),
+    ]
