@@ -61,6 +61,99 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _word_spans_in_order(text: Column, n: int) -> Column:
+    """All word n-gram spans in position order (index i = span starting
+    at token i) — word_shingles WITHOUT the distinct, so posexplode
+    recovers each span's start position. Same slice/zip_with fold (no
+    element_at-in-transform — Catalyst does no CSE inside lambdas)."""
+    toks = F.split(F.trim(text), r"\s+", -1)
+    k = F.size(toks)
+    m = k - (n - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(k >= n, acc).otherwise(F.array().cast("array<string>"))
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_n: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL (the scrub variant of
+    q59's detection — Lee et al. 2022 remove the repeated substring and
+    keep the document): every token position covered by a word n-gram
+    span occurring in >= min_docs distinct documents is dropped, and
+    each document is rebuilt from its surviving tokens in order.
+
+    Returns (id, n_tokens INT, n_tokens_kept INT, cleaned_text STRING)
+    for every document (fully-scrubbed docs come back with 0 kept and
+    an empty string — the caller decides whether to drop them).
+
+    Shape at 100 TB: spans and tokens are narrow per-doc explodes; the
+    duplicated-span set is one groupBy(span) with map-side partial
+    counts over the DISTINCT (doc, span) pairs; covering positions join
+    doc spans to that set on the span key (O(corpus spans) shuffle,
+    never all-pairs — a universal span concentrates on one key but its
+    per-doc cover explode is bounded by doc length); the rebuild is one
+    groupBy(doc) whose order restoration is an array_sort over the
+    doc's own tokens (struct(pos, token) — pos is unique per doc, so
+    the sort is deterministic with no window exchange).
+    """
+    text = F.col(text_col)
+    toks_arr = F.split(F.trim(text), r"\s+", -1)
+    toks = df.select(
+        F.col(id_col), F.posexplode(toks_arr).alias("pos", "token")
+    )
+    doc_spans = df.select(
+        F.col(id_col),
+        F.posexplode(_word_spans_in_order(text, span_n)).alias("start", "span"),
+    )
+    dup_spans = (
+        doc_spans.select(id_col, "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("span")
+    )
+    covered = (
+        doc_spans.join(dup_spans, "span")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (span_n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    rebuilt = (
+        toks.join(covered, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("__kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.token,
+                ),
+                " ",
+            ).alias("__cleaned"),
+        )
+    )
+    base = df.select(F.col(id_col), F.size(toks_arr).cast("int").alias("n_tokens"))
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("__kept"), F.lit(0)).alias("n_tokens_kept"),
+        F.coalesce(F.col("__cleaned"), F.lit("")).alias("cleaned_text"),
+    )
+
+
 def minhash_signatures_from_shingles(
     sh: DataFrame,
     id_col: str,

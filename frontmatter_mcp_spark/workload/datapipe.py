@@ -1623,6 +1623,51 @@ def q60_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q93 — duplicate-span REMOVAL: scrub repeated spans, keep the documents
+# (the rewrite counterpart of q59's detection — ExactSubstr-style dedup)
+# ---------------------------------------------------------------------------
+@register(
+    "q93_duplicate_span_removal",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents),
+    tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS token
+            FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)),
+    sp AS (SELECT doc_id, i - 1 AS start,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS span
+           FROM toks, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+           WHERE len(w) >= 4),
+    dup AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp)
+            GROUP BY span HAVING COUNT(*) >= 2),
+    cov AS (SELECT DISTINCT sp.doc_id, start + j AS pos
+            FROM sp JOIN dup USING (span),
+                 UNNEST(generate_series(0, {_SPAN_N - 1})) AS u(j)),
+    kept AS (SELECT t.doc_id, t.pos, t.token FROM tok t
+             LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+             WHERE c.pos IS NULL),
+    reb AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens_kept,
+                   string_agg(token, ' ' ORDER BY pos) AS cleaned_text
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split_regex(trim(d.text), '\\s+')) AS INT) AS n_tokens,
+           COALESCE(reb.n_tokens_kept, 0) AS n_tokens_kept,
+           COALESCE(reb.cleaned_text, '') AS cleaned_text
+    FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id
+    """,
+    doc="ExactSubstr-style duplicate-span removal (Lee et al. 2022, the "
+    "scrub variant of q59): token positions covered by a word 4-gram "
+    "span occurring in >= 2 distinct docs are dropped and every doc is "
+    "rebuilt from its surviving tokens in order — integer/string math "
+    "only, so the rewrite is hash-verified cross-engine. One "
+    "groupBy(span) with map-side partials + one span-key join + one "
+    "per-doc rebuild with an array_sort (no window exchange)",
+)
+def q93_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    return dd.remove_duplicate_spans(d, "doc_id", "text", span_n=_SPAN_N, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
 # q61 — Gopher-style repetition / quality signals per document
 # ---------------------------------------------------------------------------
 @register(

@@ -296,3 +296,31 @@ def test_neardup_groups_isolated_and_chain(docs):
     assert got[1] == got[2] == got[3] == 1  # dup chain -> min id
     assert got[4] == 4 and got[5] == 5  # isolated docs: own id
     assert set(got) == {1, 2, 3, 4, 5}  # every doc labeled exactly once
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Duplicate-span scrub: positions covered by a cross-doc repeated
+    4-gram are dropped, docs are rebuilt in token order, fully-scrubbed
+    docs come back empty (not missing), short docs pass untouched."""
+    from frontmatter_mcp_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        # docs 1 and 2 share the leading 4-token span; their tails differ
+        (1, "all rights reserved worldwide alpha beta"),
+        (2, "all rights reserved worldwide gamma"),
+        # doc 3 is exactly the shared span -> fully scrubbed
+        (3, "all rights reserved worldwide"),
+        # doc 4: 3 tokens — too short to form a span, untouched
+        (4, "tiny unique doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_tokens_kept, r.cleaned_text)
+        for r in remove_duplicate_spans(df, "doc_id", "text", span_n=4).collect()
+    }
+    assert got == {
+        1: (6, 2, "alpha beta"),
+        2: (5, 1, "gamma"),
+        3: (4, 0, ""),
+        4: (3, 3, "tiny unique doc"),
+    }
