@@ -143,6 +143,60 @@ def tfidf_top_terms(
     )
 
 
+def unigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style unigram LM quality proxy: each document's mean token
+    negative log-likelihood under the corpus's OWN unigram distribution
+    — low = templated/common text, high = rare-token (often noisy)
+    text; production pipelines threshold both tails before training.
+
+    Per doc: mean over token occurrences of -ln(c(t)/N) computed as
+    (ln N - ln c(t)) * tf summed per DISTINCT in-doc term. Determinism:
+    per-term doubles go through DECIMAL(28,12) before the sum so the
+    aggregate is order/partition independent (the q77 technique), and
+    the mean is rounded to 6 decimals (the q33 convention) because ln
+    itself is NOT bit-portable — JVM Math.log and libm disagree by
+    1 ulp on some operands (measured: ln(936.0)), which the rounding
+    absorbs.
+
+    Shape at 100 TB: per-doc term counts aggregate map-side; the vocab
+    join shuffles on the term key (hot tokens are skewed keys — AQE
+    splits them; counts were already collapsed map-side); N travels as
+    a one-row broadcast. Docs with no tokens return (0, NULL).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    totals = vocab.agg(F.sum("c").alias("n_total"))
+    terms = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("tf"),
+            (
+                (
+                    F.log(F.col("n_total").cast("double"))
+                    - F.log(F.col("c").cast("double"))
+                )
+                * F.col("tf")
+            )
+            .cast("decimal(28,12)")
+            .alias("nll_term"),
+        )
+    )
+    agg = terms.groupBy(id_col).agg(
+        F.sum("tf").cast("int").alias("__n"),
+        F.round(F.sum("nll_term").cast("double") / F.sum("tf"), 6).alias("__nll"),
+    )
+    return df.select(F.col(id_col)).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_tokens"),
+        F.col("__nll").alias("nll_mean"),
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document text profile (narrow map, no shuffle)."""
     t = F.col(text_col)

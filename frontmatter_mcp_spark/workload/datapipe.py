@@ -1668,6 +1668,48 @@ def q93_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q94 — unigram LM quality score (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+@register(
+    "q94_unigram_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(w) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    vocab AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n_total FROM vocab),
+    terms AS (
+      SELECT doc_id, tf,
+             CAST((ln(CAST(n_total AS DOUBLE)) - ln(CAST(c AS DOUBLE))) * tf
+                  AS DECIMAL(28,12)) AS nll_term
+      FROM tf JOIN vocab USING (term) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(tf) AS INT) AS n_tokens,
+             ROUND(CAST(SUM(nll_term) AS DOUBLE) / SUM(tf), 6) AS nll_mean
+      FROM terms GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens, agg.nll_mean
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="CCNet-style unigram LM quality proxy: per-doc mean token "
+    "-ln(c(t)/N) under the corpus's own unigram distribution — the LM "
+    "filter stage of a pre-training pipeline (threshold both tails). "
+    "Map-side term counts, one vocab shuffle on the term key, N as a "
+    "one-row broadcast; DECIMAL-exact per-term sums keep the double "
+    "aggregate order-independent (hash-verified vs DuckDB)",
+)
+def q94_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    return tx.unigram_nll(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # q61 — Gopher-style repetition / quality signals per document
 # ---------------------------------------------------------------------------
 @register(
