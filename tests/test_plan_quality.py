@@ -276,3 +276,24 @@ def test_q90_semantic_dedup_pair_join_is_cluster_blocked(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert re.search(r"Left keys \[1\]: \[cluster#\d+\]", plan), plan
+
+
+def test_q93_span_scrub_is_jvm_side_with_partial_aggs(spark):
+    """Duplicate-span removal: pure codegen (no Python eval nodes), the
+    duplicated-span aggregate combines map-side, and the doc rebuild is
+    an aggregate — not a window (no per-doc sort exchange)."""
+    plan = formatted_plan(spark, "q93_duplicate_span_removal")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial counts
+    assert "Window" not in plan  # rebuild is array_sort-in-agg, no window
+
+
+def test_q94_unigram_lm_broadcasts_total_only(spark):
+    """Unigram LM score: no Python, the corpus-total N rides in as a
+    one-row broadcast (BroadcastNestedLoopJoin over a single-row agg is
+    fine; a shuffle for one row is not), and the vocab join shuffles on
+    the term key rather than broadcasting a corpus-sized side."""
+    plan = formatted_plan(spark, "q94_unigram_lm_score")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
