@@ -1710,6 +1710,147 @@ def q94_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q95 — training-set manifest: the full cleaning pipeline as ONE plan
+# (quality gate + exact-dup keeper rule + split + decontamination)
+# ---------------------------------------------------------------------------
+def _training_manifest_sql() -> str:
+    pii = (
+        f"len(regexp_extract_all(text, '{_PII_PATTERNS['n_emails']}')) * 5"
+        f" + len(regexp_extract_all(text, '{_PII_PATTERNS['n_long_digit_runs']}')) * 3"
+        f" + len(regexp_extract_all(text, '{_PII_PATTERNS['n_phones']}')) * 4"
+    )
+    b = _hash_bucket_duck("doc_id")
+    return f"""
+    WITH stats AS (
+      SELECT source,
+             quantile_cont(n_chars, {_LEN_P_LOW!r}) AS p_low,
+             quantile_cont(n_chars, {_LEN_P_HIGH!r}) AS p_high
+      FROM documents GROUP BY source
+    ),
+    keepers AS (
+      SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id
+      FROM documents GROUP BY 1
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN {b} < 800 THEN 'train'
+                  WHEN {b} < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    {_SPANS_CTE},
+    test_spans AS (
+      SELECT DISTINCT span FROM sp JOIN splits USING (doc_id)
+      WHERE split = 'test'
+    ),
+    contaminated AS (
+      SELECT DISTINCT sp.doc_id
+      FROM sp JOIN splits USING (doc_id) JOIN test_spans USING (span)
+      WHERE split = 'train'
+    ),
+    verdicts AS (
+      SELECT d.doc_id, d.source, splits.split,
+             list_filter(
+               [
+                 CASE WHEN ({pii}) > 0 THEN 'pii_risk' END,
+                 CASE WHEN len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                               t -> t <> '')) < {_MIN_TOKENS} THEN 'tiny_doc' END,
+                 CASE WHEN d.n_chars < s.p_low THEN 'too_short'
+                      WHEN d.n_chars > s.p_high THEN 'too_long' END,
+                 CASE WHEN d.doc_id <> k.keeper_id THEN 'exact_dup' END,
+                 CASE WHEN c.doc_id IS NOT NULL THEN 'contaminated' END
+               ], r -> r IS NOT NULL) AS reasons
+      FROM documents d
+      JOIN stats s ON s.source = d.source
+      JOIN keepers k ON k.fp = md5(d.text)
+      JOIN splits ON splits.doc_id = d.doc_id
+      LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, source, split,
+           len(reasons) = 0 AS included,
+           coalesce(array_to_string(list_sort(reasons), ','), '') AS reasons
+    FROM verdicts
+    """
+
+
+@register(
+    "q95_training_manifest",
+    _training_manifest_sql(),
+    doc="the full pre-training cleaning pipeline composed as ONE "
+    "declarative plan — quality gate (q88: PII + per-source length "
+    "fences + tiny docs), exact-dup keeper rule (q30), hash-bucket "
+    "split (q57), and train-vs-test span decontamination (q60) — "
+    "emitting the final per-doc manifest (split, included, audit "
+    "reasons). Catalyst sees one DAG: three aggregates over the corpus "
+    "scan (broadcast stats, fingerprint keepers, span sets) feed one "
+    "manifest join; at 100 TB the expensive exchanges are the "
+    "fingerprint groupBy and the span-key join, both O(corpus), both "
+    "map-side-combined — composition adds NO new shuffle class over "
+    "running the stages separately",
+)
+def q95_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators import sampling as smp
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = F.col("text")
+
+    stats = d.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(_LEN_P_LOW)).alias("p_low"),
+        F.percentile("n_chars", F.lit(_LEN_P_HIGH)).alias("p_high"),
+    )
+    keepers = d.groupBy(F.md5(t).alias("fp")).agg(F.min("doc_id").alias("keeper_id"))
+
+    splits = d.select("doc_id", smp.assign_split(F.col("doc_id")).alias("split"))
+    spans = d.select(
+        "doc_id", F.explode(dd.word_shingles(t, _SPAN_N)).alias("span")
+    ).join(splits, "doc_id")
+    test_spans = spans.filter(F.col("split") == "test").select("span").distinct()
+    contaminated = (
+        spans.filter(F.col("split") == "train")
+        .join(test_spans, "span")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__contam", F.lit(1))
+    )
+
+    risk = (
+        F.regexp_count(t, F.lit(_PII_PATTERNS["n_emails"])) * 5
+        + F.regexp_count(t, F.lit(_PII_PATTERNS["n_long_digit_runs"])) * 3
+        + F.regexp_count(t, F.lit(_PII_PATTERNS["n_phones"])) * 4
+    )
+    n_tokens = F.size(F.filter(F.split(F.trim(t), r"\s+", -1), lambda x: x != F.lit("")))
+    reasons = F.array_sort(
+        F.filter(
+            F.array(
+                F.when(risk > 0, F.lit("pii_risk")),
+                F.when(n_tokens < _MIN_TOKENS, F.lit("tiny_doc")),
+                F.when(F.col("n_chars") < F.col("p_low"), F.lit("too_short")).when(
+                    F.col("n_chars") > F.col("p_high"), F.lit("too_long")
+                ),
+                F.when(F.col("doc_id") != F.col("keeper_id"), F.lit("exact_dup")),
+                F.when(F.col("__contam").isNotNull(), F.lit("contaminated")),
+            ),
+            lambda r: r.isNotNull(),
+        )
+    )
+    return (
+        d.join(F.broadcast(stats), "source")
+        .withColumn("fp", F.md5(t))
+        .join(keepers, "fp")
+        .join(splits, "doc_id")
+        .join(contaminated, "doc_id", "left")
+        .select("doc_id", "source", "split", reasons.alias("reasons"))
+        .select(
+            "doc_id",
+            "source",
+            "split",
+            (F.size("reasons") == 0).alias("included"),
+            F.array_join("reasons", ",").alias("reasons"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q61 — Gopher-style repetition / quality signals per document
 # ---------------------------------------------------------------------------
 @register(

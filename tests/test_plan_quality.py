@@ -297,3 +297,15 @@ def test_q94_unigram_lm_broadcasts_total_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q95_manifest_composition_shape(spark):
+    """The composed cleaning pipeline must not cost a new shuffle class
+    over its stages run separately: no Python eval nodes, the per-source
+    stats join is broadcast, no cartesian product, and partial
+    aggregation feeds the fingerprint/span exchanges."""
+    plan = formatted_plan(spark, "q95_training_manifest")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # stats/keepers/spans partials
