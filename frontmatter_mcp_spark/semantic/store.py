@@ -341,6 +341,41 @@ class EmbeddingStore:
         """Generation dirs the current manifest references as live."""
         return sorted(set(self._load_manifest()["buckets"].values()))
 
+    def vacuum(self) -> int:
+        """Prune retired bucket dirs and snapshot-log entries that have
+        aged past the CURRENT retention policy, without committing new
+        data. Scheduled deletion runs only at commit time, so an
+        operator who LOWERS retention_commits on an existing store (or
+        stops writing entirely) calls this to reclaim space now.
+        Returns the number of bucket dirs physically removed."""
+        with self._writer_lock():
+            m = self._load_manifest()
+            commit_no = int(m["gen"])
+            carried, expired = [], []
+            for g, b, at in map(_retired_entry, m["retired"]):
+                if commit_no - at >= self.retention_commits:
+                    expired.append((g, b))
+                else:
+                    carried.append([g, b, at])
+            if expired:
+                self._write_manifest(
+                    {"gen": commit_no, "buckets": m["buckets"], "retired": carried}
+                )
+                for old_gen, b in expired:
+                    shutil.rmtree(self._bucket_dir(old_gen, b), ignore_errors=True)
+                    gen_dir = self.data_dir / old_gen
+                    if gen_dir.exists() and not any(gen_dir.glob("bucket=*")):
+                        shutil.rmtree(gen_dir, ignore_errors=True)
+            if self.history_dir.exists():
+                for old in self.history_dir.glob("manifest-*.json"):
+                    try:
+                        g = int(old.stem.split("-", 1)[1])
+                    except ValueError:
+                        continue
+                    if commit_no - g > self.retention_commits:
+                        old.unlink(missing_ok=True)
+            return len(expired)
+
     def compact(self, max_live_gens: int | None = None) -> bool:
         """Fold buckets stranded in old generations into one fresh
         generation whenever live data is spread over more than

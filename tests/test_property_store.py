@@ -176,3 +176,25 @@ def test_concurrent_writers_serialize_instead_of_losing_updates(spark, tmp_path)
 
     got = {r.path for r in a.read().collect()}
     assert got == set(same_bucket), f"lost update: {set(same_bucket) - got}"
+
+
+def test_vacuum_reclaims_after_lowering_retention(spark, tmp_path):
+    """vacuum() prunes retired dirs and snapshot-log entries past the
+    CURRENT policy without a new commit — the path for an operator who
+    lowers retention_commits on an existing store (scheduled deletion
+    only runs at commit time)."""
+    store = EmbeddingStore(spark, tmp_path / "v", "m", DIM, retention_commits=5)
+    schema = store.read().schema
+    for step in range(4):
+        store.upsert(spark.createDataFrame([("a.md", float(step), _vec(step))], schema))
+    # retirements from commits 2-4 are all still inside the wide window
+    assert len(list(store.data_dir.glob("gen-*"))) == 4
+
+    lowered = EmbeddingStore(spark, tmp_path / "v", "m", DIM, retention_commits=1)
+    removed = lowered.vacuum()
+    assert removed >= 2
+    assert len(list(lowered.data_dir.glob("gen-*"))) <= 2  # live + 1 grace
+    assert [(r.path, r.mtime) for r in lowered.read().collect()] == [("a.md", 3.0)]
+    history = sorted(p.name for p in lowered.history_dir.glob("manifest-*.json"))
+    assert history == ["manifest-000003.json", "manifest-000004.json"]
+    assert lowered.vacuum() == 0  # idempotent
