@@ -354,3 +354,66 @@ def test_streaming_results_identical_under_rocksdb_state_store(spark):
                 map(tuple, QUERIES[name].spark(spark, SF).collect())
             )
         assert rocks_rows == default_rows, name
+
+
+def test_checkpoint_restart_recovers_state_without_double_count(spark, tmp_path):
+    """Stop a stateful streaming query mid-stream and restart it from
+    the same checkpoint: the restarted query must resume from the
+    recorded source offsets with its aggregation state intact — every
+    event counted exactly once across the restart. This is the
+    recovery contract a production deployment (Kafka + object-store
+    checkpoints) leans on; the file source exercises the same offset
+    log and state store machinery."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ckpt_events"
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    _write_events_parquet(
+        spark, src,
+        [(i, t0 + dt.timedelta(minutes=i), i % 2, "view", 1.0, "{}") for i in range(4)],
+    )
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        agg = stream.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("event_id").cast("long").alias("id_sum")
+        )
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("ckpt_out")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    with ev._stream_state_partitions(spark):
+        q = start_query()
+        try:
+            q.processAllAvailable()  # consumes file 1 (and any listed so far)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        # new data arrives while the query is DOWN
+        _write_events_parquet(
+            spark, src,
+            [(i, t0 + dt.timedelta(minutes=i), i % 2, "view", 1.0, "{}") for i in range(4, 8)],
+        )
+        q = start_query()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    got = {r.user_id: (r.n, r.id_sum) for r in spark.table("ckpt_out").collect()}
+    # 8 events total, exactly once: evens -> user 0, odds -> user 1
+    assert got == {0: (4, 0 + 2 + 4 + 6), 1: (4, 1 + 3 + 5 + 7)}, got
