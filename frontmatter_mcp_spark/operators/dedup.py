@@ -295,6 +295,7 @@ def neardup_groups(
     threshold: float = 0.4,
     max_df: int = 50,
     iters: int = 3,
+    persist_fn=None,
 ) -> DataFrame:
     """Assign every document a near-dup group id: the minimum doc id
     reachable over the Jaccard-pair graph — the keeper-selection step
@@ -315,15 +316,22 @@ def neardup_groups(
     the final label join-back.
     """
     pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold, max_df)
-    # The edge subplan appears once per propagation round in the final
-    # plan; Catalyst's ReuseExchange computes the expensive shingle
-    # self-join shuffle once per action, so no explicit persist is needed
-    # (measured: persist only adds cache-serialization overhead here).
+    # Each propagation round nests the previous round's labels plan on
+    # BOTH sides of its join, so the edge subplan — and the expensive
+    # df-capped shingle self-join under it — appears O(2^iters) times in
+    # the final DAG, and exchange reuse does not canonicalize the
+    # differing nestings away. Both the edge list and the per-round
+    # label tables are tiny (pair-/graph-node-sized), so the caller
+    # passes a persist hook (workload pin) and every round reads caches
+    # instead of replaying the pipeline — measured ~1.5x on the full
+    # query at sf0.1 (5.5s -> 3.7s), the q75/q90/q91 lesson again.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
+    if persist_fn is not None:
+        edges = persist_fn(edges)
     # symmetric edges: distinct src enumerates every non-isolated node
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -343,6 +351,11 @@ def neardup_groups(
                 ).alias("label"),
             )
         )
+        # each round references the previous labels TWICE (its own join
+        # plus the neighbor aggregate), so without a cache the label
+        # subplan doubles per round; the table is graph-node-sized
+        if persist_fn is not None:
+            labels = persist_fn(labels)
     return (
         df.select(F.col(id_col))
         .join(labels, df[id_col] == labels.node, "left")

@@ -96,6 +96,8 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q27_approx_stats",
     # r5: persisted the shared clustered subplan (q91's fix applied to q90)
     "q90_semantic_dedup",
+    # r5: label-propagation rounds now pin edges + per-round labels
+    "q56_neardup_groups",
     # r5: sweep inputs now unpersisted after the final union materializes
     "q91_banding_sweep",
     # r5: ingestion gate state bounded by a watermark
