@@ -81,3 +81,20 @@ def test_reorder_is_idempotent():
     before = list(QUERIES)
     workload._reorder_for_driver_window()
     assert list(QUERIES) == before
+
+
+def test_pinned_blocks_release_at_next_query(spark):
+    """registry.pin() lifecycle end-to-end: a query that pins shared
+    subplans (q91) leaves its cached blocks in executor storage after
+    materialization — the returned DataFrame needed them — and the NEXT
+    query invocation releases them, so storage never accumulates across
+    a full bench session."""
+    from frontmatter_mcp_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    QUERIES["q91_banding_sweep"].spark(spark, sf).collect()
+    sc = spark.sparkContext._jsc.sc()
+    assert len(sc.getRDDStorageInfo()) > 0  # q91's pins still resident
+
+    QUERIES["q01_pricing_summary"].spark(spark, sf).collect()
+    assert len(sc.getRDDStorageInfo()) == 0  # released on next invocation
