@@ -98,6 +98,8 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q90_semantic_dedup",
     # r5: label-propagation rounds now pin edges + per-round labels
     "q56_neardup_groups",
+    # r5: blocked-pair cosine now precomputes per-vector norms
+    "q38_embedding_neardup",
     # r5: sweep inputs now unpersisted after the final union materializes
     "q91_banding_sweep",
     # r5: ingestion gate state bounded by a watermark
