@@ -287,6 +287,85 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return votes.select(F.col(id_col), F.concat(*bits_cols).alias("simhash"))
 
 
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 40,
+    persist_fn=None,
+) -> DataFrame:
+    """SimHash near-dup candidates via bit-banding + Hamming verify —
+    the blocking step q34's signatures feed (SimHash's analogue of
+    MinHash-LSH banding, q32). The signature splits into ``bands``
+    equal bit slices; documents sharing ANY exact slice become
+    candidates, then the full-width Hamming distance filters to
+    ``max_hamming``. Pigeonhole guarantee: a pair within Hamming
+    distance d < bands differs in at most d slices, so it must agree
+    on at least one — with max_hamming = bands - 1 the banding loses
+    nothing versus all-pairs among surviving buckets.
+
+    ``max_bucket`` is the skew guard (the df-cap discipline of
+    ngram_jaccard_pairs applied to band buckets): a bucket holding more
+    than ``max_bucket`` docs is dropped BEFORE the self-join, bounding
+    candidates to O(buckets x max_bucket^2) instead of quadratic in the
+    largest near-identical cluster. Mega-clusters of identical
+    signatures are exact-duplicate territory the hash dedup (q30)
+    removes upstream; banding targets the near-miss tail. A qualifying
+    pair is still found through any OTHER shared slice whose bucket is
+    small enough.
+
+    Shape at 100 TB: the band join shuffles on (band, slice) —
+    O(corpus x bands) rows, never all-pairs; the bucket-size cap rides
+    in as a broadcast semi-join of the (band, slice) survivors. The
+    Hamming verify is a fixed 32-term codegen expression per candidate.
+    Returns (id_a, id_b, hamming), distance 0 included.
+    """
+    sigs = simhash(df, id_col, text_col, bits)
+    if persist_fn is not None:
+        # sigs feeds the band explode AND both verify sides — doc-count
+        # sized, cache instead of recomputing the vote aggregate 3x
+        sigs = persist_fn(sigs)
+    rpb = bits // bands
+    slices = F.array(
+        *[F.substring("simhash", b * rpb + 1, rpb) for b in range(bands)]
+    )
+    banded = sigs.select(F.col(id_col), F.posexplode(slices).alias("band", "slice"))
+    small_buckets = (
+        banded.groupBy("band", "slice")
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .select("band", "slice")
+    )
+    banded = banded.join(F.broadcast(small_buckets), ["band", "slice"])
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "slice"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sig_b"))
+    hamming = sum(
+        F.when(
+            F.substring("__sig_a", j + 1, 1) != F.substring("__sig_b", j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(bits)
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def neardup_groups(
     df: DataFrame,
     id_col: str,

@@ -222,6 +222,72 @@ def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q96 — SimHash banding candidates + Hamming verify (q34's blocking step)
+# ---------------------------------------------------------------------------
+_SIMHASH_BANDS = 4
+_SIMHASH_MAX_HAMMING = 3
+_SIMHASH_MAX_BUCKET = 40
+
+
+def _simhash_pairs_sql() -> str:
+    rpb = _SIMHASH_BITS // _SIMHASH_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, substr(simhash, {b * rpb + 1}, {rpb}) AS slice"
+        " FROM sigs"
+        for b in range(_SIMHASH_BANDS)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN substr(sa.simhash, {j + 1}, 1) <> substr(sb.simhash, {j + 1}, 1)"
+        " THEN 1 ELSE 0 END"
+        for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH sigs AS ({_simhash_sql()}),
+    banded_all AS ({band_rows}),
+    small AS (
+      SELECT band, slice FROM banded_all GROUP BY 1, 2
+      HAVING COUNT(*) <= {_SIMHASH_MAX_BUCKET}
+    ),
+    banded AS (SELECT banded_all.* FROM banded_all JOIN small USING (band, slice)),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b, CAST(({hamming}) AS INT) AS hamming
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = id_a
+    JOIN sigs sb ON sb.doc_id = id_b
+    WHERE ({hamming}) <= {_SIMHASH_MAX_HAMMING}
+    """
+
+
+@register(
+    "q96_simhash_candidates",
+    _simhash_pairs_sql(),
+    doc="SimHash banding candidates + full-width Hamming verify — the "
+    "blocking step q34's signatures feed (SimHash's analogue of q32's "
+    "MinHash-LSH banding). Pigeonhole-complete among surviving buckets "
+    "(4 bands, max Hamming 3: a qualifying pair must share an exact "
+    "8-bit slice); oversized band buckets are dropped pre-join (the "
+    "df-cap discipline — identical-signature mega-clusters are q30's "
+    "job), bounding candidates to O(buckets x cap^2)",
+)
+def q96_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    return dd.simhash_candidate_pairs(
+        d,
+        "doc_id",
+        "text",
+        bits=_SIMHASH_BITS,
+        bands=_SIMHASH_BANDS,
+        max_hamming=_SIMHASH_MAX_HAMMING,
+        max_bucket=_SIMHASH_MAX_BUCKET,
+        persist_fn=pin,
+    )
+
+
+# ---------------------------------------------------------------------------
 # q35 — text profile: token stats, language ID, quality, fingerprint
 # ---------------------------------------------------------------------------
 def _text_profile_sql() -> str:

@@ -324,3 +324,29 @@ def test_remove_duplicate_spans_semantics(spark):
         3: (4, 0, ""),
         4: (3, 3, "tiny unique doc"),
     }
+
+
+def test_simhash_candidate_pairs_banding_and_cap(spark):
+    """SimHash banding: identical docs pair at Hamming 0 through any
+    shared slice; unrelated docs don't qualify; and an oversized band
+    bucket (here forced with max_bucket=1) drops its candidates — the
+    skew guard — while identical signatures still pair through their
+    OTHER shared slices only if those buckets survive."""
+    from frontmatter_mcp_spark.operators.dedup import simhash_candidate_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),  # identical to 1
+        (3, "totally different words entirely here unrelated content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidate_pairs(df, "doc_id", "text").collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert all(3 not in pair or got[pair] <= 3 for pair in got)
+
+    # cap of 1 drops every bucket the identical pair shares -> no pairs
+    none = simhash_candidate_pairs(df, "doc_id", "text", max_bucket=1).collect()
+    assert none == []
