@@ -92,9 +92,14 @@ def test_pinned_blocks_release_at_next_query(spark):
     from frontmatter_mcp_spark.workload import QUERIES
 
     sf = "/root/testdata/sf0.001"
-    QUERIES["q91_banding_sweep"].spark(spark, sf).collect()
     sc = spark.sparkContext._jsc.sc()
-    assert len(sc.getRDDStorageInfo()) > 0  # q91's pins still resident
+    # other components cache legitimately (engine snapshot cache), so
+    # compare against a baseline instead of asserting global emptiness
+    baseline = {i.id() for i in sc.getRDDStorageInfo()}
+    QUERIES["q91_banding_sweep"].spark(spark, sf).collect()
+    after_q91 = {i.id() for i in sc.getRDDStorageInfo()}
+    assert after_q91 - baseline  # q91's pins still resident
 
     QUERIES["q01_pricing_summary"].spark(spark, sf).collect()
-    assert len(sc.getRDDStorageInfo()) == 0  # released on next invocation
+    after_next = {i.id() for i in sc.getRDDStorageInfo()}
+    assert not (after_next - baseline)  # released on next invocation
