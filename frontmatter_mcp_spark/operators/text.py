@@ -44,6 +44,17 @@ def avg_token_len(text: Column) -> Column:
     return total.cast("double") / F.size(toks)
 
 
+def word_bigrams(toks: Column) -> Column:
+    """All adjacent-token-pair occurrences (not the distinct set) as
+    'a b' strings; empty array for single-token inputs."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
 def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
     toks = tokens(F.lower(text))
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
@@ -197,6 +208,198 @@ def unigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dsir_doc_bucket_tf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    buckets: int = 1024,
+) -> DataFrame:
+    """The O(tokens) half of dsir_weights: per-(doc, bucket) hashed
+    feature counts with the target flag riding in the group key
+    (constant per doc, so the groups are unchanged). Both downstream
+    consumers (bucket stats, per-doc weights) read THIS output — the
+    caller should persist it (workload pins it) because their differing
+    projections defeat exchange reuse and would re-explode the corpus.
+    """
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    toks = tokens(F.lower(F.col(text_col)))
+    feats = df.select(
+        F.col(id_col),
+        target.alias("_is_target"),
+        F.explode(F.concat(toks, word_bigrams(toks))).alias("f"),
+    ).select(
+        F.col(id_col), F.col("_is_target"), hash_bucket(F.col("f"), buckets).alias("b")
+    )
+    return feats.groupBy(id_col, "_is_target", "b").agg(F.count("*").alias("tf"))
+
+
+def dsir_weights_from_tf(
+    df: DataFrame,
+    dtf_flagged: DataFrame,
+    id_col: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Second half of dsir_weights: bucket log-ratio table from the
+    (doc, bucket) tf aggregate, broadcast back onto it, summed per doc.
+    See dsir_weights for the full contract."""
+    stats = dtf_flagged.groupBy("b").agg(
+        F.sum("tf").alias("r"),
+        F.sum(F.when(F.col("_is_target"), F.col("tf")).otherwise(F.lit(0))).alias("t"),
+    )
+    totals = stats.agg(F.sum("r").alias("r_total"), F.sum("t").alias("t_total"))
+    ratio = stats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log(F.col("t") + 1)
+            - F.log((F.col("t_total") + buckets).cast("double"))
+            - F.log(F.col("r") + 1)
+            + F.log((F.col("r_total") + buckets).cast("double"))
+        ).alias("logratio"),
+    )
+
+    dtf = dtf_flagged.select(F.col(id_col), F.col("b"), F.col("tf"))
+    terms = dtf.join(F.broadcast(ratio), "b").select(
+        F.col(id_col),
+        F.col("tf"),
+        (F.col("logratio") * F.col("tf")).cast("decimal(28,12)").alias("w_term"),
+    )
+    agg = terms.groupBy(id_col).agg(
+        F.sum("tf").cast("int").alias("__n"),
+        F.round(F.sum("w_term").cast("double"), 6).alias("__w"),
+    )
+    return df.select(F.col(id_col)).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_features"),
+        F.col("__w").alias("dsir_weight"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style data selection weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score every
+    document by how much its hashed n-gram feature distribution resembles
+    a target subset (``target`` boolean column expression) versus the raw
+    corpus. High weight = target-like; a training mix keeps the top slice
+    (deterministically, e.g. via sampling.hash_bucket against a
+    weight-derived rate) instead of sampling uniformly.
+
+    Features are all unigram + adjacent-bigram occurrences hashed into
+    ``buckets`` md5 buckets (portable across engines — the same
+    instr/substr fold as sampling.hash_bucket). Per bucket b the smoothed
+    log-ratio is ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B)) with t/r the
+    target/raw occurrence counts; a document's weight is the sum over its
+    feature occurrences of the bucket log-ratio.
+
+    Shape at 100 TB: the feature explode runs ONCE — the per-doc
+    (doc, bucket) tf aggregate collapses it map-side, and the bucket
+    stats are derived FROM that aggregate (target flag rides in the
+    group key, constant per doc), so no stage other than the first ever
+    touches the token stream. The bucket log-ratio table is exactly B
+    rows broadcast to the per-doc join, and the corpus totals travel as
+    a one-row broadcast. No join ever shuffles more than the
+    (doc, bucket) tf rows.
+
+    Determinism: the log-ratio is a fixed left-associated chain of four
+    ln calls mirrored verbatim in the oracle; per-term products go
+    through DECIMAL(28,12) so the per-doc sum is order-independent, and
+    the final weight rounds to 6 decimals to absorb ln's 1-ulp
+    engine divergence (the q94 convention). Docs with no tokens return
+    (0, NULL).
+
+    NOTE: composed directly, the (doc, bucket) tf subplan has two
+    consumers whose projections differ, which defeats exchange reuse —
+    the workload (q97) persists it via registry.pin between the halves.
+    """
+    dtf_flagged = dsir_doc_bucket_tf(df, id_col, text_col, target, buckets)
+    return dsir_weights_from_tf(df, dtf_flagged, id_col, buckets)
+
+
+def unigram_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus unigram occurrence counts (t, c) — one explode, map-side
+    combined. Exposed separately so callers with several consumers
+    (e.g. bigram_merge_candidates' two joins + totals) can persist it."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def bigram_merge_candidates(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+    uni: DataFrame | None = None,
+) -> DataFrame:
+    """Vocabulary-induction merge step (the scoring half of one BPE /
+    WordPiece iteration, run at word granularity): rank adjacent token
+    pairs by pointwise mutual information ln(c_ab·N / (c_a·c_b)) — the
+    pairs a tokenizer trainer would merge next, and the collocations a
+    corpus analyst inspects.
+
+    Shape at 100 TB: two explode→groupBy passes (unigrams, bigrams),
+    both map-side combined; the ``min_count`` floor is applied to the
+    bigram counts BEFORE the two unigram joins, so the join input is the
+    (small) candidate set, not the full bigram vocabulary; N is a
+    one-row broadcast, and the final top-k is a TakeOrderedAndProject
+    (no global sort materialized).
+
+    Determinism: PMI is a fixed left-associated chain of four ln calls
+    mirrored in the oracle and rounded to 6 decimals; the top-k orders
+    by (pmi DESC, term_a, term_b) — a total order, so the LIMIT is
+    stable across engines.
+
+    ``uni`` lets the caller pass a persisted unigram_counts(df) — it has
+    three consumers here (two joins + totals) whose projections differ,
+    so without a persist the corpus token explode runs three times
+    (workload q98 pins it).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    if uni is None:
+        uni = unigram_counts(df, text_col)
+    totals = uni.agg(F.sum("c").alias("n_total"))
+    bcnt = (
+        df.select(F.explode(word_bigrams(toks)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+        .select(
+            F.split("bg", " ", -1)[0].alias("term_a"),
+            F.split("bg", " ", -1)[1].alias("term_b"),
+            "c_ab",
+        )
+    )
+    scored = (
+        bcnt.join(uni.select(F.col("t").alias("term_a"), F.col("c").alias("c_a")), "term_a")
+        .join(uni.select(F.col("t").alias("term_b"), F.col("c").alias("c_b")), "term_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("c_ab").cast("int").alias("c_ab"),
+            F.col("c_a").cast("int").alias("c_a"),
+            F.col("c_b").cast("int").alias("c_b"),
+            F.round(
+                F.log("c_ab")
+                + F.log(F.col("n_total").cast("double"))
+                - F.log("c_a")
+                - F.log("c_b"),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "term_a", "term_b").limit(top_k)
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document text profile (narrow map, no shuffle)."""
     t = F.col(text_col)
@@ -257,15 +460,7 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     bigrams = df.select(
         F.col(id_col),
-        F.explode(
-            # all bigram occurrences (not the distinct set): slice+zip_with
-            # like word_shingles but without array_distinct
-            F.zip_with(
-                F.slice(tokens(F.lower(F.col(text_col))), 1, F.greatest(F.size(tokens(F.lower(F.col(text_col)))) - 1, F.lit(0))),
-                F.slice(tokens(F.lower(F.col(text_col))), 2, F.greatest(F.size(tokens(F.lower(F.col(text_col)))) - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("bg"),
+        F.explode(word_bigrams(tokens(F.lower(F.col(text_col))))).alias("bg"),
     )
     bstats = (
         bigrams.groupBy(id_col, "bg")

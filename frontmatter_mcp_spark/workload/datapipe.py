@@ -2754,3 +2754,128 @@ def q91_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q97 — DSIR importance weights (hashed n-gram target-vs-raw log-ratios)
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 1024
+
+
+def _dsir_sql(buckets: int = _DSIR_BUCKETS) -> str:
+    b = _hash_bucket_duck("f", buckets)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    feats0 AS (
+      SELECT doc_id, lang, unnest(w) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS f
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    feats AS (SELECT doc_id, lang = 'en' AS is_t, {b} AS b FROM feats0),
+    stats AS (
+      SELECT b, COUNT(*) AS r, COUNT(*) FILTER (is_t) AS t
+      FROM feats GROUP BY 1
+    ),
+    tot AS (SELECT SUM(r) AS r_total, SUM(t) AS t_total FROM stats),
+    ratio AS (
+      SELECT b,
+             ln(t + 1) - ln(CAST(t_total + {buckets} AS DOUBLE))
+             - ln(r + 1) + ln(CAST(r_total + {buckets} AS DOUBLE)) AS logratio
+      FROM stats CROSS JOIN tot
+    ),
+    dtf AS (SELECT doc_id, b, COUNT(*) AS tf FROM feats GROUP BY 1, 2),
+    terms AS (
+      SELECT doc_id, tf, CAST(logratio * tf AS DECIMAL(28,12)) AS w_term
+      FROM dtf JOIN ratio USING (b)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(tf) AS INT) AS n_features,
+             ROUND(CAST(SUM(w_term) AS DOUBLE), 6) AS dsir_weight
+      FROM terms GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(agg.n_features, 0) AS n_features, agg.dsir_weight
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
+@register(
+    "q97_dsir_weights",
+    _dsir_sql(),
+    doc="DSIR data selection (Xie et al. 2023): per-doc importance "
+    "weight = sum over hashed unigram+bigram feature occurrences of the "
+    "smoothed target-vs-raw bucket log-ratio (target = lang='en'). The "
+    "importance-resampling stage that biases a 100 TB training mix "
+    "toward a curated target distribution. One feature explode, two "
+    "map-side-combined aggregates, a B-row broadcast ratio table, a "
+    "one-row broadcast for the totals — no shuffle wider than the "
+    "(doc, bucket) tf rows",
+)
+def q97_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    # the (doc, bucket) tf aggregate feeds both the bucket-stats branch
+    # and the per-doc weight join with DIFFERENT projections (defeats
+    # exchange canonicalization) — pin it so the corpus explodes once
+    dtf = pin(
+        tx.dsir_doc_bucket_tf(
+            d, "doc_id", "text", target=F.col("lang") == "en", buckets=_DSIR_BUCKETS
+        )
+    )
+    return tx.dsir_weights_from_tf(d, dtf, "doc_id", buckets=_DSIR_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# q98 — BPE-style merge candidates: top adjacent pairs by PMI
+# ---------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 50
+
+
+@register(
+    "q98_pmi_merge_candidates",
+    f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    words AS (SELECT unnest(w) AS t FROM toks),
+    uni AS (SELECT t, COUNT(*) AS c FROM words GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n_total FROM uni),
+    big AS (
+      SELECT w[i] AS a, w[i+1] AS b
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    bc AS (
+      SELECT a AS term_a, b AS term_b, COUNT(*) AS c_ab
+      FROM big GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+    )
+    SELECT term_a, term_b, CAST(c_ab AS INT) AS c_ab,
+           CAST(ua.c AS INT) AS c_a, CAST(ub.c AS INT) AS c_b,
+           ROUND(ln(c_ab) + ln(CAST(n_total AS DOUBLE)) - ln(ua.c) - ln(ub.c),
+                 6) AS pmi
+    FROM bc JOIN uni ua ON ua.t = term_a JOIN uni ub ON ub.t = term_b
+    CROSS JOIN tot
+    ORDER BY pmi DESC, term_a, term_b LIMIT {_PMI_TOP_K}
+    """,
+    doc="vocabulary-induction merge scoring (one BPE/WordPiece step at "
+    "word granularity): top adjacent pairs by PMI with a min-count "
+    "floor applied BEFORE the unigram joins — two map-side-combined "
+    "explode aggregates, candidate-sized joins, one-row broadcast N, "
+    "TakeOrderedAndProject top-k",
+)
+def q98_pmi_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    # the unigram vocab has three consumers (two joins + totals) with
+    # different projections — pin it so the token explode runs once
+    uni = pin(tx.unigram_counts(d, "text"))
+    return tx.bigram_merge_candidates(
+        d, "text", min_count=_PMI_MIN_COUNT, top_k=_PMI_TOP_K, uni=uni
+    )

@@ -350,3 +350,48 @@ def test_simhash_candidate_pairs_banding_and_cap(spark):
     # cap of 1 drops every bucket the identical pair shares -> no pairs
     none = simhash_candidate_pairs(df, "doc_id", "text", max_bucket=1).collect()
     assert none == []
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    rows = [
+        (1, "alpha beta alpha beta", "t"),
+        (2, "alpha beta gamma", "t"),
+        (3, "delta epsilon delta epsilon", "r"),
+        (4, "alpha beta alpha", "r"),      # raw doc that LOOKS like target
+        (5, "delta epsilon zeta", "r"),    # raw doc that looks raw
+        (6, "", "r"),                      # no tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    out = tx.dsir_weights(df, "doc_id", "text", target=F.col("grp") == "t")
+    got = {r["doc_id"]: r for r in out.collect()}
+    # feature count = unigram occurrences + adjacent bigram occurrences
+    assert got[1]["n_features"] == 4 + 3
+    assert got[6]["n_features"] == 0 and got[6]["dsir_weight"] is None
+    # target-vocabulary docs outrank raw-vocabulary docs regardless of
+    # their own label (that is the point of importance resampling)
+    assert got[4]["dsir_weight"] > got[5]["dsir_weight"]
+    assert got[1]["dsir_weight"] > got[3]["dsir_weight"]
+
+
+def test_bigram_merge_candidates_pmi_math(spark):
+    import math
+
+    # "new york" always adjacent; "the" frequent and independent
+    rows = [
+        (1, "new york is the city"),
+        (2, "new york has the docks"),
+        (3, "the cat saw the dog"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tx.bigram_merge_candidates(df, "text", min_count=2, top_k=5).collect()
+    top = out[0]
+    assert (top["term_a"], top["term_b"]) == ("new", "york")
+    n_total = 15  # token occurrences
+    expect = round(
+        math.log(2) + math.log(float(n_total)) - math.log(2) - math.log(2), 6
+    )
+    assert top["pmi"] == pytest.approx(expect, abs=1e-9)
+    assert top["c_ab"] == 2 and top["c_a"] == 2 and top["c_b"] == 2
+    # ranking is (pmi desc, term_a, term_b): every later row's key is >=
+    keys = [(-r["pmi"], r["term_a"], r["term_b"]) for r in out]
+    assert keys == sorted(keys)

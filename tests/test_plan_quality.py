@@ -309,3 +309,29 @@ def test_q95_manifest_composition_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # stats/keepers/spans partials
+
+
+def test_q97_dsir_single_explode_broadcast_ratio(spark):
+    """DSIR weights: no Python eval nodes, the B-row log-ratio table and
+    the one-row totals ride in as broadcasts (never a cartesian), and
+    the (doc, bucket) tf aggregate is pinned (InMemoryTableScan) so the
+    corpus token explode runs ONCE — its two consumers project
+    differently and would otherwise each re-explode the corpus."""
+    plan = formatted_plan(spark, "q97_dsir_weights")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # ratio table joins broadcast
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # pinned tf aggregate
+    # ONE feature explode (nodes appear once in the detail section)
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+
+
+def test_q98_pmi_topk_no_global_sort(spark):
+    """PMI merge candidates: top-k is a TakeOrderedAndProject (no global
+    sort materialized), no Python eval nodes, no cartesian, and the
+    pinned unigram vocab (three consumers) is read from cache."""
+    plan = formatted_plan(spark, "q98_pmi_merge_candidates")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # pinned unigram counts
