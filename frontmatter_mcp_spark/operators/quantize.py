@@ -15,7 +15,7 @@ this repo).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def dim_stats(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -70,4 +70,146 @@ def int8_quantize(
         F.size(v).alias("n_dims"),
         F.md5(F.array_join(codes.cast("array<string>"), ",")).alias("codes_fp"),
         F.round(recon_err, 12).alias("recon_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): split the vector into M subspaces, learn a
+# K-code codebook per subspace (Lloyd's, the same deterministic k-means as
+# operators.clustering), store each vector as M small codes, and answer
+# queries with an ADC (asymmetric distance computation) table — M x K
+# query-to-centroid distances computed once per query, after which every
+# candidate distance is M table lookups instead of a D-dim scan.
+# ---------------------------------------------------------------------------
+
+
+def _subspace_sqdist(vec_slice: Column):
+    """Closure factory (PySpark higher-order fns dispatch on lambda
+    arity): squared L2 between a sliced vector and one centroid, as the
+    engine-portable sequential fold."""
+    return lambda c: F.aggregate(
+        F.zip_with(vec_slice, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train the M per-subspace codebooks: one deterministic k-means per
+    subspace over the sliced vectors. Returns [m][k][dim/m] centroid
+    values (driver-held — M*K*(dim/M) = K*dim doubles, tiny).
+
+    At 100 TB codebook training runs on a deterministic sample (e.g.
+    hash_bucket(id) < r); the encode/ADC passes below are the stages
+    that must scale, and they are narrow codegen maps.
+    """
+    from frontmatter_mcp_spark.operators.clustering import kmeans_assign
+
+    dim = embeddings.select(
+        F.size(F.col(vec_col)).alias("n")
+    ).limit(1).collect()[0].n
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sliced = embeddings.select(
+            F.col(id_col),
+            F.slice(
+                F.col(vec_col).cast("array<double>"), s * sub + 1, sub
+            ).alias("embedding"),
+        )
+        _, cents = kmeans_assign(
+            sliced, k=k, iters=iters, id_col=id_col, vec_col="embedding",
+            return_centroids=True,
+        )
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the nearest codebook entry
+    (ties to the smaller code via array_position-of-exact-min, the
+    k-means rule). Centroids travel as plan literals — the encode is a
+    zero-shuffle whole-stage-codegen map, the same shape as the k-means
+    assignment and int8 encode."""
+    m = len(books)
+    sub = len(books[0][0])
+    df = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    for s in range(m):
+        cl = F.array(*[F.lit(c) for c in books[s]])
+        sl = F.slice(F.col("__v"), s * sub + 1, sub)
+        df = df.withColumn(f"__d{s}", F.transform(cl, _subspace_sqdist(sl)))
+    codes = F.array(
+        *[
+            (
+                F.array_position(F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))) - 1
+            ).cast("int")
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    books: list[list[list[float]]],
+    top_k: int = 10,
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: each query precomputes its M x K distance table in a
+    narrow map (centroid literals again), the (tiny) query side
+    broadcasts against the encoded corpus, and a candidate's approximate
+    distance is M array lookups summed in subspace order (a fixed-order
+    fold, so the doubles are bit-identical across engines). Ranking ties
+    break on the candidate id. The corpus side never touches the
+    original vectors — the scan reads M ints per row instead of D
+    doubles, which is the point of PQ at 100 TB."""
+    from pyspark.sql.window import Window as W
+
+    m = len(books)
+    sub = len(books[0][0])
+    qv = F.col(q_vec).cast("array<double>")
+    dtab = F.array(
+        *[
+            F.transform(
+                F.array(*[F.lit(c) for c in books[s]]),
+                _subspace_sqdist(F.slice(qv, s * sub + 1, sub)),
+            )
+            for s in range(m)
+        ]
+    )
+    qd = queries.select(F.col(q_id), dtab.alias("__dtab"))
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("__dtab"), F.col("codes"), lambda t, c: F.element_at(t, c + 1)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = W.partitionBy(q_id).orderBy(F.asc("approx_dist"), F.asc(id_col))
+    return (
+        F.broadcast(qd)
+        .crossJoin(encoded)
+        .select(F.col(q_id), F.col(id_col), approx.alias("approx_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
     )

@@ -2879,3 +2879,140 @@ def q98_pmi_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_merge_candidates(
         d, "text", min_count=_PMI_MIN_COUNT, top_k=_PMI_TOP_K, uni=uni
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — product quantization: per-subspace codebooks + ADC top-k
+# ---------------------------------------------------------------------------
+_PQ_M = 4
+_PQ_SUB = 16  # dim 64 / 4 subspaces
+_PQ_K = 8
+_PQ_ITERS = 2
+_PQ_TOPK = 10
+
+
+def _pq_subspace_ctes(s: int, k: int = _PQ_K, iters: int = _PQ_ITERS) -> list[str]:
+    lo = s * _PQ_SUB + 1
+    hi = (s + 1) * _PQ_SUB
+    el = f"CAST(v.embedding[{lo} + i - 1] AS DOUBLE)"
+    dist = (
+        f"list_sum([({el} - c.cent[i]) * ({el} - c.cent[i]) "
+        f"FOR i IN generate_series(1, len(c.cent))])"
+    )
+    ctes = [
+        f"""c0_s{s} AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             CAST(embedding[{lo}:{hi}] AS DOUBLE[]) AS cent
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""a{t}_s{s} AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM embeddings v, c{t - 1}_s{s} c
+      ) WHERE rn = 1
+    )"""
+        )
+        if t == iters:
+            break  # the final assignment needs no centroid update
+        ctes.append(
+            f"""m{t}_s{s} AS (
+      SELECT a.cid, i AS pos,
+             {_fx_mean(f'CAST(v.embedding[{lo} + i - 1] AS DOUBLE)')} AS mv
+      FROM a{t}_s{s} a JOIN embeddings v USING (vec_id),
+           UNNEST(generate_series(1, {_PQ_SUB})) AS t(i)
+      GROUP BY a.cid, i
+    )"""
+        )
+        ctes.append(
+            f"""c{t}_s{s} AS (
+      SELECT p.cid, COALESCE(n.cent, p.cent) AS cent
+      FROM c{t - 1}_s{s} p
+      LEFT JOIN (SELECT cid, list(mv ORDER BY pos) AS cent
+                 FROM m{t}_s{s} GROUP BY cid) n
+        USING (cid)
+    )"""
+        )
+    return ctes
+
+
+def _pq_adc_sql() -> str:
+    ctes: list[str] = []
+    for s in range(_PQ_M):
+        ctes.extend(_pq_subspace_ctes(s))
+    enc_joins = " ".join(
+        f"JOIN a{_PQ_ITERS}_s{s} e{s} USING (vec_id)" for s in range(1, _PQ_M)
+    )
+    enc = (
+        "enc AS (SELECT e0.vec_id, "
+        + ", ".join(f"e{s}.cid AS code{s}" for s in range(_PQ_M))
+        + f" FROM a{_PQ_ITERS}_s0 e0 {enc_joins})"
+    )
+    dterms = []
+    cb_joins = []
+    for s in range(_PQ_M):
+        lo = s * _PQ_SUB + 1
+        ql = f"CAST(q.qvec[{lo} + i - 1] AS DOUBLE)"
+        # final codebook: the centroids assignment a{iters} ranked against
+        cb = f"c{_PQ_ITERS - 1}_s{s}"
+        cb_joins.append(f"JOIN {cb} cb{s} ON cb{s}.cid = enc.code{s}")
+        dterms.append(
+            f"list_sum([({ql} - cb{s}.cent[i]) * ({ql} - cb{s}.cent[i]) "
+            f"FOR i IN generate_series(1, {_PQ_SUB})])"
+        )
+    approx = dterms[0]
+    for d in dterms[1:]:
+        approx = f"({approx} + {d})"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + ",\n    "
+        + enc
+        + f""",
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.qid, enc.vec_id AS cand_id, {approx} AS approx_dist
+      FROM q CROSS JOIN enc {' '.join(cb_joins)}
+    ),
+    ranked AS (
+      SELECT qid, cand_id, approx_dist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY approx_dist ASC, cand_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT qid, cand_id, approx_dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_PQ_TOPK}
+    """
+    )
+
+
+@register(
+    "q99_pq_adc_topk",
+    _pq_adc_sql(),
+    doc="product quantization ANN (Jegou et al. 2011): M=4 per-subspace "
+    "K=8 codebooks (deterministic Lloyd's, every iteration replayed by "
+    "the oracle), vectors stored as 4 int codes (64x compression of the "
+    "scan), queries answered by an ADC table — M x K distances per "
+    "query computed in a narrow map, then every candidate is M array "
+    "lookups. Encode and ADC are zero-shuffle codegen maps; the ranking "
+    "is the only exchange",
+)
+def q99_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators import quantize as pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq.pq_train_codebooks(
+        e, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+    )
+    encoded = pq.pq_encode(e, books)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = pq.pq_adc_topk(q, encoded, books, top_k=_PQ_TOPK)
+    return out.select(
+        "qid", F.col("vec_id").alias("cand_id"), "approx_dist", "rank"
+    )

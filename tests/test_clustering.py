@@ -40,3 +40,27 @@ def test_power_iteration_finds_dominant_direction(spark):
     assert abs(v[1]) < 0.3
     # deterministic: second run identical bit-for-bit
     assert power_iteration(df, iters=5) == v
+
+
+def test_pq_encode_and_adc_separate_clusters(spark):
+    from frontmatter_mcp_spark.operators import quantize as pq
+    from pyspark.sql import functions as F
+
+    # two tight groups in 8 dims: ids 0-3 near the origin, 4-7 near 10.0
+    rows = [(i, [0.0 + i * 0.01] * 8) for i in range(4)] + [
+        (i, [10.0 + i * 0.01] * 8) for i in range(4, 8)
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq.pq_train_codebooks(e, m=2, k=2, iters=3)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    enc = {r["vec_id"]: list(r["codes"]) for r in pq.pq_encode(e, books).collect()}
+    # codes are in range and the two groups land in different cells
+    assert all(0 <= c < 2 for cs in enc.values() for c in cs)
+    assert enc[0] != enc[7] and enc[0] == enc[1] and enc[6] == enc[7]
+
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top = pq.pq_adc_topk(q, pq.pq_encode(e, books), books, top_k=4).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 2, 3]  # own group first
+    assert [r["rank"] for r in top] == [1, 2, 3, 4]

@@ -335,3 +335,17 @@ def test_q98_pmi_topk_no_global_sort(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # pinned unigram counts
+
+
+def test_q99_pq_adc_shape(spark):
+    """PQ-ADC: the query side (with its precomputed distance table)
+    broadcasts against the encoded corpus (BuildLeft — never a
+    cartesian), encode/ADC are pure codegen (no Python eval), and the
+    per-query top-k is pruned map-side by WindowGroupLimit so the single
+    exchange only carries surviving candidates."""
+    plan = formatted_plan(spark, "q99_pq_adc_topk")
+    assert "BroadcastNestedLoopJoin Cross BuildLeft" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan  # rank<=k pushed below the exchange
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
