@@ -161,7 +161,7 @@ def click_purchase_interval_join(events: DataFrame, horizon: str = "1 hour") -> 
 
 
 @contextlib.contextmanager
-def rocksdb_state_store(spark):
+def rocksdb_state_store(spark, changelog_checkpointing: bool = False):
     """Run streaming queries under the RocksDB state store provider —
     the production choice when stateful-operator state (dedup
     fingerprints, open windows, join buffers) exceeds executor heap:
@@ -172,25 +172,48 @@ def rocksdb_state_store(spark):
     harness call is enough. Local default stays the HDFS-backed
     in-memory provider — cheaper for bounded test state.
 
+    ``changelog_checkpointing=True`` additionally turns on RocksDB
+    changelog checkpointing: each micro-batch uploads only the state
+    CHANGES since the last checkpoint instead of a full RocksDB
+    snapshot, with periodic snapshots in the background. For a
+    long-running deployment with large state this takes checkpoint
+    upload off the micro-batch critical path (commit latency stops
+    scaling with state size); the cost is a replay chain on restart
+    (snapshot + changelogs), bounded by the snapshot interval. The
+    setting is per-QUERY and sticky in the checkpoint: a query started
+    with it keeps it across restarts (Spark reads the lineage from the
+    checkpoint), so flipping it for an existing query requires the
+    provider's forward-compat support (Spark 4.x handles both
+    directions).
+
     Every streaming operator here is provider-agnostic by construction;
-    tests assert identical results under both providers."""
-    key = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        old = spark.conf.get(key)
-    except Exception:  # unset — Spark raises on missing conf
-        old = None
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
+    tests assert identical results under both providers (and under
+    changelog checkpointing)."""
+    keys = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    }
+    if changelog_checkpointing:
+        keys[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ] = "true"
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # unset — Spark raises on missing conf
+            old[k] = None
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+        for k, prev in old.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
 
 
 @contextlib.contextmanager

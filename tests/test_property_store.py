@@ -198,3 +198,41 @@ def test_vacuum_reclaims_after_lowering_retention(spark, tmp_path):
     history = sorted(p.name for p in lowered.history_dir.glob("manifest-*.json"))
     assert history == ["manifest-000003.json", "manifest-000004.json"]
     assert lowered.vacuum() == 0  # idempotent
+
+
+def test_store_admin_cli_status_and_vacuum(spark, tmp_path, capsys):
+    """The maintenance CLI: status is read-only and Spark-free, vacuum
+    applies a lowered retention from the command line, and both emit one
+    JSON line. Model/dim come from the store's own metadata.json (a CLI
+    typo must never trigger the model-change wipe)."""
+    import json
+
+    from frontmatter_mcp_spark.semantic import store_admin
+
+    d = tmp_path / "adm"
+    store = EmbeddingStore(spark, d, "m", DIM, retention_commits=5)
+    schema = store.read().schema
+    for step in range(4):
+        store.upsert(
+            spark.createDataFrame([("a.md", float(step), _vec(step))], schema)
+        )
+    manifest_before = (d / "manifest.json").read_text()
+
+    assert store_admin.main(["status", str(d)]) == 0
+    st = json.loads(capsys.readouterr().out.strip())
+    assert st["model"] == "m" and st["dim"] == DIM
+    assert st["generation"] == 4 and st["on_disk_generation_dirs"] == 4
+    # status never mutates the store
+    assert (d / "manifest.json").read_text() == manifest_before
+
+    assert store_admin.main(["vacuum", str(d), "--retention-commits", "1"]) == 0
+    vc = json.loads(capsys.readouterr().out.strip())
+    assert vc["removed_bucket_dirs"] >= 2
+    assert vc["on_disk_generation_dirs"] <= 2
+    # the data survives maintenance
+    reopened = EmbeddingStore(spark, d, "m", DIM)
+    assert [(r.path, r.mtime) for r in reopened.read().collect()] == [("a.md", 3.0)]
+
+    # not-a-store: directed error, no wipe
+    with pytest.raises(SystemExit, match="not an embedding store"):
+        store_admin.main(["status", str(tmp_path / "nope")])

@@ -417,3 +417,30 @@ def test_checkpoint_restart_recovers_state_without_double_count(spark, tmp_path)
     got = {r.user_id: (r.n, r.id_sum) for r in spark.table("ckpt_out").collect()}
     # 8 events total, exactly once: evens -> user 0, odds -> user 1
     assert got == {0: (4, 0 + 2 + 4 + 6), 1: (4, 1 + 3 + 5 + 7)}, got
+
+
+def test_streaming_results_identical_under_changelog_checkpointing(spark):
+    """RocksDB changelog checkpointing (per-batch state DELTAS uploaded
+    instead of full snapshots — the knob that takes checkpoint upload
+    off the micro-batch critical path for large long-running state)
+    must not change results, and the conf must be restored afterwards."""
+    name = "q92_stream_ingest_gate"
+    default_rows = sorted(map(tuple, QUERIES[name].spark(spark, SF).collect()))
+    with ev.rocksdb_state_store(spark, changelog_checkpointing=True):
+        assert (
+            spark.conf.get(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            )
+            == "true"
+        )
+        rows = sorted(map(tuple, QUERIES[name].spark(spark, SF).collect()))
+    assert rows == default_rows
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "unset",
+        )
+        == "unset"
+    )
