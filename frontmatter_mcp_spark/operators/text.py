@@ -400,6 +400,46 @@ def bigram_merge_candidates(
     return scored.orderBy(F.desc("pmi"), "term_a", "term_b").limit(top_k)
 
 
+def dsir_resample(
+    df: DataFrame,
+    dtf_flagged: DataFrame,
+    id_col: str,
+    top_k: int = 100,
+    buckets: int = 1024,
+) -> DataFrame:
+    """The selection half of DSIR: importance RESAMPLING via
+    Gumbel-top-k (Vieira 2014) — sampling ``top_k`` documents without
+    replacement with probability proportional to exp(importance weight)
+    reduces to ranking by weight + Gumbel noise. The noise is
+    derandomized the way every sampler in this repo is: a uniform from
+    the md5 of the doc id (u = (h7 + 0.5) / 16^7 over the 7-hex-digit
+    fold of sampling.hash_bucket — never 0 or 1, so the double-ln is
+    finite), g = -ln(-ln(u)). Reruns, backfills, and the SQL oracle
+    agree exactly.
+
+    Consumes the pinned (doc, bucket) tf aggregate from
+    dsir_doc_bucket_tf (same contract as dsir_weights_from_tf). Docs
+    with no features carry a NULL weight and cannot be sampled — they
+    are filtered, documented behavior. Scores round to 6 decimals with
+    the doc id as tiebreaker, so the top-k set is stable across
+    engines; the plan ends in a TakeOrderedAndProject.
+    """
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    w = dsir_weights_from_tf(df, dtf_flagged, id_col, buckets).filter(
+        F.col("n_features") > 0
+    )
+    span = 16**7
+    u = (hash_bucket(F.col(id_col), span) + F.lit(0.5)) / F.lit(float(span))
+    gumbel = -F.log(-F.log(u))
+    score = F.round(F.col("dsir_weight") + gumbel, 6)
+    return (
+        w.select(F.col(id_col), F.col("dsir_weight"), score.alias("gumbel_score"))
+        .orderBy(F.desc("gumbel_score"), F.col(id_col))
+        .limit(top_k)
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document text profile (narrow map, no shuffle)."""
     t = F.col(text_col)

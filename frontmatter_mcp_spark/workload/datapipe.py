@@ -2762,10 +2762,9 @@ def q91_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 1024
 
 
-def _dsir_sql(buckets: int = _DSIR_BUCKETS) -> str:
+def _dsir_ctes(buckets: int = _DSIR_BUCKETS) -> str:
     b = _hash_bucket_duck("f", buckets)
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, lang,
              list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                          x -> x <> '') AS w
@@ -2799,7 +2798,12 @@ def _dsir_sql(buckets: int = _DSIR_BUCKETS) -> str:
       SELECT doc_id, CAST(SUM(tf) AS INT) AS n_features,
              ROUND(CAST(SUM(w_term) AS DOUBLE), 6) AS dsir_weight
       FROM terms GROUP BY 1
-    )
+    )"""
+
+
+def _dsir_sql(buckets: int = _DSIR_BUCKETS) -> str:
+    return f"""
+    WITH {_dsir_ctes(buckets)}
     SELECT d.doc_id, COALESCE(agg.n_features, 0) AS n_features, agg.dsir_weight
     FROM documents d LEFT JOIN agg USING (doc_id)
     """
@@ -2940,7 +2944,9 @@ def _pq_subspace_ctes(s: int, k: int = _PQ_K, iters: int = _PQ_ITERS) -> list[st
     return ctes
 
 
-def _pq_adc_sql() -> str:
+def _pq_core_ctes() -> str:
+    """Everything from codebook training through the ADC ranking, as a
+    WITH-body fragment shared by the q99 and q101 oracles."""
     ctes: list[str] = []
     for s in range(_PQ_M):
         ctes.extend(_pq_subspace_ctes(s))
@@ -2968,8 +2974,7 @@ def _pq_adc_sql() -> str:
     for d in dterms[1:]:
         approx = f"({approx} + {d})"
     return (
-        "WITH "
-        + ",\n    ".join(ctes)
+        ",\n    ".join(ctes)
         + ",\n    "
         + enc
         + f""",
@@ -2983,11 +2988,16 @@ def _pq_adc_sql() -> str:
              ROW_NUMBER() OVER (PARTITION BY qid
                                 ORDER BY approx_dist ASC, cand_id ASC) AS rank
       FROM pairs
+    )"""
     )
+
+
+def _pq_adc_sql() -> str:
+    return f"""
+    WITH {_pq_core_ctes()}
     SELECT qid, cand_id, approx_dist, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {_PQ_TOPK}
     """
-    )
 
 
 @register(
@@ -3015,4 +3025,133 @@ def q99_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pq.pq_adc_topk(q, encoded, books, top_k=_PQ_TOPK)
     return out.select(
         "qid", F.col("vec_id").alias("cand_id"), "approx_dist", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100 — DSIR importance RESAMPLING: Gumbel-top-k selection over q97 weights
+# ---------------------------------------------------------------------------
+_DSIR_TOPK = 100
+_GUMBEL_SPAN = 16**7
+
+
+def _dsir_resample_sql() -> str:
+    h7 = _hash_bucket_duck("doc_id", _GUMBEL_SPAN)
+    return f"""
+    WITH {_dsir_ctes()},
+    scored AS (
+      SELECT doc_id, dsir_weight,
+             ROUND(dsir_weight
+                   + (-ln(-ln(({h7} + 0.5) / {float(_GUMBEL_SPAN)!r}))),
+                   6) AS gumbel_score
+      FROM agg WHERE n_features > 0
+    )
+    SELECT doc_id, dsir_weight, gumbel_score
+    FROM scored ORDER BY gumbel_score DESC, doc_id LIMIT {_DSIR_TOPK}
+    """
+
+
+@register(
+    "q100_dsir_resample",
+    _dsir_resample_sql(),
+    doc="the selection half of DSIR: sample top_k docs without "
+    "replacement with probability proportional to exp(importance "
+    "weight) via Gumbel-top-k — the noise is derandomized from the md5 "
+    "of the doc id, so reruns and the oracle agree exactly. Adds one "
+    "narrow map + a TakeOrderedAndProject over the q97 weight plan",
+)
+def q100_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    dtf = pin(
+        tx.dsir_doc_bucket_tf(
+            d, "doc_id", "text", target=F.col("lang") == "en", buckets=_DSIR_BUCKETS
+        )
+    )
+    return tx.dsir_resample(
+        d, dtf, "doc_id", top_k=_DSIR_TOPK, buckets=_DSIR_BUCKETS
+    )
+
+
+# ---------------------------------------------------------------------------
+# q101 — PQ recall@k vs the exact L2 top-k (approximation quality, the
+# measurement that picks M/K before trusting PQ at 100 TB — q82's pattern)
+# ---------------------------------------------------------------------------
+def _pq_recall_sql() -> str:
+    qe = "CAST(q.qvec[i] AS DOUBLE)"
+    ve = "CAST(v.embedding[i] AS DOUBLE)"
+    exact_d = (
+        f"list_sum([({qe} - {ve}) * ({qe} - {ve}) "
+        f"FOR i IN generate_series(1, len(q.qvec))])"
+    )
+    return f"""
+    WITH {_pq_core_ctes()},
+    pq AS (SELECT qid, cand_id FROM ranked WHERE rank <= {_PQ_TOPK}),
+    ex_pairs AS (
+      SELECT q.qid, v.vec_id AS cand_id, {exact_d} AS d
+      FROM q CROSS JOIN embeddings v
+    ),
+    ex AS (
+      SELECT qid, cand_id FROM (
+        SELECT qid, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY d ASC, cand_id ASC) AS rn
+        FROM ex_pairs
+      ) WHERE rn <= {_PQ_TOPK}
+    )
+    SELECT ex.qid AS qid, CAST(COUNT(*) AS INT) AS n_exact,
+           CAST(COUNT(pq.qid) AS INT) AS n_overlap,
+           COUNT(pq.qid) * 1.0 / COUNT(*) AS recall
+    FROM ex LEFT JOIN pq ON pq.qid = ex.qid AND pq.cand_id = ex.cand_id
+    GROUP BY ex.qid
+    """
+
+
+@register(
+    "q101_pq_recall",
+    _pq_recall_sql(),
+    doc="PQ approximation quality: recall@10 of the ADC ranking against "
+    "the exact L2 top-10 per query — the calibration run that picks "
+    "M/K before trusting the compressed index at scale. The exact side "
+    "is the same query-broadcast brute force as q36; the overlap join "
+    "touches 2 x topk rows per query",
+)
+def q101_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators import quantize as pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq.pq_train_codebooks(e, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    encoded = pq.pq_encode(e, books)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pq_top = pq.pq_adc_topk(q, encoded, books, top_k=_PQ_TOPK).select(
+        "qid", "vec_id", F.lit(1).alias("_hit")
+    )
+
+    qv = F.col("qvec").cast("array<double>")
+    cv = F.col("embedding").cast("array<double>")
+    dist = F.aggregate(
+        F.zip_with(qv, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = W.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
+    ex = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .select("qid", "vec_id", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("qid", "vec_id")
+    )
+    return (
+        ex.join(pq_top, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("*").cast("int").alias("n_exact"),
+            F.count("_hit").cast("int").alias("n_overlap"),
+            (F.count("_hit") * F.lit(1.0) / F.count("*")).alias("recall"),
+        )
     )

@@ -64,3 +64,23 @@ def test_pq_encode_and_adc_separate_clusters(spark):
     top = pq.pq_adc_topk(q, pq.pq_encode(e, books), books, top_k=4).collect()
     assert [r["vec_id"] for r in top] == [0, 1, 2, 3]  # own group first
     assert [r["rank"] for r in top] == [1, 2, 3, 4]
+
+
+def test_pq_recall_is_perfect_on_separable_data(spark):
+    """With clearly separated groups and a codebook per group, ADC
+    ranking must agree with exact L2 on the group membership — q101's
+    property in miniature."""
+    from frontmatter_mcp_spark.operators import quantize as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    rows = [(i, [0.0 + i * 0.01] * 8) for i in range(4)] + [
+        (i, [10.0 + i * 0.01] * 8) for i in range(4, 8)
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq.pq_train_codebooks(e, m=2, k=2, iters=3)
+    q = e.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top = pq.pq_adc_topk(q, pq.pq_encode(e, books), books, top_k=4).collect()
+    assert sorted(r["vec_id"] for r in top) == [4, 5, 6, 7]

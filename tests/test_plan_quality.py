@@ -349,3 +349,26 @@ def test_q99_pq_adc_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "WindowGroupLimit" in plan  # rank<=k pushed below the exchange
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_q100_dsir_resample_topk_shape(spark):
+    """DSIR resampling: the Gumbel scoring is a narrow map over the
+    weight plan (no Python eval), the selection is a
+    TakeOrderedAndProject (no global sort), and the pinned (doc, bucket)
+    tf aggregate is read from cache like q97."""
+    plan = formatted_plan(spark, "q100_dsir_resample")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_q101_pq_recall_shape(spark):
+    """PQ recall calibration: both the exact and ADC sides broadcast the
+    5-query side (never a cartesian), the exact top-k is pruned map-side
+    by WindowGroupLimit, and everything stays JVM-side."""
+    plan = formatted_plan(spark, "q101_pq_recall")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
