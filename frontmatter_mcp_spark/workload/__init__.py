@@ -107,6 +107,8 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # r5: corpus/batch split now driven by the derived ingestion-batch column
     "q70_incremental_dedup",
     "q86_bloom_prefilter_dedup",
+    # r5b: brute-force ground truth now pinned across the config branches
+    "q82_lsh_recall",
 }
 
 

@@ -897,7 +897,10 @@ def q82_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") >= 5).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    truth = sim.cosine_topk(q, c, k=10).select("qid", "cid")
+    # the brute-force ground truth feeds all four config branches — the
+    # unioned plan would recompute the 5 x corpus cosine ranking once
+    # per branch (the q91 lesson); the pinned table is |queries| x k rows
+    truth = pin(sim.cosine_topk(q, c, k=10).select("qid", "cid"))
     qids = q.select("qid")
     outs = []
     for method, nbits, radius in _LSH_RECALL_CONFIGS:
