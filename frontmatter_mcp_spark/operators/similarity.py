@@ -258,3 +258,97 @@ def neardup_pairs_by_cosine(
         .filter(F.col("sim") >= threshold)
         .select(block_col, "id_a", "id_b", "sim")
     )
+
+
+def ann_ndcg(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    cand_id: str = "cid",
+    query_vec: str = "qvec",
+    cand_vec: str = "cvec",
+    query_label: str = "qlabel",
+    cand_label: str = "clabel",
+) -> DataFrame:
+    """Ranking-quality evaluation for a retrieval run: NDCG@k of the
+    exact cosine top-k per query, with a candidate counted relevant when
+    its label matches the query's. The per-label relevant totals come
+    from one map-side-combined count broadcast back to the (tiny) query
+    side, so the corpus is scanned once for ranking and once for the
+    label histogram — nothing else shuffles.
+
+    Determinism: every DCG/IDCG term (rel / log2(rank+1)) is quantized
+    to DECIMAL(28,12) before summation — partial sums stay on the same
+    1e-12 grid, so the aggregate is order-independent and the oracle's
+    list_sum replays it exactly; log2's 1-ulp engine divergence is
+    absorbed by the quantization and the final 6-decimal rounding.
+    Queries whose label has no relevant candidates get a NULL idcg/ndcg
+    (nothing to rank against), mirrored by the oracle's empty list_sum.
+    """
+    top = cosine_topk(
+        queries.select(query_id, query_vec),
+        candidates.select(cand_id, cand_vec),
+        k=k,
+        query_id=query_id,
+        cand_id=cand_id,
+        query_vec=query_vec,
+        cand_vec=cand_vec,
+    )
+    qlab = queries.select(query_id, query_label)
+    clab = candidates.select(cand_id, cand_label)
+    rels = (
+        clab.join(F.broadcast(top), cand_id)
+        .join(F.broadcast(qlab), query_id)
+        .select(
+            query_id,
+            "rank",
+            F.when(F.col(cand_label) == F.col(query_label), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    dec = "decimal(28,12)"
+    dcg = rels.groupBy(query_id).agg(
+        F.sum((F.col("rel") / F.log2(F.col("rank") + F.lit(1.0))).cast(dec)).alias(
+            "_dcg"
+        )
+    )
+    label_counts = candidates.groupBy(cand_label).agg(F.count("*").alias("_n"))
+    nrel = (
+        queries.select(query_id, query_label)
+        .join(
+            F.broadcast(label_counts),
+            F.col(query_label) == F.col(cand_label),
+            "left",
+        )
+        .select(query_id, F.coalesce(F.col("_n"), F.lit(0)).alias("n_rel"))
+    )
+    n_cap = F.least(F.lit(k), F.col("n_rel")).cast("int")
+    idcg_dec = F.when(
+        n_cap >= 1,
+        F.aggregate(
+            F.sequence(F.lit(1), n_cap),
+            F.lit(0).cast(dec),
+            lambda a, i: (
+                a + (F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0))).cast(dec)
+            ).cast(dec),
+        ),
+    )
+    scored = nrel.join(dcg, query_id).select(
+        query_id,
+        F.col("n_rel").cast("int").alias("n_rel"),
+        F.round(F.col("_dcg").cast("double"), 6).alias("dcg"),
+        F.round(idcg_dec.cast("double"), 6).alias("idcg"),
+    )
+    # the ratio divides the ROUNDED values: both operands are then
+    # bit-identical across engines, so the quotient is too
+    return scored.select(
+        query_id,
+        "n_rel",
+        "dcg",
+        "idcg",
+        F.round(
+            F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 6
+        ).alias("ndcg"),
+    )

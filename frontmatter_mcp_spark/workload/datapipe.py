@@ -3158,3 +3158,83 @@ def q101_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("_hit") * F.lit(1.0) / F.count("*")).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — retrieval-quality eval: NDCG@10 of exact cosine top-k against
+# label relevance (the IR metric complement of q82/q101's recall)
+# ---------------------------------------------------------------------------
+def _ann_ndcg_sql(k: int = 10) -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS cid, embedding AS cvec, label AS clabel
+      FROM embeddings WHERE vec_id >= 5
+    ),
+    top AS (
+      SELECT qid, cid, rank FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {_duck_cos('q.qvec', 'c.cvec')} DESC,
+                                           c.cid ASC) AS rank
+        FROM q, c
+      ) WHERE rank <= {k}
+    ),
+    rels AS (
+      SELECT t.qid, t.rank,
+             CASE WHEN c.clabel = q.qlabel THEN 1 ELSE 0 END AS rel
+      FROM top t JOIN c ON c.cid = t.cid JOIN q ON q.qid = t.qid
+    ),
+    dcg AS (
+      SELECT qid, SUM(CAST(rel / log2(rank + 1.0) AS DECIMAL(28,12))) AS d
+      FROM rels GROUP BY 1
+    ),
+    nrel AS (
+      SELECT q.qid, COALESCE(lc.n, 0) AS n_rel
+      FROM q LEFT JOIN (SELECT clabel, COUNT(*) AS n FROM c GROUP BY 1) lc
+        ON lc.clabel = q.qlabel
+    ),
+    idcg AS (
+      SELECT qid, n_rel,
+             list_sum([CAST(1.0 / log2(i + 1.0) AS DECIMAL(28,12))
+                       FOR i IN generate_series(1, LEAST({k}, n_rel))]) AS i
+      FROM nrel
+    ),
+    rounded AS (
+      SELECT d.qid, CAST(i.n_rel AS INT) AS n_rel,
+             ROUND(CAST(d.d AS DOUBLE), 6) AS dcg,
+             ROUND(CAST(i.i AS DOUBLE), 6) AS idcg
+      FROM dcg d JOIN idcg i USING (qid)
+    )
+    SELECT qid, n_rel, dcg, idcg,
+           ROUND(dcg / NULLIF(idcg, 0), 6) AS ndcg
+    FROM rounded
+    """
+
+
+@register(
+    "q102_ann_ndcg",
+    _ann_ndcg_sql(),
+    doc="retrieval-quality eval: NDCG@10 of the exact cosine top-k with "
+    "label-match relevance — the graded IR metric next to q82/q101's "
+    "recall. One corpus scan for the ranking, one for the label "
+    "histogram (broadcast back); DCG/IDCG terms quantized to "
+    "DECIMAL(28,12) so the sums are order-independent and "
+    "oracle-replayable",
+)
+def q102_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("clabel"),
+    )
+    return sim.ann_ndcg(q, c, k=10)

@@ -395,3 +395,36 @@ def test_bigram_merge_candidates_pmi_math(spark):
     # ranking is (pmi desc, term_a, term_b): every later row's key is >=
     keys = [(-r["pmi"], r["term_a"], r["term_b"]) for r in out]
     assert keys == sorted(keys)
+
+
+def test_ann_ndcg_hand_computed(spark):
+    import math
+
+    # q [1,0] label A; candidates ranked c1 (A), c2 (B), c3 (A)
+    q = spark.createDataFrame([(0, [1.0, 0.0], "A")], ["qid", "qvec", "qlabel"])
+    c = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], "A"),
+            (11, [0.9, 0.1], "B"),
+            (12, [0.8, 0.2], "A"),
+        ],
+        ["cid", "cvec", "clabel"],
+    )
+    row = sim.ann_ndcg(q, c, k=3).collect()[0]
+    dcg = round(1 / math.log2(2) + 0 / math.log2(3) + 1 / math.log2(4), 6)
+    idcg = round(1 / math.log2(2) + 1 / math.log2(3), 6)
+    assert row["n_rel"] == 2
+    assert row["dcg"] == pytest.approx(dcg, abs=2e-6)
+    assert row["idcg"] == pytest.approx(idcg, abs=2e-6)
+    assert row["ndcg"] == pytest.approx(round(dcg / idcg, 6), abs=2e-6)
+
+
+def test_ann_ndcg_no_relevant_label_is_null(spark):
+    q = spark.createDataFrame([(0, [1.0, 0.0], "Z")], ["qid", "qvec", "qlabel"])
+    c = spark.createDataFrame(
+        [(10, [1.0, 0.0], "A"), (11, [0.5, 0.5], "B")],
+        ["cid", "cvec", "clabel"],
+    )
+    row = sim.ann_ndcg(q, c, k=2).collect()[0]
+    assert row["n_rel"] == 0
+    assert row["idcg"] is None and row["ndcg"] is None

@@ -372,3 +372,14 @@ def test_q101_pq_recall_shape(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q102_ndcg_broadcasts_small_sides(spark):
+    """NDCG eval: the ranking is the q36 broadcast shape, the label
+    histogram comes back as a broadcast join, nothing is a cartesian,
+    and the whole metric pipeline stays JVM-side."""
+    plan = formatted_plan(spark, "q102_ann_ndcg")
+    assert "BroadcastNestedLoopJoin" in plan  # query-side broadcast rank
+    assert "BroadcastHashJoin" in plan  # label histogram + top-k joins
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
