@@ -127,3 +127,75 @@ def quota_sample(
         .filter(F.col("mix_rank") <= quota)
         .select(*df.columns, "mix_rank")
     )
+
+
+def sqrt_temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    target_total: int,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Temperature-flattened mixture construction (the mT5/XLM-R trick
+    at alpha = 0.5): a stratum with raw share p gets sampled share
+    q = sqrt(p) / sum(sqrt(p)) — dominant sources are downsampled, rare
+    ones upweighted — and each stratum keeps its first
+    floor(buckets * min(1, target_total * q / n)) hash buckets.
+
+    alpha is FIXED at 0.5 deliberately: IEEE-754 requires sqrt to be
+    correctly rounded, so both engines compute bit-identical shares,
+    whereas a general pow(p, alpha) is only faithfully rounded and may
+    differ by 1 ulp right where a bucket threshold floors. The sqrt
+    shares are quantized to DECIMAL(28,12) before the normalizing sum,
+    which makes that sum order-independent.
+
+    Shape at 100 TB: the stratum histogram is one map-side-combined
+    aggregate (|strata| rows), the rate table broadcasts back, and the
+    keep decision is a narrow hash map per row — the corpus shuffles
+    zero times. Returns the per-stratum audit summary
+    (n_docs, sampled share, keep_bucket, n_kept); the same rate table
+    joined to the corpus IS the filter a production run applies.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
+    sq = counts.withColumn(
+        "_sqrtp",
+        F.sqrt(F.col("n_docs").cast("double")).cast("decimal(28,12)"),
+    )
+    denom = sq.agg(F.sum("_sqrtp").alias("_denom"))
+    rates = (
+        sq.crossJoin(F.broadcast(denom))
+        .withColumn(
+            "q_share",
+            (F.col("_sqrtp").cast("double") / F.col("_denom").cast("double")),
+        )
+        .withColumn(
+            "keep_bucket",
+            F.floor(
+                F.lit(buckets)
+                * F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_total))
+                    * F.col("q_share")
+                    / F.col("n_docs").cast("double"),
+                )
+            ).cast("int"),
+        )
+    )
+    kept = (
+        df.join(F.broadcast(rates), stratum_col)
+        .withColumn(
+            "_keep", hash_bucket(F.col(key_col), buckets) < F.col("keep_bucket")
+        )
+        .groupBy(stratum_col)
+        .agg(F.sum(F.col("_keep").cast("int")).cast("int").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, stratum_col)
+        .select(
+            stratum_col,
+            F.col("n_docs").cast("int").alias("n_docs"),
+            F.round("q_share", 6).alias("q_share"),
+            "keep_bucket",
+            "n_kept",
+        )
+    )

@@ -3238,3 +3238,60 @@ def q102_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("clabel"),
     )
     return sim.ann_ndcg(q, c, k=10)
+
+
+# ---------------------------------------------------------------------------
+# q103 — temperature-flattened source mixture (mT5-style, alpha = 0.5)
+# ---------------------------------------------------------------------------
+_TEMP_TARGET = 200
+_TEMP_BUCKETS = 1000
+
+
+def _temp_mixture_sql() -> str:
+    b = _hash_bucket_duck("d.doc_id", _TEMP_BUCKETS)
+    qs = "CAST(sqrtp AS DOUBLE) / CAST(dn AS DOUBLE)"
+    return f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    sq AS (
+      SELECT source, n_docs,
+             CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12)) AS sqrtp
+      FROM counts
+    ),
+    denom AS (SELECT SUM(sqrtp) AS dn FROM sq),
+    rates AS (
+      SELECT source, n_docs, {qs} AS q_share,
+             CAST(FLOOR({_TEMP_BUCKETS} * LEAST(1.0,
+                    {float(_TEMP_TARGET)!r} * ({qs}) / CAST(n_docs AS DOUBLE)))
+                  AS INT) AS keep_bucket
+      FROM sq CROSS JOIN denom
+    ),
+    kept AS (
+      SELECT d.source,
+             SUM(CASE WHEN {b} < r.keep_bucket THEN 1 ELSE 0 END) AS n_kept
+      FROM documents d JOIN rates r USING (source) GROUP BY 1
+    )
+    SELECT r.source, CAST(r.n_docs AS INT) AS n_docs,
+           ROUND(r.q_share, 6) AS q_share, r.keep_bucket,
+           CAST(k.n_kept AS INT) AS n_kept
+    FROM rates r JOIN kept k USING (source)
+    """
+
+
+@register(
+    "q103_temperature_mixture",
+    _temp_mixture_sql(),
+    doc="temperature-flattened training mix (mT5/XLM-R, alpha=0.5): "
+    "stratum share q = sqrt(n)/sum(sqrt(n)) downsamples dominant "
+    "sources and upweights rare ones; each source keeps its first "
+    "floor(B * min(1, T*q/n)) hash buckets. alpha is FIXED at 0.5 "
+    "because IEEE sqrt is correctly rounded (bit-portable) where "
+    "general pow is not. One histogram aggregate + broadcast rate "
+    "table + narrow hash keep — the corpus never shuffles",
+)
+def q103_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators import sampling as smp
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    return smp.sqrt_temperature_mixture(
+        d, "doc_id", "source", target_total=_TEMP_TARGET, buckets=_TEMP_BUCKETS
+    )

@@ -383,3 +383,14 @@ def test_q102_ndcg_broadcasts_small_sides(spark):
     assert "BroadcastHashJoin" in plan  # label histogram + top-k joins
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q103_temperature_mixture_broadcast_rates(spark):
+    """Temperature mixture: the per-source rate table joins back as a
+    broadcast (the corpus never shuffles for the keep decision), the
+    one-row denominator rides a broadcast too, and everything is
+    JVM-side codegen."""
+    plan = formatted_plan(spark, "q103_temperature_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

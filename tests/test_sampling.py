@@ -89,3 +89,34 @@ def test_quota_sample_two_phase_equals_single_window(spark):
     b = {(r.key, r.stratum, r.mix_rank) for r in expect.collect()}
     assert a == b
     assert got.columns == expect.columns
+
+
+def test_sqrt_temperature_mixture_flattens_shares(spark):
+    """A dominant stratum's sampled share must shrink and a rare one's
+    grow relative to raw shares; kept counts respect the bucket rates
+    and the whole decision is reproducible (hash-based, not RNG)."""
+    import pytest
+
+    from frontmatter_mcp_spark.operators.sampling import sqrt_temperature_mixture
+
+    rows = [(i, "big") for i in range(90)] + [(i + 1000, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = {r["source"]: r for r in sqrt_temperature_mixture(
+        df, "doc_id", "source", target_total=50
+    ).collect()}
+    big, small = out["big"], out["small"]
+    import math
+
+    denom = math.sqrt(90) + math.sqrt(10)
+    assert big["q_share"] == pytest.approx(math.sqrt(90) / denom, abs=1e-6)
+    # flattening: big's sampled share (0.75) < raw share (0.9);
+    # small's (0.25) > raw (0.1)
+    assert big["q_share"] < 0.9 and small["q_share"] > 0.1
+    # keep-rate ceiling: small wants 50*0.25=12.5 docs of its 10 -> all kept
+    assert small["keep_bucket"] == 1000 and small["n_kept"] == 10
+    assert 0 < big["n_kept"] < 90
+    # determinism: a second run keeps the exact same counts
+    again = {r["source"]: r["n_kept"] for r in sqrt_temperature_mixture(
+        df, "doc_id", "source", target_total=50
+    ).collect()}
+    assert again == {s: r["n_kept"] for s, r in out.items()}
