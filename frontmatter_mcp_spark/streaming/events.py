@@ -250,3 +250,28 @@ def run_stream_to_batch(stream_df: DataFrame, name: str) -> DataFrame:
             q.stop()
             q.awaitTermination()
     return spark.table(name)
+
+
+def enriched_segment_counts(
+    events: DataFrame, dim: DataFrame, width: str = "1 hour"
+) -> DataFrame:
+    """Stream-STATIC enrichment: join each event against a broadcast
+    dimension table (stateless — no watermark or join state involved;
+    the static side is planned like any batch broadcast), then a
+    watermarked tumbling aggregation per (window, dimension attribute).
+    This is the standard production shape for attaching slowly-changing
+    reference data (user segment, device class, geo) to a stream before
+    aggregating; at 100 TB/day the dimension broadcast is what keeps the
+    join off the shuffle path. ``dim`` columns: (user_id, segment).
+    """
+    enriched = events.join(F.broadcast(dim), "user_id")
+    return (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width), "segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

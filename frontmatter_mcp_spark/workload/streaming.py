@@ -254,3 +254,38 @@ def q92_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.run_stream_to_batch(stats, "stream_ingest_gate_out").select(
         "source", "n_unique", "n_kept"
     )
+
+
+@register(
+    "q104_stream_static_enrichment",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', e.ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    doc="stream-STATIC enrichment join: events stream x broadcast "
+    "customer-segment dimension (stateless join — no stream-join "
+    "state), then watermarked tumbling aggregation per (window, "
+    "segment) == batch join + time_bucket. The production shape for "
+    "attaching reference data to a stream without a shuffle",
+)
+def q104_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.tables import load_table
+
+    stream = ev.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    out = ev.run_stream_to_batch(
+        ev.enriched_segment_counts(stream, dim), "stream_enrich_out"
+    )
+    return out.select(
+        F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+        "segment",
+        "n",
+        "total_value",
+    )

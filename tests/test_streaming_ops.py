@@ -444,3 +444,59 @@ def test_streaming_results_identical_under_changelog_checkpointing(spark):
         )
         == "unset"
     )
+
+
+def test_stream_static_enrichment_join_is_stateless(spark, tmp_path):
+    """The stream-static join must plan as a broadcast against the
+    static side and contribute NO stateful join operator — the only
+    state in the query is the windowed aggregation. (A stream-stream
+    join here would buffer both sides in the state store and grow with
+    the stream.)"""
+    import datetime as dt
+
+    from frontmatter_mcp_spark.streaming import events as ev
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "enrich_events"
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    _write_events_parquet(
+        spark,
+        src,
+        [
+            (i, t0 + dt.timedelta(minutes=7 * i), i % 3, "click", 1.0, "{}")
+            for i in range(30)
+        ],
+    )
+    dim = spark.createDataFrame(
+        [(0, "SEG_A"), (1, "SEG_B"), (2, "SEG_A")], ["user_id", "segment"]
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(str(src))
+    out = ev.enriched_segment_counts(stream, dim)
+    with ev._stream_state_partitions(spark):
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("enrich_state_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            ops = [
+                so.get("operatorName", "")
+                for p in q.recentProgress
+                for so in p.get("stateOperators", [])
+            ]
+        finally:
+            q.stop()
+            q.awaitTermination()
+    assert ops and all("join" not in name.lower() for name in set(ops)), ops
+    rows = {
+        (r["segment"],): r["n"]
+        for r in spark.table("enrich_state_out")
+        .groupBy("segment")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert rows == {("SEG_A",): 20, ("SEG_B",): 10}
