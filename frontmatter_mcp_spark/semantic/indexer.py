@@ -29,6 +29,81 @@ from frontmatter_mcp_spark.semantic.store import STORE_SCHEMA, EmbeddingStore
 from frontmatter_mcp_spark.sources.markdown import parsed_df
 
 
+def encode_bodies(df: DataFrame, model: EmbeddingModel) -> DataFrame:
+    """(path, mtime, body) -> (path, mtime, vector): Arrow-batched
+    mapInPandas encode with an executor-local model instance (lazy init
+    per worker, the reference's lazy-load behavior at model.py:28-37) —
+    the embedding work scales with executors. Shared by the batch
+    indexer and the streaming index maintainer."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vectors = model.encode(list(pdf["body"]))
+            yield pd.DataFrame(
+                {"path": pdf["path"], "mtime": pdf["mtime"], "vector": vectors}
+            )
+
+    return df.mapInPandas(encode, schema=STORE_SCHEMA)
+
+
+def stream_index_vault(
+    spark: SparkSession,
+    base_dir: str | Path,
+    store: EmbeddingStore,
+    model: EmbeddingModel,
+    checkpoint_dir: str | Path,
+):
+    """Continuous index maintenance: the ``frontmatter`` streaming
+    source (each micro-batch emits only mtime-advanced files) feeding
+    the embedding store through ``foreachBatch`` — the streaming
+    counterpart of EmbeddingIndexer.refresh(), for vaults that change
+    faster than a poll-and-diff cycle.
+
+    Per batch: keep the latest (mtime, body) per path (a replayed or
+    slow micro-batch can carry two versions of one file), encode with
+    the shared mapInPandas stage, and ``store.upsert``. Crash safety
+    composes from two halves: Spark replays an uncommitted micro-batch
+    from the checkpointed offset, and the store's upsert is
+    insert-or-replace by path under a manifest flip — re-upserting the
+    same rows is a no-op — so the index converges to exactly the vault
+    state despite restarts. Empty bodies are skipped (the reference
+    skips them, indexer.py:134-148); deletions are out of scope for the
+    append-only stream (the batch indexer's diff handles them on its
+    next refresh).
+
+    Returns the StreamingQuery; the caller drives it
+    (``processAllAvailable`` locally, a real trigger in production).
+    """
+    from frontmatter_mcp_spark.sources.datasource import FrontmatterDataSource
+
+    spark.dataSource.register(FrontmatterDataSource)  # idempotent re-register
+    stream = (
+        spark.readStream.format("frontmatter")
+        .option("path", str(base_dir))
+        .option("includeBody", "true")
+        .load()
+    )
+    docs = stream.select(
+        F.col("path"),
+        F.col("_mtime").alias("mtime"),
+        F.trim(F.col("_body")).alias("body"),
+    ).filter(F.col("body").isNotNull() & (F.col("body") != ""))
+
+    def encode_and_upsert(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.groupBy("path")
+            .agg(F.max(F.struct("mtime", "body")).alias("s"))
+            .select("path", F.col("s.mtime").alias("mtime"), F.col("s.body").alias("body"))
+        )
+        store.upsert(encode_bodies(latest, model))
+
+    return (
+        docs.writeStream.foreachBatch(encode_and_upsert)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .start()
+    )
+
+
 class IndexerState(str, Enum):
     IDLE = "idle"
     INDEXING = "indexing"
@@ -100,16 +175,8 @@ class EmbeddingIndexer:
                 self._state = IndexerState.READY
 
     def _encode_stage(self, stale: DataFrame) -> DataFrame:
-        model = self.model  # tiny, pickled into the closure; executor-local use
-
-        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                vectors = model.encode(list(pdf["body"]))
-                yield pd.DataFrame(
-                    {"path": pdf["path"], "mtime": pdf["mtime"], "vector": vectors}
-                )
-
-        return stale.mapInPandas(encode, schema=STORE_SCHEMA)
+        # model is tiny and pickled into the closure; executor-local use
+        return encode_bodies(stale, self.model)
 
     def _index_files(self) -> None:
         parsed = parsed_df(self.spark, self.base_dir, self.glob).filter(

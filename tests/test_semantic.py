@@ -231,3 +231,47 @@ def test_store_upsert_rewrites_only_affected_buckets(spark, tmp_path):
 def test_embed_udf_registered(engine):
     row = engine.spark.sql("SELECT size(embed('hello world')) AS d").collect()[0]
     assert row.d == 64
+
+
+def test_stream_index_vault_converges_and_updates(spark, vault, tmp_path):
+    """Streaming index maintenance: the frontmatter stream source feeds
+    the store via foreachBatch; after draining, the store equals the
+    vault's embeddings, and an edited file (mtime advanced) re-indexes
+    on the next drain while untouched files keep their vectors."""
+    import os
+    import time
+
+    from frontmatter_mcp_spark.semantic.indexer import stream_index_vault
+
+    model = DeterministicHashEmbedder(dim=16)
+    store = EmbeddingStore(spark, tmp_path / "scache", model.name, 16)
+    q = stream_index_vault(
+        spark, vault, store, model, checkpoint_dir=tmp_path / "ckpt"
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.path: (r.mtime, list(r.vector)) for r in store.read().collect()}
+        assert set(got) == {"spark.md", "cooking.md", "spark2.md"}
+        import numpy as np
+
+        def f32(vec):  # the store column is array<float>
+            return [float(np.float32(x)) for x in vec]
+
+        expect_spark = model.encode(
+            ["spark catalyst optimizer shuffles partitions executors"]
+        )[0]
+        assert got["spark.md"][1] == f32(expect_spark)
+
+        # edit one file with a strictly later mtime
+        p = vault / "cooking.md"
+        p.write_text("---\ntitle: cooking\n---\nnew recipe entirely\n")
+        later = time.time() + 5
+        os.utime(p, (later, later))
+        q.processAllAvailable()
+        got2 = {r.path: (r.mtime, list(r.vector)) for r in store.read().collect()}
+        assert got2["cooking.md"][1] == f32(model.encode(["new recipe entirely"])[0])
+        assert got2["cooking.md"][0] > got["cooking.md"][0]
+        assert got2["spark.md"] == got["spark.md"]  # untouched file unchanged
+    finally:
+        q.stop()
+        q.awaitTermination()
