@@ -103,35 +103,80 @@ def pq_train_codebooks(
     k: int = 8,
     iters: int = 2,
 ) -> list[list[list[float]]]:
-    """Train the M per-subspace codebooks: one deterministic k-means per
-    subspace over the sliced vectors. Returns [m][k][dim/m] centroid
-    values (driver-held — M*K*(dim/M) = K*dim doubles, tiny).
+    """Train the M per-subspace codebooks: deterministic Lloyd's over
+    the sliced vectors, ALL subspaces jointly — the corpus explodes
+    into (subspace, slice) rows once and every iteration runs ONE
+    update job whose aggregate keys on (subspace, cluster, dim) instead
+    of M separate driver loops. Centroids are bit-identical to
+    per-subspace runs (same init rows, and the fixed-point means are
+    exact integer sums — group-partitioning-independent), so the SQL
+    oracle replays per-subspace CTEs unchanged; what the joint plan
+    buys is M-fold fewer driver-coordinated jobs (the dominant cost of
+    small-k training). Returns [m][k][dim/m] centroid values
+    (driver-held — K*dim doubles, tiny).
 
     At 100 TB codebook training runs on a deterministic sample (e.g.
     hash_bucket(id) < r); the encode/ADC passes below are the stages
     that must scale, and they are narrow codegen maps.
     """
-    from frontmatter_mcp_spark.operators.clustering import kmeans_assign
+    from pyspark.storagelevel import StorageLevel
 
-    dim = embeddings.select(
-        F.size(F.col(vec_col)).alias("n")
-    ).limit(1).collect()[0].n
+    from frontmatter_mcp_spark.functions.vector import fixed_point_mean
+
+    # init + dim discovery in one collect: the k smallest ids, in order
+    v = F.col(vec_col).cast("array<double>")
+    init_rows = (
+        embeddings.select(F.col(id_col), v.alias("v")).orderBy(id_col).limit(k).collect()
+    )
+    dim = len(init_rows[0].v)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    books: list[list[list[float]]] = []
-    for s in range(m):
-        sliced = embeddings.select(
-            F.col(id_col),
-            F.slice(
-                F.col(vec_col).cast("array<double>"), s * sub + 1, sub
-            ).alias("embedding"),
-        )
-        _, cents = kmeans_assign(
-            sliced, k=k, iters=iters, id_col=id_col, vec_col="embedding",
-            return_centroids=True,
-        )
-        books.append(cents)
+    books: list[list[list[float]]] = [
+        [list(r.v[s * sub : (s + 1) * sub]) for r in init_rows] for s in range(m)
+    ]
+
+    slices = F.array(*[F.slice(v, s * sub + 1, sub) for s in range(m)])
+    sliced = embeddings.select(
+        F.col(id_col), F.posexplode(slices).alias("sub", "sv")
+    )
+    vecs = sliced.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(iters - 1):
+            cents_lit = F.array(
+                *[F.array(*[F.lit(c) for c in books[s]]) for s in range(m)]
+            )
+            dists = F.transform(
+                F.element_at(cents_lit, F.col("sub") + 1),
+                _subspace_sqdist(F.col("sv")),
+            )
+            assigned = vecs.withColumn("__d", dists).select(
+                "sub",
+                (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1)
+                .cast("int")
+                .alias("cid"),
+                "sv",
+            )
+            means = (
+                assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "val"))
+                .groupBy("sub", "cid", "pos")
+                .agg(fixed_point_mean(F.col("val")).alias("mv"))
+                .collect()
+            )
+            by_key: dict[tuple[int, int], dict[int, float]] = {}
+            for r in means:
+                by_key.setdefault((r.sub, r.cid), {})[r.pos] = r.mv
+            books = [
+                [
+                    [by_key[(s, c)][p] for p in range(sub)]
+                    if (s, c) in by_key
+                    else books[s][c]  # empty cluster keeps its centroid
+                    for c in range(k)
+                ]
+                for s in range(m)
+            ]
+    finally:
+        vecs.unpersist()
     return books
 
 
