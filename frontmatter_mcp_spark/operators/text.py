@@ -529,3 +529,83 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def bigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Interpolated bigram LM quality score — the step up from
+    unigram_nll that CCNet-style filters actually deploy: token i >= 2
+    is scored by -ln(0.5 * p(w_i | w_{i-1}) + 0.5 * p(w_i)) under the
+    corpus's own counts, the first token by its unigram alone, and the
+    document by the mean over all tokens. The 0.5 interpolation weight
+    is an exact binary fraction (no rounding divergence), and templated
+    text scores low while rare-token noise scores high, as with q94 —
+    but repeated PHRASES now also score low, which the unigram model
+    cannot see.
+
+    Shape at 100 TB: one explode for bigram pair occurrences and one
+    tiny one for first tokens; per-doc (a, b) tf collapses map-side
+    before the three count joins (pair key, left-unigram key,
+    right-unigram key — all O(tokens) rows, hot keys pre-collapsed,
+    AQE splits the rest); N rides a one-row broadcast. Determinism: the
+    probability is a fixed-order double chain mirrored in the oracle,
+    each -ln(p)*tf term is quantized to DECIMAL(28,12) (order-free
+    sums), and the mean rounds to 6 decimals to absorb ln's 1-ulp
+    engine divergence. Docs with no tokens return (0, NULL).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    uni = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    totals = c1.agg(F.sum("c1").alias("n_total"))
+
+    pairs = df.select(
+        F.col(id_col), F.explode(word_bigrams(toks)).alias("bg")
+    ).select(
+        F.col(id_col),
+        F.split("bg", " ", -1)[0].alias("a"),
+        F.split("bg", " ", -1)[1].alias("b"),
+    )
+    ptf = pairs.groupBy(id_col, "a", "b").agg(F.count("*").alias("tf"))
+    c2 = ptf.groupBy("a", "b").agg(F.sum("tf").alias("c2"))
+
+    p_interp = (
+        F.lit(0.5) * (F.col("c2").cast("double") / F.col("c1a"))
+        + F.lit(0.5) * (F.col("c1b").cast("double") / F.col("n_total"))
+    )
+    big_terms = (
+        ptf.join(c2, ["a", "b"])
+        .join(c1.select(F.col("w").alias("a"), F.col("c1").alias("c1a")), "a")
+        .join(c1.select(F.col("w").alias("b"), F.col("c1").alias("c1b")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("tf"),
+            ((-F.log(p_interp)) * F.col("tf")).cast("decimal(28,12)").alias("nll"),
+        )
+    )
+    firsts = (
+        # try_element_at: NULL (not an ANSI error) for zero-token docs
+        df.select(F.col(id_col), F.try_element_at(toks, F.lit(1)).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .join(c1, "w")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.lit(1).alias("tf"),
+            (-F.log(F.col("c1").cast("double") / F.col("n_total")))
+            .cast("decimal(28,12)")
+            .alias("nll"),
+        )
+    )
+    agg = (
+        big_terms.unionByName(firsts)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("int").alias("__n"),
+            F.round(F.sum("nll").cast("double") / F.sum("tf"), 6).alias("__nll"),
+        )
+    )
+    return df.select(F.col(id_col)).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_tokens"),
+        F.col("__nll").alias("nll_mean"),
+    )

@@ -3295,3 +3295,63 @@ def q103_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.sqrt_temperature_mixture(
         d, "doc_id", "source", target_total=_TEMP_TARGET, buckets=_TEMP_BUCKETS
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — interpolated bigram LM quality score (the CCNet upgrade over q94)
+# ---------------------------------------------------------------------------
+@register(
+    "q105_bigram_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    c1 AS (SELECT t, COUNT(*) AS c1 FROM uni GROUP BY 1),
+    tot AS (SELECT SUM(c1) AS n_total FROM c1),
+    prs AS (
+      SELECT doc_id, w[i] AS a, w[i+1] AS b
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+      WHERE len(w) >= 2
+    ),
+    ptf AS (SELECT doc_id, a, b, COUNT(*) AS tf FROM prs GROUP BY 1, 2, 3),
+    c2 AS (SELECT a, b, SUM(tf) AS c2 FROM ptf GROUP BY 1, 2),
+    bigterms AS (
+      SELECT ptf.doc_id, ptf.tf,
+             CAST((-ln(0.5 * (CAST(c2.c2 AS DOUBLE) / ca.c1)
+                       + 0.5 * (CAST(cb.c1 AS DOUBLE) / n_total))) * ptf.tf
+                  AS DECIMAL(28,12)) AS nll
+      FROM ptf JOIN c2 ON c2.a = ptf.a AND c2.b = ptf.b
+           JOIN c1 ca ON ca.t = ptf.a
+           JOIN c1 cb ON cb.t = ptf.b
+           CROSS JOIN tot
+    ),
+    firsts AS (
+      SELECT toks.doc_id, 1 AS tf,
+             CAST(-ln(CAST(c1.c1 AS DOUBLE) / n_total) AS DECIMAL(28,12)) AS nll
+      FROM toks JOIN c1 ON c1.t = w[1] CROSS JOIN tot
+      WHERE len(w) >= 1
+    ),
+    allterms AS (SELECT * FROM bigterms UNION ALL SELECT * FROM firsts),
+    agg AS (
+      SELECT doc_id, CAST(SUM(tf) AS INT) AS n_tokens,
+             ROUND(CAST(SUM(nll) AS DOUBLE) / SUM(tf), 6) AS nll_mean
+      FROM allterms GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens, agg.nll_mean
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="interpolated bigram LM quality score (the CCNet filter stage a "
+    "step up from q94's unigram): token i>=2 scored by "
+    "-ln(0.5*p(w|prev) + 0.5*p(w)) under the corpus's own counts, the "
+    "first token by its unigram — repeated PHRASES now score low, "
+    "which a unigram model cannot see. Per-doc pair tf collapses "
+    "map-side before the three count joins; N is a one-row broadcast; "
+    "DECIMAL-quantized terms keep the sums order-independent",
+)
+def q105_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    return tx.bigram_nll(d, "doc_id", "text")

@@ -428,3 +428,30 @@ def test_ann_ndcg_no_relevant_label_is_null(spark):
     row = sim.ann_ndcg(q, c, k=2).collect()[0]
     assert row["n_rel"] == 0
     assert row["idcg"] is None and row["ndcg"] is None
+
+
+def test_bigram_nll_sees_phrases_unigram_cannot(spark):
+    # two docs with IDENTICAL unigram counts; doc 1 repeats the phrase
+    # "new york", doc 2 scrambles the pairing. The unigram model scores
+    # them equally; the bigram model must score the phrased doc as more
+    # predictable (lower mean NLL).
+    rows = [
+        (1, "new york new york new york"),
+        (2, "new new york new york york"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uni = {r["doc_id"]: r["nll_mean"] for r in tx.unigram_nll(df, "doc_id", "text").collect()}
+    big = {r["doc_id"]: r["nll_mean"] for r in tx.bigram_nll(df, "doc_id", "text").collect()}
+    assert uni[1] == uni[2]
+    assert big[1] < big[2]
+    out = tx.bigram_nll(df, "doc_id", "text").collect()
+    assert all(r["n_tokens"] == 6 for r in out)
+
+
+def test_bigram_nll_edge_docs(spark):
+    rows = [(1, ""), (2, "solo"), (3, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in tx.bigram_nll(df, "doc_id", "text").collect()}
+    assert got[1]["n_tokens"] == 0 and got[1]["nll_mean"] is None
+    assert got[2]["n_tokens"] == 1  # unigram-only first token
+    assert got[3]["n_tokens"] == 2

@@ -394,3 +394,14 @@ def test_q103_temperature_mixture_broadcast_rates(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q105_bigram_lm_partial_aggs_no_python(spark):
+    """Bigram LM score: pure codegen, the per-doc pair tf collapses
+    map-side before the count joins (partial aggregation), the corpus
+    total is a broadcast, never a cartesian."""
+    plan = formatted_plan(spark, "q105_bigram_lm_score")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
