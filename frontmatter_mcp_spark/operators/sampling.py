@@ -199,3 +199,59 @@ def sqrt_temperature_mixture(
             "n_kept",
         )
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    tokens_col: str,
+    budget: int,
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Token-budget mixture construction: training mixes are budgeted in
+    TOKENS, not documents — each stratum keeps its first documents (in
+    the deterministic md5 order of quota_sample) whose running token
+    total stays within ``budget``. Returns every input row with its
+    in-stratum cumulative token count and the keep verdict, so a
+    tightened budget re-filters without recomputation.
+
+    Same two-phase discipline as quota_sample, with SUMS instead of
+    counts: the running total windows within (stratum, md5-prefix)
+    sub-partitions, and per-prefix token-total offsets (a tiny
+    map-side-combined table, broadcast back) reconstruct the exact
+    global cumsum — because the md5 key is fixed-width hex,
+    prefix-then-key order IS the global order, so ``cum_tokens`` is
+    byte-identical to one window over the whole stratum and no stratum
+    ever sorts in a single task.
+    """
+    from pyspark.sql.window import Window as W
+
+    keyed = df.withColumn("_ok", F.md5(F.col(key_col).cast("string"))).withColumn(
+        "_pfx", F.substring("_ok", 1, prefix_chars)
+    )
+    local_w = (
+        W.partitionBy(stratum_col, "_pfx")
+        .orderBy("_ok", F.col(key_col))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = keyed.withColumn("_lcum", F.sum(tokens_col).over(local_w))
+
+    totals = keyed.groupBy(stratum_col, "_pfx").agg(
+        F.sum(tokens_col).alias("_ptok")
+    )
+    cum_w = (
+        W.partitionBy(stratum_col)
+        .orderBy("_pfx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_ptok").over(cum_w), F.lit(0))
+    ).drop("_ptok")
+
+    return (
+        local.join(F.broadcast(offsets), [stratum_col, "_pfx"])
+        .withColumn("cum_tokens", (F.col("_off") + F.col("_lcum")).cast("int"))
+        .withColumn("kept", F.col("cum_tokens") <= budget)
+        .select(*df.columns, "cum_tokens", "kept")
+    )

@@ -3355,3 +3355,51 @@ def q103_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q105_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return tx.bigram_nll(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q106 — token-budget mixture: per-source quota in TOKENS (q83's rank
+# discipline with running sums)
+# ---------------------------------------------------------------------------
+_TOKEN_BUDGET = 2000
+
+
+@register(
+    "q106_token_budget_mixture",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+             CAST(SUM(n_tokens) OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS INT) AS cum_tokens
+      FROM base
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           cum_tokens <= {_TOKEN_BUDGET} AS kept
+    FROM c
+    """,
+    doc="token-budget mixture: each source keeps its first docs (md5 "
+    "order) whose running TOKEN total fits the budget — training mixes "
+    "are budgeted in tokens, not documents. Two-phase running sums "
+    "(per-(source, md5-prefix) window + broadcast prefix offsets) "
+    "reconstruct the exact global cumsum with no single-task stratum "
+    "sort; the oracle's one straight window is byte-identical",
+)
+def q106_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators import sampling as smp
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    base = d.select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return smp.token_budget_mixture(
+        base, "doc_id", "source", "n_tokens", budget=_TOKEN_BUDGET
+    )

@@ -405,3 +405,14 @@ def test_q105_bigram_lm_partial_aggs_no_python(spark):
     assert plan.count("HashAggregate") >= 4
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q106_token_budget_two_phase_window(spark):
+    """Token-budget mixture: the running-sum window must partition on
+    the (stratum, prefix) sub-key — never the bare stratum, which would
+    sort a dominant source in one task — and the prefix offsets come
+    back as a broadcast."""
+    plan = formatted_plan(spark, "q106_token_budget_mixture")
+    assert re.search(r"windowspecdefinition\(source[^\n]*_pfx", plan), plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -120,3 +120,30 @@ def test_sqrt_temperature_mixture_flattens_shares(spark):
         df, "doc_id", "source", target_total=50
     ).collect()}
     assert again == {s: r["n_kept"] for s, r in out.items()}
+
+
+def test_token_budget_mixture_matches_single_window(spark):
+    """The two-phase cumsum must be byte-identical to one straight
+    window over the stratum, and the keep set must respect the budget
+    boundary exactly."""
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.sampling import token_budget_mixture
+
+    rows = [(i, "s" if i % 3 else "t", 10 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "n_tok"])
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["kept"])
+        for r in token_budget_mixture(df, "doc_id", "src", "n_tok", budget=300).collect()
+    }
+    w = (
+        W.partitionBy("src")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    expect = {
+        r["doc_id"]: (r["cum"], r["cum"] <= 300)
+        for r in df.withColumn("cum", F.sum("n_tok").over(w).cast("int")).collect()
+    }
+    assert got == expect
+    assert any(k for _, k in got.values()) and not all(k for _, k in got.values())
