@@ -65,6 +65,40 @@ def stratified_keep(
     return expr
 
 
+def _two_phase_prefix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    value: Column,
+    prefix_chars: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared two-phase scaffolding of quota_sample and
+    token_budget_mixture: a deterministic md5 order key + its
+    ``prefix_chars``-hex sub-partition prefix on every row, plus the
+    per-(stratum, prefix) offset table — the running total of ``value``
+    over all lexicographically EARLIER prefixes in the stratum (a
+    map-side-combined aggregate whose shuffle moves one row per
+    (stratum, prefix), broadcast back by the callers). Because the md5
+    key is fixed-width hex, ordering by (prefix, key-within-prefix) IS
+    ordering by the key, so offset + any local accumulation equals the
+    single-window global value byte-for-byte."""
+    from pyspark.sql.window import Window as W
+
+    keyed = df.withColumn("_ok", F.md5(F.col(key_col).cast("string"))).withColumn(
+        "_pfx", F.substring("_ok", 1, prefix_chars)
+    )
+    totals = keyed.groupBy(stratum_col, "_pfx").agg(F.sum(value).alias("_pv"))
+    cum_w = (
+        W.partitionBy(stratum_col)
+        .orderBy("_pfx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_pv").over(cum_w), F.lit(0))
+    ).drop("_pv")
+    return keyed, offsets
+
+
 def quota_sample(
     df: DataFrame,
     key_col: str,
@@ -104,21 +138,11 @@ def quota_sample(
     for name, n in sorted(quotas.items()):
         quota = F.when(F.col(stratum_col) == name, F.lit(n)).otherwise(quota)
 
-    keyed = df.withColumn("_ok", F.md5(F.col(key_col).cast("string"))).withColumn(
-        "_pfx", F.substring("_ok", 1, prefix_chars)
+    keyed, offsets = _two_phase_prefix(
+        df, key_col, stratum_col, F.lit(1), prefix_chars
     )
     local_w = W.partitionBy(stratum_col, "_pfx").orderBy("_ok", F.col(key_col))
     ranked = keyed.withColumn("_lrank", F.row_number().over(local_w))
-
-    counts = keyed.groupBy(stratum_col, "_pfx").agg(F.count("*").alias("_n"))
-    cum_w = (
-        W.partitionBy(stratum_col)
-        .orderBy("_pfx")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(cum_w), F.lit(0))
-    ).drop("_n")
 
     return (
         ranked.filter(F.col("_lrank") <= quota)
@@ -146,8 +170,13 @@ def sqrt_temperature_mixture(
     correctly rounded, so both engines compute bit-identical shares,
     whereas a general pow(p, alpha) is only faithfully rounded and may
     differ by 1 ulp right where a bucket threshold floors. The sqrt
-    shares are quantized to DECIMAL(28,12) before the normalizing sum,
-    which makes that sum order-independent.
+    values enter the normalizing sum as FLOOR(sqrt(n) * 2^30) exact
+    integers — floor of a power-of-two scaling is bit-identical in any
+    IEEE engine and the integer sum is order-independent, whereas a
+    double->DECIMAL(_,s) cast is NOT portable (Spark rounds HALF_UP,
+    DuckDB rounds fl(v*10^s) — the repo-wide _fx_mean rationale). The
+    2^-30 quantization cancels out of the share ratio to ~1e-9, far
+    inside the 6-decimal output rounding.
 
     Shape at 100 TB: the stratum histogram is one map-side-combined
     aggregate (|strata| rows), the rate table broadcasts back, and the
@@ -159,7 +188,9 @@ def sqrt_temperature_mixture(
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
     sq = counts.withColumn(
         "_sqrtp",
-        F.sqrt(F.col("n_docs").cast("double")).cast("decimal(28,12)"),
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(float(2**30))).cast(
+            "decimal(38,0)"
+        ),
     )
     denom = sq.agg(F.sum("_sqrtp").alias("_denom"))
     rates = (
@@ -216,19 +247,22 @@ def token_budget_mixture(
     in-stratum cumulative token count and the keep verdict, so a
     tightened budget re-filters without recomputation.
 
-    Same two-phase discipline as quota_sample, with SUMS instead of
-    counts: the running total windows within (stratum, md5-prefix)
-    sub-partitions, and per-prefix token-total offsets (a tiny
-    map-side-combined table, broadcast back) reconstruct the exact
-    global cumsum — because the md5 key is fixed-width hex,
-    prefix-then-key order IS the global order, so ``cum_tokens`` is
-    byte-identical to one window over the whole stratum and no stratum
-    ever sorts in a single task.
+    Same two-phase discipline as quota_sample (the shared
+    _two_phase_prefix scaffolding), with SUMS instead of counts: the
+    running total windows within (stratum, md5-prefix) sub-partitions,
+    and per-prefix token-total offsets (a tiny map-side-combined table,
+    broadcast back) reconstruct the exact global cumsum — because the
+    md5 key is fixed-width hex, prefix-then-key order IS the global
+    order, so ``cum_tokens`` is byte-identical to one window over the
+    whole stratum and no stratum ever sorts in a single task.
+    ``cum_tokens`` stays LONG: a stratum passes 2^31 cumulative tokens
+    at ~10 GB of text, far below this operator's design scale, and an
+    int cast there would wrap negative and re-admit every later doc.
     """
     from pyspark.sql.window import Window as W
 
-    keyed = df.withColumn("_ok", F.md5(F.col(key_col).cast("string"))).withColumn(
-        "_pfx", F.substring("_ok", 1, prefix_chars)
+    keyed, offsets = _two_phase_prefix(
+        df, key_col, stratum_col, F.col(tokens_col), prefix_chars
     )
     local_w = (
         W.partitionBy(stratum_col, "_pfx")
@@ -237,21 +271,9 @@ def token_budget_mixture(
     )
     local = keyed.withColumn("_lcum", F.sum(tokens_col).over(local_w))
 
-    totals = keyed.groupBy(stratum_col, "_pfx").agg(
-        F.sum(tokens_col).alias("_ptok")
-    )
-    cum_w = (
-        W.partitionBy(stratum_col)
-        .orderBy("_pfx")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = totals.withColumn(
-        "_off", F.coalesce(F.sum("_ptok").over(cum_w), F.lit(0))
-    ).drop("_ptok")
-
     return (
         local.join(F.broadcast(offsets), [stratum_col, "_pfx"])
-        .withColumn("cum_tokens", (F.col("_off") + F.col("_lcum")).cast("int"))
+        .withColumn("cum_tokens", (F.col("_off") + F.col("_lcum")).cast("long"))
         .withColumn("kept", F.col("cum_tokens") <= budget)
         .select(*df.columns, "cum_tokens", "kept")
     )

@@ -531,7 +531,12 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def bigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def bigram_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    uni: DataFrame | None = None,
+) -> DataFrame:
     """Interpolated bigram LM quality score — the step up from
     unigram_nll that CCNet-style filters actually deploy: token i >= 2
     is scored by -ln(0.5 * p(w_i | w_{i-1}) + 0.5 * p(w_i)) under the
@@ -551,10 +556,16 @@ def bigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     each -ln(p)*tf term is quantized to DECIMAL(28,12) (order-free
     sums), and the mean rounds to 6 decimals to absorb ln's 1-ulp
     engine divergence. Docs with no tokens return (0, NULL).
+
+    ``uni`` lets the caller pass a persisted unigram_counts(df) — it
+    has four consumers here (two pair joins, the first-token join, the
+    totals), so without a persist the corpus token explode reruns per
+    consumer (q105 pins it).
     """
     toks = tokens(F.lower(F.col(text_col)))
-    uni = df.select(F.col(id_col), F.explode(toks).alias("w"))
-    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    if uni is None:
+        uni = unigram_counts(df, text_col)
+    c1 = uni.select(F.col("t").alias("w"), F.col("c").alias("c1"))
     totals = c1.agg(F.sum("c1").alias("n_total"))
 
     pairs = df.select(

@@ -3254,7 +3254,8 @@ def _temp_mixture_sql() -> str:
     WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
     sq AS (
       SELECT source, n_docs,
-             CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12)) AS sqrtp
+             CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1073741824.0)
+                  AS DECIMAL(38,0)) AS sqrtp
       FROM counts
     ),
     denom AS (SELECT SUM(sqrtp) AS dn FROM sq),
@@ -3354,7 +3355,10 @@ def q103_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q105_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    return tx.bigram_nll(d, "doc_id", "text")
+    # the unigram vocab has four consumers (two pair joins, first-token
+    # join, totals) with differing projections — pin it (the q98 lesson)
+    uni = pin(tx.unigram_counts(d, "text"))
+    return tx.bigram_nll(d, "doc_id", "text", uni=uni)
 
 
 # ---------------------------------------------------------------------------
@@ -3379,7 +3383,7 @@ _TOKEN_BUDGET = 2000
                     PARTITION BY source
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS INT) AS cum_tokens
+                  AS BIGINT) AS cum_tokens
       FROM base
     )
     SELECT doc_id, source, n_tokens, cum_tokens,
