@@ -109,6 +109,9 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q86_bloom_prefilter_dedup",
     # r5b: brute-force ground truth now pinned across the config branches
     "q82_lsh_recall",
+    # r5b: two-phase scaffolding factored into _two_phase_prefix (results
+    # byte-identical by construction; re-verify anyway)
+    "q83_mixture_quota",
 }
 
 
