@@ -97,3 +97,96 @@ def test_decontaminate_flags_subset_of_train(spark, docs, n_test):
     train_ids = {i for i, s, _ in rows if s == "train"}
     for r in flagged:
         assert r.doc_id in train_ids and r.n_shared_spans >= 1
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in text.lower().strip().split() if t]
+
+
+def _py_bucket(s: str, buckets: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(s.encode()).hexdigest()
+    val = 0
+    for ch in h[:7]:
+        val = val * 16 + "0123456789abcdef".index(ch)
+    return val % buckets
+
+
+@given(st.lists(st.tuples(texts, st.booleans()), min_size=1, max_size=6))
+@settings(max_examples=20, deadline=None)
+def test_dsir_weights_match_python(spark, docs):
+    """Cross-validate the whole DSIR weight pipeline (hashed features,
+    smoothed log-ratios, per-doc sums) against a pure-Python model."""
+    from collections import Counter
+
+    from frontmatter_mcp_spark.operators.text import dsir_weights
+
+    B = 64
+    rows = [(i, t, flag) for i, (t, flag) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    got = {
+        r["doc_id"]: (r["n_features"], r["dsir_weight"])
+        for r in dsir_weights(df, "doc_id", "text", F.col("is_t"), buckets=B).collect()
+    }
+
+    def feats(text):
+        ws = _py_tokens(text)
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    raw, tgt = Counter(), Counter()
+    for _, t, flag in rows:
+        for f in feats(t):
+            b = _py_bucket(f, B)
+            raw[b] += 1
+            if flag:
+                tgt[b] += 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    for i, t, _ in rows:
+        fs = feats(t)
+        if not fs:
+            assert got[i] == (0, None)
+            continue
+        w = sum(
+            math.log(tgt[_py_bucket(f, B)] + 1)
+            - math.log(float(T + B))
+            - math.log(raw[_py_bucket(f, B)] + 1)
+            + math.log(float(R + B))
+            for f in fs
+        )
+        assert got[i][0] == len(fs)
+        assert got[i][1] == pytest.approx(round(w, 6), abs=2e-6)
+
+
+@given(st.lists(texts, min_size=1, max_size=6))
+@settings(max_examples=20, deadline=None)
+def test_bigram_nll_matches_python(spark, docs):
+    """Cross-validate the interpolated bigram LM against a pure-Python
+    model: first token by unigram, token i>=2 by the 0.5/0.5 mix."""
+    from collections import Counter
+
+    from frontmatter_mcp_spark.operators.text import bigram_nll
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll_mean"])
+        for r in bigram_nll(df, "doc_id", "text").collect()
+    }
+    c1, c2 = Counter(), Counter()
+    for _, t in rows:
+        ws = _py_tokens(t)
+        c1.update(ws)
+        c2.update(zip(ws, ws[1:]))
+    N = sum(c1.values())
+    for i, t in rows:
+        ws = _py_tokens(t)
+        if not ws:
+            assert got[i] == (0, None)
+            continue
+        terms = [-math.log(c1[ws[0]] / N)]
+        for a, b in zip(ws, ws[1:]):
+            p = 0.5 * (c2[(a, b)] / c1[a]) + 0.5 * (c1[b] / N)
+            terms.append(-math.log(p))
+        assert got[i][0] == len(ws)
+        assert got[i][1] == pytest.approx(round(sum(terms) / len(ws), 6), abs=2e-6)
