@@ -156,3 +156,62 @@ def power_iteration(
         return v
     finally:
         vecs.unpersist()
+
+
+def prototype_pruning(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al., "Beyond neural
+    scaling laws", NeurIPS 2022): cluster the embedding cloud, score
+    each example by its squared L2 distance to its own cluster
+    prototype, and keep the HARDEST half of every cluster (rank by
+    distance descending) — easy, prototype-near examples are the ones
+    large-data regimes can drop. Returns
+    (id, cluster, proto_dist, hardness_rank, kept).
+
+    The distance pass is the same zero-shuffle literal-centroid map as
+    the assignment; the per-cluster ranking windows on the cluster key
+    (k partitions — bounded), and the keep rule is integer math
+    (rank <= floor(n_cluster / 2)). proto_dist is the portable
+    sequential fold rounded to 6; ranks break ties on the id, so the
+    kept set is reproducible across engines and reruns.
+    """
+    from pyspark.sql.window import Window as W
+
+    assigned, cents = kmeans_assign(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        return_centroids=True,
+    )
+    cents_lit = F.array(*[F.lit(c) for c in cents])
+    v = F.col(vec_col).cast("array<double>")
+    dist = F.aggregate(
+        F.zip_with(
+            v, F.element_at(cents_lit, F.col("cluster") + 1),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = embeddings.join(assigned, id_col).select(
+        F.col(id_col), F.col("cluster"), dist.alias("_d")
+    )
+    w = W.partitionBy("cluster").orderBy(F.desc("_d"), F.col(id_col))
+    wc = W.partitionBy("cluster")
+    return (
+        scored.withColumn("hardness_rank", F.row_number().over(w).cast("int"))
+        .withColumn("_n", F.count("*").over(wc))
+        .select(
+            id_col,
+            "cluster",
+            F.round("_d", 6).alias("proto_dist"),
+            "hardness_rank",
+            (
+                F.col("hardness_rank")
+                <= F.floor(F.col("_n").cast("double") / F.lit(2.0))
+            ).alias("kept"),
+        )
+    )

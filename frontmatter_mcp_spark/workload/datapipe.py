@@ -3407,3 +3407,46 @@ def q106_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.token_budget_mixture(
         base, "doc_id", "source", "n_tokens", budget=_TOKEN_BUDGET
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — SSL-prototype data pruning: keep the hardest half of every cluster
+# ---------------------------------------------------------------------------
+@register(
+    "q107_prototype_pruning",
+    f"""
+    WITH {_kmeans_ctes()},
+    fincent AS (SELECT cid, cent FROM c{_KMEANS_ITERS - 1}),
+    scored AS (
+      SELECT v.vec_id, a.cid AS cluster,
+             list_sum([(CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+                       * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+                       FOR i IN generate_series(1, len(c.cent))]) AS d
+      FROM embeddings v
+      JOIN a{_KMEANS_ITERS} a USING (vec_id)
+      JOIN fincent c ON c.cid = a.cid
+    ),
+    ranked AS (
+      SELECT vec_id, cluster, d,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY d DESC, vec_id ASC) AS hardness_rank,
+             COUNT(*) OVER (PARTITION BY cluster) AS n_c
+      FROM scored
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           ROUND(d, 6) AS proto_dist,
+           CAST(hardness_rank AS INT) AS hardness_rank,
+           hardness_rank <= FLOOR(CAST(n_c AS DOUBLE) / 2.0) AS kept
+    FROM ranked
+    """,
+    doc="SSL-prototype pruning (Sorscher et al. 2022): squared-L2 "
+    "distance to the own-cluster prototype (zero-shuffle literal-"
+    "centroid map), per-cluster hardness rank, keep the hardest half — "
+    "the large-data pruning rule where prototype-near examples drop. "
+    "Every k-means iteration replayed by the oracle",
+)
+def q107_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.clustering import prototype_pruning
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return prototype_pruning(e, k=_KMEANS_K, iters=_KMEANS_ITERS)

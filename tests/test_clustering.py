@@ -84,3 +84,27 @@ def test_pq_recall_is_perfect_on_separable_data(spark):
     )
     top = pq.pq_adc_topk(q, pq.pq_encode(e, books), books, top_k=4).collect()
     assert sorted(r["vec_id"] for r in top) == [4, 5, 6, 7]
+
+
+def test_prototype_pruning_keeps_hardest_half(spark):
+    from frontmatter_mcp_spark.operators.clustering import prototype_pruning
+    rows = [(i, [0.0 + i * 0.1] * 4) for i in range(6)] + [
+        (i, [50.0 + (i - 6) * 0.1] * 4) for i in range(6, 12)
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = prototype_pruning(e, k=2, iters=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert len(by_cluster) == 2
+    for rows_c in by_cluster.values():
+        n = len(rows_c)
+        kept = [r for r in rows_c if r["kept"]]
+        assert len(kept) == n // 2
+        # kept examples are exactly the top-ranked (hardest) ones
+        assert {r["hardness_rank"] for r in kept} == set(range(1, n // 2 + 1))
+        # hardness order matches distance order up to the 6-decimal
+        # output rounding (ranking uses the unrounded fold)
+        by_rank = sorted(rows_c, key=lambda r: r["hardness_rank"])
+        for a, b in zip(by_rank, by_rank[1:]):
+            assert a["proto_dist"] >= b["proto_dist"] - 1e-6

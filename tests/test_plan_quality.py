@@ -416,3 +416,13 @@ def test_q106_token_budget_two_phase_window(spark):
     assert re.search(r"windowspecdefinition\(source[^\n]*_pfx", plan), plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q107_prototype_distance_is_literal_centroid_map(spark):
+    """Prototype pruning: the distance pass carries the centroids as
+    plan literals (no centroid join/cartesian), and the only window
+    partitions on the bounded cluster key."""
+    plan = formatted_plan(spark, "q107_prototype_pruning")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert re.search(r"windowspecdefinition\(cluster", plan), plan
