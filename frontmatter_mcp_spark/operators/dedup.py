@@ -37,38 +37,28 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined).
-
-    Built from n shifted `slice`s folded with `zip_with`, NOT from
-    per-index `element_at` in a `transform` lambda: Catalyst does no
-    common-subexpression elimination inside higher-order-function lambdas,
-    so an element_at formulation re-evaluates the whole tokenizer subtree
-    for every array element (measured ~10x slower). Here the tokenizer
-    runs n times per row, independent of document length.
-
-    Docs with fewer than n tokens yield an empty array.
-    """
-    toks = F.split(F.trim(text), r"\s+", -1)
-    k = F.size(toks)
-    m = k - (n - 1)  # number of shingles
-    acc = F.slice(toks, 1, m)
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(toks, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
-        )
-    return F.when(k >= n, F.array_distinct(acc)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word n-gram shingles (space-joined): array_distinct of
+    the position-ordered spans. Docs with fewer than n tokens yield an
+    empty array (array_distinct of empty is empty)."""
+    return F.array_distinct(_word_spans_in_order(text, n))
 
 
 def _word_spans_in_order(text: Column, n: int) -> Column:
     """All word n-gram spans in position order (index i = span starting
-    at token i) — word_shingles WITHOUT the distinct, so posexplode
-    recovers each span's start position. Same slice/zip_with fold (no
-    element_at-in-transform — Catalyst does no CSE inside lambdas)."""
+    at token i) — the single slice/zip_with fold behind word_shingles
+    and the span scrubbers, exposed without the distinct so posexplode
+    recovers each span's start position.
+
+    Built from n shifted `slice`s folded with `zip_with`, NOT from
+    per-index `element_at` in a `transform` lambda: Catalyst does no
+    common-subexpression elimination inside higher-order-function
+    lambdas, so an element_at formulation re-evaluates the whole
+    tokenizer subtree for every array element (measured ~10x slower).
+    Here the tokenizer runs n times per row, independent of document
+    length."""
     toks = F.split(F.trim(text), r"\s+", -1)
     k = F.size(toks)
-    m = k - (n - 1)
+    m = k - (n - 1)  # number of spans
     acc = F.slice(toks, 1, m)
     for j in range(1, n):
         acc = F.zip_with(

@@ -14,11 +14,17 @@ two syntactic DuckDB-isms exercised by the reference's README/tests
    rewrite to ``FROM files LATERAL VIEW explode(expr) t AS tag``.
 3. DuckDB ``list_*`` lambda/utility functions over Spark's array
    builtins. DuckDB and Spark share the same lambda syntax
-   (``x -> expr``), so these are pure function-name renames:
+   (``x -> expr``), so most are pure function-name renames:
    ``list_filter``→``filter``, ``list_transform``→``transform``,
    ``list_sort``→``array_sort`` (both default ASC NULLS LAST),
-   ``list_distinct``→``array_distinct``,
-   ``string_split_regex``→``split``.
+   ``string_split_regex``→``split``. ``list_distinct`` is NOT a pure
+   rename — DuckDB drops null elements where Spark keeps one — so it
+   rewrites to ``filter(array_distinct(X), x -> x IS NOT NULL)``.
+   Residual divergence: ELEMENT ORDER. DuckDB's list_distinct returns
+   an unspecified order (observed hash-order, e.g. [2,1]); Spark
+   preserves first occurrence. An unspecified order cannot be
+   mirrored — the shim guarantees set equality, order-sensitive
+   consumers should list_sort the result (identical in both engines).
 
 The rewrites are deliberately conservative token-level transforms of
 exactly these documented constructs; any other SQL passes through
@@ -70,12 +76,14 @@ def _rewrite_comma_unnest(sql: str) -> str:
 
 
 # DuckDB list function -> Spark array builtin taking the SAME arguments
-# (lambda syntax included — both engines spell it `x -> expr`)
+# (lambda syntax included — both engines spell it `x -> expr`).
+# list_distinct is NOT here: it is not a pure rename — DuckDB drops NULL
+# elements while Spark's array_distinct keeps one — so it gets its own
+# balanced-paren rewrite below.
 _LIST_FN_RENAMES = {
     "list_filter": "filter",
     "list_transform": "transform",
     "list_sort": "array_sort",
-    "list_distinct": "array_distinct",
     "string_split_regex": "split",
 }
 
@@ -83,11 +91,49 @@ _LIST_FN_RE = re.compile(
     r"\b(" + "|".join(_LIST_FN_RENAMES) + r")\s*\(", re.IGNORECASE
 )
 
+_LIST_DISTINCT_RE = re.compile(r"\blist_distinct\s*\(", re.IGNORECASE)
+
 
 def _rewrite_list_functions(sql: str) -> str:
-    return _LIST_FN_RE.sub(
+    sql = _LIST_FN_RE.sub(
         lambda m: _LIST_FN_RENAMES[m.group(1).lower()] + "(", sql
     )
+    return _rewrite_list_distinct(sql)
+
+
+def _rewrite_list_distinct(sql: str) -> str:
+    """``list_distinct(X)`` -> ``filter(array_distinct(X), x -> x IS NOT
+    NULL)``: DuckDB's list_distinct REMOVES null elements, Spark's
+    array_distinct keeps one — a bare rename would silently change
+    results on arrays containing nulls. The argument is found by
+    balanced-paren scan (quote-aware), innermost-first so nested calls
+    rewrite correctly."""
+    while True:
+        m = _LIST_DISTINCT_RE.search(sql)
+        if not m:
+            return sql
+        depth, i, n = 1, m.end(), len(sql)
+        while i < n and depth:
+            ch = sql[i]
+            if ch == "'":  # skip string literal ('' escapes itself)
+                i += 1
+                while i < n and (sql[i] != "'" or sql[i : i + 2] == "''"):
+                    i += 2 if sql[i : i + 2] == "''" else 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced: leave untouched rather than corrupt
+            return sql
+        arg = sql[m.end() : i - 1]
+        sql = (
+            sql[: m.start()]
+            + "filter(array_distinct("
+            + arg
+            + "), __ld_x -> __ld_x IS NOT NULL)"
+            + sql[i:]
+        )
 
 
 _ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)

@@ -68,6 +68,7 @@ import contextlib
 import json
 import os
 import shutil
+import threading
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -120,10 +121,15 @@ class EmbeddingStore:
         self.model_name = model_name
         self.dim = dim
         self.retention_commits = max(1, retention_commits)
-        self._lock_depth = 0
+        self._lock_state = threading.local()
         self.store_dir.mkdir(parents=True, exist_ok=True)
-        self._check_model_metadata()
-        self._recover()
+        # open-time maintenance mutates shared state (clear() on model
+        # change; _recover() deletes staging/unreferenced dirs) — without
+        # the writer lock, opening a second handle could rmtree another
+        # process's in-flight staging write or just-renamed generation
+        with self._writer_lock():
+            self._check_model_metadata()
+            self._recover()
 
     @contextlib.contextmanager
     def _writer_lock(self):
@@ -131,24 +137,30 @@ class EmbeddingStore:
         across writer PROCESSES on a shared filesystem (pessimistic
         analogue of the lakehouse CAS commit — merges re-read bucket
         state under the lock, so there is no retry path). Re-entrant
-        within this instance: compact() runs inside upsert's lock."""
-        if self._lock_depth > 0:
-            self._lock_depth += 1
+        within one THREAD of this instance (compact() runs inside
+        upsert's lock); the depth counter is thread-local, so a second
+        thread sharing the instance falls through to the flock and
+        blocks — flock conflicts between file descriptions, which two
+        open() calls in one process are — instead of being mistaken for
+        a re-entrant call and skipping the lock."""
+        depth = getattr(self._lock_state, "depth", 0)
+        if depth > 0:
+            self._lock_state.depth = depth + 1
             try:
                 yield
             finally:
-                self._lock_depth -= 1
+                self._lock_state.depth -= 1
             return
         import fcntl
 
         self.lock_path.touch(exist_ok=True)
         with open(self.lock_path) as fh:
             fcntl.flock(fh, fcntl.LOCK_EX)
-            self._lock_depth = 1
+            self._lock_state.depth = 1
             try:
                 yield
             finally:
-                self._lock_depth = 0
+                self._lock_state.depth = 0
                 fcntl.flock(fh, fcntl.LOCK_UN)
 
     # -- model-change invalidation (reference cache.py metadata tables) ----

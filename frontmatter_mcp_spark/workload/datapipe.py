@@ -1236,7 +1236,9 @@ def _neardup_groups_sql(iters: int = _LP_ITERS) -> str:
 def q56_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     # pin the edge list: the propagation rounds nest it O(2^iters) times
-    # into the final plan (see neardup_groups) — measured ~2.4x
+    # into the final plan (see neardup_groups) — measured ~1.5x on the
+    # full query at sf0.1 (5.5s -> 3.7s controlled; dedup.py records the
+    # same number)
     return dd.neardup_groups(
         d, "doc_id", "text",
         threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,

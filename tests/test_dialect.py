@@ -103,8 +103,13 @@ def test_list_function_renames():
     assert out == "SELECT filter(tags, t -> t <> 'x') FROM files"
     out = translate("SELECT LIST_TRANSFORM(tags, t -> upper(t)) FROM files")
     assert out == "SELECT transform(tags, t -> upper(t)) FROM files"
+    # list_distinct is NOT a pure rename: DuckDB drops null elements,
+    # Spark's array_distinct keeps one — the shim adds the null filter
     out = translate("SELECT list_sort(list_distinct(tags)) FROM files")
-    assert out == "SELECT array_sort(array_distinct(tags)) FROM files"
+    assert out == (
+        "SELECT array_sort(filter(array_distinct(tags), "
+        "__ld_x -> __ld_x IS NOT NULL)) FROM files"
+    )
     out = translate("SELECT string_split_regex(trim(x), '\\s+') FROM files")
     assert out == "SELECT split(trim(x), '\\s+') FROM files"
     # word boundary: a user identifier CONTAINING a shim name is untouched
@@ -134,3 +139,16 @@ def test_list_lambda_end_to_end_through_engine(spark, tmp_path):
         ("a.md", "python,spark"),
         ("b.md", ""),
     ]
+
+
+def test_list_distinct_null_semantics_match_duckdb(spark):
+    """The list_distinct shim must reproduce DuckDB's null-dropping
+    semantics (a bare array_distinct rename keeps one NULL)."""
+    import duckdb
+
+    q = "SELECT list_sort(list_distinct(array('a', NULL, 'a', 'b'))) AS x"
+    got = spark.sql(translate(q)).collect()[0]["x"]
+    want = duckdb.sql(
+        "SELECT list_sort(list_distinct(['a', NULL, 'a', 'b'])) AS x"
+    ).fetchone()[0]
+    assert got == want == ["a", "b"]

@@ -236,3 +236,43 @@ def test_store_admin_cli_status_and_vacuum(spark, tmp_path, capsys):
     # not-a-store: directed error, no wipe
     with pytest.raises(SystemExit, match="not an embedding store"):
         store_admin.main(["status", str(tmp_path / "nope")])
+
+
+def test_same_instance_concurrent_threads_serialize(spark, tmp_path):
+    """Two threads sharing ONE store instance must serialize through
+    the flock — the re-entrancy depth is thread-local, so a sibling
+    thread is NOT mistaken for a re-entrant call (which would let both
+    run the read-merge-flip concurrently and drop same-bucket rows)."""
+    import threading
+
+    from frontmatter_mcp_spark.semantic.store import path_bucket as _pb
+
+    def bucket_of(p):
+        import hashlib
+
+        return int(hashlib.md5(p.encode()).hexdigest()[:4], 16) % 64
+
+    same_bucket, i = [], 0
+    while len(same_bucket) < 4:
+        p = f"doc_{i}.md"
+        if bucket_of(p) == bucket_of("doc_0.md"):
+            same_bucket.append(p)
+        i += 1
+
+    store = EmbeddingStore(spark, tmp_path / "mt", "m", DIM)
+    schema = store.read().schema
+    errs = []
+
+    def write(paths, mt):
+        try:
+            rows = [(p, mt, _vec(int(mt))) for p in paths]
+            store.upsert(spark.createDataFrame(rows, schema))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=write, args=(same_bucket[:2], 1.0))
+    t2 = threading.Thread(target=write, args=(same_bucket[2:], 2.0))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    got = {r.path for r in store.read().collect()}
+    assert got == set(same_bucket), f"lost update: {set(same_bucket) - got}"
