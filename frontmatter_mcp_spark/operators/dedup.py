@@ -583,3 +583,43 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").cast("int").alias("n_shared_spans"))
     )
+
+
+def record_linkage_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_lev: int = 2,
+) -> DataFrame:
+    """Blocked record linkage (entity resolution on STRUCTURED rows —
+    the Fellegi-Sunter blocking+verify shape, vs the text-shingle dedup
+    above): candidate pairs form only WITHIN a block (equi-join on the
+    blocking key — O(sum of block^2), never all-pairs), then survive an
+    edit-distance verification on the name field. Levenshtein is classic
+    integer DP in both engines, so pairs hash-match cross-engine.
+
+    Blocking-key choice is the scale lever, exactly like the df-cap on
+    shingle joins: a hot block degenerates toward its own cartesian, so
+    production keys combine a coarse attribute with a high-selectivity
+    prefix (phone/zip/sorted-neighborhood window); the key is a caller
+    parameter for that reason. AQE splits residual skewed blocks.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(block_cols)],
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(block_cols)],
+    )
+    keys = [f"_bk{i}" for i in range(len(block_cols))]
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev") <= max_lev)
+        .select("id_a", "id_b", F.col("lev").cast("int").alias("lev"))
+    )

@@ -3452,3 +3452,35 @@ def q107_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return prototype_pruning(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# q108 — blocked record linkage: entity resolution on structured rows
+# ---------------------------------------------------------------------------
+_LINK_MAX_LEV = 2
+
+
+@register(
+    "q108_record_linkage",
+    f"""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {_LINK_MAX_LEV}
+    """,
+    doc="blocked record linkage (Fellegi-Sunter blocking+verify, the "
+    "entity-resolution counterpart of the text dedup family): candidate "
+    "pairs only within (nation, segment) blocks — an equi-join, never "
+    "all-pairs — verified by Levenshtein on the name (integer DP, "
+    "bit-portable). Blocking-key selectivity is the scale lever, the "
+    "analogue of the shingle df-cap",
+)
+def q108_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = ensure_parallelism(load_table(spark, sf_dir, "customer"), "c_custkey")
+    return dd.record_linkage_pairs(
+        c, "c_custkey", "c_name",
+        block_cols=["c_nationkey", "c_mktsegment"], max_lev=_LINK_MAX_LEV,
+    )

@@ -455,3 +455,18 @@ def test_bigram_nll_edge_docs(spark):
     assert got[1]["n_tokens"] == 0 and got[1]["nll_mean"] is None
     assert got[2]["n_tokens"] == 1  # unigram-only first token
     assert got[3]["n_tokens"] == 2
+
+
+def test_record_linkage_blocking_and_verify(spark):
+    rows = [
+        (1, "Acme Corp", "US", "A"),
+        (2, "Acme Crop", "US", "A"),   # lev 2 from Acme Corp, same block
+        (3, "Acme Corp", "DE", "A"),   # identical name, DIFFERENT block
+        (4, "Zeta Ltd", "US", "A"),    # same block, far name
+        (5, "Acme Corp", "US", "B"),   # same nation, different segment
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "nation", "seg"])
+    out = dd.record_linkage_pairs(
+        df, "id", "name", block_cols=["nation", "seg"], max_lev=2
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["lev"]) for r in out] == [(1, 2, 2)]
