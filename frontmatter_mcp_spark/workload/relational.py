@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from frontmatter_mcp_spark.tables import load_table
-from frontmatter_mcp_spark.workload.registry import pin, register
+from frontmatter_mcp_spark.workload.registry import register
 
 
 def _dsum(col: Column, alias: str, scale: int = 2) -> Column:
@@ -955,16 +955,16 @@ def q27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cost of the rest of the query at sf0.1. Rank-counting is pure
     # codegen and scales as a map + partial count at any corpus size.
     l = load_table(spark, sf_dir, "lineitem")
-    # pinned: the rank branch consumes a column-pruned copy of g, which
-    # defeats exchange reuse — unpinned, the count_distinct+HLL aggregate
-    # (and its lineitem scan) would run twice (the q91 lesson)
-    g = pin(
-        l.groupBy("l_returnflag").agg(
-            F.count("*").alias("n_rows"),
-            F.count_distinct("l_partkey").alias("n_distinct_parts"),
-            F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("__approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("__approx_median"),
-        )
+    # NOT pinned: a review suggested the rank branch's pruned copy of g
+    # defeats exchange reuse, but measurement says otherwise — pinning
+    # measured 6.8s vs 1.6s unpinned at sf0.1 (the persist adds a
+    # materialization barrier where the unpinned plan overlaps both
+    # consumers' stages). Measured evidence beats plan-shape intuition.
+    g = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_partkey").alias("n_distinct_parts"),
+        F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("__approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("__approx_median"),
     )
     rank = (
         l.join(
