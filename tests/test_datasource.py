@@ -295,9 +295,14 @@ def test_stream_into_bucketed_embedding_store(registered, tmp_path):
     finally:
         q.stop()
     assert store.count() == 3
-    # second batch carried only the changed + new file, never b.md
-    later = [b for b in seen_batches[1:] if b]
-    assert later and all(b == ["a.md", "c.md"] for b in later)
+    # the post-edit batches carried exactly the changed + new file —
+    # never b.md. (Micro-batch BOUNDARIES are not guaranteed: under
+    # load the two files can arrive in separate batches, so assert on
+    # the union, not per-batch contents — the per-batch form flaked
+    # ~1-in-5 under suite load.)
+    later = [p for b in seen_batches[1:] for p in b]
+    assert sorted(set(later)) == ["a.md", "c.md"]
+    assert len(later) == 2  # each advanced file emitted exactly once
     # the changed file's vector tracks the new body (store is float32)
     import numpy as np
 
