@@ -75,10 +75,103 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str, source_col: str)
     )
 
 
+def _is_bmp(payload: bytes) -> bool:
+    """Strict BMP sniff: magic, full header present, and the declared
+    file size matching the payload length — so arbitrary bytes that
+    happen to start with 'BM' (e.g. text) never take this branch."""
+    return (
+        len(payload) >= 54
+        and payload[:2] == b"BM"
+        and int.from_bytes(payload[2:6], "little") == len(payload)
+    )
+
+
+def decode_bmp(payload: bytes):
+    """REAL decode of a 24-bit uncompressed BMP into an (h, w, 3) RGB
+    numpy array — pure stdlib+numpy, no codec library needed. Raises
+    ValueError on unsupported BMP variants."""
+    import numpy as np
+
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    off = int.from_bytes(payload[10:14], "little")
+    flipped = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=off
+    ).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if flipped else img
+
+
+def encode_bmp(img) -> bytes:
+    """REAL encode of an (h, w, 3) RGB numpy array as a bottom-up
+    24-bit BMP (the inverse of decode_bmp, byte-exact round-trip)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+    data = rows.tobytes()
+    size = 54 + len(data)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def _is_wav(payload: bytes) -> bool:
+    return (
+        len(payload) >= 44
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+        and int.from_bytes(payload[4:8], "little") == len(payload) - 8
+    )
+
+
+def probe_wav_duration(payload: bytes) -> float:
+    """REAL duration probe of a PCM WAV from its RIFF header (byte rate
+    at offset 28, data chunk scan) — pure stdlib."""
+    byte_rate = int.from_bytes(payload[28:32], "little")
+    i = 12
+    while i + 8 <= len(payload):
+        chunk, size = payload[i : i + 4], int.from_bytes(
+            payload[i + 4 : i + 8], "little"
+        )
+        if chunk == b"data":
+            return size / byte_rate
+        i += 8 + size + (size & 1)
+    raise ValueError("WAV without a data chunk")
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """Image decode. Real path: PIL (absent in this container). Fake
-    path: DETERMINISTIC dimensions from the payload md5 — the marked
-    stub for environments without codec libraries."""
+    """Image decode, real-first: 24-bit BMP decodes with the built-in
+    pure-numpy codec (no library needed); other formats try PIL (absent
+    in this container); the remaining fallback is the DETERMINISTIC
+    md5 fake — the clearly-marked stub for payloads with no decodable
+    codec."""
+    if _is_bmp(payload):
+        img = decode_bmp(payload)
+        return img.shape[1], img.shape[0]
     try:
         import io
 
@@ -104,8 +197,11 @@ def _extract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             if mtype == "image":
                 width, height = _decode_image_stub(data)
             elif mtype == "audio":
-                # stub: pretend 16 kB/s mono PCM
-                duration = len(data) / 16000.0
+                if _is_wav(data):
+                    duration = probe_wav_duration(data)  # real RIFF probe
+                else:
+                    # stub: pretend 16 kB/s mono PCM
+                    duration = len(data) / 16000.0
             elif mtype == "video":
                 width, height = _decode_image_stub(data)
                 n_frames = 1 + int(checksum[4:6], 16) % 240
@@ -140,10 +236,24 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize of a 24-bit BMP — decode with the
+    pure-numpy codec, index-resample, re-encode. Deterministic
+    (nearest-neighbor has no filtering choices to diverge on)."""
+    import numpy as np
+
+    img = decode_bmp(payload)
+    h, w, _ = img.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return encode_bmp(img[ys][:, xs])
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage. Real path uses PIL; the stub passes the payload
-    through with the target dimensions recorded (deterministic no-op
-    resize) so the pipeline shape is exercised end-to-end."""
+    """Resize stage, real-first: BMP payloads resize for real
+    (pure-numpy nearest-neighbor); other formats use PIL when present;
+    the remaining stub passes the payload through with the target
+    dimensions recorded so the pipeline shape is exercised end-to-end."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
@@ -151,7 +261,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
             from PIL import Image  # type: ignore
 
-            def do(data: bytes) -> bytes:
+            def pil_do(data: bytes) -> bytes:
                 img = Image.open(io.BytesIO(data)).resize((width, height))
                 out = io.BytesIO()
                 img.save(out, format="PNG")
@@ -159,8 +269,13 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
         except ImportError:
 
-            def do(data: bytes) -> bytes:  # deterministic stub: passthrough
+            def pil_do(data: bytes) -> bytes:  # deterministic stub
                 return data
+
+        def do(data: bytes) -> bytes:
+            if _is_bmp(data):
+                return resize_bmp(data, width, height)
+            return pil_do(data)
 
         for pdf in batches:
             yield pd.DataFrame(

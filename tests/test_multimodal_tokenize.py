@@ -107,3 +107,44 @@ def test_hyperplane_lsh_similar_vectors_collide(spark):
     assert got[0] == got[1]
     assert got[0] != got[2]
     assert len(got[0]) == 4 and set(got[0]) <= {"0", "1"}
+
+
+def test_real_bmp_and_wav_payloads_decode_for_real(spark):
+    """The decode/resize stages are no longer stubs for BMP and WAV:
+    real payloads built in-test must yield their true dimensions and
+    duration through the Spark pipeline, and the resize stage must
+    produce a decodable BMP of the requested size with exact
+    nearest-neighbor pixels."""
+    import numpy as np
+
+    from frontmatter_mcp_spark.sources import multimodal as mm
+
+    img = (np.arange(8 * 6 * 3, dtype=np.uint8) % 251).reshape(8, 6, 3)
+    bmp = mm.encode_bmp(img)
+    import struct
+
+    sr, ch, bits = 8000, 1, 16
+    data = b"\x00\x01" * 2000  # 0.25 s at 16 kB/s
+    wav = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + struct.pack("<HHIIHH", 1, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits)
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp), (len(bmp), "t")),
+            (2, "audio", bytearray(wav), (len(wav), "t")),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (6, 8)  # true dims
+    assert feats[2]["duration_s"] == 0.25  # true RIFF duration
+
+    out = mm.resize_images(media, 3, 4).collect()
+    assert len(out) == 1 and (out[0]["width"], out[0]["height"]) == (3, 4)
+    rimg = mm.decode_bmp(bytes(out[0]["payload"]))
+    ys = (np.arange(4) * 8) // 4
+    xs = (np.arange(3) * 6) // 3
+    assert np.array_equal(rimg, img[ys][:, xs])
