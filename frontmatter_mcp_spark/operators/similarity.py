@@ -352,3 +352,95 @@ def ann_ndcg(
             F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 6
         ).alias("ndcg"),
     )
+
+
+def bitext_margin_pairs(
+    clustered: DataFrame,
+    side_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "cluster",
+    min_cos: float = 0.1,
+    k_nn: int = 4,
+    top_k: int = 50,
+    persist_fn=None,
+) -> DataFrame:
+    """CCMatrix-style bitext mining (Artetxe & Schwenk 2019): candidate
+    translation pairs are CROSS-side pairs (side 0 x side 1) within a
+    learned blocking cell, scored by the MARGIN criterion — cosine
+    normalized by the mean of each endpoint's k-NN cosines — which
+    suppresses hub vectors that are spuriously close to everything. The
+    mining step that builds parallel corpora from monolingual crawls.
+
+    Shape at 100 TB: the pair join is within-block only (k-means cells,
+    the q90 discipline — never all-pairs); per-vector norms are computed
+    once before the join; the pair table feeds three consumers (both
+    k-NN averages and the final margin scoring), so the caller passes
+    persist_fn (workload pins it). The k-NN averages are top-k windows
+    over each endpoint's OWN pairs (bounded by its block), and the
+    output is a TakeOrderedAndProject.
+
+    Determinism: cosines are the portable fold; each k-NN mean sums
+    DECIMAL(28,12)-quantized cosines (order-free) divided by the count;
+    the margin divides bit-identical operands and rounds to 6; ranks
+    and the final ordering carry (id_a, id_b) tiebreakers.
+    """
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.functions.vector import dot_product, l2_norm
+
+    a = clustered.filter(F.col(side_col) == 0).select(
+        F.col(block_col),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    b = clustered.filter(F.col(side_col) == 1).select(
+        F.col(block_col),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
+    pairs = (
+        a.join(b, block_col)
+        .withColumn(
+            "cos",
+            dot_product(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cos") >= min_cos)
+        .select("id_a", "id_b", "cos")
+    )
+    if persist_fn is not None:
+        pairs = persist_fn(pairs)
+
+    dec = "decimal(28,12)"
+
+    def knn_avg(key: str, other: str, out: str) -> DataFrame:
+        w = W.partitionBy(key).orderBy(F.desc("cos"), F.col(other))
+        return (
+            pairs.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k_nn)
+            .groupBy(key)
+            .agg(
+                (F.sum(F.col("cos").cast(dec)).cast("double") / F.count("*")).alias(
+                    out
+                )
+            )
+        )
+
+    avg_a = knn_avg("id_a", "id_b", "avg_a")
+    avg_b = knn_avg("id_b", "id_a", "avg_b")
+    scored = (
+        pairs.join(avg_a, "id_a")
+        .join(avg_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cos", 6).alias("cos"),
+            F.round(
+                F.col("cos") / ((F.col("avg_a") + F.col("avg_b")) / F.lit(2.0)), 6
+            ).alias("margin"),
+        )
+    )
+    return scored.orderBy(F.desc("margin"), "id_a", "id_b").limit(top_k)

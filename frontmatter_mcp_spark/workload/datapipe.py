@@ -3484,3 +3484,90 @@ def q108_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, "c_custkey", "c_name",
         block_cols=["c_nationkey", "c_mktsegment"], max_lev=_LINK_MAX_LEV,
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — bitext margin mining (CCMatrix-style parallel-corpus construction)
+# ---------------------------------------------------------------------------
+_BITEXT_MIN_COS = 0.1
+_BITEXT_KNN = 4
+_BITEXT_TOPK = 50
+
+
+def _bitext_sql() -> str:
+    cos = _duck_cos("a.embedding", "b.embedding")
+    return f"""
+    WITH {_kmeans_ctes()},
+    assign AS (SELECT vec_id, CAST(cid AS INT) AS cluster FROM a{_KMEANS_ITERS}),
+    cl AS (
+      SELECT e.vec_id, e.embedding, a.cluster, e.label % 2 AS side
+      FROM embeddings e JOIN assign a USING (vec_id)
+    ),
+    pairs AS (
+      SELECT id_a, id_b, cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+        FROM cl a JOIN cl b
+          ON a.cluster = b.cluster AND a.side = 0 AND b.side = 1
+      ) WHERE cos >= {_BITEXT_MIN_COS}
+    ),
+    ra AS (
+      SELECT id_a, cos,
+             ROW_NUMBER() OVER (PARTITION BY id_a
+                                ORDER BY cos DESC, id_b) AS r
+      FROM pairs
+    ),
+    aa AS (
+      SELECT id_a, CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS avg_a
+      FROM ra WHERE r <= {_BITEXT_KNN} GROUP BY 1
+    ),
+    rb AS (
+      SELECT id_b, cos,
+             ROW_NUMBER() OVER (PARTITION BY id_b
+                                ORDER BY cos DESC, id_a) AS r
+      FROM pairs
+    ),
+    ab AS (
+      SELECT id_b, CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS avg_b
+      FROM rb WHERE r <= {_BITEXT_KNN} GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b, ROUND(p.cos, 6) AS cos,
+             ROUND(p.cos / ((aa.avg_a + ab.avg_b) / 2.0), 6) AS margin
+      FROM pairs p JOIN aa USING (id_a) JOIN ab USING (id_b)
+    )
+    SELECT id_a, id_b, cos, margin
+    FROM scored ORDER BY margin DESC, id_a, id_b LIMIT {_BITEXT_TOPK}
+    """
+
+
+@register(
+    "q109_bitext_margin_mining",
+    _bitext_sql(),
+    doc="CCMatrix-style bitext mining (Artetxe & Schwenk 2019): "
+    "cross-side candidate pairs within learned k-means blocks, scored "
+    "by the MARGIN criterion — cosine over the mean of each endpoint's "
+    "k-NN cosines, which suppresses hub vectors — the mining step that "
+    "builds parallel corpora from monolingual crawls. Blocked pair "
+    "join (never all-pairs), pinned pair table (three consumers), "
+    "DECIMAL-quantized k-NN means, TakeOrderedAndProject output",
+)
+def q109_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    clustered = pin(
+        e.join(assign, "vec_id").select(
+            "vec_id", "embedding", "cluster", (F.col("label") % 2).alias("side")
+        )
+    )
+    return sim.bitext_margin_pairs(
+        clustered,
+        "side",
+        min_cos=_BITEXT_MIN_COS,
+        k_nn=_BITEXT_KNN,
+        top_k=_BITEXT_TOPK,
+        persist_fn=pin,
+    )

@@ -1,5 +1,9 @@
 """Regenerate QUERIES.md from the workload registry."""
 import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from frontmatter_mcp_spark.workload import QUERIES
 

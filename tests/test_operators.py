@@ -470,3 +470,27 @@ def test_record_linkage_blocking_and_verify(spark):
         df, "id", "name", block_cols=["nation", "seg"], max_lev=2
     ).collect()
     assert [(r["id_a"], r["id_b"], r["lev"]) for r in out] == [(1, 2, 2)]
+
+
+def test_bitext_margin_demotes_hub_vectors(spark):
+    """The margin criterion must rank a uniquely-matched pair above a
+    hub pair: the hub's high k-NN average cancels its high raw cosine,
+    while the unique match's lower k-NN average boosts its margin."""
+    rows = [
+        # (id, vec, cluster, side)
+        (1, [1.0, 0.0], 0, 0),      # unique source
+        (2, [0.7, 0.7], 0, 0),      # hub-ish source
+        (11, [0.99, 0.14], 0, 1),   # unique match of 1
+        (12, [0.70, 0.71], 0, 1),   # hub matches
+        (13, [0.71, 0.70], 0, 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "cluster", "side"])
+    out = sim.bitext_margin_pairs(
+        df, "side", min_cos=0.1, k_nn=2, top_k=10
+    ).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["margin"] for r in out}
+    assert out[0]["id_a"] == 1 and out[0]["id_b"] == 11  # unique pair wins
+    assert by_pair[(1, 11)] > by_pair[(2, 12)] and by_pair[(1, 11)] > by_pair[(2, 13)]
+    # raw cosine alone would NOT have ranked it first
+    by_cos = sorted(out, key=lambda r: -r["cos"])
+    assert (by_cos[0]["id_a"], by_cos[0]["id_b"]) != (1, 11)

@@ -426,3 +426,15 @@ def test_q107_prototype_distance_is_literal_centroid_map(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert re.search(r"windowspecdefinition\(cluster", plan), plan
+
+
+def test_q109_bitext_blocked_pairs_pinned(spark):
+    """Bitext mining: the cross-side pair join is within-block (no
+    cartesian), the pinned pair table serves the two k-NN windows and
+    the margin join from cache, everything JVM-side, and the output is
+    a TakeOrderedAndProject."""
+    plan = formatted_plan(spark, "q109_bitext_margin_mining")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
