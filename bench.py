@@ -272,16 +272,24 @@ def main() -> None:
             and t - prev_q[n] > 1.0
         ]
         for name in [n for n in suspects if n in QUERIES][:12]:
-            t0 = time.perf_counter()
-            QUERIES[name].spark(spark, sf_dir).collect()
-            rerun = round(time.perf_counter() - t0, 4)
-            if rerun < timings[name]:
+            # min-of-3 total (first run + two serialized re-runs): this
+            # host's noise has measured 1.5-2x distortions that survive
+            # a single re-run; the second one is cheap relative to a
+            # false regression flag
+            best = timings[name]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name].spark(spark, sf_dir).collect()
+                best = min(best, round(time.perf_counter() - t0, 4))
+                if best <= prev_q[name] * REGRESSION_THRESHOLD:
+                    break  # cleared — skip the third run
+            if best < timings[name]:
                 print(
-                    f"REMEASURED {name}: {timings[name]}s -> {rerun}s "
+                    f"REMEASURED {name}: {timings[name]}s -> {best}s "
                     "(first run hit host contention)",
                     file=sys.stderr,
                 )
-                timings[name] = rerun
+                timings[name] = best
         if any(n.startswith("vault_") for n in suspects):
             # a re-run builds a FRESH vault + engine, so cold metrics
             # stay honestly cold; keep the faster of the two runs
