@@ -277,3 +277,68 @@ def token_budget_mixture(
         .withColumn("kept", F.col("cum_tokens") <= budget)
         .select(*df.columns, "cum_tokens", "kept")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    bytes_col: str,
+    shard_size: int,
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Deterministic training-shard assignment + per-shard manifest — the
+    LAST stage of a cleaning pipeline, where the kept corpus is written
+    out as fixed-capacity, globally-shuffled shards a trainer streams.
+
+    Documents are ordered by (md5(key), key) — a deterministic global
+    shuffle, so adjacent source documents land in different shards — and
+    shard i holds positions [i*shard_size, (i+1)*shard_size). The global
+    position comes from the same two-phase rank as quota_sample (local
+    row_number within a 2-hex md5 prefix + broadcast per-prefix count
+    offsets), so NO single task ever sorts the corpus: the only
+    corpus-sized exchange is the final shard_id aggregation, and each
+    shard's checksum concatenation is bounded by shard_size rows.
+
+    Emits one manifest row per shard: doc/token/byte totals, the first
+    and last order keys (the shard's key range — ranges of different
+    shards never overlap, which doubles as an audit that the rank was
+    correct), and an order-sensitive md5 checksum over the member keys a
+    re-export can verify byte-for-byte.
+    """
+    keyed, offsets = _two_phase_prefix(
+        df.withColumn("_all", F.lit(0)), key_col, "_all", F.lit(1), prefix_chars
+    )
+    from pyspark.sql.window import Window as W
+
+    local_w = W.partitionBy("_pfx").orderBy("_ok", F.col(key_col))
+    ranked = (
+        keyed.withColumn("_lrank", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), ["_all", "_pfx"])
+        .withColumn(
+            "shard_id",
+            F.floor((F.col("_off") + F.col("_lrank") - 1) / F.lit(float(shard_size))).cast(
+                "int"
+            ),
+        )
+    )
+    member = F.sort_array(
+        F.collect_list(F.struct(F.col("_ok").alias("ok"), F.col(key_col).alias("k")))
+    )
+    return (
+        ranked.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("n_tokens"),
+            F.sum(bytes_col).cast("long").alias("n_bytes"),
+            F.min("_ok").alias("first_key"),
+            F.max("_ok").alias("last_key"),
+            F.md5(F.concat_ws("", F.transform(member, lambda s: s["ok"]))).alias(
+                "checksum"
+            ),
+        )
+        .select(
+            "shard_id", "n_docs", "n_tokens", "n_bytes",
+            "first_key", "last_key", "checksum",
+        )
+    )

@@ -3571,3 +3571,53 @@ def q109_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=_BITEXT_TOPK,
         persist_fn=pin,
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — training-shard manifest: deterministic global shuffle into
+# fixed-capacity shards (the export stage of the cleaning pipeline)
+# ---------------------------------------------------------------------------
+_SHARD_SIZE = 64
+
+
+@register(
+    "q110_shard_manifest",
+    f"""
+    WITH base AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ok,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x <> '')) AS n_toks,
+             octet_length(encode(text)) AS n_byt
+      FROM documents
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ok, doc_id) AS rn FROM base),
+    s AS (SELECT *, CAST(FLOOR((rn - 1) / {_SHARD_SIZE}.0) AS INT) AS shard_id
+          FROM r)
+    SELECT shard_id, CAST(COUNT(*) AS INT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_byt) AS BIGINT) AS n_bytes,
+           MIN(ok) AS first_key, MAX(ok) AS last_key,
+           md5(string_agg(ok, '' ORDER BY ok, doc_id)) AS checksum
+    FROM s GROUP BY shard_id
+    """,
+    doc="training-shard manifest: documents deterministically shuffled "
+    "(md5 order) into fixed-capacity shards with per-shard doc/token/"
+    "byte totals, key ranges, and an order-sensitive member checksum — "
+    "the export stage a trainer streams. Global position via the "
+    "two-phase rank (local row_number within a 2-hex md5 prefix + "
+    "broadcast prefix-count offsets), so no task ever sorts the corpus; "
+    "the checksum concatenation is bounded by the shard capacity. The "
+    "oracle's single ROW_NUMBER window is byte-identical",
+)
+def q110_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators import sampling as smp
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    base = d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_toks"),
+        F.octet_length("text").alias("n_byt"),
+    )
+    return smp.shard_manifest(
+        base, "doc_id", "n_toks", "n_byt", shard_size=_SHARD_SIZE
+    )

@@ -147,3 +147,29 @@ def test_token_budget_mixture_matches_single_window(spark):
     }
     assert got == expect
     assert any(k for _, k in got.values()) and not all(k for _, k in got.values())
+
+
+def test_shard_manifest_invariants(spark):
+    df = spark.range(0, 530).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).cast("int").alias("toks"),
+        (F.col("id") % 11 + 1).cast("int").alias("byts"),
+    )
+    out = sp.shard_manifest(df, "k", "toks", "byts", shard_size=64).collect()
+    rows = sorted(out, key=lambda r: r.shard_id)
+    # 530 docs / capacity 64 -> 9 shards, all full but the last
+    assert [r.shard_id for r in rows] == list(range(9))
+    assert [r.n_docs for r in rows] == [64] * 8 + [18]
+    # shards partition the corpus and the totals add up
+    assert sum(r.n_docs for r in rows) == 530
+    assert sum(r.n_tokens for r in rows) == sum((i % 7 + 1) for i in range(530))
+    assert sum(r.n_bytes for r in rows) == sum((i % 11 + 1) for i in range(530))
+    # key ranges are disjoint and ordered: the global rank was correct
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_key < b.first_key
+    # checksums are distinct and stable under repartitioning
+    assert len({r.checksum for r in rows}) == 9
+    again = sp.shard_manifest(
+        df.repartition(13), "k", "toks", "byts", shard_size=64
+    ).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
