@@ -3621,3 +3621,114 @@ def q110_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.shard_manifest(
         base, "doc_id", "n_toks", "n_byt", shard_size=_SHARD_SIZE
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — trained quality classifier: hashed-feature linear model, batch GD
+# (the DCLM/CCNet model-based filter, trained inside the engine)
+# ---------------------------------------------------------------------------
+_CLF_BUCKETS = 64
+_CLF_ITERS = 2
+
+
+def _cfdiv(a: str, m: str) -> str:
+    """Exact floor division in portable SQL (numerator made divisible)."""
+    return f"CAST((({a}) - (((({a}) % ({m})) + ({m})) % ({m}))) / ({m}) AS BIGINT)"
+
+
+def _classifier_sql(buckets: int = _CLF_BUCKETS, iters: int = _CLF_ITERS) -> str:
+    """Replay of operators.classifier.hashed_linear_scores: every GD
+    iteration is a (gradient, weights) CTE pair over the same tf table."""
+    from frontmatter_mcp_spark.operators.classifier import LRINV, PDIV, SCALE
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    s, half = SCALE, SCALE // 2
+    ctes = [
+        """toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS t
+      FROM documents
+    )""",
+        f"""tf AS (
+      SELECT doc_id, {hash_bucket_sql('t', buckets)} AS b,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    )""",
+        """lab AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+      FROM documents
+    )""",
+        f"nn AS (SELECT CAST(COUNT(*) * {LRINV} AS BIGINT) AS d FROM documents)",
+        # iteration 1: w = 0, so the residual is S/2 - S*y directly
+        f"""g1 AS (
+      SELECT b, CAST(SUM(({half} - {s} * y) * tf) AS BIGINT) AS g
+      FROM tf JOIN lab USING (doc_id) GROUP BY b
+    )""",
+        f"w1 AS (SELECT b, -{_cfdiv('g', 'd')} AS w FROM g1 CROSS JOIN nn)",
+    ]
+    for i in range(2, iters + 1):
+        p = i - 1
+        ctes += [
+            f"""z{p} AS (
+      SELECT doc_id, CAST(SUM(w * tf) AS BIGINT) AS z
+      FROM tf JOIN w{p} USING (b) GROUP BY doc_id
+    )""",
+            f"""p{p} AS (
+      SELECT lab.doc_id, y,
+             LEAST({s}, GREATEST(0, {half} + {_cfdiv('COALESCE(z, 0)', str(PDIV))})) AS p
+      FROM lab LEFT JOIN z{p} ON lab.doc_id = z{p}.doc_id
+    )""",
+            f"""g{i} AS (
+      SELECT b, CAST(SUM((p - {s} * y) * tf) AS BIGINT) AS g
+      FROM tf JOIN p{i - 1} ON tf.doc_id = p{i - 1}.doc_id GROUP BY b
+    )""",
+            f"""w{i} AS (
+      SELECT w{p}.b, w{p}.w - {_cfdiv('g', 'd')} AS w
+      FROM w{p} JOIN g{i} ON w{p}.b = g{i}.b CROSS JOIN nn
+    )""",
+        ]
+    ctes.append(
+        f"""zf AS (
+      SELECT doc_id, CAST(SUM(w * tf) AS BIGINT) AS z
+      FROM tf JOIN w{iters} USING (b) GROUP BY doc_id
+    )"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT lab.doc_id, CAST(y AS INT) AS label,
+           CAST(COALESCE(z, 0) AS BIGINT) AS score_fx,
+           CAST(LEAST({s}, GREATEST(0, {half} + {_cfdiv('COALESCE(z, 0)', str(PDIV))}))
+                AS DOUBLE) / {s} AS prob
+    FROM lab LEFT JOIN zf ON lab.doc_id = zf.doc_id
+    """
+
+
+@register(
+    "q111_quality_classifier",
+    _classifier_sql(),
+    doc="model-based quality filter, TRAINED in-engine (DCLM/CCNet "
+    "recipe): batch gradient descent on hashed bag-of-words features "
+    "separating the curated-positive set (here lang='en'; in production "
+    "a reference corpus), then every document scored by the trained "
+    "weights. All math is fixed-point integer (hard-sigmoid, exact "
+    "floor-division updates), so training is bit-identical across "
+    "engines and the oracle replays each GD step as a CTE pair. One "
+    "corpus shuffle per iteration (map-side-combined 64-bucket gradient "
+    "aggregate); weight tables are 64-row broadcasts; the tf table is "
+    "pinned across its 2*iters+1 consumers",
+)
+def q111_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.classifier import hashed_linear_scores
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    return hashed_linear_scores(
+        d,
+        "doc_id",
+        "text",
+        label=(F.col("lang") == "en").cast("int"),
+        buckets=_CLF_BUCKETS,
+        iters=_CLF_ITERS,
+        persist_fn=pin,
+    )
