@@ -289,3 +289,47 @@ def q104_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         "n",
         "total_value",
     )
+
+
+@register(
+    "q112_stream_topk_trending",
+    """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS w, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT w, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY w ORDER BY n DESC, event_type) AS rnk
+      FROM c
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, rnk, event_type, n
+    FROM r WHERE rnk <= 2
+    """,
+    doc="streaming trending top-k: watermarked 1-day tumbling counts per "
+    "event type (the stateful streaming stage), then the per-window "
+    "top-2 rank with a total-order tiebreak — the trending-topics shape. "
+    "The rank runs on the window-count AGGREGATE (|windows| x |types| "
+    "rows, not the event stream); a production deploy ranks per trigger "
+    "inside foreachBatch. == batch time_bucket + ROW_NUMBER",
+)
+def q112_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    stream = ev.read_events_stream(spark, sf_dir)
+    out = ev.run_stream_to_batch(
+        ev.tumbling_counts(stream, "1 day"), "stream_topk_out"
+    )
+    counts = out.select(
+        F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+        "event_type",
+        "n",
+    )
+    rnk_w = W.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rnk_w))
+        .filter(F.col("rnk") <= 2)
+        .select("window_start", "rnk", "event_type", "n")
+    )
