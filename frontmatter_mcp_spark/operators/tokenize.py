@@ -66,3 +66,88 @@ def window_fingerprints(text: Column, window: int = 8) -> Column:
 
     spans = word_shingles(text, n=window)
     return F.transform(spans, lambda s: F.substring(F.md5(s), 1, 16))
+
+
+def bpe_merge_steps(
+    words,
+    word_col: str = "w",
+    count_col: str = "wc",
+    iters: int = 3,
+    persist_fn=lambda d: d,
+):
+    """Iterative BPE vocabulary induction over a (word, count) table: the
+    training loop whose single-step scoring is text.bigram_merge_candidates.
+
+    Each word starts as its character sequence; every step (1) counts
+    adjacent symbol pairs weighted by word frequency, (2) picks the top
+    pair (count desc, pair asc — a total order), (3) merges it everywhere
+    via a TWO-PASS left-to-right literal replace on the space-joined
+    symbol string (pass 2 catches occurrences whose leading space was
+    consumed by pass 1 — an engine-portable approximation of greedy BPE;
+    both engines' `replace` scan identically, so the oracle replay is
+    byte-exact). Emits one row per step: the merged pair, its count, and
+    the corpus-wide distinct-symbol count after the merge.
+
+    Scale shape: the loop runs over the VOCABULARY (|distinct words|,
+    not the corpus — the corpus is touched once by the caller's word
+    count). Per step: one explode + map-side-combined pair aggregate,
+    a 1-row top-pair broadcast, and a narrow merge projection. Each
+    step's sequence table feeds three consumers (next pair count, merge,
+    symbol census) — pass ``persist_fn`` to materialize it once.
+
+    Returns (step, pair, merged, pair_count, n_symbols).
+    """
+    from pyspark.sql import functions as F
+
+    seq = persist_fn(
+        words.select(
+            F.col(count_col).alias("wc"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.length(word_col)),
+                    lambda i: F.substr(F.col(word_col), i, F.lit(1)),
+                ),
+            ).alias("seq"),
+        )
+    )
+    rows = []
+    for step in range(1, iters + 1):
+        sym = F.split(F.col("seq"), " ", -1)
+        sz = F.size(sym)
+        pairs = F.zip_with(
+            F.slice(sym, 1, sz - 1),
+            F.slice(sym, 2, sz - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        counts = (
+            seq.select("wc", F.explode(pairs).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("wc").cast("long").alias("c"))
+        )
+        top = counts.orderBy(F.col("c").desc(), F.col("pr")).limit(1)
+        pat = F.concat(F.lit(" "), F.col("pr"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.replace(F.col("pr"), F.lit(" "), F.lit("")), F.lit(" "))
+        padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+        merged_seq = F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
+        nxt = seq.crossJoin(F.broadcast(top)).select(
+            "wc", merged_seq.alias("seq")
+        )
+        nxt = persist_fn(nxt) if step < iters else nxt
+        census = nxt.select(
+            F.explode(F.split(F.col("seq"), " ", -1)).alias("s")
+        ).agg(F.count_distinct("s").cast("int").alias("n_symbols"))
+        rows.append(
+            top.crossJoin(F.broadcast(census)).select(
+                F.lit(step).alias("step"),
+                F.col("pr").alias("pair"),
+                F.replace(F.col("pr"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("c").alias("pair_count"),
+                "n_symbols",
+            )
+        )
+        seq = nxt
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -3732,3 +3732,96 @@ def q111_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_CLF_ITERS,
         persist_fn=pin,
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — BPE training loop: iterative merge induction (q98 scores ONE step;
+# this runs the loop that actually builds the vocabulary)
+# ---------------------------------------------------------------------------
+_BPE_ITERS = 3
+
+
+def _bpe_merge_sql(iters: int = _BPE_ITERS) -> str:
+    """Replay of tokenize.bpe_merge_steps: each step is a (pair-count,
+    top-1, merged-sequence, symbol-census) CTE quartet; the two-pass
+    padded replace is reproduced literally."""
+    mrg = "replace(pr, ' ', '')"
+
+    def merge_expr(src: str) -> str:
+        one = f"replace(' ' || {src} || ' ', ' ' || pr || ' ', ' ' || {mrg} || ' ')"
+        return f"trim(replace({one}, ' ' || pr || ' ', ' ' || {mrg} || ' '))"
+
+    ctes = [
+        """toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS t
+      FROM documents
+    )""",
+        """words AS (
+      SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM toks WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t
+    )""",
+        """s0 AS (
+      SELECT wc,
+             array_to_string(list_transform(generate_series(1, length(w)),
+                                            i -> substr(w, i, 1)), ' ') AS seq
+      FROM words
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes += [
+            f"""c{t} AS (
+      SELECT pr, CAST(SUM(wc) AS BIGINT) AS c FROM (
+        SELECT wc, sym[i] || ' ' || sym[i + 1] AS pr
+        FROM (SELECT wc, string_split(seq, ' ') AS sym FROM s{p}) q,
+             UNNEST(generate_series(1, len(sym) - 1)) AS u(i)
+        WHERE len(sym) >= 2
+      ) GROUP BY pr
+    )""",
+            f"t{t} AS (SELECT pr, c FROM c{t} ORDER BY c DESC, pr LIMIT 1)",
+            f"""s{t} AS (
+      SELECT wc, {merge_expr('seq')} AS seq FROM s{p} CROSS JOIN t{t}
+    )""",
+            f"""v{t} AS (
+      SELECT CAST(COUNT(DISTINCT s) AS INT) AS n_symbols
+      FROM (SELECT unnest(string_split(seq, ' ')) AS s FROM s{t})
+    )""",
+            f"""r{t} AS (
+      SELECT CAST({t} AS INT) AS step, pr AS pair, {mrg} AS merged,
+             c AS pair_count, n_symbols
+      FROM t{t} CROSS JOIN v{t}
+    )""",
+        ]
+    joined = ",\n    ".join(ctes)
+    union = "\n    UNION ALL ".join(f"SELECT * FROM r{t}" for t in range(1, iters + 1))
+    return f"""
+    WITH {joined}
+    {union}
+    """
+
+
+@register(
+    "q113_bpe_merge_loop",
+    _bpe_merge_sql(),
+    doc="BPE vocabulary induction LOOP: words start as character "
+    "sequences; each step counts frequency-weighted adjacent symbol "
+    "pairs, merges the top pair corpus-wide (two-pass left-to-right "
+    "literal replace — engine-portable greedy), and reports the merge + "
+    "post-merge symbol census. The loop runs over the VOCABULARY, not "
+    "the corpus (one corpus pass builds the word counts); per step: one "
+    "map-side-combined pair aggregate, a 1-row top-pair broadcast, a "
+    "narrow merge projection. Oracle replays every step as CTEs",
+)
+def q113_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1), lambda t: t != ""
+    )
+    words = (
+        d.select(F.explode(toks).alias("t"))
+        .filter(F.col("t").rlike("^[a-z]+$"))
+        .groupBy(F.col("t").alias("w"))
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    return tk.bpe_merge_steps(words, "w", "wc", iters=_BPE_ITERS, persist_fn=pin)

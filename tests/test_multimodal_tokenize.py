@@ -148,3 +148,22 @@ def test_real_bmp_and_wav_payloads_decode_for_real(spark):
     ys = (np.arange(4) * 8) // 4
     xs = (np.arange(3) * 6) // 3
     assert np.array_equal(rimg, img[ys][:, xs])
+
+
+def test_bpe_merge_steps_exact_loop(spark):
+    from frontmatter_mcp_spark.operators.tokenize import bpe_merge_steps
+
+    words = spark.createDataFrame(
+        [("abab", 3), ("ab", 2), ("aaa", 1)], "w string, wc long"
+    )
+    rows = sorted(
+        bpe_merge_steps(words, "w", "wc", iters=3).collect(), key=lambda r: r.step
+    )
+    # step 1: 'a b' dominates (3*2 from abab + 2 from ab); both occurrences
+    # inside 'abab' merge (the two-pass replace catches the second one)
+    assert tuple(rows[0]) == (1, "a b", "ab", 8, 2)
+    # step 2: 'ab ab' (count 3) beats 'a a' (count 2)
+    assert tuple(rows[1]) == (2, "ab ab", "abab", 3, 3)
+    # step 3: only 'a a' remains; the self-overlapping run 'a a a' merges
+    # greedily left-to-right to 'aa a'
+    assert tuple(rows[2]) == (3, "a a", "aa", 2, 4)
