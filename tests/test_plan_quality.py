@@ -438,3 +438,39 @@ def test_q109_bitext_blocked_pairs_pinned(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "InMemoryTableScan" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q110_shard_manifest_two_phase_rank(spark):
+    """Shard manifest: the global rank must come from the prefix-bounded
+    window (never a whole-corpus ROW_NUMBER in one task), the prefix
+    offsets return as a broadcast, and everything stays JVM-side."""
+    plan = formatted_plan(spark, "q110_shard_manifest")
+    assert re.search(r"windowspecdefinition\(_pfx", plan), plan
+    assert not re.search(r"windowspecdefinition\(\s*_w", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q111_classifier_broadcast_weights_no_python(spark):
+    """Trained classifier: every weight/step table joins back as a
+    broadcast (bucket key, <=64 rows), the gradient aggregates are
+    map-side combined, the pinned tf table serves the iterations from
+    cache, and no Python touches the hot path."""
+    plan = formatted_plan(spark, "q111_quality_classifier")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "InMemoryTableScan" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q113_bpe_loop_top_pair_broadcast(spark):
+    """BPE loop: each step's top pair arrives as a 1-row broadcast
+    (TakeOrderedAndProject, no global sort), pair counts aggregate
+    map-side, the per-step sequence tables serve their three consumers
+    from cache, and no Python in the loop."""
+    plan = formatted_plan(spark, "q113_bpe_merge_loop")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
