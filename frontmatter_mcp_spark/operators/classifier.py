@@ -47,6 +47,92 @@ def _clamp(x: Column) -> Column:
     return F.least(F.lit(SCALE).cast("long"), F.greatest(F.lit(0).cast("long"), x))
 
 
+def _tokens(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1), lambda t: t != ""
+    )
+
+
+def _features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    buckets: int,
+    persist_fn: Callable[[DataFrame], DataFrame],
+) -> tuple[DataFrame, DataFrame, Column]:
+    """The shared training inputs: the pinned (doc, bucket, tf, y)
+    feature table, the label projection, and the n*LRINV one-row
+    broadcast."""
+    tf = (
+        df.select(id_col, F.explode(_tokens(text_col)).alias("t"))
+        .groupBy(id_col, hash_bucket(F.col("t"), buckets).alias("b"))
+        .agg(F.count("*").alias("tf"))
+    )
+    lab = df.select(id_col, label.cast("long").alias("y"))
+    tfy = persist_fn(tf.join(lab, id_col))
+    d_row = F.broadcast(
+        df.agg((F.count("*") * F.lit(LRINV)).cast("long")).toDF("d")
+    )
+    return tfy, lab, d_row
+
+
+def _train(
+    tfy: DataFrame, id_col: str, d_row: DataFrame, iters: int
+) -> DataFrame:
+    """Run ``iters`` batch-GD steps over the feature table; returns the
+    (b, w) weight table (<= buckets rows)."""
+    half = F.lit(SCALE // 2).cast("long")
+    weights: DataFrame | None = None  # (b, w); None means all-zero
+    for _ in range(iters):
+        if weights is None:
+            resid = tfy.select(id_col, "b", "tf", (half - SCALE * F.col("y")).alias("r"))
+        else:
+            # y is functionally dependent on the doc key, so grouping by
+            # (doc, y) is the per-doc margin with the label carried along
+            p = (
+                tfy.join(F.broadcast(weights), "b")
+                .groupBy(id_col, "y")
+                .agg(F.sum(F.col("w") * F.col("tf")).cast("long").alias("z"))
+                .select(
+                    id_col,
+                    "y",
+                    _clamp(half + _fdiv(F.col("z"), F.lit(PDIV))).alias("p"),
+                )
+            )
+            resid = tfy.drop("y").join(p, id_col).select(
+                id_col, "b", "tf", (F.col("p") - SCALE * F.col("y")).alias("r")
+            )
+        grad = resid.groupBy("b").agg(
+            F.sum(F.col("r") * F.col("tf")).cast("long").alias("g")
+        )
+        step = grad.crossJoin(d_row).select(
+            "b", _fdiv(F.col("g"), F.col("d")).alias("dw")
+        )
+        if weights is None:
+            weights = step.select("b", (-F.col("dw")).alias("w"))
+        else:
+            weights = weights.join(step, "b").select(
+                "b", (F.col("w") - F.col("dw")).alias("w")
+            )
+    return weights
+
+
+def train_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    buckets: int = 64,
+    iters: int = 2,
+    persist_fn: Callable[[DataFrame], DataFrame] = lambda d: d,
+) -> DataFrame:
+    """Train the classifier and return just the (b, w) weight table —
+    the artifact a serving path broadcasts (see ``literal_score_expr``)."""
+    tfy, _lab, d_row = _features(df, id_col, text_col, label, buckets, persist_fn)
+    return _train(tfy, id_col, d_row, iters)
+
+
 def hashed_linear_scores(
     df: DataFrame,
     id_col: str,
@@ -68,55 +154,9 @@ def hashed_linear_scores(
     and margin — pass ``persist_fn`` (e.g. workload.registry.pin) so it
     materializes once instead of re-tokenizing the corpus 2*iters times.
     """
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1), lambda t: t != ""
-    )
-    tf = (
-        df.select(id_col, F.explode(toks).alias("t"))
-        .groupBy(id_col, hash_bucket(F.col("t"), buckets).alias("b"))
-        .agg(F.count("*").alias("tf"))
-    )
-    lab = df.select(id_col, label.cast("long").alias("y"))
-    tfy = persist_fn(tf.join(lab, id_col))
-
-    d_row = F.broadcast(
-        df.agg((F.count("*") * F.lit(LRINV)).cast("long").alias("d"))
-    )
-
+    tfy, lab, d_row = _features(df, id_col, text_col, label, buckets, persist_fn)
+    weights = _train(tfy, id_col, d_row, iters)
     half = F.lit(SCALE // 2).cast("long")
-    weights: DataFrame | None = None  # (b, w); None means all-zero
-    for _ in range(iters):
-        if weights is None:
-            resid = tfy.select(id_col, "b", "tf", (half - SCALE * F.col("y")).alias("r"))
-        else:
-            z = (
-                tfy.join(F.broadcast(weights), "b")
-                .groupBy(id_col)
-                .agg(F.sum(F.col("w") * F.col("tf")).cast("long").alias("z"))
-            )
-            p = lab.join(z, id_col, "left").select(
-                id_col,
-                "y",
-                _clamp(half + _fdiv(F.coalesce(F.col("z"), F.lit(0)), F.lit(PDIV))).alias(
-                    "p"
-                ),
-            )
-            resid = tfy.drop("y").join(p, id_col).select(
-                id_col, "b", "tf", (F.col("p") - SCALE * F.col("y")).alias("r")
-            )
-        grad = resid.groupBy("b").agg(
-            F.sum(F.col("r") * F.col("tf")).cast("long").alias("g")
-        )
-        step = grad.crossJoin(d_row).select(
-            "b", _fdiv(F.col("g"), F.col("d")).alias("dw")
-        )
-        if weights is None:
-            weights = step.select("b", (-F.col("dw")).alias("w"))
-        else:
-            weights = weights.join(step, "b").select(
-                "b", (F.col("w") - F.col("dw")).alias("w")
-            )
-
     z_fin = (
         tfy.join(F.broadcast(weights), "b")
         .groupBy(id_col)
@@ -132,4 +172,27 @@ def hashed_linear_scores(
             )
             / F.lit(float(SCALE))
         ).alias("prob"),
+    )
+
+
+def literal_score_expr(
+    text_col: str, weights: dict[int, int], buckets: int = 64
+) -> Column:
+    """The serving-side margin: score a document with TRAINED weights
+    carried as a plan-literal map — a narrow, zero-shuffle, zero-join
+    codegen expression (the k-means literal-centroid discipline applied
+    to model inference). Works identically on batch and streaming
+    DataFrames; sequential integer adds are order-independent, so the
+    fold is exact. Returns the fixed-point margin z (long)."""
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(int(b)) for b in sorted(weights)]),
+        F.array(*[F.lit(int(weights[b])).cast("long") for b in sorted(weights)]),
+    )
+    return F.aggregate(
+        _tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(wmap, hash_bucket(t, buckets)), F.lit(0).cast("long")
+        ),
     )

@@ -333,3 +333,58 @@ def q112_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .select("window_start", "rnk", "event_type", "n")
     )
+
+
+def _stream_scoring_sql() -> str:
+    from frontmatter_mcp_spark.workload.datapipe import _classifier_sql
+
+    return f"""
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.score_fx >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(SUM(s.score_fx) AS BIGINT) AS sum_score_fx
+    FROM ({_classifier_sql()}) s JOIN documents d ON s.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@register(
+    "q114_stream_model_scoring",
+    _stream_scoring_sql(),
+    doc="streaming model inference: the q111 classifier is trained in "
+    "BATCH, its 64-entry weight table is collected and carried into the "
+    "document STREAM as a plan-literal map (the literal-centroid "
+    "discipline applied to model serving), and each arriving document "
+    "is scored by a narrow zero-join fold — then a per-source running "
+    "(n_docs, n_pass, sum_score) aggregation. The batch-train -> "
+    "broadcast -> stream-score loop every production quality gate runs. "
+    "== the batch classifier replay joined back to sources",
+)
+def q114_stream_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators import classifier as clf
+    from frontmatter_mcp_spark.streaming import ingest
+    from frontmatter_mcp_spark.tables import load_table
+
+    batch = load_table(spark, sf_dir, "documents")
+    w_rows = clf.train_weights(
+        batch,
+        "doc_id",
+        "text",
+        label=(F.col("lang") == "en").cast("int"),
+        buckets=64,
+        iters=2,
+    ).collect()
+    weights = {r.b: r.w for r in w_rows}
+
+    stream = ingest.read_documents_stream(spark, sf_dir)
+    scored = stream.select(
+        "source", clf.literal_score_expr("text", weights, buckets=64).alias("z")
+    )
+    agg = scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("z") >= 0).cast("int")).cast("long").alias("n_pass"),
+        F.sum("z").cast("long").alias("sum_score_fx"),
+    )
+    return ev.run_stream_to_batch(agg, "stream_scoring_out").select(
+        "source", "n_docs", "n_pass", "sum_score_fx"
+    )
