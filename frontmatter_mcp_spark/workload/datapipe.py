@@ -3825,3 +3825,86 @@ def q113_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("wc"))
     )
     return tk.bpe_merge_steps(words, "w", "wc", iters=_BPE_ITERS, persist_fn=pin)
+
+
+# ---------------------------------------------------------------------------
+# q115 — PII redaction REWRITE: scrub matches, keep the documents
+# (q84 detects and scores; this produces the redacted corpus)
+# ---------------------------------------------------------------------------
+# Application order matters where patterns overlap (a phone number also
+# contains digit runs): emails, then urls, then phones, then bare digit
+# runs — each later pattern sees the earlier replacements' output.
+_REDACTIONS = [
+    ("n_emails", "<EMAIL>"),
+    ("n_urls", "<URL>"),
+    ("n_phones", "<PHONE>"),
+    ("n_long_digit_runs", "<NUM>"),
+]
+
+
+# The synthetic corpus carries no PII, so a deterministic contact line is
+# APPENDED to every 7th document before redaction — the regex-replace
+# semantics (including the overlap order) are then exercised on real
+# matches and verified by the full-text hash, while the untouched 6/7
+# prove the no-match path rewrites nothing.
+_PII_SUFFIX = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com or call 555-123-4567 "
+    "ref 9876543210 see https://ex.example/p'"
+)
+
+
+def _redaction_sql() -> str:
+    aug = f"CASE WHEN doc_id % 7 = 0 THEN text || {_PII_SUFFIX} ELSE text END"
+    counters = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(t, '{_PII_PATTERNS[name]}')) AS INT) AS {name}"
+        for name, _tok in _REDACTIONS
+    )
+    red = "t"
+    for name, tok in _REDACTIONS:
+        red = f"regexp_replace({red}, '{_PII_PATTERNS[name]}', '{tok}', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counters},
+           md5({red}) AS redacted_fp,
+           length({red}) AS redacted_len
+    FROM (SELECT doc_id, {aug} AS t FROM documents)
+    """
+
+
+@register(
+    "q115_pii_redaction",
+    _redaction_sql(),
+    doc="PII redaction rewrite: the scrubbing stage — every email/URL/"
+    "phone/long-digit-run match replaced by a typed token, per-doc match "
+    "counters kept for audit, applied in a fixed order so overlapping "
+    "patterns resolve identically on any engine (the full redacted text "
+    "hash-matches the oracle). A narrow, zero-shuffle codegen "
+    "projection: regex rewrite at 100 TB costs one corpus scan",
+)
+def q115_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    suffix = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "@mail.example.com or call 555-123-4567 ref 9876543210 "
+            "see https://ex.example/p"
+        ),
+    )
+    t = F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), suffix)).otherwise(
+        F.col("text")
+    )
+    counters = [
+        F.regexp_count(t, F.lit(_PII_PATTERNS[name])).cast("int").alias(name)
+        for name, _tok in _REDACTIONS
+    ]
+    red = t
+    for name, tok in _REDACTIONS:
+        red = F.regexp_replace(red, _PII_PATTERNS[name], tok)
+    return d.select(
+        "doc_id",
+        *counters,
+        F.md5(red).alias("redacted_fp"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
