@@ -97,10 +97,48 @@ def bpe_merge_steps(
 
     Returns (step, pair, merged, pair_count, n_symbols).
     """
+    rows: list = []
+    _bpe_loop(words, word_col, count_col, iters, persist_fn, rows, keep_word=False)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def bpe_segment_vocab(
+    words,
+    word_col: str = "w",
+    count_col: str = "wc",
+    iters: int = 3,
+    persist_fn=lambda d: d,
+):
+    """The APPLY side of BPE training: run the same merge loop as
+    ``bpe_merge_steps`` (bit-identical pair choices) and return the
+    final (word, seq) segmentation table — the vocabulary artifact a
+    tokenizer joins against the corpus token stream to encode it."""
+    return _bpe_loop(
+        words, word_col, count_col, iters, persist_fn, stats_rows=None, keep_word=True
+    )
+
+
+def _bpe_loop(
+    words,
+    word_col: str,
+    count_col: str,
+    iters: int,
+    persist_fn,
+    stats_rows: list | None,
+    keep_word: bool,
+):
+    """Shared BPE merge loop. Appends per-step stat rows to
+    ``stats_rows`` when given; returns the final sequence table
+    (with the word column when ``keep_word``)."""
     from pyspark.sql import functions as F
 
+    carry = [F.col(word_col).alias("w")] if keep_word else []
     seq = persist_fn(
         words.select(
+            *carry,
             F.col(count_col).alias("wc"),
             F.concat_ws(
                 " ",
@@ -111,7 +149,7 @@ def bpe_merge_steps(
             ).alias("seq"),
         )
     )
-    rows = []
+    keep_cols = (["w"] if keep_word else []) + ["wc"]
     for step in range(1, iters + 1):
         sym = F.split(F.col("seq"), " ", -1)
         sz = F.size(sym)
@@ -131,23 +169,21 @@ def bpe_merge_steps(
         padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
         merged_seq = F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
         nxt = seq.crossJoin(F.broadcast(top)).select(
-            "wc", merged_seq.alias("seq")
+            *keep_cols, merged_seq.alias("seq")
         )
         nxt = persist_fn(nxt) if step < iters else nxt
-        census = nxt.select(
-            F.explode(F.split(F.col("seq"), " ", -1)).alias("s")
-        ).agg(F.count_distinct("s").cast("int").alias("n_symbols"))
-        rows.append(
-            top.crossJoin(F.broadcast(census)).select(
-                F.lit(step).alias("step"),
-                F.col("pr").alias("pair"),
-                F.replace(F.col("pr"), F.lit(" "), F.lit("")).alias("merged"),
-                F.col("c").alias("pair_count"),
-                "n_symbols",
+        if stats_rows is not None:
+            census = nxt.select(
+                F.explode(F.split(F.col("seq"), " ", -1)).alias("s")
+            ).agg(F.count_distinct("s").cast("int").alias("n_symbols"))
+            stats_rows.append(
+                top.crossJoin(F.broadcast(census)).select(
+                    F.lit(step).alias("step"),
+                    F.col("pr").alias("pair"),
+                    F.replace(F.col("pr"), F.lit(" "), F.lit("")).alias("merged"),
+                    F.col("c").alias("pair_count"),
+                    "n_symbols",
+                )
             )
-        )
         seq = nxt
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return seq

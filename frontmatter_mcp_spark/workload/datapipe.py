@@ -3741,10 +3741,12 @@ def q111_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ITERS = 3
 
 
-def _bpe_merge_sql(iters: int = _BPE_ITERS) -> str:
-    """Replay of tokenize.bpe_merge_steps: each step is a (pair-count,
-    top-1, merged-sequence, symbol-census) CTE quartet; the two-pass
-    padded replace is reproduced literally."""
+def _bpe_chain_ctes(iters: int) -> list[str]:
+    """The shared merge-chain CTEs (replay of tokenize._bpe_loop): doc
+    tokens, word counts, char-split s0, then a (pair-count, top-1,
+    merged-sequence) triple per step. The word rides along through every
+    s{t} so the apply side (q116) can join the final segmentation back
+    to the corpus token stream."""
     mrg = "replace(pr, ' ', '')"
 
     def merge_expr(src: str) -> str:
@@ -3753,7 +3755,8 @@ def _bpe_merge_sql(iters: int = _BPE_ITERS) -> str:
 
     ctes = [
         """toks AS (
-      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                     x -> x <> '')) AS t
       FROM documents
     )""",
@@ -3762,7 +3765,7 @@ def _bpe_merge_sql(iters: int = _BPE_ITERS) -> str:
       FROM toks WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t
     )""",
         """s0 AS (
-      SELECT wc,
+      SELECT w, wc,
              array_to_string(list_transform(generate_series(1, length(w)),
                                             i -> substr(w, i, 1)), ' ') AS seq
       FROM words
@@ -3781,8 +3784,19 @@ def _bpe_merge_sql(iters: int = _BPE_ITERS) -> str:
     )""",
             f"t{t} AS (SELECT pr, c FROM c{t} ORDER BY c DESC, pr LIMIT 1)",
             f"""s{t} AS (
-      SELECT wc, {merge_expr('seq')} AS seq FROM s{p} CROSS JOIN t{t}
+      SELECT w, wc, {merge_expr('seq')} AS seq FROM s{p} CROSS JOIN t{t}
     )""",
+        ]
+    return ctes
+
+
+def _bpe_merge_sql(iters: int = _BPE_ITERS) -> str:
+    """Replay of tokenize.bpe_merge_steps: the shared chain plus a
+    (symbol-census, stat-row) CTE pair per step."""
+    mrg = "replace(pr, ' ', '')"
+    ctes = _bpe_chain_ctes(iters)
+    for t in range(1, iters + 1):
+        ctes += [
             f"""v{t} AS (
       SELECT CAST(COUNT(DISTINCT s) AS INT) AS n_symbols
       FROM (SELECT unnest(string_split(seq, ' ')) AS s FROM s{t})
@@ -3825,6 +3839,85 @@ def q113_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("wc"))
     )
     return tk.bpe_merge_steps(words, "w", "wc", iters=_BPE_ITERS, persist_fn=pin)
+
+
+# ---------------------------------------------------------------------------
+# q116 — BPE ENCODE: tokenize the corpus with the learned vocabulary
+# (q113 trains the merges; this applies them — the tokenizer stage)
+# ---------------------------------------------------------------------------
+def _bpe_encode_sql(iters: int = _BPE_ITERS) -> str:
+    joined = ",\n    ".join(
+        _bpe_chain_ctes(iters)
+        + [
+            "wt AS (SELECT doc_id, t FROM toks WHERE regexp_matches(t, '^[a-z]+$'))",
+            f"""sl AS (
+      SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS sl FROM s{iters}
+    )""",
+            """agg AS (
+      SELECT wt.doc_id, CAST(COUNT(*) AS INT) AS n_words,
+             CAST(SUM(sl.sl) AS BIGINT) AS n_bpe_tokens
+      FROM wt JOIN sl ON sl.w = wt.t GROUP BY wt.doc_id
+    )""",
+        ]
+    )
+    return f"""
+    WITH {joined}
+    SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words,
+           COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+           CASE WHEN agg.n_words IS NULL THEN NULL
+                ELSE CAST(agg.n_bpe_tokens AS DOUBLE) / agg.n_words END
+             AS tokens_per_word
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """
+
+
+@register(
+    "q116_bpe_encode",
+    _bpe_encode_sql(),
+    doc="tokenizer APPLY stage: the corpus encoded under the q113-"
+    "trained BPE vocabulary — per-document word count, post-merge "
+    "subword token count, and fertility (tokens per word, the metric "
+    "tokenizer training optimizes). The merge loop reruns over the "
+    "vocabulary (bit-identical pair choices to q113), the final "
+    "segmentation lengths broadcast back onto the corpus token stream, "
+    "and the per-doc aggregate is map-side combined — the corpus is "
+    "scanned, never shuffled at token granularity beyond the doc key",
+)
+def q116_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1), lambda t: t != ""
+    )
+    wt = d.select("doc_id", F.explode(toks).alias("t")).filter(
+        F.col("t").rlike("^[a-z]+$")
+    )
+    words = wt.groupBy(F.col("t").alias("w")).agg(
+        F.count("*").cast("long").alias("wc")
+    )
+    seg = tk.bpe_segment_vocab(words, "w", "wc", iters=_BPE_ITERS, persist_fn=pin)
+    sl = seg.select(
+        "w", F.size(F.split(F.col("seq"), " ", -1)).cast("long").alias("sl")
+    )
+    agg = (
+        wt.join(F.broadcast(sl), wt["t"] == sl["w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("sl").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias("n_bpe_tokens"),
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+                "tokens_per_word"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
