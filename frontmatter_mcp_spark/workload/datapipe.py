@@ -4001,3 +4001,161 @@ def q115_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(red).alias("redacted_fp"),
         F.length(red).cast("long").alias("redacted_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — classifier calibration: reliability table for the q111 model
+# (the eval stage that decides whether the filter's threshold is usable)
+# ---------------------------------------------------------------------------
+def _calibration_sql() -> str:
+    from frontmatter_mcp_spark.operators.classifier import SCALE
+
+    return f"""
+    SELECT CAST(LEAST(9, FLOOR(prob * 10)) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN (score_fx >= 0) = (label = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CAST(prob * {SCALE} AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * {SCALE}) AS mean_prob
+    FROM ({_classifier_sql()}) s
+    GROUP BY 1
+    """
+
+
+@register(
+    "q117_classifier_calibration",
+    _calibration_sql(),
+    doc="model calibration / reliability table for the trained q111 "
+    "filter: documents bucketed by predicted probability (10 bins), "
+    "per-bin positive rate, accuracy, and mean predicted probability — "
+    "the eval a production gate runs before trusting a threshold. The "
+    "mean aggregates the INTEGER fixed-point probabilities (order-"
+    "independent, exact) with ONE final double division; a 10-row "
+    "output from one corpus-sized aggregate on top of the scoring plan",
+)
+def q117_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.classifier import SCALE, hashed_linear_scores
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    scored = hashed_linear_scores(
+        d,
+        "doc_id",
+        "text",
+        label=(F.col("lang") == "en").cast("int"),
+        buckets=_CLF_BUCKETS,
+        iters=_CLF_ITERS,
+        persist_fn=pin,
+    )
+    correct = (F.col("score_fx") >= 0) == (F.col("label") == 1)
+    return (
+        scored.groupBy(
+            F.least(F.lit(9), F.floor(F.col("prob") * 10)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.sum(correct.cast("int")).cast("long").alias("n_correct"),
+            (
+                F.sum((F.col("prob") * SCALE).cast("long")).cast("double")
+                / (F.count("*") * SCALE)
+            ).alias("mean_prob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — vocabulary growth curve (Heaps' law audit): distinct-term count
+# as the corpus grows, via the first-appearance trick
+# ---------------------------------------------------------------------------
+_GROWTH_DECILES = 10
+
+
+def _vocab_growth_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    k = _GROWTH_DECILES
+    return f"""
+    WITH b AS (
+      SELECT doc_id, {hash_bucket_sql('doc_id', k)} AS bk,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    tok AS (SELECT bk, unnest(w) AS t FROM b),
+    per_bucket AS (
+      SELECT bk, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY bk
+    ),
+    docs_per_bucket AS (
+      SELECT bk, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY bk
+    ),
+    firsts AS (
+      SELECT b_min AS bk, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+        SELECT t, MIN(bk) AS b_min FROM tok GROUP BY t
+      ) GROUP BY b_min
+    ),
+    spine AS (SELECT i AS decile FROM UNNEST(generate_series(0, {k - 1})) AS g(i))
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(SUM(COALESCE(d.n_docs, 0)) OVER w AS BIGINT) AS n_docs_cum,
+           CAST(SUM(COALESCE(p.n_tok, 0)) OVER w AS BIGINT) AS n_tokens_cum,
+           CAST(SUM(COALESCE(f.n_new, 0)) OVER w AS BIGINT) AS vocab_cum,
+           CAST(SUM(COALESCE(f.n_new, 0)) OVER w AS DOUBLE)
+             / SUM(COALESCE(p.n_tok, 0)) OVER w AS type_token_ratio
+    FROM spine
+    LEFT JOIN docs_per_bucket d ON d.bk = decile
+    LEFT JOIN per_bucket p ON p.bk = decile
+    LEFT JOIN firsts f ON f.bk = decile
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@register(
+    "q118_vocab_growth",
+    _vocab_growth_sql(),
+    doc="vocabulary growth curve (Heaps'-law audit — the dedup/"
+    "diversity health check run before tokenizer training): cumulative "
+    "docs, tokens, distinct terms, and type-token ratio over ten "
+    "deterministic hash-sample deciles. The FIRST-APPEARANCE trick "
+    "makes it one pass: each term aggregates to its minimum decile "
+    "(map-side combined), so the curve needs no per-prefix rescans; "
+    "the cumulative window runs over the 10-row spine, never the data",
+)
+def q118_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    k = _GROWTH_DECILES
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1), lambda t: t != ""
+    )
+    b = d.select(hash_bucket(F.col("doc_id"), k).alias("bk"), toks.alias("w"))
+    tok = b.select("bk", F.explode("w").alias("t"))
+    per_bucket = tok.groupBy("bk").agg(F.count("*").cast("long").alias("n_tok"))
+    docs_per_bucket = b.groupBy("bk").agg(F.count("*").cast("long").alias("n_docs"))
+    firsts = (
+        tok.groupBy("t")
+        .agg(F.min("bk").alias("bk"))
+        .groupBy("bk")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    spine = d.sparkSession.range(k).select(F.col("id").cast("int").alias("decile"))
+    joined = (
+        spine.join(F.broadcast(docs_per_bucket), spine["decile"] == docs_per_bucket["bk"], "left")
+        .drop("bk")
+        .join(F.broadcast(per_bucket), spine["decile"] == per_bucket["bk"], "left")
+        .drop("bk")
+        .join(F.broadcast(firsts), spine["decile"] == firsts["bk"], "left")
+        .drop("bk")
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    n_tok_cum = F.sum(F.coalesce("n_tok", F.lit(0))).over(w)
+    vocab_cum = F.sum(F.coalesce("n_new", F.lit(0))).over(w)
+    return joined.select(
+        "decile",
+        F.sum(F.coalesce("n_docs", F.lit(0))).over(w).cast("long").alias("n_docs_cum"),
+        n_tok_cum.cast("long").alias("n_tokens_cum"),
+        vocab_cum.cast("long").alias("vocab_cum"),
+        (vocab_cum.cast("double") / n_tok_cum).alias("type_token_ratio"),
+    )
