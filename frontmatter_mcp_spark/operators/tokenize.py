@@ -132,7 +132,12 @@ def _bpe_loop(
 ):
     """Shared BPE merge loop. Appends per-step stat rows to
     ``stats_rows`` when given; returns the final sequence table
-    (with the word column when ``keep_word``)."""
+    (with the word column when ``keep_word``).
+
+    Assumes the vocabulary still contains at least one adjacent pair at
+    every step (true for any natural corpus and iters in the hundreds);
+    a fully-merged vocabulary would make the 1-row top-pair table empty
+    and the cross join would propagate the empty set."""
     from pyspark.sql import functions as F
 
     carry = [F.col(word_col).alias("w")] if keep_word else []

@@ -190,3 +190,85 @@ def test_bigram_nll_matches_python(spark, docs):
             terms.append(-math.log(p))
         assert got[i][0] == len(ws)
         assert got[i][1] == pytest.approx(round(sum(terms) / len(ws), 6), abs=2e-6)
+
+
+def _py_bpe_rounds(word_counts: dict[str, int], iters: int):
+    """Pure-Python replica of tokenize._bpe_loop (two-pass replace)."""
+    seqs = {w: " ".join(w) for w in word_counts}
+    merges = []
+    for _step in range(iters):
+        counts: dict[str, int] = {}
+        for w, s in seqs.items():
+            sym = s.split(" ")
+            for a, b in zip(sym, sym[1:]):
+                counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + word_counts[w]
+        if not counts:
+            break
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        pr, c = top
+        pat, rep = f" {pr} ", f" {pr.replace(' ', '')} "
+        for w in seqs:
+            s = f" {seqs[w]} ".replace(pat, rep).replace(pat, rep)
+            seqs[w] = s.strip()
+        n_symbols = len({t for s in seqs.values() for t in s.split(" ")})
+        merges.append((pr, pr.replace(" ", ""), c, n_symbols))
+    return merges, seqs
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_bpe_loop_matches_python(spark, word_counts):
+    from frontmatter_mcp_spark.operators.tokenize import (
+        bpe_merge_steps,
+        bpe_segment_vocab,
+    )
+
+    iters = 2
+    ref_merges, ref_seqs = _py_bpe_rounds(word_counts, iters)
+    if len(ref_merges) < iters:
+        return  # degenerate vocab (no pairs): loop contract not exercised
+    df = spark.createDataFrame(list(word_counts.items()), "w string, wc long")
+    got = sorted(
+        bpe_merge_steps(df, "w", "wc", iters=iters).collect(), key=lambda r: r.step
+    )
+    assert [(r.pair, r.merged, r.pair_count, r.n_symbols) for r in got] == ref_merges
+    seg = {r.w: r.seq for r in bpe_segment_vocab(df, "w", "wc", iters=iters).collect()}
+    assert seg == ref_seqs
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.text(alphabet="abcX", min_size=1, max_size=4), max_size=6).map(
+                " ".join
+            ),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_classifier_matches_python_model(spark, docs):
+    from test_classifier import _py_model
+
+    from frontmatter_mcp_spark.operators.classifier import hashed_linear_scores
+
+    fixture = [(i, text, int(y)) for i, (text, y) in enumerate(docs)]
+    df = spark.createDataFrame(fixture, "doc_id long, text string, y int")
+    got = {
+        r.doc_id: (r.label, r.score_fx, r.prob)
+        for r in hashed_linear_scores(
+            df, "doc_id", "text", F.col("y"), buckets=16, iters=2
+        ).collect()
+    }
+    assert got == _py_model(
+        [(i, t.lower(), y) for i, t, y in fixture], buckets=16, iters=2
+    )
