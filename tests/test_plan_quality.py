@@ -474,3 +474,47 @@ def test_q113_bpe_loop_top_pair_broadcast(spark):
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_q115_redaction_is_narrow_scrub(spark):
+    """PII redaction: a pure projection — no joins, no Python, and the
+    only exchange is the small-fixture parallelism repartition (the
+    rewrite itself adds zero shuffles)."""
+    plan = formatted_plan(spark, "q115_pii_redaction")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q116_bpe_encode_broadcasts_vocab(spark):
+    """BPE encode: the segmentation lengths reach the corpus token
+    stream as a broadcast (never a shuffle join on the token key), the
+    per-doc aggregate is map-side combined, and the merge loop's top
+    pairs are TakeOrderedAndProject."""
+    plan = formatted_plan(spark, "q116_bpe_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q117_calibration_single_extra_aggregate(spark):
+    """Calibration: one corpus-sized aggregate on top of the scoring
+    plan (10-bucket key, partial aggregation), weights still broadcast,
+    no Python."""
+    plan = formatted_plan(spark, "q117_classifier_calibration")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q118_vocab_growth_first_appearance_shape(spark):
+    """Vocab growth: the term first-appearance aggregate is map-side
+    combined, per-bucket tables come back to the 10-row spine as
+    broadcasts, and the cumulative window runs over the spine (decile
+    order), never the data."""
+    plan = formatted_plan(spark, "q118_vocab_growth")
+    assert plan.count("BroadcastExchange") >= 3
+    assert re.search(r"windowspecdefinition\(decile", plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
