@@ -365,6 +365,8 @@ def q114_stream_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frontmatter_mcp_spark.streaming import ingest
     from frontmatter_mcp_spark.tables import load_table
 
+    from frontmatter_mcp_spark.workload.registry import pin
+
     batch = load_table(spark, sf_dir, "documents")
     w_rows = clf.train_weights(
         batch,
@@ -373,6 +375,7 @@ def q114_stream_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         label=(F.col("lang") == "en").cast("int"),
         buckets=64,
         iters=2,
+        persist_fn=pin,
     ).collect()
     weights = {r.b: r.w for r in w_rows}
 
