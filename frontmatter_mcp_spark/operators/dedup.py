@@ -623,3 +623,88 @@ def record_linkage_pairs(
         .filter(F.col("lev") <= max_lev)
         .select("id_a", "id_b", F.col("lev").cast("int").alias("lev"))
     )
+
+
+def fuzzy_decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench: Column,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+    max_df: int = 50,
+    persist_fn=lambda d: d,
+) -> DataFrame:
+    """FUZZY train/benchmark decontamination: `decontaminate` catches
+    verbatim n-gram overlap; this catches paraphrased/near-duplicate
+    leakage the way PaLM/GPT report it — MinHash-LSH candidates between
+    the train and benchmark sides, then an exact-Jaccard verify.
+
+    Shape at scale: signatures and band buckets are O(corpus); the
+    candidate join runs on (band, bucket) restricted CROSS-side (train x
+    bench per bucket — never train x train), the verify joins only the
+    candidate ids' df-capped shingles (stop-shingles dropped pre-shuffle,
+    the q33 discipline), and the final pair set is re-filtered against
+    the candidates so the verify can never widen the LSH recall.
+
+    The shingle table feeds the signature, df-cap, and verify stages —
+    pass ``persist_fn`` to materialize it once per action.
+
+    Returns (train_id, bench_id, n_common, jaccard >= threshold).
+    """
+    sh = persist_fn(
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
+    )
+    flags = df.select(F.col(id_col), bench.alias("_bench"))
+    sigs = minhash_signatures_from_shingles(sh, id_col, "shingle", num_hashes)
+    bb = lsh_band_buckets(sigs, id_col, num_hashes, bands).join(flags, id_col)
+    t = bb.filter(~F.col("_bench")).select(
+        F.col(id_col).alias("train_id"), "band", "bucket"
+    )
+    s = bb.filter(F.col("_bench")).select(
+        F.col(id_col).alias("bench_id"), "band", "bucket"
+    )
+    cand = t.join(s, ["band", "bucket"]).select("train_id", "bench_id").distinct()
+
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_dfc"))
+    capped = sh.join(dfreq.filter(F.col("_dfc") <= max_df), "shingle").join(
+        flags, id_col
+    )
+    ft = capped.filter(~F.col("_bench")).join(
+        cand.select("train_id").distinct(),
+        F.col(id_col) == F.col("train_id"),
+    ).select("train_id", "shingle")
+    fs = capped.filter(F.col("_bench")).join(
+        cand.select("bench_id").distinct(),
+        F.col(id_col) == F.col("bench_id"),
+    ).select("bench_id", "shingle")
+    inter = (
+        ft.join(fs, "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_common"))
+        .join(cand, ["train_id", "bench_id"])
+    )
+    sizes = sigs.select(F.col(id_col), "n_shingles")
+    sa = sizes.select(F.col(id_col).alias("train_id"), F.col("n_shingles").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("bench_id"), F.col("n_shingles").alias("_nb"))
+    return (
+        inter.join(sa, "train_id")
+        .join(sb, "bench_id")
+        .withColumn(
+            "_j",
+            F.col("n_common").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+        )
+        .filter(F.col("_j") >= threshold)
+        .select(
+            "train_id",
+            "bench_id",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round("_j", 6).alias("jaccard"),
+        )
+    )

@@ -4159,3 +4159,89 @@ def q118_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab_cum.cast("long").alias("vocab_cum"),
         (vocab_cum.cast("double") / n_tok_cum).alias("type_token_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — FUZZY decontamination: MinHash-LSH candidates across the
+# train/benchmark boundary + exact-Jaccard verify (q60 catches verbatim
+# overlap; this catches paraphrased/near-duplicate leakage)
+# ---------------------------------------------------------------------------
+_FUZZY_DECON_THRESHOLD = 0.4
+
+
+def _fuzzy_decon_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    thr = _FUZZY_DECON_THRESHOLD
+    return f"""
+    WITH {_SHINGLES_CTE},
+    fl AS (SELECT doc_id, {hash_bucket_sql('doc_id', 20)} = 0 AS bench
+           FROM documents),
+    sigs AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_shingles, {_sig_exprs()}
+             FROM sh GROUP BY doc_id),
+    bb AS ({band_rows}),
+    bbf AS (SELECT bb.doc_id, band, bucket, bench FROM bb JOIN fl USING (doc_id)),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_id, s.doc_id AS bench_id
+      FROM bbf t JOIN bbf s ON t.band = s.band AND t.bucket = s.bucket
+      WHERE NOT t.bench AND s.bench
+    ),
+    dfreq AS (SELECT shingle, COUNT(*) AS dfc FROM sh GROUP BY 1),
+    capped AS (
+      SELECT sh.doc_id, sh.shingle, fl.bench
+      FROM sh JOIN dfreq USING (shingle) JOIN fl USING (doc_id)
+      WHERE dfc <= {_MAX_DF}
+    ),
+    ft AS (SELECT doc_id AS train_id, shingle FROM capped
+           WHERE NOT bench AND doc_id IN (SELECT train_id FROM cand)),
+    fs AS (SELECT doc_id AS bench_id, shingle FROM capped
+           WHERE bench AND doc_id IN (SELECT bench_id FROM cand)),
+    inter AS (
+      SELECT ft.train_id, fs.bench_id, COUNT(*) AS n_common
+      FROM ft JOIN fs USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT i.train_id, i.bench_id, CAST(i.n_common AS BIGINT) AS n_common,
+           round(i.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN cand USING (train_id, bench_id)
+    JOIN sigs sa ON sa.doc_id = i.train_id
+    JOIN sigs sb ON sb.doc_id = i.bench_id
+    WHERE i.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - i.n_common) >= {thr}
+    """
+
+
+@register(
+    "q119_fuzzy_decontamination",
+    _fuzzy_decon_sql(),
+    doc="fuzzy benchmark decontamination (the PaLM/GPT-style near-dup "
+    "leakage scan): a 5% hash-designated benchmark side, MinHash-LSH "
+    "candidates restricted CROSS-side (train x bench per band bucket — "
+    "never train x train), df-capped exact-Jaccard verify on candidate "
+    "ids only, re-filtered against the candidate set. One shared "
+    "shingle subplan (pinned) feeds signatures, df-cap, and verify",
+)
+def q119_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    return dd.fuzzy_decontaminate(
+        d,
+        "doc_id",
+        "text",
+        bench=hash_bucket(F.col("doc_id"), 20) == 0,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        threshold=_FUZZY_DECON_THRESHOLD,
+        max_df=_MAX_DF,
+        persist_fn=pin,
+    )
