@@ -672,17 +672,25 @@ def fuzzy_decontaminate(
     cand = t.join(s, ["band", "bucket"]).select("train_id", "bench_id").distinct()
 
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_dfc"))
-    capped = sh.join(dfreq.filter(F.col("_dfc") <= max_df), "shingle").join(
-        flags, id_col
+    capped_df = dfreq.filter(F.col("_dfc") <= max_df).select("shingle")
+    # prune to candidate ids BEFORE the shingle-key shuffle: the verify
+    # then moves only candidate documents' shingles, not the corpus
+    # (candidate ids are train/bench-side by construction, so no flags
+    # join is needed here)
+    ft = (
+        sh.join(
+            cand.select("train_id").distinct(), F.col(id_col) == F.col("train_id")
+        )
+        .join(capped_df, "shingle")
+        .select("train_id", "shingle")
     )
-    ft = capped.filter(~F.col("_bench")).join(
-        cand.select("train_id").distinct(),
-        F.col(id_col) == F.col("train_id"),
-    ).select("train_id", "shingle")
-    fs = capped.filter(F.col("_bench")).join(
-        cand.select("bench_id").distinct(),
-        F.col(id_col) == F.col("bench_id"),
-    ).select("bench_id", "shingle")
+    fs = (
+        sh.join(
+            cand.select("bench_id").distinct(), F.col(id_col) == F.col("bench_id")
+        )
+        .join(capped_df, "shingle")
+        .select("bench_id", "shingle")
+    )
     inter = (
         ft.join(fs, "shingle")
         .groupBy("train_id", "bench_id")

@@ -4245,3 +4245,44 @@ def q119_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=_MAX_DF,
         persist_fn=pin,
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — soft dedup: duplicate-cluster-aware sampling weights
+# (keep every copy, downweight by cluster size — the alternative to
+# q56's hard keeper selection when provenance diversity matters)
+# ---------------------------------------------------------------------------
+@register(
+    "q120_softdedup_weights",
+    f"""
+    SELECT doc_id, group_id,
+           CAST(COUNT(*) OVER (PARTITION BY group_id) AS INT) AS group_size,
+           CAST(1 AS DOUBLE) / COUNT(*) OVER (PARTITION BY group_id) AS weight,
+           doc_id = group_id AS keeper
+    FROM ({_neardup_groups_sql()}) g
+    """,
+    doc="soft dedup: every document keeps a sampling weight 1/|its "
+    "near-dup cluster| (and the min-label keeper flag) instead of being "
+    "dropped — total cluster mass stays 1, so the training distribution "
+    "is dedup-corrected while provenance diversity survives. One "
+    "bounded window (cluster key) on top of the q56 label-propagation "
+    "plan; the weight is a single double division, bit-identical "
+    "cross-engine",
+)
+def q120_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    groups = dd.neardup_groups(
+        d, "doc_id", "text",
+        threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
+        persist_fn=pin,
+    )
+    size = F.count("*").over(W.partitionBy("group_id"))
+    return groups.select(
+        "doc_id",
+        "group_id",
+        size.cast("int").alias("group_size"),
+        (F.lit(1).cast("double") / size).alias("weight"),
+        (F.col("doc_id") == F.col("group_id")).alias("keeper"),
+    )

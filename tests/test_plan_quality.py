@@ -518,3 +518,23 @@ def test_q118_vocab_growth_first_appearance_shape(spark):
     assert plan.count("BroadcastExchange") >= 3
     assert re.search(r"windowspecdefinition\(decile", plan), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q119_fuzzy_decon_cross_side_only(spark):
+    """Fuzzy decontamination: the candidate join keys on (band, bucket)
+    and the verify join on the shingle key — never a cartesian; the
+    pinned shingle table serves signatures, df-cap and verify from
+    cache; everything JVM-side with partial aggregation."""
+    plan = formatted_plan(spark, "q119_fuzzy_decontamination")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q120_softdedup_window_is_cluster_bounded(spark):
+    """Soft dedup: the only window partitions on the cluster key
+    (bounded groups, never the whole corpus in one task)."""
+    plan = formatted_plan(spark, "q120_softdedup_weights")
+    assert re.search(r"windowspecdefinition\(group_id", plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
