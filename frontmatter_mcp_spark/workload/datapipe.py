@@ -4286,3 +4286,65 @@ def q120_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1).cast("double") / size).alias("weight"),
         (F.col("doc_id") == F.col("group_id")).alias("keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — embedding-store ROUND TRIP: write the corpus into the
+# manifest-committed bucketed store, read the snapshot back, and run the
+# q36 exact search over it — graded against the direct-table oracle, so
+# the driver gate itself proves the store's write/read path is lossless
+# (f32-exact) end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "q121_store_roundtrip_search",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id >= 5),
+         pairs AS (
+           SELECT qid, cid, {_duck_cos('qvec', 'cvec')} AS sim FROM q, c
+         ),
+         ranked AS (
+           SELECT qid, cid, sim,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+           FROM pairs
+         )
+    SELECT qid, cid, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+    """,
+    doc="store round-trip fidelity under the oracle gate: embeddings "
+    "upserted into the hash-bucketed, manifest-committed store, the "
+    "snapshot read back, and exact cosine top-10 run over the "
+    "round-tripped vectors — hash-compared against DuckDB computing "
+    "directly from the source table. Any write/read corruption (f32 "
+    "drift, lost bucket, stale generation) breaks the hash. Upsert is "
+    "insert-or-replace by path, so bench reruns are idempotent",
+)
+def q121_store_roundtrip_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from frontmatter_mcp_spark.semantic.store import EmbeddingStore
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = e.select(F.size("embedding").alias("d")).first()["d"]
+    store_dir = (
+        f"/tmp/fm_spark_q121_store_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    st = EmbeddingStore(spark, store_dir, model_name="fixture-f32", dim=dim)
+    st.upsert(
+        e.select(
+            F.concat(F.lit("vec_"), F.col("vec_id").cast("string")).alias("path"),
+            F.col("vec_id").cast("double").alias("mtime"),
+            F.col("embedding").alias("vector"),
+        )
+    )
+    back = st.read().select(
+        F.substring("path", 5, 32).cast("long").alias("vec_id"),
+        F.col("vector").alias("embedding"),
+    )
+    q = back.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = back.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    out = sim.cosine_topk(q, c, k=10, query_vec="qvec", cand_vec="cvec")
+    return out.withColumn("rank", F.col("rank").cast("int"))
