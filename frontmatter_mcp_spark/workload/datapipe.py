@@ -4348,3 +4348,76 @@ def q121_store_roundtrip_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sim.cosine_topk(q, c, k=10, query_vec="qvec", cand_vec="cvec")
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q122 — REAL-codec image fingerprinting under the oracle gate: text-
+# seeded 8x8 BMPs encoded + decoded with the built-in codec, average-
+# hashed; the oracle computes the EXPECTED aHash from the pixel recipe
+# (pure md5 math) — so the hash compare certifies the codec round trip
+# byte-for-byte, the same discipline q121 applies to the store.
+# ---------------------------------------------------------------------------
+def _image_ahash_sql() -> str:
+    hx_chain = " || ".join(f"md5(text || '|{k}')" for k in range(12))
+
+    def hv(pos: str) -> str:
+        return f"(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    def byte(c0: str) -> str:
+        return f"({hv(c0)} * 16 + {hv(f'({c0}) + 1')})"
+
+    gs = " + ".join(byte(f"6 * i + {1 + 2 * b}") for b in range(3))
+    return f"""
+    WITH chain AS (SELECT doc_id, {hx_chain} AS hx FROM documents),
+    px AS (
+      SELECT doc_id, i, {gs} AS gs
+      FROM chain, UNNEST(generate_series(0, 63)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, SUM(gs) AS tot FROM px GROUP BY 1),
+    bits AS (
+      SELECT px.doc_id, i, CASE WHEN 64 * gs > tot THEN 1 ELSE 0 END AS b
+      FROM px JOIN tot USING (doc_id)
+    ),
+    bys AS (
+      SELECT doc_id, CAST(FLOOR(i / 8.0) AS INT) AS j,
+             CAST(SUM(b * ([128, 64, 32, 16, 8, 4, 2, 1])[(i % 8) + 1]) AS INT) AS bv
+      FROM bits GROUP BY 1, 2
+    ),
+    ah AS (
+      SELECT doc_id,
+             string_agg(substr('0123456789abcdef', CAST(FLOOR(bv / 16.0) AS INT) + 1, 1)
+                        || substr('0123456789abcdef', (bv % 16) + 1, 1),
+                        '' ORDER BY j) AS ahash
+      FROM bys GROUP BY doc_id
+    )
+    SELECT doc_id, 8 AS width, 8 AS height, ahash,
+           CAST(COUNT(*) OVER (PARTITION BY ahash) AS INT) AS n_shared
+    FROM ah
+    """
+
+
+@register(
+    "q122_image_ahash_dedup",
+    _image_ahash_sql(),
+    doc="image-level exact dedup through the REAL image codec: text-"
+    "seeded 8x8 RGB images are encoded to genuine 24-bit BMPs and "
+    "decoded back with the built-in pure-numpy codec inside one Arrow-"
+    "batched mapInPandas stage, then 64-bit average-hashed; the oracle "
+    "derives the expected aHash from the pixel recipe alone, so any "
+    "codec defect (BGR order, row stride, bottom-up flip) breaks the "
+    "hash compare. Share counts via a window on the bounded hash key — "
+    "identical source texts produce identical images, so aHash groups "
+    "are the image analogue of q30",
+)
+def q122_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    fp = mm.synthetic_image_ahash(d, "doc_id", "text")
+    return fp.select(
+        "doc_id",
+        "width",
+        "height",
+        "ahash",
+        F.count("*").over(W.partitionBy("ahash")).cast("int").alias("n_shared"),
+    )
