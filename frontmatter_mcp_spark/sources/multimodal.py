@@ -337,3 +337,53 @@ def synthetic_image_ahash(df: DataFrame, id_col: str, text_col: str) -> DataFram
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} long, width int, height int, ahash string"
     )
+
+
+def synthetic_wav_probe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """REAL-parser audio probing, verifiable without an audio stack on
+    the oracle side (the q122/aHash discipline for WAV): each document
+    seeds a genuine PCM WAV — 16-bit mono, sample rate 8000 + (id%8)*1000,
+    (len(text)*16 + 100) samples, plus a LIST chunk of (id%7) bytes
+    before the data chunk so the probe's chunk-scan loop (including
+    odd-size padding) actually executes — and the duration comes from
+    ``probe_wav_duration`` parsing those bytes. The oracle recomputes
+    the expected duration from the recipe arithmetic alone, so a parser
+    defect (wrong byte-rate offset, broken chunk walk, padding bug)
+    breaks the hash compare."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                rate = 8000 + (int(doc_id) % 8) * 1000
+                n_samples = len(text) * 16 + 100
+                byte_rate = rate * 2
+                data = bytes(n_samples * 2)
+                lst = bytes(int(doc_id) % 7)
+                chunks = (
+                    b"fmt " + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little")  # PCM
+                    + (1).to_bytes(2, "little")  # mono
+                    + rate.to_bytes(4, "little")
+                    + byte_rate.to_bytes(4, "little")
+                    + (2).to_bytes(2, "little")
+                    + (16).to_bytes(2, "little")
+                    + b"LIST" + len(lst).to_bytes(4, "little") + lst
+                    + (b"\x00" if len(lst) % 2 else b"")  # odd-size pad
+                    + b"data" + len(data).to_bytes(4, "little") + data
+                )
+                payload = (
+                    b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+                )
+                assert _is_wav(payload)
+                rows.append(
+                    (doc_id, rate, n_samples, probe_wav_duration(payload))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "sample_rate", "n_samples", "duration_s"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, sample_rate int, n_samples int, duration_s double"
+    )

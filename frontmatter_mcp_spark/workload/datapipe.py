@@ -4421,3 +4421,31 @@ def q122_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ahash",
         F.count("*").over(W.partitionBy("ahash")).cast("int").alias("n_shared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — REAL-parser WAV probing under the oracle gate (the q122
+# discipline for audio): genuine PCM WAV bytes built per document, the
+# built-in RIFF chunk-walk probe extracts the duration, and the oracle
+# recomputes it from the recipe arithmetic alone.
+# ---------------------------------------------------------------------------
+@register(
+    "q123_wav_probe",
+    """
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+           CAST(length(text) * 16 + 100 AS INT) AS n_samples,
+           CAST((length(text) * 16 + 100) * 2 AS DOUBLE)
+             / ((8000 + (doc_id % 8) * 1000) * 2) AS duration_s
+    FROM documents
+    """,
+    doc="audio metadata extraction through the REAL RIFF parser: per-"
+    "document PCM WAVs (with a pre-data LIST chunk so the chunk walk "
+    "and odd-size padding execute) probed for duration inside one "
+    "Arrow-batched mapInPandas stage; the oracle derives the expected "
+    "duration from the byte recipe, certifying the parser byte-for-"
+    "byte. Narrow stage, no shuffle",
+)
+def q123_wav_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    return mm.synthetic_wav_probe(d, "doc_id", "text")
