@@ -4449,3 +4449,67 @@ def q122_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q123_wav_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return mm.synthetic_wav_probe(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q124 — per-document duplication ratio: what fraction of a document's
+# verbatim 8-token runs occur in OTHER documents (the Lee-et-al-style
+# memorization-risk score; q41 finds the pairs, q59 the spans — this is
+# the per-doc FILTER signal)
+# ---------------------------------------------------------------------------
+@register(
+    "q124_duplication_ratio",
+    """
+    WITH fps AS (
+      SELECT DISTINCT doc_id, substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                      w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                                      w[i+6] || ' ' || w[i+7]), 1, 16) AS fp
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS w
+            FROM documents),
+           UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    docfreq AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY fp),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_windows,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS INT) AS n_shared
+      FROM fps JOIN docfreq USING (fp) GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(n_windows, 0) AS n_windows,
+           COALESCE(n_shared, 0) AS n_shared,
+           CASE WHEN n_windows IS NULL THEN NULL
+                ELSE CAST(n_shared AS DOUBLE) / n_windows END AS dup_ratio
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+    doc="per-document duplication ratio: the fraction of a doc's "
+    "distinct verbatim 8-token windows that also appear in at least "
+    "one other document — the per-doc memorization-risk filter signal "
+    "(threshold it to drop mostly-duplicated docs while q56/q120 handle "
+    "whole-document clusters). One fingerprint shuffle (map-side "
+    "combined document frequencies joined back on the hash key), then "
+    "a map-side per-doc aggregate",
+)
+def q124_duplication_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    fps = d.select(
+        "doc_id", F.explode(tk.window_fingerprints(F.col("text"), window=8)).alias("fp")
+    )
+    docfreq = fps.groupBy("fp").agg(F.count("*").alias("nd"))
+    per_doc = (
+        fps.join(docfreq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_windows"),
+            F.sum((F.col("nd") > 1).cast("int")).cast("int").alias("n_shared"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.col("n_shared").cast("double") / F.col("n_windows")).alias("dup_ratio"),
+        )
+    )
