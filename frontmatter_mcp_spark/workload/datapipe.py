@@ -4513,3 +4513,59 @@ def q124_duplication_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_shared").cast("double") / F.col("n_windows")).alias("dup_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — deterministic augmentation: hash-derived token dropout.
+# Augmentation at pipeline scale must be REPRODUCIBLE (reruns/backfills
+# produce byte-identical augmented corpora) — so the "randomness" is a
+# pure function of (doc, position), the df.sample anti-pattern note in
+# operators.sampling applied to data augmentation.
+# ---------------------------------------------------------------------------
+@register(
+    "q125_deterministic_augmentation",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, i, w[i] AS t
+      FROM toks, UNNEST(generate_series(1, len(w))) AS u(i)
+      WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)
+            <> '0'
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+             md5(string_agg(t, ' ' ORDER BY i)) AS aug_fp
+      FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id, CAST(len(w) AS INT) AS n_tokens,
+           COALESCE(agg.n_kept, 0) AS n_kept, agg.aug_fp
+    FROM toks LEFT JOIN agg ON agg.doc_id = toks.doc_id
+    """,
+    doc="reproducible data augmentation: ~1/16 token dropout where the "
+    "drop decision is md5(doc, position) — reruns and backfills emit "
+    "byte-identical augmented text (verified by the full augmented-"
+    "text fingerprint), unlike RNG-seeded augmentation whose output "
+    "shifts with partitioning. A narrow zero-shuffle projection (the "
+    "index-aware filter lambda runs inside codegen)",
+)
+def q125_deterministic_augmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+", -1), lambda t: t != ""
+    )
+    keep = lambda t, i: F.substring(  # noqa: E731
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
+        1,
+        1,
+    ) != "0"
+    kept = F.filter(toks, keep)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.when(F.size(kept) > 0, F.md5(F.concat_ws(" ", kept))).alias("aug_fp"),
+    )
