@@ -538,3 +538,23 @@ def test_q120_softdedup_window_is_cluster_bounded(spark):
     plan = formatted_plan(spark, "q120_softdedup_weights")
     assert re.search(r"windowspecdefinition\(group_id", plan), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q124_duplication_ratio_one_fp_shuffle(spark):
+    """Duplication ratio: document frequencies combine map-side on the
+    fingerprint key and join back on it; the per-doc aggregate is
+    partial; no Python anywhere."""
+    plan = formatted_plan(spark, "q124_duplication_ratio")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q125_augmentation_is_narrow(spark):
+    """Deterministic augmentation: a pure projection — the index-aware
+    dropout runs in codegen with no joins and no shuffle beyond the
+    fixture repartition."""
+    plan = formatted_plan(spark, "q125_deterministic_augmentation")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
