@@ -167,3 +167,47 @@ def test_bpe_merge_steps_exact_loop(spark):
     # step 3: only 'a a' remains; the self-overlapping run 'a a a' merges
     # greedily left-to-right to 'aa a'
     assert tuple(rows[2]) == (3, "a a", "aa", 2, 4)
+
+
+def test_image_ahash_matches_pixel_recipe(spark):
+    """The codec round trip must reproduce the aHash computed straight
+    from the pixel recipe (no codec) — the local twin of q122's oracle."""
+    import hashlib
+
+    import numpy as np
+
+    from frontmatter_mcp_spark.sources.multimodal import synthetic_image_ahash
+
+    docs = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "other text")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in synthetic_image_ahash(df, "doc_id", "text").collect()}
+
+    for doc_id, text in docs:
+        hx = "".join(
+            hashlib.md5(f"{text}|{k}".encode()).hexdigest() for k in range(12)
+        )
+        gs = (
+            np.frombuffer(bytes.fromhex(hx), dtype=np.uint8)
+            .reshape(64, 3)
+            .astype(np.int64)
+            .sum(axis=1)
+        )
+        expect = np.packbits((gs * 64 > gs.sum()).astype(np.uint8)).tobytes().hex()
+        assert got[doc_id].ahash == expect
+        assert (got[doc_id].width, got[doc_id].height) == (8, 8)
+    # identical texts -> identical images -> same hash
+    assert got[1].ahash == got[2].ahash and got[1].ahash != got[3].ahash
+
+
+def test_wav_probe_duration_matches_recipe(spark):
+    from frontmatter_mcp_spark.sources.multimodal import synthetic_wav_probe
+
+    docs = [(0, "x" * 10), (5, "y" * 33)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in synthetic_wav_probe(df, "doc_id", "text").collect()}
+    for doc_id, text in docs:
+        rate = 8000 + (doc_id % 8) * 1000
+        n = len(text) * 16 + 100
+        assert got[doc_id].sample_rate == rate
+        assert got[doc_id].n_samples == n
+        assert got[doc_id].duration_s == (n * 2) / (rate * 2)
