@@ -240,6 +240,23 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
     timings.update(vault_benchmarks(spark))
 
+    # Host-noise control: re-time a CODE-STABLE control query (min of 3,
+    # serialized) and compare it to its best-known time. This host's
+    # effective CPU swings 1x-20x under invisible neighbor contention;
+    # host_factor quantifies the state of THIS run so a reader can
+    # discount regression flags that merely reproduce the global
+    # slowdown (a real regression stands out against the control).
+    control = "q77_power_iteration"
+    ctrl_best_known = _load_local_best(sf).get(control)
+    host_factor = None
+    if ctrl_best_known:
+        ctrl = timings.get(control, float("inf"))
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[control].spark(spark, sf_dir).collect()
+            ctrl = min(ctrl, time.perf_counter() - t0)
+        host_factor = round(ctrl / ctrl_best_known, 3)
+
     total = round(sum(timings.values()), 4)
     result: dict = {
         "metric": "workload_total",
@@ -247,6 +264,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "host_factor": host_factor,
     }
 
     prev = load_prev_bench(sf)
