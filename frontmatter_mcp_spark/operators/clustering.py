@@ -215,3 +215,82 @@ def prototype_pruning(
             ).alias("kept"),
         )
     )
+
+
+def pagerank_fixed_point(
+    edges,
+    nodes,
+    id_col: str = "doc_id",
+    iters: int = 3,
+    scale: int = 2**40,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    persist_fn=lambda d: d,
+):
+    """PageRank over an (src, dst) edge table in exact fixed-point
+    integer arithmetic — the graph-centrality quality signal web-corpus
+    curation uses (rank hosts/documents by link or similarity structure).
+
+    All math is scaled-integer with floor division (`div`), so every
+    iteration is bit-identical across engines and replayable in SQL:
+
+        pr_0      = S div N
+        contrib_u = pr_u div outdeg_u
+        pr_{t+1}  = (S * (den-num)) div (den * N)
+                    + (num * sum_incoming(contrib)) div den
+
+    Dangling nodes (no out-edges) contribute nothing (their mass is not
+    redistributed — the truncated variant, same formula both engines).
+
+    Shape at 100 TB: edges/outdeg are pinned once (reused every
+    iteration); each iteration is one shuffle on the dst key with
+    map-side combine plus a node-table left join; the plan chain is
+    linear in `iters` (no exponential nesting — contribs feed forward
+    only). Magnitudes: pr <= S = 2^40, so num * sum(contrib) stays
+    inside int64 for in-degrees to ~8000 * N/|in| … documented bound:
+    num * indeg * S < 2^63, i.e. in-degree < ~10^5 at S = 2^40.
+    """
+    from pyspark.sql import functions as F
+
+    e = persist_fn(edges.select(F.col("src"), F.col("dst")))
+    outdeg = persist_fn(e.groupBy("src").agg(F.count("*").cast("long").alias("odeg")))
+    n_row = F.broadcast(nodes.agg(F.count("*").cast("long").alias("n")))
+
+    base = scale * (damp_den - damp_num)
+    pr = nodes.crossJoin(n_row).select(
+        id_col, F.expr(f"CAST({scale} AS BIGINT) div n").alias("pr"), "n"
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(pr.select(F.col(id_col).alias("src"), "pr"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst"), F.expr("pr div odeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("csum"))
+        )
+        pr = (
+            pr.select(id_col, "n")
+            .join(contrib, F.col(id_col) == F.col("dst"), "left")
+            .select(
+                id_col,
+                "n",
+                F.coalesce(F.col("csum"), F.lit(0)).alias("csum"),
+            )
+            .select(
+                id_col,
+                "n",
+                (
+                    F.expr(f"CAST({base} AS BIGINT) div (CAST({damp_den} AS BIGINT) * n)")
+                    + F.expr(f"(CAST({damp_num} AS BIGINT) * csum) div {damp_den}")
+                ).alias("pr"),
+            )
+            .select(id_col, "pr", "n")
+        )
+    out = pr.select(id_col, F.col("pr").alias("pr_fx")).join(
+        outdeg.select(F.col("src").alias(id_col), "odeg"), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        F.coalesce(F.col("odeg"), F.lit(0)).cast("int").alias("out_degree"),
+        F.col("pr_fx"),
+    )

@@ -4569,3 +4569,92 @@ def q125_deterministic_augmentation(spark: SparkSession, sf_dir: str) -> DataFra
         F.size(kept).cast("int").alias("n_kept"),
         F.when(F.size(kept) > 0, F.md5(F.concat_ws(" ", kept))).alias("aug_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — PageRank centrality over the similarity graph (the web-graph
+# quality signal of corpus curation, on LSH near-dup edges), exact
+# fixed-point integer math, every iteration replayed in the oracle
+# ---------------------------------------------------------------------------
+_PR_SCALE = 2**40
+_PR_ITERS = 3
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    s, base = _PR_SCALE, _PR_SCALE * 15
+    ctes = [
+        _SHINGLES_CTE.strip().rstrip(","),
+        f"sigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id)",
+        f"bb AS ({band_rows})",
+        """pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+    )""",
+        """edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+    )""",
+        "odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM edges GROUP BY 1)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)",
+        f"""p0 AS (
+      SELECT doc_id, CAST({s} AS BIGINT) // n AS pr FROM documents CROSS JOIN nn
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""p{t} AS (
+      SELECT d.doc_id,
+             CAST({base} AS BIGINT) // (100 * n)
+             + (85 * COALESCE(c.csum, CAST(0 AS BIGINT))) // 100 AS pr
+      FROM documents d CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst, CAST(SUM(p.pr // o.odeg) AS BIGINT) AS csum
+        FROM edges e
+        JOIN p{t - 1} p ON p.doc_id = e.src
+        JOIN odeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) c ON c.dst = d.doc_id
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT p.doc_id, CAST(COALESCE(o.odeg, 0) AS INT) AS out_degree,
+           CAST(p.pr AS BIGINT) AS pr_fx
+    FROM p{iters} p LEFT JOIN odeg o ON o.src = p.doc_id
+    """
+
+
+@register(
+    "q126_similarity_pagerank",
+    _pagerank_sql(),
+    doc="PageRank centrality over the MinHash-LSH similarity graph — "
+    "the web-graph quality signal of corpus curation (rank documents "
+    "by how central they sit in the near-duplication structure; high "
+    "centrality = template/boilerplate mass, a down-weighting signal). "
+    "Exact scaled-integer floor-division math, so all three iterations "
+    "replay bit-identically in the oracle CTEs; edges/out-degrees are "
+    "pinned across iterations, each iteration is one dst-key shuffle "
+    "with map-side combine, and the plan chain is linear in iters",
+)
+def q126_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.clustering import pagerank_fixed_point
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", _NUM_HASHES, _BANDS)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return pagerank_fixed_point(
+        edges, d.select("doc_id"), "doc_id", iters=_PR_ITERS,
+        scale=_PR_SCALE, persist_fn=pin,
+    )
