@@ -558,3 +558,14 @@ def test_q125_augmentation_is_narrow(spark):
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q126_pagerank_linear_iteration_chain(spark):
+    """PageRank: edges/out-degrees served from cache across the three
+    iterations, contribution sums map-side combined, the corpus count a
+    1-row broadcast (never a real cartesian), no Python."""
+    plan = formatted_plan(spark, "q126_similarity_pagerank")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4
