@@ -252,8 +252,12 @@ def pagerank_fixed_point(
     """
     from pyspark.sql import functions as F
 
-    e = persist_fn(edges.select(F.col("src"), F.col("dst")))
-    outdeg = persist_fn(e.groupBy("src").agg(F.count("*").cast("long").alias("odeg")))
+    e0 = edges.select(F.col("src"), F.col("dst"))
+    outdeg = persist_fn(e0.groupBy("src").agg(F.count("*").cast("long").alias("odeg")))
+    # fold the out-degree onto the edge rows ONCE — each iteration then
+    # needs a single join (pr onto the pinned annotated edges) instead
+    # of two
+    e = persist_fn(e0.join(outdeg, "src"))
     n_row = F.broadcast(nodes.agg(F.count("*").cast("long").alias("n")))
 
     base = scale * (damp_den - damp_num)
@@ -263,7 +267,6 @@ def pagerank_fixed_point(
     for _ in range(iters):
         contrib = (
             e.join(pr.select(F.col(id_col).alias("src"), "pr"), "src")
-            .join(outdeg, "src")
             .select(F.col("dst"), F.expr("pr div odeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast("long").alias("csum"))
