@@ -85,9 +85,19 @@ def test_q07_single_window_exchange(spark):
     assert re.search(r"Arguments: hashpartitioning\(o_custkey", plan)
 
 
+# the two codec-certification queries are EXPLICIT Arrow-batched Python
+# stages (real BMP/WAV codecs run in mapInPandas by design) — every
+# other query in the q0/q1/q2 name range must stay JVM-side
+_EXPLICIT_PYTHON_STAGES = {"q122_image_ahash_dedup", "q123_wav_probe"}
+
+
 @pytest.mark.parametrize(
     "name",
-    [n for n in sorted(QUERIES) if n.startswith(("q0", "q1", "q2"))],
+    [
+        n
+        for n in sorted(QUERIES)
+        if n.startswith(("q0", "q1", "q2")) and n not in _EXPLICIT_PYTHON_STAGES
+    ],
 )
 def test_relational_surface_has_no_python_udfs(spark, name):
     # the entire relational surface must stay JVM-side (codegen'd);
