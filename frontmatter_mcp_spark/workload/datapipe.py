@@ -4658,3 +4658,77 @@ def q126_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, d.select("doc_id"), "doc_id", iters=_PR_ITERS,
         scale=_PR_SCALE, persist_fn=pin,
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 — raking / iterative proportional fitting: per-(lang, source)
+# sampling weights that hit BOTH the language and the source target
+# marginals (multi-constraint mixture balancing — the 2D upgrade over
+# q83/q103's single-margin mixes)
+# ---------------------------------------------------------------------------
+_RAKE_SCALE = 2**20
+_RAKE_STEPS = ["lang", "source", "lang", "source"]  # 2 full IPF sweeps
+
+
+def _raking_sql(table: str, idiv: str) -> str:
+    """One template, two dialects: ``idiv`` is '//' for DuckDB and
+    ' div ' for Spark SQL — every operation is integer floor division
+    on scaled weights, so both engines replay the fit bit-identically.
+    Weight magnitude is bounded by S * (margin ratio)^steps — int64-safe
+    for any realistic skew (ratios are O(1) once targets are feasible).
+    """
+    s = _RAKE_SCALE
+    margin_card = {"lang": "nl", "source": "ns"}
+    ctes = [
+        f"""cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {table} GROUP BY 1, 2
+    )""",
+        """tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+      FROM cells
+    )""",
+        f"w0 AS (SELECT lang, source, n, CAST({s} AS BIGINT) AS w FROM cells)",
+    ]
+    for k, margin in enumerate(_RAKE_STEPS, start=1):
+        nm = margin_card[margin]
+        ctes += [
+            f"""m{k} AS (
+      SELECT {margin}, GREATEST((CAST(SUM(n * w) AS BIGINT) {idiv} {s}),
+                                CAST(1 AS BIGINT)) AS md
+      FROM w{k - 1} GROUP BY 1
+    )""",
+            f"""w{k} AS (
+      SELECT p.lang, p.source, p.n,
+             CAST((p.w * (((t.nt {idiv} t.{nm}) * {s}) {idiv} m.md)) {idiv} {s}
+                  AS BIGINT) AS w
+      FROM w{k - 1} p JOIN m{k} m ON m.{margin} = p.{margin} CROSS JOIN tot t
+    )""",
+        ]
+    joined = ",\n    ".join(ctes)
+    last = len(_RAKE_STEPS)
+    return f"""
+    WITH {joined}
+    SELECT lang, source, CAST(n AS INT) AS n_docs, w AS weight_fx,
+           CAST((n * w) {idiv} {s} AS BIGINT) AS expected_docs
+    FROM w{last}
+    """
+
+
+@register(
+    "q127_raking_mixture",
+    _raking_sql("documents", "//"),
+    doc="multi-constraint mixture balancing by raking (iterative "
+    "proportional fitting): per-(lang, source) sampling weights fitted "
+    "so the weighted corpus hits the language AND source target "
+    "marginals simultaneously (equal-share targets here) — two full "
+    "IPF sweeps in exact scaled-integer floor division, replayed "
+    "identically by both engines from one SQL template. The corpus is "
+    "touched ONCE (the cell-count aggregate); every later step runs on "
+    "the |langs| x |sources| cell table",
+)
+def q127_raking_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_q127")
+    return spark.sql(_raking_sql("documents_q127", " div "))
