@@ -292,7 +292,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     ).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
-def synthetic_image_ahash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def synthetic_image_ahash(
+    df: DataFrame, id_col: str, text_col: str, codec: str = "bmp", tag: str = ""
+) -> DataFrame:
     """REAL-codec image fingerprinting, verifiable without a codec on
     the oracle side: each document's text seeds a deterministic 8x8 RGB
     image (12 chained md5 digests = 192 pixel bytes), which is encoded
@@ -320,11 +322,16 @@ def synthetic_image_ahash(df: DataFrame, id_col: str, text_col: str) -> DataFram
             out_rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 hx = "".join(
-                    hashlib.md5(f"{text}|{k}".encode()).hexdigest() for k in range(12)
+                    hashlib.md5(f"{text}{tag}|{k}".encode()).hexdigest()
+                    for k in range(12)
                 )
                 img = np.frombuffer(bytes.fromhex(hx), dtype=np.uint8).reshape(8, 8, 3)
-                payload = encode_bmp(img)
-                dec = decode_bmp(payload)  # the REAL codec round trip
+                if codec == "png":
+                    payload = encode_png(img)
+                    dec = decode_png(payload)  # the REAL codec round trip
+                else:
+                    payload = encode_bmp(img)
+                    dec = decode_bmp(payload)  # the REAL codec round trip
                 h, w, _ = dec.shape
                 gs = dec.astype(np.int64).sum(axis=2).reshape(-1)  # row-major
                 bits = (gs * gs.size > gs.sum()).astype(np.uint8)
@@ -387,3 +394,118 @@ def synthetic_wav_probe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} long, sample_rate int, n_samples int, duration_s double"
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def encode_png(img) -> bytes:
+    """REAL encode of an (h, w, 3) RGB array as a non-interlaced 8-bit
+    truecolor PNG — pure stdlib (zlib for DEFLATE and CRC32). Each
+    scanline uses filter type row%5, so every PNG filter (None, Sub,
+    Up, Average, Paeth) is exercised on round trips."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    raw = bytearray()
+    prev = bytes(w * 3)
+    for r in range(h):
+        cur = img[r].reshape(-1).tobytes()
+        ft = r % 5
+        raw.append(ft)
+        for i in range(w * 3):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            pred = (
+                0 if ft == 0
+                else a if ft == 1
+                else b if ft == 2
+                else (a + b) // 2 if ft == 3
+                else _paeth(a, b, c)
+            )
+            raw.append((cur[i] - pred) & 0xFF)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL decode of a non-interlaced 8-bit truecolor PNG into an
+    (h, w, 3) RGB numpy array: chunk walk with CRC verification, DEFLATE
+    inflate, and full scanline unfiltering (all five filter types).
+    Raises ValueError on other PNG flavors."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        crc = int.from_bytes(payload[pos + 8 + size : pos + 12 + size], "big")
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(f"unsupported PNG: {ihdr}")
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        cur = bytearray(stride)
+        for i in range(stride):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            pred = (
+                0 if ft == 0
+                else a if ft == 1
+                else b if ft == 2
+                else (a + b) // 2 if ft == 3
+                else _paeth(a, b, c)
+            )
+            cur[i] = (line[i] + pred) & 0xFF
+        out += cur
+        prev = bytes(cur)
+    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3)

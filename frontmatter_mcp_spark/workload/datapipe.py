@@ -4357,8 +4357,8 @@ def q121_store_roundtrip_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (pure md5 math) — so the hash compare certifies the codec round trip
 # byte-for-byte, the same discipline q121 applies to the store.
 # ---------------------------------------------------------------------------
-def _image_ahash_sql() -> str:
-    hx_chain = " || ".join(f"md5(text || '|{k}')" for k in range(12))
+def _image_ahash_sql(tag: str = "") -> str:
+    hx_chain = " || ".join(f"md5(text || '{tag}|{k}')" for k in range(12))
 
     def hv(pos: str) -> str:
         return f"(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
@@ -4732,3 +4732,33 @@ def _raking_sql(table: str, idiv: str) -> str:
 def q127_raking_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_q127")
     return spark.sql(_raking_sql("documents_q127", " div "))
+
+
+# ---------------------------------------------------------------------------
+# q128 — the q122 certification for the built-in PNG codec: DEFLATE,
+# chunk CRCs, and ALL FIVE scanline filters (the encoder cycles filter
+# types per row) stand between the pixel recipe and the hash — any
+# defect in Sub/Up/Average/Paeth reconstruction breaks the compare.
+# ---------------------------------------------------------------------------
+@register(
+    "q128_png_ahash_dedup",
+    _image_ahash_sql("#png"),
+    doc="image dedup through the REAL PNG codec: text-seeded 8x8 images "
+    "encoded as genuine non-interlaced truecolor PNGs (zlib DEFLATE + "
+    "CRC-verified chunks, scanline filters cycling None/Sub/Up/Average/"
+    "Paeth) and decoded back with the built-in pure-stdlib decoder, "
+    "then average-hashed; the oracle derives the expected aHash from "
+    "the pixel recipe alone. Same narrow one-stage shape as q122",
+)
+def q128_png_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    fp = mm.synthetic_image_ahash(d, "doc_id", "text", codec="png", tag="#png")
+    return fp.select(
+        "doc_id",
+        "width",
+        "height",
+        "ahash",
+        F.count("*").over(W.partitionBy("ahash")).cast("int").alias("n_shared"),
+    )
