@@ -211,3 +211,22 @@ def test_wav_probe_duration_matches_recipe(spark):
         assert got[doc_id].sample_rate == rate
         assert got[doc_id].n_samples == n
         assert got[doc_id].duration_s == (n * 2) / (rate * 2)
+
+
+def test_png_codec_round_trip_and_crc():
+    import numpy as np
+
+    from frontmatter_mcp_spark.sources.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for shape in [(8, 8, 3), (6, 1, 3), (1, 7, 3), (11, 4, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        payload = encode_png(img)
+        assert (decode_png(payload) == img).all()
+    # a flipped payload byte must be caught by the chunk CRC
+    corrupt = bytearray(encode_png(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
+    corrupt[40] ^= 0xFF
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_png(bytes(corrupt))

@@ -88,7 +88,11 @@ def test_q07_single_window_exchange(spark):
 # the two codec-certification queries are EXPLICIT Arrow-batched Python
 # stages (real BMP/WAV codecs run in mapInPandas by design) — every
 # other query in the q0/q1/q2 name range must stay JVM-side
-_EXPLICIT_PYTHON_STAGES = {"q122_image_ahash_dedup", "q123_wav_probe"}
+_EXPLICIT_PYTHON_STAGES = {
+    "q122_image_ahash_dedup",
+    "q123_wav_probe",
+    "q128_png_ahash_dedup",
+}
 
 
 @pytest.mark.parametrize(
@@ -579,3 +583,13 @@ def test_q126_pagerank_linear_iteration_chain(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_q127_raking_runs_on_the_cell_table(spark):
+    """Raking: exactly one corpus-sized aggregate (the cell counts,
+    map-side combined); every IPF step then joins |langs| x |sources|
+    rows — all JVM-side."""
+    plan = formatted_plan(spark, "q127_raking_mixture")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
