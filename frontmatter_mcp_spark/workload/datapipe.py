@@ -4762,3 +4762,116 @@ def q128_png_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ahash",
         F.count("*").over(W.partitionBy("ahash")).cast("int").alias("n_shared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — sparse-vector document similarity: tf/df-weighted cosine k-NN
+# via a df-capped inverted index (the SPARSE counterpart of the dense
+# embedding ANN family — BM25/TF-IDF-style retrieval structure)
+# ---------------------------------------------------------------------------
+_SPARSE_SCALE = 2**20
+_SPARSE_MAX_DF = 50
+_SPARSE_TOPK = 5
+
+
+def _sparse_knn_sql() -> str:
+    s, cap, k = _SPARSE_SCALE, _SPARSE_MAX_DF, _SPARSE_TOPK
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS t
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT tf.doc_id, tf.t, (tf.tf * {s}) // df.df AS w
+      FROM tf JOIN df USING (t) WHERE df.df <= {cap}
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM w GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b USING (t) WHERE a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT id_a, id_b, dot,
+             CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS c
+      FROM dots
+      JOIN norms na ON na.doc_id = id_a
+      JOIN norms nb ON nb.doc_id = id_b
+    ),
+    ranked AS (
+      SELECT id_a, id_b, dot, c,
+             ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rnk
+      FROM cos
+    )
+    SELECT id_a AS doc_id, id_b AS nbr_id, dot AS dot_fx,
+           round(c, 6) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register(
+    "q129_sparse_tfidf_knn",
+    _sparse_knn_sql(),
+    doc="sparse lexical k-NN: tf/df-weighted (fixed-point integer "
+    "weights — ln-free, so cross-engine exact) cosine over a df-capped "
+    "inverted-index self-join, top-5 neighbors per document with a "
+    "total-order tiebreak. The sparse/lexical counterpart of the dense "
+    "ANN family (q36/q43/q99): the stop-term df-cap is what bounds the "
+    "posting-list join at corpus scale (the q33 discipline); dot "
+    "products are exact integers, the only floats are one sqrt and one "
+    "division per pair (IEEE-exact both engines)",
+)
+def q129_sparse_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    s, cap, k = _SPARSE_SCALE, _SPARSE_MAX_DF, _SPARSE_TOPK
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1), lambda t: t != ""
+    )
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfq = tf.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+    w = pin(
+        tf.join(dfq.filter(F.col("df") <= cap), "t").select(
+            "doc_id", "t", F.expr(f"(tf * {s}) div df").alias("w")
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("id_a"), "t", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "t", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = dots.join(na, "id_a").join(nb, "id_b").select(
+        "id_a", "id_b", "dot",
+        (F.col("dot").cast("double") / (F.col("na") * F.col("nb"))).alias("c"),
+    )
+    rnk_w = W.partitionBy("id_a").orderBy(F.col("c").desc(), F.col("id_b"))
+    return (
+        cos.withColumn("rnk", F.row_number().over(rnk_w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id_a").alias("doc_id"),
+            F.col("id_b").alias("nbr_id"),
+            F.col("dot").alias("dot_fx"),
+            F.round("c", 6).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
