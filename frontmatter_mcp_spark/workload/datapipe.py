@@ -4875,3 +4875,60 @@ def q129_sparse_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 — hard-negative mining for contrastive/embedding training: per
+# query vector, the highest-cosine candidates whose LABEL differs (the
+# pairs that teach a metric model the most; q109 mines positives, this
+# mines the negatives)
+# ---------------------------------------------------------------------------
+@register(
+    "q130_hard_negative_mining",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qvec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, label AS clab, embedding AS cvec
+               FROM embeddings WHERE vec_id >= 5),
+         pairs AS (
+           SELECT qid, cid, {_duck_cos('qvec', 'cvec')} AS sim
+           FROM q JOIN c ON qlab <> clab
+         ),
+         ranked AS (
+           SELECT qid, cid, sim,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC)
+                    AS rnk
+           FROM pairs
+         )
+    SELECT qid, cid, sim, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
+    """,
+    doc="hard-negative mining: for each query vector the top-5 most-"
+    "similar OTHER-label candidates — the negatives contrastive "
+    "training needs (easy negatives teach nothing; same-label near "
+    "neighbors would be false negatives and are excluded by the label "
+    "join predicate). q36's broadcast-query scan shape with the label "
+    "filter fused into the join, exact sequential-fold cosine",
+)
+def q130_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qvec"),
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clab"),
+        F.col("embedding").alias("cvec"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("qlab") != F.col("clab")).select(
+        "qid", "cid", vector.cosine_similarity(F.col("qvec"), F.col("cvec")).alias("sim")
+    )
+    rnk_w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(rnk_w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid", "sim", F.col("rnk").cast("int").alias("rnk"))
+    )
