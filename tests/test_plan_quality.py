@@ -593,3 +593,24 @@ def test_q127_raking_runs_on_the_cell_table(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q129_sparse_knn_df_cap_and_pinned_postings(spark):
+    """Sparse k-NN: the df-capped posting table serves the norm and dot
+    branches from cache, dots aggregate map-side, no Python, no
+    cartesian — the posting-list join keys on the term."""
+    plan = formatted_plan(spark, "q129_sparse_tfidf_knn")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q130_hard_negatives_broadcast_query_side(spark):
+    """Hard negatives: the 5-query side broadcasts into the candidate
+    scan (label-inequality join -> broadcast NLJ, never a shuffled
+    cartesian)."""
+    plan = formatted_plan(spark, "q130_hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
