@@ -4932,3 +4932,67 @@ def q130_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("qid", "cid", "sim", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — dedup-corrected sampling: weighted reservoir sampling WITHOUT
+# replacement (A-ES / Efraimidis-Spirakis) over the q120 soft-dedup
+# weights — pick a training subset in which every near-dup CLUSTER
+# carries total mass 1, with derandomized keys so reruns and the oracle
+# agree exactly (q100's Gumbel discipline applied to weighted sampling)
+# ---------------------------------------------------------------------------
+_SOFTSAMPLE_K = 100
+
+
+def _softdedup_sample_sql() -> str:
+    u = f"(({_hash_bucket_duck('doc_id', _GUMBEL_SPAN)} + 0.5) / {float(_GUMBEL_SPAN)!r})"
+    return f"""
+    WITH g AS ({_neardup_groups_sql()}),
+    sized AS (
+      SELECT doc_id, group_id,
+             CAST(COUNT(*) OVER (PARTITION BY group_id) AS INT) AS group_size
+      FROM g
+    ),
+    keyed AS (
+      SELECT doc_id, group_id, group_size,
+             ROUND(ln({u}) * group_size, 6) AS sample_key
+      FROM sized
+    )
+    SELECT doc_id, group_id, group_size, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT {_SOFTSAMPLE_K}
+    """
+
+
+@register(
+    "q131_softdedup_sample",
+    _softdedup_sample_sql(),
+    doc="dedup-corrected training subset: Efraimidis-Spirakis weighted "
+    "sampling without replacement (key = ln(u)^(1/w) in log space = "
+    "ln(u) * cluster_size, u derandomized from md5(doc_id)) over the "
+    "q120 soft-dedup weights — a cluster of 10 near-dups gets the same "
+    "total selection mass as a unique document, so the sample is "
+    "dedup-corrected WITHOUT dropping provenance. One narrow map + "
+    "TakeOrderedAndProject over the q56 propagation plan",
+)
+def q131_softdedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    groups = dd.neardup_groups(
+        d, "doc_id", "text",
+        threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
+        persist_fn=pin,
+    )
+    gs = F.count("*").over(W.partitionBy("group_id")).cast("int")
+    u = (hash_bucket(F.col("doc_id"), _GUMBEL_SPAN) + F.lit(0.5)) / F.lit(
+        float(_GUMBEL_SPAN)
+    )
+    keyed = groups.select(
+        "doc_id",
+        "group_id",
+        gs.alias("group_size"),
+        F.round(F.log(u) * gs, 6).alias("sample_key"),
+    )
+    return keyed.orderBy(F.col("sample_key").desc(), "doc_id").limit(_SOFTSAMPLE_K)
