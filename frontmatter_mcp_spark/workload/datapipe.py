@@ -4996,3 +4996,95 @@ def q131_softdedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(u) * gs, 6).alias("sample_key"),
     )
     return keyed.orderBy(F.col("sample_key").desc(), "doc_id").limit(_SOFTSAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# q132 — Count-Min sketch heavy hitters: the streaming-sketch building
+# block, built DETERMINISTICALLY (md5-derived hash rows), so unlike
+# engine-native sketches (q27) both engines compute identical cells and
+# the estimate property (est >= true, bounded overestimate) is
+# hash-verified exactly
+# ---------------------------------------------------------------------------
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_TOPK = 20
+
+
+def _cms_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    col = hash_bucket_sql("CAST(r AS VARCHAR) || '|' || t", _CMS_WIDTH)
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS t
+      FROM documents
+    ),
+    tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    hashed AS (
+      SELECT t, c, r, {col} AS col
+      FROM tf CROSS JOIN UNNEST(generate_series(0, {_CMS_DEPTH - 1})) AS g(r)
+    ),
+    cells AS (SELECT r, col, CAST(SUM(c) AS BIGINT) AS v FROM hashed GROUP BY 1, 2),
+    est AS (
+      SELECT h.t, h.c, MIN(cells.v) AS est
+      FROM hashed h JOIN cells ON cells.r = h.r AND cells.col = h.col
+      GROUP BY 1, 2
+    )
+    SELECT t AS token, c AS true_count, est AS cms_estimate,
+           est - c AS overestimate
+    FROM est ORDER BY est DESC, t LIMIT {_CMS_TOPK}
+    """
+
+
+@register(
+    "q132_countmin_heavy_hitters",
+    _cms_sql(),
+    doc="Count-Min sketch heavy hitters over the token stream: a "
+    "4 x 256 sketch whose hash rows are md5-derived (deterministic, so "
+    "the whole sketch — cells, min-estimates, the est >= true "
+    "overestimate property — hash-matches across engines exactly, "
+    "unlike engine-native sketches). The sketch aggregate is map-side "
+    "combined into 1024 cells and broadcast back for estimates; the "
+    "exact counts ride along here as the audit column — at true "
+    "stream scale only the sketch survives",
+)
+def q132_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1), lambda t: t != ""
+    )
+    tf = (
+        d.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    rr = d.sparkSession.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
+    hashed = pin(
+        tf.crossJoin(F.broadcast(rr)).select(
+            "t",
+            "c",
+            "r",
+            hash_bucket(
+                F.concat(F.col("r").cast("string"), F.lit("|"), F.col("t")), _CMS_WIDTH
+            ).alias("col"),
+        )
+    )
+    cells = hashed.groupBy("r", "col").agg(F.sum("c").cast("long").alias("v"))
+    est = (
+        hashed.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("t", "c")
+        .agg(F.min("v").alias("est"))
+    )
+    return (
+        est.select(
+            F.col("t").alias("token"),
+            F.col("c").alias("true_count"),
+            F.col("est").alias("cms_estimate"),
+            (F.col("est") - F.col("c")).alias("overestimate"),
+        )
+        .orderBy(F.col("cms_estimate").desc(), "token")
+        .limit(_CMS_TOPK)
+    )
