@@ -614,3 +614,23 @@ def test_q130_hard_negatives_broadcast_query_side(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q131_softdedup_sample_topk_no_global_sort(spark):
+    """Dedup-corrected sample: the selection is a TakeOrderedAndProject
+    over the propagation plan — never a full corpus sort; the only
+    windows partition on bounded keys."""
+    plan = formatted_plan(spark, "q131_softdedup_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q132_cms_cells_broadcast_back(spark):
+    """Count-Min: the 1024-cell sketch aggregate is map-side combined
+    and broadcast back for the min-estimates; the pinned hashed table
+    serves both branches; top-k via TakeOrderedAndProject."""
+    plan = formatted_plan(spark, "q132_countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
