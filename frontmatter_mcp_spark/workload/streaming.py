@@ -335,6 +335,81 @@ def q112_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_gate_sql() -> str:
+    from frontmatter_mcp_spark.workload.datapipe import (
+        _BANDS,
+        _NUM_HASHES,
+        _SHINGLES_CTE,
+        _sig_exprs,
+    )
+
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    bb AS ({band_rows}),
+    owners AS (SELECT band, bucket, MIN(doc_id) AS owner FROM bb GROUP BY 1, 2)
+    SELECT bb.doc_id,
+           CAST(SUM(CASE WHEN bb.doc_id > o.owner THEN 1 ELSE 0 END) AS INT)
+             AS n_band_hits,
+           SUM(CASE WHEN bb.doc_id > o.owner THEN 1 ELSE 0 END) > 0 AS is_neardup
+    FROM bb JOIN owners o ON bb.band = o.band AND bb.bucket = o.bucket
+    GROUP BY 1
+    """
+
+
+@register(
+    "q133_stream_neardup_gate",
+    _neardup_gate_sql(),
+    doc="streaming NEAR-duplicate gate: per-row MinHash signatures (batch-"
+    "identical keyed-md5 definition), LSH band buckets, and a per-bucket "
+    "owner state machine (applyInPandasWithState under an event-time "
+    "timeout — state is O(buckets per retention window)); a document is "
+    "flagged the moment it shares any band bucket with an earlier arrival. "
+    "The fuzzy counterpart of q92's exact-fingerprint gate. == batch rule "
+    "doc_id > MIN(doc_id) over the doc's band buckets",
+)
+def q133_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.streaming import ingest
+
+    stream = ingest.read_documents_stream(spark, sf_dir)
+    # derived deterministic arrival (same recipe as q92): span <= 1h, far
+    # inside the 24h retention, so no state evicts and the result equals
+    # the batch owner rule — while the query exercises the bounded-state
+    # operator a real deployment needs
+    stream = stream.withColumn(
+        "arrival_ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 3600),
+    )
+    hits = ingest.neardup_band_hits(
+        stream, "doc_id", "text", ts_col="arrival_ts", retention="24 hours"
+    )
+    with ev._stream_state_partitions(spark):
+        q = (
+            hits.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_neardup_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    per_band = spark.table("stream_neardup_out")
+    return per_band.groupBy("doc_id").agg(
+        F.sum(F.col("hit").cast("int")).cast("int").alias("n_band_hits"),
+        (F.sum(F.col("hit").cast("int")) > 0).alias("is_neardup"),
+    )
+
+
 def _stream_scoring_sql() -> str:
     from frontmatter_mcp_spark.workload.datapipe import _classifier_sql
 

@@ -500,3 +500,164 @@ def test_stream_static_enrichment_join_is_stateless(spark, tmp_path):
         .collect()
     }
     assert rows == {("SEG_A",): 20, ("SEG_B",): 10}
+
+
+def test_neardup_gate_state_evicts_and_readmits(spark, tmp_path):
+    """The near-dup gate's per-bucket owner state must be BOUNDED by the
+    event-time timeout: after the watermark passes owner arrival +
+    retention the bucket state is evicted, and a near-duplicate arriving
+    later is re-admitted as novel (dedup-within-horizon — q92's contract
+    applied to the LSH state). Four single-file micro-batches: the
+    original at t0, two fillers 10 days out to advance the watermark
+    (eviction lands one batch after the advance), then an identical doc —
+    which must come back with ZERO band hits, only possible if every
+    bucket owner was dropped. numRowsRemoved confirms the eviction."""
+    import datetime
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from frontmatter_mcp_spark.streaming import ingest
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    mid = t0 + datetime.timedelta(days=10)
+    later = mid + datetime.timedelta(minutes=1)
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+
+    def write_file(name: str, rows, mtime: int) -> None:
+        tmp = str(tmp_path / "_tmp")
+        (
+            spark.createDataFrame(
+                rows, "doc_id long, text string, arrival_ts timestamp"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        dest = str(d / name)
+        shutil.move(globmod.glob(tmp + "/part-*.parquet")[0], dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))
+
+    write_file("a.parquet", [(0, text, t0)], 1_000)
+    write_file("b.parquet", [(1, "unrelated filler words here now ok", mid)], 2_000)
+    write_file("c.parquet", [(2, "second filler advancing the clock more", later)], 3_000)
+    write_file("d.parquet", [(3, text, later)], 4_000)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, arrival_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    hits = ingest.neardup_band_hits(
+        stream, "doc_id", "text", ts_col="arrival_ts", retention="1 hour"
+    )
+    with ev._stream_state_partitions(spark):
+        q = (
+            hits.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("neardup_evict_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            removed = sum(
+                so.get("numRowsRemoved", 0)
+                for p in q.recentProgress
+                for so in p.get("stateOperators", [])
+            )
+        finally:
+            q.stop()
+            q.awaitTermination()
+    per_doc = {
+        r.doc_id: r.nh
+        for r in spark.table("neardup_evict_out")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("hit").cast("int")).alias("nh"))
+        .collect()
+    }
+    assert per_doc[0] == 0 and per_doc[3] == 0, per_doc
+    assert removed >= 1, "near-dup bucket state was never evicted"
+
+
+def test_neardup_gate_flags_within_horizon(spark, tmp_path):
+    """Inside the retention window the gate must flag a near-duplicate:
+    a doc sharing every band bucket with a 1-minute-earlier original gets
+    hits in all bands; an unrelated doc gets none."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from frontmatter_mcp_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    src = tmp_path / "docs2"
+    (
+        spark.createDataFrame(
+            [
+                (0, text, t0),
+                (1, text, t0 + datetime.timedelta(minutes=1)),
+                (2, "totally different content with other words", t0),
+            ],
+            "doc_id long, text string, arrival_ts timestamp",
+        ).write.parquet(str(src))
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, text string, arrival_ts timestamp"
+    ).parquet(str(src))
+    hits = ingest.neardup_band_hits(
+        stream, "doc_id", "text", ts_col="arrival_ts", retention="24 hours"
+    )
+    with ev._stream_state_partitions(spark):
+        q = (
+            hits.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("neardup_flag_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    per_doc = {
+        r.doc_id: r.nh
+        for r in spark.table("neardup_flag_out")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("hit").cast("int")).alias("nh"))
+        .collect()
+    }
+    assert per_doc == {0: 0, 1: 4, 2: 0}, per_doc
+
+
+def test_row_minhash_matches_batch_operator(spark):
+    """The gate's Python per-row signature must be bit-identical to the
+    batch codegen operator (dedup.minhash_signatures) — tokenization
+    edge cases included (leading/trailing non-space whitespace, tabs,
+    repeated shingles, sub-shingle-length docs)."""
+    from frontmatter_mcp_spark.operators import dedup as dd
+    from frontmatter_mcp_spark.streaming.ingest import _row_minhash
+
+    docs = [
+        (0, "alpha beta gamma delta"),
+        (1, "\nalpha beta gamma"),          # java trim keeps \n -> empty first token
+        (2, "a b a b a b a b"),             # repeated shingles
+        (3, "one two"),                     # below shingle length: absent in batch
+        (4, "  padded   with  spaces  "),
+        (5, "tab\tseparated words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    batch = {
+        r.doc_id: [getattr(r, f"sig_{h}") for h in range(8)]
+        for r in dd.minhash_signatures(df, "doc_id", "text", 8).collect()
+    }
+    for did, text in docs:
+        got = _row_minhash(text, 8, 3)
+        assert (got is None) == (did not in batch), (did, got)
+        if got is not None:
+            assert got == batch[did], (did, text, got, batch[did])
