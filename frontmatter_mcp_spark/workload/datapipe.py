@@ -5088,3 +5088,106 @@ def q132_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cms_estimate").desc(), "token")
         .limit(_CMS_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — BM25 retrieval top-k: the classic probabilistic lexical ranker
+# (Robertson k1/b form, the scoring function behind Lucene/Elasticsearch
+# and most retrieval-based data curation) over the same df-capped
+# inverted index as q129's cosine k-NN
+# ---------------------------------------------------------------------------
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+_BM25_SCALE = 1 << 30  # fixed-point accumulator: FLOOR(term * 2^30)
+_BM25_MAX_DF = 50
+_BM25_TOPK = 5
+_BM25_QUERY_MOD = 50  # hash-designated query docs: doc_id % 50 == 0
+_BM25_QUERY_TERMS = 8  # first N tokens of a query doc form the query
+
+
+def _bm25_sql(dialect: str, table: str = "documents") -> str:
+    """ONE scoring template, two dialects (the q127 discipline): only
+    the tokenizer/explode/slice spellings differ; the double-arithmetic
+    BM25 term and its fixed-point floor are the same character string,
+    so both engines evaluate the same IEEE operation sequence. The sum
+    over query terms is an exact BIGINT (order-independent); ln() is
+    the one op with a known 1-ulp cross-engine wobble (q94), absorbed
+    by ranking and reporting on the 2^-30-quantized score rounded to 4
+    decimals."""
+    k1, b, s = _BM25_K1, _BM25_B, _BM25_SCALE
+    if dialect == "duckdb":
+        tokenize = (
+            "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+        )
+        explode_all = "SELECT doc_id, unnest(w) AS t FROM toks"
+        explode_q = (
+            f"SELECT DISTINCT doc_id AS qid, unnest(w[1:{_BM25_QUERY_TERMS}]) AS t "
+            f"FROM toks WHERE doc_id % {_BM25_QUERY_MOD} = 0"
+        )
+        dlen = "len(w)"
+    else:
+        tokenize = r"filter(split(trim(lower(text)), '\\s+'), x -> x <> '')"
+        explode_all = "SELECT doc_id, explode(w) AS t FROM toks"
+        explode_q = (
+            f"SELECT DISTINCT doc_id AS qid, "
+            f"explode(slice(w, 1, {_BM25_QUERY_TERMS})) AS t "
+            f"FROM toks WHERE doc_id % {_BM25_QUERY_MOD} = 0"
+        )
+        dlen = "size(w)"
+    # the shared scoring fragment — identical text in both dialects
+    term = (
+        f"ln(1 + (st.nd - df.df + 0.5) / (df.df + 0.5)) * "
+        f"((tf.tf * ({k1} + 1)) / "
+        f"(tf.tf + {k1} * (1 - {b} + {b} * dl.dl / (CAST(st.tt AS DOUBLE) / st.nd))))"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {tokenize} AS w FROM {table}),
+    lens AS (SELECT doc_id, CAST({dlen} AS BIGINT) AS dl FROM toks),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS tt
+           FROM lens WHERE dl > 0),
+    alltoks AS ({explode_all}),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM alltoks GROUP BY 1, 2),
+    df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    qt AS ({explode_q}),
+    scored AS (
+      SELECT qt.qid, tf.doc_id,
+             CAST(SUM(CAST(FLOOR(({term}) * {s}) AS BIGINT)) AS BIGINT) AS score_fx,
+             CAST(COUNT(*) AS INT) AS n_terms
+      FROM qt
+      JOIN df ON df.t = qt.t AND df.df <= {_BM25_MAX_DF}
+      JOIN tf ON tf.t = qt.t
+      JOIN lens dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN st
+      WHERE tf.doc_id <> qt.qid
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid, doc_id, score_fx, n_terms,
+             ROUND(CAST(score_fx AS DOUBLE) / {s}, 4) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY ROUND(CAST(score_fx AS DOUBLE) / {s}, 4) DESC, doc_id
+             ) AS rnk
+      FROM scored
+    )
+    SELECT qid AS query_id, doc_id AS hit_id, n_terms, score, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_BM25_TOPK}
+    """
+
+
+@register(
+    "q134_bm25_topk",
+    _bm25_sql("duckdb"),
+    doc="BM25 top-k retrieval (Robertson k1=1.2 b=0.75 — the Lucene/"
+    "Elasticsearch ranking function): hash-designated query docs (first "
+    "8 tokens = the query) against the corpus through the q129-style "
+    "df-capped inverted index — posting joins shuffle O(query terms x "
+    "bounded postings), never corpus x corpus; corpus stats (N, total "
+    "length) are a one-row broadcast. Per-term scores are floored into "
+    "2^30 fixed point so the per-pair sum is an exact BIGINT "
+    "(order-independent); ranking uses the quantized score with a "
+    "doc-id tiebreak. One SQL template, both engines (q127 discipline)",
+)
+def q134_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_q134")
+    return spark.sql(_bm25_sql("spark", "documents_q134"))
