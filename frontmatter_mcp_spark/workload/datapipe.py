@@ -5191,3 +5191,70 @@ def _bm25_sql(dialect: str, table: str = "documents") -> str:
 def q134_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_q134")
     return spark.sql(_bm25_sql("spark", "documents_q134"))
+
+
+# ---------------------------------------------------------------------------
+# q135 — exact connected components of the MinHash-LSH candidate graph
+# by alternating large-star/small-star contraction (Kiveris et al.) —
+# the O(log n)-round, O(edges)-shuffle algorithm that replaces
+# fixed-iteration label propagation (q56) when components can be long
+# chains. The oracle computes the same unique fixpoint via a recursive
+# CTE, so the round count never enters the compare.
+# ---------------------------------------------------------------------------
+def _ccstar_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    bb AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    bi AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM bi
+      UNION
+      SELECT bi.a, reach.lbl FROM reach JOIN bi ON bi.b = reach.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1)
+    SELECT node AS doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS INT) AS comp_size
+    FROM comp
+    """
+
+
+@register(
+    "q135_connected_components",
+    _ccstar_sql(),
+    doc="exact connected components over the MinHash-LSH candidate graph "
+    "via alternating large-star/small-star contraction (Kiveris et al. "
+    "2014): O(log n) rounds on ANY topology — the scale answer to "
+    "near-dup chains where fixed-iteration label propagation (q56) "
+    "needs O(diameter) rounds. Every round is one groupBy + one join on "
+    "the current edge list with a signature-based convergence check; "
+    "per-round tables persisted, predecessors released. Oracle = the "
+    "same unique fixpoint via recursive CTE, so iteration counts never "
+    "enter the compare",
+)
+def q135_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    edges = pin(
+        dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
+    )
+    comp = dd.connected_components_star(edges, persist_fn=pin)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count("*").over(W.partitionBy("component")).cast("int").alias("comp_size"),
+    )

@@ -494,3 +494,25 @@ def test_bitext_margin_demotes_hub_vectors(spark):
     # raw cosine alone would NOT have ranked it first
     by_cos = sorted(out, key=lambda r: -r["cos"])
     assert (by_cos[0]["id_a"], by_cos[0]["id_b"]) != (1, 11)
+
+
+def test_connected_components_star_resolves_long_chain(spark):
+    """Star contraction must resolve a path graph of length 40 in its
+    O(log n) round budget — the topology where fixed-iteration min-label
+    propagation (neardup_groups' 3 rounds cover diameter ~2^3) stops
+    early. Also: two separate components and a cycle keep distinct,
+    correct minima."""
+    from frontmatter_mcp_spark.operators import dedup as dd
+
+    chain = [(i, i + 1) for i in range(100, 140)]         # path, min 100
+    cycle = [(200, 201), (201, 202), (202, 200)]          # cycle, min 200
+    pair = [(300, 301)]                                   # 2-node, min 300
+    df = spark.createDataFrame(chain + cycle + pair, ["id_a", "id_b"])
+    got = {
+        r.node: r.component
+        for r in dd.connected_components_star(df).collect()
+    }
+    assert {got[n] for n in range(100, 141)} == {100}
+    assert {got[n] for n in (200, 201, 202)} == {200}
+    assert got[300] == 300 and got[301] == 300
+    assert len(got) == 41 + 3 + 2
