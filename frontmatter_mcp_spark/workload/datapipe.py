@@ -5258,3 +5258,143 @@ def q135_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.count("*").over(W.partitionBy("component")).cast("int").alias("comp_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — deterministic HyperLogLog: the distinct-count sketch built from
+# md5-derived registers (the q132 discipline applied to HLL), so the
+# register table, the harmonic sum, and the estimate all hash-verify
+# across engines — unlike engine-native approx_count_distinct (q27,
+# bounded-error booleans only)
+# ---------------------------------------------------------------------------
+_HLL_M = 64  # registers (p = 6)
+_HLL_RHO_BITS = 48  # leading-zero probe width (hex digits 8..19)
+_HLL_FX = 1 << 49  # exact harmonic sum: sum of 2^(49 - rho) BIGINTs
+
+
+def _hll_estimate_expr(sum_fx: str, zeros: str) -> str:
+    """The shared double-arithmetic estimate — identical text both
+    engines (alpha_64 * m^2 / harmonic_sum, with the small-range
+    linear-counting correction). The harmonic sum arrives as an exact
+    BIGINT (sum of 2^(49-rho)), so the only engine-wobbly op is ln()
+    in the correction branch, absorbed by round-4 (q94 discipline)."""
+    m = _HLL_M
+    # e0-suffixed literals parse as DOUBLE in BOTH engines; bare 0.7213
+    # is a DECIMAL literal whose division rules differ cross-engine
+    # (measured: 15867.6944 vs 15867.6886 from identical registers)
+    raw = (
+        f"(0.7213e0 / (1e0 + 1.079e0 / {m})) * {m} * {m} "
+        f"/ (CAST({sum_fx} AS DOUBLE) / {float(_HLL_FX)})"
+    )
+    return (
+        f"round(CASE WHEN ({raw}) <= 2.5e0 * {m} AND {zeros} > 0 "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / {zeros}) "
+        f"ELSE ({raw}) END, 4)"
+    )
+
+
+def _hll_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    idx = hash_bucket_sql("t", _HLL_M)
+    # 48-bit probe value from md5 hex digits 8..19 (strpos digit fold —
+    # the hash_bucket portability trick)
+    v = "CAST(0 AS BIGINT)"
+    for i in range(8, 20):
+        v = (
+            f"({v}) * 16 + (strpos('0123456789abcdef', "
+            f"substr(md5(CAST(t AS VARCHAR)), {i}, 1)) - 1)"
+        )
+    rho = (
+        f"CASE WHEN ({v}) = 0 THEN {_HLL_RHO_BITS + 1} "
+        f"ELSE {_HLL_RHO_BITS} - length(bin({v})) + 1 END"
+    )
+    est = _hll_estimate_expr("s.sum_fx", "s.zeros")
+    return f"""
+    WITH {_SHINGLES_CTE},
+    items AS (SELECT DISTINCT shingle AS t FROM sh),
+    regs AS (
+      SELECT {idx} AS reg, CAST(MAX({rho}) AS INT) AS rho
+      FROM items GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CAST(POW(2, 49 - rho) AS BIGINT)) AS BIGINT)
+               + CAST(({_HLL_M} - COUNT(*)) AS BIGINT) * {_HLL_FX} AS sum_fx,
+             CAST({_HLL_M} - COUNT(*) AS INT) AS zeros,
+             md5(string_agg(reg || ':' || rho, '|' ORDER BY reg)) AS register_fp
+      FROM regs
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM items)
+    SELECT n.n_exact, s.zeros, s.sum_fx, s.register_fp,
+           {est} AS estimate,
+           ABS({est} - n.n_exact) / n.n_exact <= 0.39 AS within_3sigma
+    FROM s CROSS JOIN n
+    """
+
+
+@register(
+    "q136_hll_distinct",
+    _hll_sql(),
+    doc="deterministic HyperLogLog distinct-count sketch over the corpus "
+    "shingle set (word 3-grams — thousands of distinct items, the "
+    "sketch's real operating range; the raw vocabulary is ~31 tokens): "
+    "md5-derived register index (6 bits) + leading-zero rank "
+    "over a 48-bit md5 probe, so the full register table (fingerprinted), "
+    "the exact-BIGINT harmonic sum (sum of 2^(49-rho) — no double "
+    "accumulation), the estimate, and its 3-sigma bound vs the exact "
+    "count all hash-verify across engines — the cross-engine-checkable "
+    "counterpart of q27's engine-native approx_count_distinct. One "
+    "corpus explode, map-side combine into 64 registers",
+)
+def q136_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = pin(
+        d.select(F.explode(dd.word_shingles(F.col("text"), 3)).alias("t")).distinct()
+    )
+    h = F.md5(F.col("t").cast("string"))
+    v = F.lit(0).cast("long")
+    for i in range(8, 20):
+        v = v * 16 + (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+        )
+    rho = F.when(v == 0, F.lit(_HLL_RHO_BITS + 1)).otherwise(
+        F.lit(_HLL_RHO_BITS) - F.length(F.bin(v)) + 1
+    )
+    regs = (
+        toks.select(hash_bucket(F.col("t"), _HLL_M).alias("reg"), rho.alias("__rho"))
+        .groupBy("reg")
+        .agg(F.max("__rho").cast("int").alias("rho"))
+    )
+    s = regs.agg(
+        (
+            F.sum(F.pow(F.lit(2), F.lit(49) - F.col("rho")).cast("long")).cast("long")
+            + (F.lit(_HLL_M) - F.count("*")).cast("long") * F.lit(_HLL_FX)
+        ).alias("sum_fx"),
+        (F.lit(_HLL_M) - F.count("*")).cast("int").alias("zeros"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("reg", "rho"))),
+                    lambda r: F.concat(
+                        r.reg.cast("string"), F.lit(":"), r.rho.cast("string")
+                    ),
+                ),
+                "|",
+            )
+        ).alias("register_fp"),
+    )
+    n = toks.agg(F.count("*").cast("long").alias("n_exact"))
+    est = _hll_estimate_expr("sum_fx", "zeros")
+    return (
+        s.crossJoin(F.broadcast(n))
+        .selectExpr(
+            "n_exact",
+            "zeros",
+            "sum_fx",
+            "register_fp",
+            f"{est} AS estimate",
+            f"ABS({est} - n_exact) / n_exact <= 0.39 AS within_3sigma",
+        )
+    )
