@@ -5398,3 +5398,103 @@ def q136_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ABS({est} - n_exact) / n_exact <= 0.39 AS within_3sigma",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q137 — per-document longest duplicated window via a doubling ladder
+# (the variable-length upgrade over the fixed-n span family: q59
+# detects 4-gram spans, q93 scrubs them, q124 ratios them; this
+# measures HOW LONG the verbatim overlap runs — the ExactSubstr length
+# signal of Lee et al. without a distributed suffix array)
+# ---------------------------------------------------------------------------
+_LADDER = [4, 8, 16, 32, 64]
+
+
+def _dup_ladder_sql() -> str:
+    ctes = [
+        "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w "
+        "FROM documents)"
+    ]
+    prev_src = "toks"
+    levels = []
+    for n in _LADDER:
+        s, d = f"s{n}", f"d{n}"
+        ctes.append(
+            f"""{s} AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+{n - 1}], ' ')) AS sp
+      FROM {prev_src}, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)
+      WHERE len(w) >= {n}
+    )"""
+        )
+        ctes.append(
+            f"""{d} AS (
+      SELECT DISTINCT doc_id FROM {s}
+      WHERE sp IN (SELECT sp FROM {s} GROUP BY sp HAVING COUNT(*) >= 2)
+    )"""
+        )
+        levels.append(f"SELECT doc_id, {n} AS lvl FROM {d}")
+        prev_src = f"(SELECT toks.* FROM toks JOIN {d} USING (doc_id))"
+    lvl_union = " UNION ALL ".join(levels)
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block},
+    lv AS ({lvl_union}),
+    best AS (SELECT doc_id, MAX(lvl) AS mx FROM lv GROUP BY 1)
+    SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_tokens,
+           CAST(COALESCE(b.mx, 0) AS INT) AS max_dup_window
+    FROM toks t LEFT JOIN best b USING (doc_id)
+    """
+
+
+@register(
+    "q137_dup_window_ladder",
+    _dup_ladder_sql(),
+    doc="per-document longest cross-doc duplicated window at power-of-2 "
+    "resolution (doubling ladder 4..64): each rung explodes windows ONLY "
+    "for documents that passed the previous rung — a shared 2n-window "
+    "implies a shared n-window, so the candidate set shrinks "
+    "geometrically and the total shuffle is O(tokens of still-duplicated "
+    "docs) per rung, never 5x the corpus. The variable-length "
+    "ExactSubstr signal (Lee et al.) without a suffix array; spans "
+    "distinct-per-doc before the count so within-doc repeats don't vote",
+)
+def q137_dup_window_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+", -1).alias("w")
+    )
+    cur = toks
+    level_tables = []
+    for n in _LADDER:
+        spans = (
+            cur.filter(F.size("w") >= n)
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i"),
+                "w",
+            )
+            .select(
+                "doc_id",
+                # md5 the window BEFORE the shuffle: a 64-token span is
+                # ~400 bytes, its hash 32 — the distinct/groupBy/join
+                # exchanges carry the hash only (engine-portable, so the
+                # oracle hashes identically)
+                F.md5(F.array_join(F.slice("w", F.col("i"), n), " ")).alias("sp"),
+            )
+            .distinct()
+        )
+        dup_spans = (
+            spans.groupBy("sp").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+        )
+        dup_docs = pin(spans.join(dup_spans, "sp").select("doc_id").distinct())
+        level_tables.append(dup_docs.withColumn("lvl", F.lit(n)))
+        cur = toks.join(dup_docs, "doc_id")
+    lv = level_tables[0]
+    for t in level_tables[1:]:
+        lv = lv.unionAll(t)
+    best = lv.groupBy("doc_id").agg(F.max("lvl").alias("mx"))
+    return toks.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_tokens"),
+        F.coalesce("mx", F.lit(0)).cast("int").alias("max_dup_window"),
+    )
