@@ -509,3 +509,59 @@ def decode_png(payload: bytes):
         out += cur
         prev = bytes(cur)
     return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3)
+
+
+_JPEG_AC_POS = [1, 5, 9, 17, 33, 62]  # zigzag indices; 17->33 and 33->62
+# gaps exceed 15 zeros, so ZRL (the 16-zero run symbol) is exercised on
+# every document, not just probabilistically
+
+
+def synthetic_jpeg_coeff_fp(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """REAL-JPEG certification stage (the q122/q123 discipline applied
+    to the entropy layer): each document seeds four 8x8 blocks of
+    QUANTIZED coefficients from chained md5s (DC + six fixed-position
+    ACs per block, everything else zero), the blocks are written as a
+    genuine baseline JFIF bytestream (markers, standard Huffman tables,
+    DC DPCM across blocks, ZRL runs, 0xFF stuffing) and decoded back by
+    the built-in parser; the output fingerprint is the md5 of all 256
+    decoded values in zigzag order.
+
+    The coefficient layer of JPEG is bijective, so an oracle with no
+    codec derives the expected fingerprint from the md5 recipe alone —
+    any defect in Huffman code construction, bit packing, magnitude
+    coding, run/EOB logic, DPCM, or stuffing changes a decoded value
+    and breaks the hash compare. (The lossy pixel path — float DCT +
+    quantization — is certified by unit tests instead; see
+    sources/jpeg.py.)"""
+    import pandas as pd
+
+    from frontmatter_mcp_spark.sources import jpeg as J
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                blocks = []
+                for k in range(4):
+                    h = hashlib.md5(f"{text}#jpeg{k}".encode()).hexdigest()
+                    zz = [0] * 64
+                    zz[0] = int(h[0:2], 16) - 128
+                    for j, p in enumerate(_JPEG_AC_POS):
+                        zz[p] = int(h[2 + 2 * j : 4 + 2 * j], 16) - 128
+                    blocks.append(zz)
+                payload = J.encode_jpeg_coeffs(blocks, 16, 16)
+                w, hgt, dec = J.decode_jpeg_coeffs(payload)
+                flat = [v for blk in dec for v in blk]
+                fp = hashlib.md5("|".join(str(v) for v in flat).encode()).hexdigest()
+                rows.append(
+                    (doc_id, w, hgt, sum(1 for v in flat if v != 0), fp)
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "n_nonzero", "coeff_fp"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, width int, height int, n_nonzero int, coeff_fp string"
+    )

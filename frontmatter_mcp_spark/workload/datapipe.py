@@ -5498,3 +5498,70 @@ def q137_dup_window_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w").cast("int").alias("n_tokens"),
         F.coalesce("mx", F.lit(0)).cast("int").alias("max_dup_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q138 — the q122/q128 certification for the built-in baseline JPEG
+# codec: the ENTROPY layer (canonical Huffman tables from the Annex K
+# BITS/HUFFVAL lists, magnitude/ones-complement value bits, ZRL/EOB run
+# coding, DC DPCM across blocks, 0xFF byte stuffing, marker framing) is
+# bijective, so the oracle derives every expected coefficient from the
+# md5 recipe and the decode must recover it bit-exactly through a real
+# JFIF bytestream. The lossy pixel path (float DCT + quantization) is
+# unit-certified in tests/test_jpeg.py.
+# ---------------------------------------------------------------------------
+def _jpeg_cert_sql() -> str:
+    from frontmatter_mcp_spark.sources.multimodal import _JPEG_AC_POS
+
+    hexd = "0123456789abcdef"
+
+    def fold2(h: str, i: int) -> str:  # 1-based hex positions i, i+1
+        return (
+            f"((strpos('{hexd}', substr({h}, {i}, 1)) - 1) * 16"
+            f" + (strpos('{hexd}', substr({h}, {i + 1}, 1)) - 1))"
+        )
+
+    block_strs = []
+    nz_terms = []
+    for k in range(4):
+        h = f"md5(text || '#jpeg{k}')"
+        vals = {0: f"({fold2(h, 1)} - 128)"}
+        for j, p in enumerate(_JPEG_AC_POS):
+            vals[p] = f"({fold2(h, 3 + 2 * j)} - 128)"
+        terms = []
+        for i in range(64):
+            if i in vals:
+                terms.append(f"CAST({vals[i]} AS VARCHAR)")
+                nz_terms.append(f"CASE WHEN {vals[i]} <> 0 THEN 1 ELSE 0 END")
+            else:
+                terms.append("'0'")
+        # flat concat_ws call: a 64-deep `||` chain trips DuckDB's
+        # binder recursion limit
+        block_strs.append("concat_ws('|', " + ", ".join(terms) + ")")
+    full = "concat_ws('|', " + ", ".join(block_strs) + ")"
+    nz = " + ".join(nz_terms)
+    return f"""
+    SELECT doc_id, 16 AS width, 16 AS height,
+           CAST(({nz}) AS INT) AS n_nonzero,
+           md5({full}) AS coeff_fp
+    FROM documents
+    """
+
+
+@register(
+    "q138_jpeg_coeff_roundtrip",
+    _jpeg_cert_sql(),
+    doc="REAL baseline-JPEG certification through the oracle gate: four "
+    "md5-seeded quantized-coefficient blocks per document are written as "
+    "a genuine JFIF bytestream (standard Annex K Huffman tables, DC DPCM, "
+    "ZRL runs forced by the coefficient positions, 0xFF stuffing) and "
+    "decoded back by the built-in pure-numpy parser inside one "
+    "Arrow-batched mapInPandas stage; the md5 fingerprint of all 256 "
+    "decoded values must equal the oracle's recipe-derived fingerprint — "
+    "the coefficient layer is bijective, so any entropy-coding defect "
+    "breaks the hash. Closes the last hard-codec gap (BMP q122, PNG "
+    "q128, WAV q123)",
+)
+def q138_jpeg_coeff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    return mm.synthetic_jpeg_coeff_fp(d, "doc_id", "text")
