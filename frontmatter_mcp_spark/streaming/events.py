@@ -275,3 +275,159 @@ def enriched_segment_counts(
             .alias("total_value"),
         )
     )
+
+
+def session_assembly_tws(events: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
+    """Custom session assembly on the Spark 4 ``transformWithState``
+    API (StatefulProcessor + ValueState + event-time timers) — the
+    successor of ``applyInPandasWithState`` (q54) and the
+    arbitrary-payload upgrade over ``session_window`` (q52): the
+    per-user state is a typed ValueState row, sessions carry whatever
+    payload the fold computes (here first/last event time and count;
+    production adds entry/exit pages, funnels, value sums), and an
+    event-time TIMER fires after the inactivity gap to evict the closed
+    session's state — bounding state to open sessions only.
+
+    ENVIRONMENT NOTE: transformWithState's Python<->JVM state protocol
+    needs the ``protobuf`` package, absent from this container — so the
+    oracle-gated workload entry (q139) runs :func:`session_assembly`,
+    the applyInPandasWithState twin with identical semantics, and this
+    variant is exercised by an opt-in test that skips where the
+    protocol cannot initialize (the sentence-transformers discipline).
+    On a cluster with protobuf this is the preferred API: typed state,
+    timers, TTL, and RocksDB-native layout.
+
+    Emission contract: every batch emits a SNAPSHOT row per touched
+    session (closed sessions final, the open session in-progress);
+    the caller keeps the maximal row per (user, session_start) — the
+    same update-mode fold q54 uses, which makes the stream-end result
+    equal to batch gap-sessionization regardless of batch boundaries.
+    A session is new when ts - prev_ts > gap STRICTLY (q52's rule, so
+    the two sessionizers agree to the microsecond).
+
+    Output: (user_id, start_us, last_us, n_events) — integer
+    microseconds; the workload formats them for the oracle compare.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_us // 1000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.sess = handle.getValueState(
+                "sess", "start long, last long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            evs: list[tuple[int, int]] = []
+            for pdf in rows:
+                ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+                evs.extend(zip(ts_us, (int(e) for e in pdf["event_id"])))
+            evs.sort()
+            if self.sess.exists():
+                start, last, n = self.sess.get()
+            else:
+                start = last = None
+                n = 0
+            out = []
+            for ts, _eid in evs:
+                if last is not None and ts - last > gap_us:
+                    out.append((int(key[0]), start, last, n))  # closed
+                    start, n = ts, 0
+                if start is None:
+                    start = ts
+                last = ts
+                n += 1
+            if start is not None:
+                self.sess.update((start, last, n))
+                out.append((int(key[0]), start, last, n))  # open snapshot
+                # evict the open session's state once the watermark
+                # passes its gap horizon
+                self.handle.registerTimer(last // 1000 + gap_ms)
+            yield pd.DataFrame(
+                out, columns=["user_id", "start_us", "last_us", "n_events"]
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # only clear if the timer really covers the stored session
+            # (a stale timer from an earlier, longer-ago batch may fire
+            # after the session was extended)
+            if self.sess.exists():
+                _start, last, _n = self.sess.get()
+                if expiredTimerInfo.getExpiryTimeInMs() >= last // 1000 + gap_ms:
+                    self.sess.clear()
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType="user_id long, start_us long, last_us long, n_events long",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+def session_assembly(events: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
+    """The ``applyInPandasWithState`` twin of :func:`session_assembly_tws`
+    — identical fold, emission contract, and output schema (see that
+    docstring); state is the same (start, last, n) triple held as the
+    operator's state tuple, evicted via the event-time timeout once the
+    watermark passes the open session's gap horizon."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        evs: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            evs.extend(zip(ts_us, (int(e) for e in pdf["event_id"])))
+        evs.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        out = []
+        for ts, _eid in evs:
+            if last is not None and ts - last > gap_us:
+                out.append((int(key[0]), start, last, n))  # closed session
+                start, n = ts, 0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+        if start is not None:
+            state.update((start, last, n))
+            out.append((int(key[0]), start, last, n))  # open-session snapshot
+            state.setTimeoutTimestamp(
+                max(last // 1000 + gap_us // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(
+            out, columns=["user_id", "start_us", "last_us", "n_events"]
+        )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, start_us long, last_us long, n_events long",
+            stateStructType="start long, last long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -466,3 +466,65 @@ def q114_stream_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.run_stream_to_batch(agg, "stream_scoring_out").select(
         "source", "n_docs", "n_pass", "sum_score_fx"
     )
+
+
+@register(
+    "q139_stream_session_assembly",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM g
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+    doc="custom session assembly on the Spark 4 transformWithState API "
+    "(StatefulProcessor + typed ValueState + event-time timers — the "
+    "arbitrary-payload upgrade over session_window q52 and the successor "
+    "of applyInPandasWithState q54): per-user sessions folded in state, "
+    "snapshot rows emitted per batch, state evicted by a gap timer; the "
+    "keep-maximal post-fold makes the stream-end result equal batch "
+    "gap-sessionization == the q52 CTE with raw MAX(ts) session ends",
+)
+def q139_stream_session_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    out = ev.session_assembly(stream)
+    with ev._stream_state_partitions(spark):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_session_assembly_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    snap = spark.table("stream_session_assembly_out")
+    final = snap.groupBy("user_id", "start_us").agg(
+        F.max("last_us").alias("last_us"), F.max("n_events").alias("n_events")
+    )
+    return final.select(
+        "user_id",
+        F.date_format(F.timestamp_micros(F.col("start_us")), _TS_FMT_US).alias(
+            "session_start"
+        ),
+        F.date_format(F.timestamp_micros(F.col("last_us")), _TS_FMT_US).alias(
+            "session_end"
+        ),
+        "n_events",
+    )

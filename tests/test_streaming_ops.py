@@ -661,3 +661,93 @@ def test_row_minhash_matches_batch_operator(spark):
         assert (got is None) == (did not in batch), (did, got)
         if got is not None:
             assert got == batch[did], (did, text, got, batch[did])
+
+
+def test_session_assembly_matches_batch_sessionization(spark):
+    """The stateful session assembler must equal batch gap-based
+    sessionization at stream end (same strict-> gap rule as q52)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.tables import load_table
+    from frontmatter_mcp_spark.workload import QUERIES
+
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in QUERIES["q139_stream_session_assembly"].spark(spark, SF).collect()
+    }
+    ev_b = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev_b.withColumn(
+        "is_new",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull()
+        ).cast("int"),
+    ).withColumn("sess", F.sum("is_new").over(w))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    expect = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in g.groupBy("user_id", "sess")
+        .agg(
+            F.date_format(F.min("ts"), fmt).alias("session_start"),
+            F.date_format(F.max("ts"), fmt).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_session_assembly_transformwithstate_variant(spark, tmp_path):
+    """The Spark 4 transformWithState twin must produce the same
+    sessions — exercised only where its protobuf-based state protocol
+    can initialize (absent from this container; the
+    sentence-transformers opt-in discipline)."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf not installed — transformWithState protocol unavailable")
+
+    src = tmp_path / "tws_events"
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    _write_events_parquet(
+        spark,
+        src,
+        [
+            (1, t0, 7, "click", 1.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=10), 7, "click", 1.0, "{}"),
+            (3, t0 + dt.timedelta(hours=2), 7, "click", 1.0, "{}"),
+        ],
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(str(src))
+    out = ev.session_assembly_tws(stream)
+    with ev._stream_state_partitions(spark):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_sessions_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    rows = {
+        (r.user_id, r.start_us): r.n_events
+        for r in spark.table("tws_sessions_out")
+        .groupBy("user_id", "start_us")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    assert len(rows) == 2 and sorted(rows.values()) == [1, 2]
