@@ -5565,3 +5565,208 @@ def _jpeg_cert_sql() -> str:
 def q138_jpeg_coeff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return mm.synthetic_jpeg_coeff_fp(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q140 — ANALYZE-style column statistics (the CBO stats collector every
+# engine ships): per numeric column one-pass base stats, an equi-width
+# 8-bucket histogram on the observed range, and the top-3 most common
+# values — the inputs a cost-based optimizer uses for selectivity and
+# the inputs a data engineer reads before trusting a table
+# ---------------------------------------------------------------------------
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_HIST_BUCKETS = 8
+
+
+def _stats_bucket_expr(v: str, mn: str, mx: str) -> str:
+    """Shared bucket arithmetic — identical text both engines so the
+    IEEE float ops and the floor land identically."""
+    b = _HIST_BUCKETS
+    return (
+        f"CASE WHEN {mx} = {mn} THEN 0 ELSE "
+        f"LEAST(CAST(FLOOR(({v} - {mn}) / (({mx} - {mn}) / {b})) AS INT), {b - 1}) "
+        f"END"
+    )
+
+
+def _colstats_sql() -> str:
+    longs = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS DOUBLE) AS v FROM lineitem"
+        for c in _STATS_COLS
+    )
+    bucket = _stats_bucket_expr("l.v", "s.min_v", "s.max_v")
+    return f"""
+    WITH long AS ({longs}),
+    stats AS (
+      SELECT col, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+             MIN(v) AS min_v, MAX(v) AS max_v
+      FROM long GROUP BY 1
+    ),
+    bucketed AS (
+      SELECT l.col, {bucket} AS b
+      FROM long l JOIN stats s USING (col) WHERE l.v IS NOT NULL
+    ),
+    hist AS (
+      SELECT col, string_agg(b || ':' || c, ',' ORDER BY b) AS histogram
+      FROM (SELECT col, b, CAST(COUNT(*) AS BIGINT) AS c FROM bucketed GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    vc AS (
+      SELECT col, CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR) AS vs, COUNT(*) AS c
+      FROM long WHERE v IS NOT NULL GROUP BY 1, 2
+    ),
+    mcv AS (
+      SELECT col, string_agg(vs || ':' || c, ',' ORDER BY rnk) AS top_values
+      FROM (SELECT col, vs, c,
+                   ROW_NUMBER() OVER (PARTITION BY col ORDER BY c DESC, vs) AS rnk
+            FROM vc)
+      WHERE rnk <= 3 GROUP BY 1
+    )
+    SELECT s.col, s.n, s.n_null, s.ndv, s.min_v, s.max_v, h.histogram, m.top_values
+    FROM stats s JOIN hist h USING (col) JOIN mcv m USING (col)
+    """
+
+
+@register(
+    "q140_column_stats",
+    _colstats_sql(),
+    doc="ANALYZE-style column statistics over lineitem's numeric columns: "
+    "count/nulls/exact NDV/min/max in one unpivoted scan, an equi-width "
+    "8-bucket histogram on the observed range (two-pass: the 4-row stats "
+    "table broadcasts back for bucketing — the standard ANALYZE shape), "
+    "and the top-3 most common values with a total-order tiebreak. The "
+    "CBO selectivity inputs every engine ships; bucket arithmetic shared "
+    "verbatim with the oracle so float edges land identically, MCV "
+    "values decimal-formatted (double->string is not cross-engine "
+    "stable)",
+)
+def q140_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ln = load_table(spark, sf_dir, "lineitem")
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS DOUBLE)" for c in _STATS_COLS
+    )
+    long = ln.selectExpr(
+        f"stack({len(_STATS_COLS)}, {stack_args}) AS (col, v)"
+    )
+    long = pin(long)
+    stats = long.groupBy("col").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.count("*") - F.count("v")).cast("long").alias("n_null"),
+        F.countDistinct("v").cast("long").alias("ndv"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    joined = long.filter(F.col("v").isNotNull()).join(
+        F.broadcast(stats.select("col", "min_v", "max_v")), "col"
+    )
+    bucket = F.expr(_stats_bucket_expr("v", "min_v", "max_v"))
+    hist = (
+        joined.select("col", bucket.alias("b"))
+        .groupBy("col", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("col")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "c"))),
+                    lambda s: F.concat(
+                        s.b.cast("string"), F.lit(":"), s.c.cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("histogram")
+        )
+    )
+    vc = (
+        long.filter(F.col("v").isNotNull())
+        .select("col", F.col("v").cast("decimal(18,2)").cast("string").alias("vs"))
+        .groupBy("col", "vs")
+        .agg(F.count("*").alias("c"))
+    )
+    rnk = W.partitionBy("col").orderBy(F.col("c").desc(), "vs")
+    mcv = (
+        vc.withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") <= 3)
+        .groupBy("col")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rnk", "vs", "c"))),
+                    lambda s: F.concat(s.vs, F.lit(":"), s.c.cast("string")),
+                ),
+                ",",
+            ).alias("top_values")
+        )
+    )
+    return stats.join(hist, "col").join(mcv, "col").select(
+        "col", "n", "n_null", "ndv", "min_v", "max_v", "histogram", "top_values"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141 — incremental materialized-view maintenance: the MV is refreshed
+# by MERGING partial aggregates of the old snapshot and the new delta
+# instead of recomputing over the full table — the core mechanism of
+# every incremental-refresh system (sums/counts merge; avg derives).
+# The oracle recomputes the view directly over the whole table, so the
+# hash compare IS the incremental == full-recompute proof.
+# ---------------------------------------------------------------------------
+_MV_DELTA_CUTOFF = "1998-09-01"
+
+
+@register(
+    "q141_incremental_mv",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    doc="incremental materialized-view maintenance: the Spark side "
+    "builds the MV from the pre-cutoff snapshot's partial aggregates "
+    "MERGED with the delta batch's partial aggregates (sum+sum, "
+    "count+count, avg re-derived — the algebraic-aggregate merge rule "
+    "every incremental refresh engine implements); the oracle computes "
+    "the view directly over the full table, so hash equality proves "
+    "incremental == recompute. DECIMAL-exact sums; at scale the "
+    "snapshot side is the stored MV, so refresh cost is O(delta), not "
+    "O(table)",
+)
+def q141_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ln = load_table(spark, sf_dir, "lineitem")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s_price"),
+            F.count("*").cast("long").alias("n"),
+        )
+    # the stored-MV side (everything before the cutoff) and the newly
+    # ingested delta; in production `old` is read back from the MV
+    # table, not recomputed — the merge below is the refresh operation
+    old = partial(ln.filter(F.col("l_shipdate") < F.lit(_MV_DELTA_CUTOFF)))
+    delta = partial(ln.filter(F.col("l_shipdate") >= F.lit(_MV_DELTA_CUTOFF)))
+    merged = (
+        old.unionAll(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("s_qty").alias("s_qty"),
+            F.sum("s_price").alias("s_price"),
+            F.sum("n").alias("n"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("s_qty").cast("double").alias("sum_qty"),
+        F.col("s_price").cast("double").alias("sum_price"),
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("s_qty").cast("double") / F.col("n")).alias("avg_qty"),
+    )
