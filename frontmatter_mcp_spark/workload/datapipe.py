@@ -5770,3 +5770,70 @@ def q141_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         (F.col("s_qty").cast("double") / F.col("n")).alias("avg_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — Z-order (Morton) data layout: the multi-column clustering
+# primitive behind Delta/Iceberg OPTIMIZE ZORDER. Rows are laid out
+# along an interleaved-bit curve over (l_partkey, l_suppkey) and cut
+# into 16 "files"; the output is the per-file min/max envelope of BOTH
+# columns — the zone-map metric that decides how many files a
+# two-predicate scan can skip. Everything is exact integer arithmetic
+# from ONE template (q127 discipline), so the layout hash-verifies.
+# ---------------------------------------------------------------------------
+_Z_BITS = 16
+_Z_FILES = 16
+
+
+def _zorder_sql(table: str, idiv: str) -> str:
+    # 16-bit normalized rank per column, then bit interleave: exact
+    # integer ops only (the scale product fits int64: values < 2^31)
+    def norm(v: str, mn: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {mx} = {mn} THEN 0 ELSE "
+            f"((({v} - {mn}) * {(1 << _Z_BITS) - 1}) {idiv} ({mx} - {mn})) END"
+        )
+
+    interleave = " + ".join(
+        f"((xn {idiv} {1 << i}) % 2) * {1 << (2 * i)} "
+        f"+ ((yn {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(_Z_BITS)
+    )
+    file_width = (1 << (2 * _Z_BITS)) // _Z_FILES
+    return f"""
+    WITH st AS (
+      SELECT CAST(MIN(l_partkey) AS BIGINT) AS pmin, CAST(MAX(l_partkey) AS BIGINT) AS pmax,
+             CAST(MIN(l_suppkey) AS BIGINT) AS smin, CAST(MAX(l_suppkey) AS BIGINT) AS smax
+      FROM {table}
+    ),
+    nrm AS (
+      SELECT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk,
+             {norm('CAST(l_partkey AS BIGINT)', 'st.pmin', 'st.pmax')} AS xn,
+             {norm('CAST(l_suppkey AS BIGINT)', 'st.smin', 'st.smax')} AS yn
+      FROM {table} CROSS JOIN st
+    ),
+    z AS (SELECT pk, sk, ({interleave}) AS zval FROM nrm),
+    f AS (SELECT pk, sk, CAST(zval {idiv} {file_width} AS INT) AS file_id FROM z)
+    SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(pk) AS part_lo, MAX(pk) AS part_hi,
+           MIN(sk) AS supp_lo, MAX(sk) AS supp_hi
+    FROM f GROUP BY 1
+    """
+
+
+@register(
+    "q142_zorder_layout",
+    _zorder_sql("lineitem", "//"),
+    doc="Z-order (Morton) multi-column clustering over (l_partkey, "
+    "l_suppkey): 16-bit normalized ranks bit-interleaved into a 32-bit "
+    "curve position, rows cut into 16 equal curve ranges ('files'), and "
+    "the per-file min/max envelope of BOTH columns emitted — the "
+    "zone-map quality a two-predicate scan skips files by (linear "
+    "layout keys one column tight and the other full-range; the curve "
+    "bounds both). Exact integer arithmetic from one SQL template; the "
+    "only corpus shuffle is the final 16-group aggregate, min/max stats "
+    "are a one-row broadcast",
+)
+def q142_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q142")
+    return spark.sql(_zorder_sql("lineitem_q142", " div "))
