@@ -5837,3 +5837,180 @@ def _zorder_sql(table: str, idiv: str) -> str:
 def q142_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q142")
     return spark.sql(_zorder_sql("lineitem_q142", " div "))
+
+
+# ---------------------------------------------------------------------------
+# q143 — SCD type-2 dimension history: turn a change stream into
+# validity intervals (the warehouse-standard slowly-changing-dimension
+# build; q26's CDC upsert keeps only latest state — this keeps the full
+# history a point-in-time join needs). Consecutive duplicate states are
+# collapsed first (a change event that doesn't change the tracked
+# attribute must not open a new version).
+# ---------------------------------------------------------------------------
+@register(
+    "q143_scd2_history",
+    """
+    WITH c AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type FROM c
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    v AS (
+      SELECT user_id, event_type AS status, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version
+      FROM changes
+    )
+    SELECT user_id, status,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f'), 'current')
+             AS valid_to,
+           CAST(version AS INT) AS version,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+    doc="SCD type-2 dimension history from a change stream: per-user "
+    "event-type runs collapsed (no-op changes open no version), then "
+    "validity intervals via LEAD with a total-order tiebreak — "
+    "valid_to of the latest version is NULL/'current'. The full-history "
+    "complement of q26's keep-latest CDC upsert; the whole build is two "
+    "windows over ONE exchange on user_id (plan: single Sort+Window "
+    "chain, no extra shuffle)",
+)
+def q143_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    v = changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("vf"),
+        F.lead("ts").over(w2).alias("vt"),
+        F.row_number().over(w2).cast("int").alias("version"),
+    )
+    return v.select(
+        "user_id",
+        "status",
+        F.date_format("vf", fmt).alias("valid_from"),
+        F.coalesce(F.date_format("vt", fmt), F.lit("current")).alias("valid_to"),
+        "version",
+        F.col("vt").isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q144 — interval merging (gaps-and-islands): per supplier, overlapping
+# [shipdate, receiptdate] windows coalesced into islands — the classic
+# coverage/merge problem behind SLA windows, maintenance calendars, and
+# validity-interval dedup. One window chain on a single exchange.
+# ---------------------------------------------------------------------------
+@register(
+    "q144_interval_islands",
+    """
+    WITH iv AS (
+      SELECT l_suppkey AS sk, CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e,
+             l_orderkey AS ok, l_linenumber AS ln
+      FROM lineitem
+    ),
+    m AS (
+      SELECT sk, s, e, ok, ln,
+             MAX(e) OVER (PARTITION BY sk ORDER BY s, e, ok, ln
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ),
+    g AS (
+      SELECT sk, s, e, ok, ln,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+               AS is_new
+      FROM m
+    ),
+    agg AS (
+      SELECT sk, island, MIN(s) AS island_start, MAX(e) AS island_end,
+             COUNT(*) AS n_iv
+      FROM (SELECT sk, s, e,
+                   SUM(is_new) OVER (PARTITION BY sk ORDER BY s, e, ok, ln
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS island
+            FROM g)
+      GROUP BY 1, 2
+    )
+    SELECT sk AS suppkey,
+           CAST(COUNT(*) AS INT) AS n_islands,
+           CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+           CAST(SUM(date_diff('day', island_start, island_end) + 1) AS BIGINT)
+             AS covered_days,
+           CAST(MAX(n_iv) AS BIGINT) AS max_island_size
+    FROM agg GROUP BY 1
+    """,
+    doc="gaps-and-islands interval merge: per supplier the overlapping "
+    "[shipdate, shipdate + quantity days] windows coalesce into islands via the "
+    "running-max-end rule (new island iff start > max of all previous "
+    "ends — handles nested intervals that LAG alone gets wrong), then "
+    "per-supplier island count, total covered days, and largest island. "
+    "Total-order window keys throughout; the whole build is one "
+    "exchange on the supplier key",
+)
+def q144_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    iv = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_shipdate").cast("date").alias("s"),
+        # the synthetic lineitem carries no receiptdate: derive a
+        # deterministic interval end (ship + quantity days) so islands
+        # genuinely overlap
+        F.date_add(F.col("l_shipdate").cast("date"), F.col("l_quantity").cast("int")).alias("e"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    order = [F.col("s"), F.col("e"), F.col("ok"), F.col("ln")]
+    w_prev = (
+        W.partitionBy("sk").orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    )
+    g = iv.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "is_new",
+        (
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e"))
+        ).cast("int"),
+    )
+    w_run = (
+        W.partitionBy("sk")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    isl = g.withColumn("island", F.sum("is_new").over(w_run))
+    agg = isl.groupBy("sk", "island").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count("*").alias("n_iv"),
+    )
+    return agg.groupBy("sk").agg(
+        F.count("*").cast("int").alias("n_islands"),
+        F.sum("n_iv").cast("long").alias("n_intervals"),
+        F.sum(F.datediff("island_end", "island_start") + 1)
+        .cast("long")
+        .alias("covered_days"),
+        F.max("n_iv").cast("long").alias("max_island_size"),
+    ).withColumnRenamed("sk", "suppkey")
