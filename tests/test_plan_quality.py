@@ -634,3 +634,81 @@ def test_q132_cms_cells_broadcast_back(spark):
     assert "TakeOrderedAndProject" in plan
     assert "InMemoryTableScan" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q134_bm25_broadcast_stats_no_python(spark):
+    """BM25: the one-row corpus-stats table reaches the scoring join as
+    a broadcast (never a shuffled cartesian), posting joins are hash
+    joins, and the whole ranker is JVM-side."""
+    plan = formatted_plan(spark, "q134_bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q136_hll_single_register_aggregate(spark):
+    """Deterministic HLL: the corpus collapses map-side into 64
+    registers (partial aggregation) and the distinct item table is
+    served from cache for both the register and exact-count branches."""
+    plan = formatted_plan(spark, "q136_hll_distinct")
+    assert plan.count("HashAggregate") >= 2
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q137_ladder_rungs_reuse_pinned_survivors(spark):
+    """Doubling ladder: every rung's survivor set is pinned (the next
+    rung's semi-join and the level union both read cache) and the span
+    exchanges carry md5 keys, not raw window strings."""
+    plan = formatted_plan(spark, "q137_dup_window_ladder")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q140_column_stats_broadcast_histogram_pass(spark):
+    """ANALYZE stats: the 4-row stats table broadcasts back onto the
+    unpivoted scan for bucketing; the unpivot is served from cache for
+    the stats/histogram/MCV branches."""
+    plan = formatted_plan(spark, "q140_column_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q141_incremental_mv_merges_partials(spark):
+    """Incremental MV: both snapshot and delta aggregate map-side
+    before the merge aggregate — three aggregation stages, no join of
+    raw fact rows."""
+    plan = formatted_plan(spark, "q141_incremental_mv")
+    assert plan.count("HashAggregate") >= 4  # 2x partial+final, merge
+    assert "Join" not in plan.replace("BroadcastHashJoin", "")  # no fact join
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q142_zorder_single_corpus_exchange(spark):
+    """Z-order: min/max stats one-row broadcast; the curve position and
+    file id are a narrow codegen map; the only corpus shuffle is the
+    16-group envelope aggregate."""
+    plan = formatted_plan(spark, "q142_zorder_layout")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final envelope
+
+
+def test_q143_scd2_single_exchange(spark):
+    """SCD2 history: the collapse filter, both windows, and the version
+    numbering all ride ONE exchange on user_id."""
+    df = QUERIES["q143_scd2_history"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_q144_islands_single_exchange(spark):
+    """Interval islands: running-max window, island numbering, and both
+    aggregates share the supplier-key exchange (window keys are a
+    superset prefix)."""
+    df = QUERIES["q144_interval_islands"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
