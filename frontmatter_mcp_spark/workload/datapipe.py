@@ -6014,3 +6014,88 @@ def q144_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("covered_days"),
         F.max("n_iv").cast("long").alias("max_island_size"),
     ).withColumnRenamed("sk", "suppkey")
+
+
+# ---------------------------------------------------------------------------
+# q145 — Johnson-Lindenstrauss random projection audit: 64d -> 16d via a
+# +-1 sign matrix derived from md5 at BUILD time (data-independent plan
+# literals, the q43 hyperplane discipline), evaluating per-pair distance
+# distortion — the calibration run before trusting a projected index
+# (JL: ratio concentrates around 1 with sd ~ sqrt(2/k)).
+# ---------------------------------------------------------------------------
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl|{j}|{i}".encode()).hexdigest()[0] >= "8" else -1
+            for i in range(_JL_IN_DIM)
+        ]
+        for j in range(_JL_OUT_DIM)
+    ]
+
+
+def _jl_sql(table: str, base: int) -> str:
+    """One template, two dialects: ``base`` is the engine's array index
+    origin (DuckDB 1, Spark 0). Every float chain is written in one
+    fixed left-associative order, so the doubles are bit-identical —
+    the sign matrix is literal +/-."""
+    signs = _jl_signs()
+    diffs = ", ".join(
+        f"CAST(a.embedding[{i + base}] AS DOUBLE) - "
+        f"CAST(b.embedding[{i + base}] AS DOUBLE) AS d{i}"
+        for i in range(_JL_IN_DIM)
+    )
+    d2_orig = "0 " + " ".join(f"+ d{i} * d{i}" for i in range(_JL_IN_DIM))
+    projs = ", ".join(
+        "(0 "
+        + " ".join(
+            ("+" if signs[j][i] > 0 else "-") + f" d{i}"
+            for i in range(_JL_IN_DIM)
+        )
+        + f") AS p{j}"
+        for j in range(_JL_OUT_DIM)
+    )
+    d2_proj = "0 " + " ".join(f"+ p{j} * p{j}" for j in range(_JL_OUT_DIM))
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {diffs}
+      FROM {table} a JOIN {table} b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 5 = 0
+    ),
+    pr AS (
+      SELECT id_a, id_b, ({d2_orig}) AS d2_orig, {projs}
+      FROM pairs
+    )
+    SELECT id_a, id_b,
+           round(d2_orig, 6) AS d2_orig,
+           round(({d2_proj}), 6) AS d2_proj,
+           round(CASE WHEN d2_orig = 0 THEN NULL
+                      ELSE ({d2_proj}) / ({_JL_OUT_DIM} * d2_orig) END, 6)
+             AS distortion_ratio
+    FROM pr
+    """
+
+
+@register(
+    "q145_jl_projection",
+    _jl_sql("embeddings", 1),
+    doc="Johnson-Lindenstrauss projection audit: 64d embeddings "
+    "projected to 16d through a literal +-1 md5-derived sign matrix "
+    "(data-independent plan constants — no matrix table, no join), and "
+    "the squared-distance distortion ratio d2_proj/(k*d2_orig) measured "
+    "on deterministic adjacent pairs. Linearity folds the projection "
+    "into the difference vector, so each pair is one narrow codegen "
+    "chain; every float sum is a fixed left-associative chain shared "
+    "verbatim with the oracle (bit-identical doubles). The calibration "
+    "evidence before swapping an ANN index to projected vectors",
+)
+def q145_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings_q145"
+    )
+    return spark.sql(_jl_sql("embeddings_q145", 0))
