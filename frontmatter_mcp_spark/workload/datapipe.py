@@ -6099,3 +6099,276 @@ def q145_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings_q145"
     )
     return spark.sql(_jl_sql("embeddings_q145", 0))
+
+
+# ---------------------------------------------------------------------------
+# q146 — skip-gram training-pair generation (word2vec/embedding training
+# front-end): window +-2 (center, context) pairs under Mikolov
+# frequency subsampling, plus k=2 negatives per pair drawn from the
+# unigram^0.75 noise distribution by deterministic inverse-CDF lookup.
+# pow() is NOT correctly rounded cross-engine; p^0.75 is computed as
+# sqrt(p * sqrt(p)) — two IEEE-exact sqrts and a multiply.
+# ---------------------------------------------------------------------------
+_SG_SUBSAMPLE = "0.001e0"  # Mikolov t
+_SG_FX = 1 << 20
+_SG_WINDOW = 2
+_SG_NEGATIVES = 2
+
+
+def _sg_keep_threshold(cnt: str, total: str) -> str:
+    """shared double text: floor(P_keep * 2^20) with
+    P_keep = min(1, (sqrt(f/t) + 1) * t / f), f = cnt/total."""
+    f = f"(CAST({cnt} AS DOUBLE) / {total})"
+    p = f"LEAST(1.0e0, (sqrt({f} / {_SG_SUBSAMPLE}) + 1e0) * {_SG_SUBSAMPLE} / {f})"
+    return f"CAST(FLOOR({p} * {_SG_FX}) AS BIGINT)"
+
+
+def _sg_noise_weight(cnt: str, total: str) -> str:
+    f = f"(CAST({cnt} AS DOUBLE) / {total})"
+    return f"sqrt({f} * sqrt({f}))"
+
+
+def _skipgram_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    keep_key = hash_bucket_sql(
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || t", _SG_FX
+    )
+    neg_key = hash_bucket_sql(
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(pa AS VARCHAR) || '|' || "
+        "CAST(pb AS VARCHAR) || '|' || CAST(j AS VARCHAR)",
+        _SG_FX,
+    )
+    thr = _sg_keep_threshold("fr.cnt", "tt.total")
+    w = _sg_noise_weight("cnt", "tt.total")
+    offs = ", ".join(
+        str(o) for o in range(-_SG_WINDOW, _SG_WINDOW + 1) if o != 0
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i AS p, w[i] AS t
+      FROM toks, UNNEST(generate_series(1, len(w))) AS g(i)
+    ),
+    fr AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM pos GROUP BY 1),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM pos),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.t
+      FROM pos JOIN fr USING (t) CROSS JOIN tt
+      WHERE {keep_key} < {thr}
+    ),
+    pairs AS (
+      SELECT a.doc_id, a.p AS pa, b.p AS pb, a.t AS center, b.t AS context
+      FROM kept a
+      CROSS JOIN UNNEST([{offs}]) AS o(off)
+      JOIN kept b ON b.doc_id = a.doc_id AND b.p = a.p + o.off
+    ),
+    noise AS (
+      SELECT t, lo, hi FROM (
+        SELECT t,
+               CAST(FLOOR(COALESCE(SUM(wt) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0e0)
+                     / tw * {_SG_FX}) AS BIGINT) AS lo,
+               CAST(FLOOR(SUM(wt) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / tw * {_SG_FX}) AS BIGINT) AS hi
+        FROM (SELECT t, {w} AS wt,
+                     SUM({w}) OVER () AS tw
+              FROM fr CROSS JOIN tt)
+      )
+    ),
+    negs AS (
+      SELECT p.center, p.context, n.t AS negative
+      FROM pairs p
+      CROSS JOIN UNNEST(generate_series(1, {_SG_NEGATIVES})) AS gj(j)
+      JOIN noise n ON {neg_key} >= n.lo AND {neg_key} < n.hi
+    )
+    SELECT center, context, negative, CAST(COUNT(*) AS BIGINT) AS n
+    FROM negs GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "q146_skipgram_pairs",
+    _skipgram_sql(),
+    doc="skip-gram training-pair generation: window +-2 (center, "
+    "context) pairs via offset equi-joins on (doc, position) — never a "
+    "range self-join — under Mikolov frequency subsampling (the keep "
+    "decision is md5(doc,pos,token) vs a per-token threshold, so the "
+    "sampled stream is reproducible), plus 2 negatives per pair drawn "
+    "from unigram^0.75 by inverse-CDF against a vocabulary-sized "
+    "broadcast boundary table; p^0.75 = sqrt(p*sqrt(p)) because pow() "
+    "is not correctly rounded cross-engine but sqrt is. Output "
+    "aggregated to (center, context, negative) counts — the word2vec/"
+    "contrastive-embedding data front-end",
+)
+def q146_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks_arr = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1), lambda t: t != ""
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(toks_arr).alias("p0", "t")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "t")
+    pos = pin(pos)
+    fr = pos.groupBy("t").agg(F.count("*").cast("long").alias("cnt"))
+    tt = pos.agg(F.count("*").cast("long").alias("total"))
+    thr = F.expr(_sg_keep_threshold("cnt", "total"))
+    keep_key = hash_bucket(
+        F.concat_ws(
+            "|", F.col("doc_id").cast("string"), F.col("p").cast("string"), F.col("t")
+        ),
+        _SG_FX,
+    )
+    kept = pin(
+        pos.join(F.broadcast(fr), "t")
+        .crossJoin(F.broadcast(tt))
+        .filter(keep_key.cast("long") < thr)
+        .select("doc_id", "p", "t")
+    )
+    offs = [o for o in range(-_SG_WINDOW, _SG_WINDOW + 1) if o != 0]
+    a = kept.select(
+        "doc_id", F.col("p").alias("pa"), F.col("t").alias("center"),
+        F.explode(F.array(*[F.lit(o) for o in offs])).alias("off"),
+    ).withColumn("pb", F.col("pa") + F.col("off"))
+    b = kept.select(
+        "doc_id", F.col("p").alias("pb"), F.col("t").alias("context")
+    )
+    pairs = a.join(b, ["doc_id", "pb"]).select(
+        "doc_id", "pa", "pb", "center", "context"
+    )
+    wt = F.expr(_sg_noise_weight("cnt", "total"))
+    from pyspark.sql.window import Window as W
+
+    base = fr.crossJoin(F.broadcast(tt)).select("t", wt.alias("wt"))
+    tw = base.agg(F.sum("wt").alias("tw"))
+    wspec = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wprev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    noise = (
+        base.crossJoin(F.broadcast(tw))
+        .select(
+            "t",
+            F.floor(
+                F.coalesce(F.sum("wt").over(wprev), F.lit(0.0))
+                / F.col("tw") * _SG_FX
+            ).cast("long").alias("lo"),
+            F.floor(F.sum("wt").over(wspec) / F.col("tw") * _SG_FX)
+            .cast("long")
+            .alias("hi"),
+        )
+    )
+    exp = pairs.select(
+        "*", F.explode(F.array(*[F.lit(j) for j in range(1, _SG_NEGATIVES + 1)])).alias("j")
+    )
+    neg_key = hash_bucket(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("pa").cast("string"),
+            F.col("pb").cast("string"),
+            F.col("j").cast("string"),
+        ),
+        _SG_FX,
+    ).cast("long")
+    negs = exp.withColumn("u", neg_key).join(
+        F.broadcast(noise),
+        (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+    )
+    return negs.groupBy(
+        "center", "context", F.col("t").alias("negative")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# q147 — cluster-aware cross-validation folds: folds are assigned per
+# NEAR-DUP GROUP (q56's propagation), not per document, so near-
+# duplicates can never straddle a train/eval fold boundary — the
+# leakage-safe split rule (the q60/q95 decontamination concern applied
+# to CV). The output quantifies what doc-level splitting would have
+# leaked.
+# ---------------------------------------------------------------------------
+_CV_FOLDS = 5
+
+
+def _cv_folds_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    gfold = hash_bucket_sql("group_id", _CV_FOLDS)
+    dfold = hash_bucket_sql("doc_id", _CV_FOLDS)
+    groups = _neardup_groups_sql()
+    return f"""
+    WITH g AS ({groups}),
+    a AS (
+      SELECT doc_id, group_id, {gfold} AS fold, {dfold} AS doc_fold
+      FROM g
+    ),
+    leaky AS (
+      SELECT CAST(COUNT(*) AS INT) AS n_leaky_groups_doc_split
+      FROM (SELECT group_id FROM a GROUP BY 1
+            HAVING COUNT(DISTINCT doc_fold) > 1)
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN group_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonkeeper_docs,
+           l.n_leaky_groups_doc_split
+    FROM a CROSS JOIN leaky l
+    GROUP BY fold, l.n_leaky_groups_doc_split
+    """
+
+
+@register(
+    "q147_cluster_cv_folds",
+    _cv_folds_sql(),
+    doc="leakage-safe cross-validation folds: every document inherits "
+    "its near-dup GROUP's fold (md5 of the q56 group id), so paraphrase "
+    "clusters never straddle a fold boundary; per-fold doc/group counts "
+    "plus the count of groups a naive doc-level split WOULD have torn "
+    "across folds (the leakage this rule prevents). One hash map over "
+    "the propagation output + a group-key aggregate",
+)
+def q147_cluster_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    groups = dd.neardup_groups(
+        d, "doc_id", "text",
+        threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
+        persist_fn=pin,
+    )
+    a = pin(
+        groups.select(
+            "doc_id",
+            "group_id",
+            hash_bucket(F.col("group_id"), _CV_FOLDS).alias("fold"),
+            hash_bucket(F.col("doc_id"), _CV_FOLDS).alias("doc_fold"),
+        )
+    )
+    leaky = (
+        a.groupBy("group_id")
+        .agg(F.countDistinct("doc_fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .agg(F.count("*").cast("int").alias("n_leaky_groups_doc_split"))
+    )
+    return (
+        a.crossJoin(F.broadcast(leaky))
+        .groupBy("fold", "n_leaky_groups_doc_split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("group_id").cast("long").alias("n_groups"),
+            F.sum((F.col("group_id") != F.col("doc_id")).cast("int"))
+            .cast("long")
+            .alias("n_nonkeeper_docs"),
+        )
+        .select(
+            "fold", "n_docs", "n_groups", "n_nonkeeper_docs",
+            "n_leaky_groups_doc_split",
+        )
+    )
