@@ -6372,3 +6372,93 @@ def q147_cluster_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_leaky_groups_doc_split",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — k-NN classifier evaluation over the embedding space: each held
+# query vector is labeled by the majority label of its 5 nearest
+# neighbors (cosine, ties to the smaller label) and scored against its
+# true label — the standard probe for "does this embedding space
+# separate my classes" before training anything on it.
+# ---------------------------------------------------------------------------
+@register(
+    "q148_knn_classifier_eval",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS true_label
+               FROM embeddings WHERE vec_id % 10 = 0),
+    c AS (SELECT vec_id AS cid, embedding AS cvec, label AS clabel
+          FROM embeddings WHERE vec_id % 10 <> 0),
+    pairs AS (
+      SELECT qid, true_label, cid, clabel, {_duck_cos('qvec', 'cvec')} AS sim
+      FROM q, c
+    ),
+    top5 AS (
+      SELECT qid, true_label, clabel
+      FROM (SELECT qid, true_label, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+                     AS rnk
+            FROM pairs)
+      WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT qid, true_label, clabel, COUNT(*) AS v FROM top5 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT qid, true_label, clabel AS predicted
+      FROM (SELECT qid, true_label, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY v DESC, clabel)
+                     AS r
+            FROM votes)
+      WHERE r = 1
+    )
+    SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM pred GROUP BY 1
+    """,
+    doc="k-NN classifier probe of the embedding space: 10% held-out "
+    "query vectors labeled by the majority label of their 5 exact-cosine "
+    "nearest neighbors (vote ties to the smaller label, rank ties to the "
+    "smaller id), per-class accuracy against the true labels — the "
+    "does-the-space-separate-classes check run before training an "
+    "embedding-based filter. Query side broadcasts into one candidate "
+    "scan (q36 shape); both rankings are windows over bounded keys",
+)
+def q148_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("true_label"),
+    )
+    c = e.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("clabel"),
+    )
+    top5 = (
+        sim.cosine_topk(q, c, k=5)
+        .join(F.broadcast(q.select("qid", "true_label")), "qid")
+        .join(F.broadcast(c.select(F.col("cid"), "clabel")), "cid")
+    )
+    votes = top5.groupBy("qid", "true_label", "clabel").agg(
+        F.count("*").alias("v")
+    )
+    r = W.partitionBy("qid").orderBy(F.col("v").desc(), "clabel")
+    pred = (
+        votes.withColumn("r", F.row_number().over(r))
+        .filter(F.col("r") == 1)
+        .select("qid", "true_label", F.col("clabel").alias("predicted"))
+    )
+    correct = F.sum(
+        (F.col("predicted") == F.col("true_label")).cast("int")
+    ).cast("long")
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        correct.alias("n_correct"),
+        F.round(correct.cast("double") / F.count("*"), 6).alias("accuracy"),
+    )

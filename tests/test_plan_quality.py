@@ -92,6 +92,7 @@ _EXPLICIT_PYTHON_STAGES = {
     "q122_image_ahash_dedup",
     "q123_wav_probe",
     "q128_png_ahash_dedup",
+    "q138_jpeg_coeff_roundtrip",
 }
 
 
