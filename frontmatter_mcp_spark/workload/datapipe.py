@@ -6462,3 +6462,63 @@ def q148_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.alias("n_correct"),
         F.round(correct.cast("double") / F.count("*"), 6).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — confusion matrix + precision/recall/F1 for the trained q111
+# quality classifier (q117 gives calibration; this gives the
+# thresholded operating point — the numbers a gate owner actually signs
+# off on before turning the filter loose on a corpus)
+# ---------------------------------------------------------------------------
+def _confusion_sql() -> str:
+    return f"""
+    WITH s AS ({_classifier_sql()}),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN label = 1 AND score_fx >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN label = 0 AND score_fx >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN label = 1 AND score_fx < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN label = 0 AND score_fx < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM s
+    )
+    SELECT tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_,
+           round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+    FROM c
+    """
+
+
+@register(
+    "q149_classifier_confusion",
+    _confusion_sql(),
+    doc="confusion matrix + precision/recall/F1/accuracy for the q111 "
+    "trained quality filter at the score>=0 operating point — the "
+    "sign-off numbers for a model-based gate (q117 covers calibration). "
+    "One extra 4-counter aggregate over the bit-exact replayed scores; "
+    "ratios are identical double expressions rounded to 6",
+)
+def q149_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.classifier import hashed_linear_scores
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    s = hashed_linear_scores(
+        d, "doc_id", "text",
+        label=(F.col("lang") == "en").cast("int"),
+        buckets=_CLF_BUCKETS, iters=_CLF_ITERS, persist_fn=pin,
+    )
+    pred = F.col("score_fx") >= 0
+    pos = F.col("label") == 1
+    c = s.agg(
+        F.sum((pos & pred).cast("int")).cast("long").alias("tp"),
+        F.sum((~pos & pred).cast("int")).cast("long").alias("fp"),
+        F.sum((pos & ~pred).cast("int")).cast("long").alias("fn"),
+        F.sum((~pos & ~pred).cast("int")).cast("long").alias("tn"),
+    )
+    return c.selectExpr(
+        "tp", "fp", "fn", "tn",
+        "round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_",
+        "round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_",
+        "round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1",
+        "round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy",
+    )
