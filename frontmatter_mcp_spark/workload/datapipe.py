@@ -6522,3 +6522,150 @@ def q149_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1",
         "round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy",
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — corpus data card: the one-row summary a dataset release ships
+# with (composition, volume, duplication, token budget) — every number
+# already defined by an upstream operator family, composed into one
+# declarative plan
+# ---------------------------------------------------------------------------
+@register(
+    "q150_datacard",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS n_tok,
+             md5(text) AS fp
+      FROM documents
+    ),
+    fps AS (SELECT fp, COUNT(*) AS c FROM toks GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT source) AS INT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS INT) AS n_langs,
+           CAST((SELECT COUNT(*) FROM fps) AS BIGINT) AS n_unique_contents,
+           CAST((SELECT SUM(c - 1) FROM fps) AS BIGINT) AS n_exact_dup_docs,
+           round(CAST((SELECT SUM(c - 1) FROM fps) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate,
+           CAST(MIN(n_tok) AS INT) AS min_tokens,
+           CAST(MAX(n_tok) AS INT) AS max_tokens,
+           round(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS mean_tokens
+    FROM toks
+    """,
+    doc="corpus data card: the one-row release summary — volume (docs, "
+    "tokens), composition (sources, languages), exact duplication rate "
+    "(md5 fingerprint groups), and token-length spread. One scan plus a "
+    "16-byte-key fingerprint aggregate; every derived ratio an identical "
+    "double expression rounded to 6",
+)
+def q150_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    n_tok = F.size(
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+                 lambda t: t != "")
+    )
+    toks = pin(
+        d.select(
+            "doc_id", "source", "lang", n_tok.alias("n_tok"),
+            F.md5("text").alias("fp"),
+        )
+    )
+    fps = toks.groupBy("fp").agg(F.count("*").alias("c"))
+    fstats = fps.agg(
+        F.count("*").cast("long").alias("n_unique_contents"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_exact_dup_docs"),
+    )
+    base = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.countDistinct("source").cast("int").alias("n_sources"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.min("n_tok").cast("int").alias("min_tokens"),
+        F.max("n_tok").cast("int").alias("max_tokens"),
+    )
+    return base.crossJoin(F.broadcast(fstats)).selectExpr(
+        "n_docs", "n_tokens", "n_sources", "n_langs",
+        "n_unique_contents", "n_exact_dup_docs",
+        "round(CAST(n_exact_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate",
+        "min_tokens", "max_tokens",
+        "round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q151 — chi-square independence test of corpus composition (lang x
+# source): the statistical QA check that a multi-source corpus's
+# language mix is (or is not) uniform across sources — expected cell
+# counts, the chi2 statistic, and Cramer's V effect size
+# ---------------------------------------------------------------------------
+@register(
+    "q151_composition_chi2",
+    """
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    cols_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS t,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+            FROM cells),
+    terms AS (
+      SELECT CAST(FLOOR(
+               (CAST(cells.o AS DOUBLE)
+                - CAST(rows_.r AS DOUBLE) * cols_.c / tot.t)
+               * (CAST(cells.o AS DOUBLE)
+                - CAST(rows_.r AS DOUBLE) * cols_.c / tot.t)
+               / (CAST(rows_.r AS DOUBLE) * cols_.c / tot.t)
+               * 1073741824e0) AS BIGINT) AS term_fx
+      FROM cells JOIN rows_ USING (lang) JOIN cols_ USING (source)
+      CROSS JOIN tot
+    )
+    SELECT round(CAST(SUM(term_fx) AS DOUBLE) / 1073741824e0, 4) AS chi2,
+           CAST((tot.nl - 1) * (tot.ns - 1) AS INT) AS dof,
+           round(sqrt(CAST(SUM(term_fx) AS DOUBLE) / 1073741824e0
+                 / (tot.t * LEAST(tot.nl - 1, tot.ns - 1))), 6) AS cramers_v
+    FROM terms CROSS JOIN tot
+    GROUP BY tot.nl, tot.ns, tot.t
+    """,
+    doc="chi-square independence test of (lang x source) composition "
+    "with Cramer's V effect size — the statistical QA check for a "
+    "multi-source corpus's language balance. Cell/marginal tables are "
+    "tiny aggregates of ONE corpus scan; per-cell terms floor into "
+    "2^30 fixed point so the statistic sums exactly in any order",
+)
+def q151_composition_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = pin(
+        d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("o"))
+    )
+    rows_ = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("t"),
+        F.countDistinct("lang").cast("long").alias("nl"),
+        F.countDistinct("source").cast("long").alias("ns"),
+    )
+    terms = (
+        cells.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "nl", "ns", "t",
+            "CAST(FLOOR((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / t)"
+            " * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / t)"
+            " / (CAST(r AS DOUBLE) * c / t) * 1073741824e0) AS BIGINT)"
+            " AS term_fx",
+        )
+    )
+    return terms.groupBy("nl", "ns", "t").agg(
+        F.expr("round(CAST(SUM(term_fx) AS DOUBLE) / 1073741824e0, 4)").alias("chi2"),
+        F.expr("CAST((nl - 1) * (ns - 1) AS INT)").alias("dof"),
+        F.expr(
+            "round(sqrt(CAST(SUM(term_fx) AS DOUBLE) / 1073741824e0"
+            " / (t * LEAST(nl - 1, ns - 1))), 6)"
+        ).alias("cramers_v"),
+    ).select("chi2", "dof", "cramers_v")
