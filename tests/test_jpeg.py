@@ -140,3 +140,27 @@ def test_cert_recipe_matches_codec(spark):
             flat.extend(zz)
         fp = hashlib.md5("|".join(str(v) for v in flat).encode()).hexdigest()
         assert got[doc_id] == (nz, fp)
+
+
+def test_coeff_layer_full_baseline_value_range():
+    """Baseline JPEG allows AC magnitudes up to 1023 (size 10) and DC
+    differences up to +-2047 (category 11); the entropy layer must stay
+    bijective at the extremes, not just the q138 recipe's +-127."""
+    rng = np.random.RandomState(42)
+    for trial in range(50):
+        blocks = []
+        for _ in range(4):
+            zz = [0] * 64
+            zz[0] = int(rng.randint(-1024, 1024))
+            for _ in range(rng.randint(1, 30)):
+                zz[rng.randint(1, 64)] = int(rng.randint(-1023, 1024))
+            blocks.append(zz)
+        payload = J.encode_jpeg_coeffs(blocks, 16, 16)
+        assert J.decode_jpeg_coeffs(payload)[2] == blocks, trial
+    # the exact extremes
+    zz = [0] * 64
+    zz[0] = 1023
+    zz[1] = -1023
+    zz[63] = 1023
+    p2 = J.encode_jpeg_coeffs([zz, [0] * 64], 16, 8)
+    assert J.decode_jpeg_coeffs(p2)[2] == [zz, [0] * 64]

@@ -516,3 +516,107 @@ def test_connected_components_star_resolves_long_chain(spark):
     assert {got[n] for n in (200, 201, 202)} == {200}
     assert got[300] == 300 and got[301] == 300
     assert len(got) == 41 + 3 + 2
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Property check: star contraction equals a driver-side union-find
+    on pseudo-random graphs (deterministic seeds)."""
+    import random
+
+    from frontmatter_mcp_spark.operators import dedup as dd
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(45)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {}
+        nodes_in_edges = {x for e in edges for x in e}
+        for x in nodes_in_edges:
+            expect[x] = find(x)
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r.node: r.component
+            for r in dd.connected_components_star(df).collect()
+        }
+        assert got == expect, f"seed {seed}"
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """The q134 template must equal a from-scratch BM25 on a tiny corpus
+    (independent of DuckDB)."""
+    import math
+
+    from frontmatter_mcp_spark.workload.datapipe import (
+        _BM25_MAX_DF,
+        _BM25_QUERY_MOD,
+        _BM25_QUERY_TERMS,
+        _BM25_SCALE,
+        _bm25_sql,
+    )
+
+    docs = [
+        (0, "apple banana cherry date egg fig grape honey extra words"),
+        (3, "apple apple banana kiwi"),
+        (7, "cherry date egg"),
+        (50, "banana fig grape lemon mango nut orange pear quince"),
+        (12, "apple banana cherry"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("documents_bm25t")
+    got = {
+        (r.query_id, r.hit_id): (r.n_terms, r.score, r.rnk)
+        for r in spark.sql(_bm25_sql("spark", "documents_bm25t")).collect()
+    }
+
+    toks = {i: t.lower().strip().split() for i, t in docs}
+    dl = {i: len(w) for i, w in toks.items() if w}
+    nd = len(dl)
+    avgdl = sum(dl.values()) / nd
+    tf: dict = {}
+    for i, w in toks.items():
+        for t in w:
+            tf.setdefault((i, t), 0)
+            tf[(i, t)] += 1
+    dfreq: dict = {}
+    for (i, t) in tf:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    expect = {}
+    for qid, text in docs:
+        if qid % _BM25_QUERY_MOD:
+            continue
+        qterms = list(dict.fromkeys(toks[qid][:_BM25_QUERY_TERMS]))
+        scores: dict = {}
+        for t in qterms:
+            if dfreq.get(t, 0) > _BM25_MAX_DF:
+                continue
+            for (i, tt), f in tf.items():
+                if tt != t or i == qid:
+                    continue
+                idf = math.log(1 + (nd - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                g = (f * (1.2 + 1)) / (f + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl))
+                nt, fx = scores.get(i, (0, 0))
+                scores[i] = (nt + 1, fx + math.floor(idf * g * _BM25_SCALE))
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-round(kv[1][1] / _BM25_SCALE, 4), kv[0])
+        )
+        for rnk, (i, (nt, fx)) in enumerate(ranked[:5], start=1):
+            expect[(qid, i)] = (nt, round(fx / _BM25_SCALE, 4), rnk)
+    assert got == expect
