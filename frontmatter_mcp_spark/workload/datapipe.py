@@ -6669,3 +6669,105 @@ def q151_composition_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (t * LEAST(nl - 1, ns - 1))), 6)"
         ).alias("cramers_v"),
     ).select("chi2", "dof", "cramers_v")
+
+
+# ---------------------------------------------------------------------------
+# q152 — join-size estimation from Count-Min sketches (the AGMS/CMS
+# inner-product bound): |A join B on k| is estimated as min over sketch
+# rows of sum_c A[r][c]*B[r][c] — the optimizer-statistics trick that
+# prices a join WITHOUT scanning it. md5-derived rows (q132 discipline)
+# make the whole estimate cross-engine exact, and the inner product is
+# a hard overestimate (cross terms are nonnegative), which ships as a
+# hash-checked boolean.
+# ---------------------------------------------------------------------------
+_JSZ_DEPTH = 4
+_JSZ_WIDTH = 256
+
+
+def _join_size_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    col = hash_bucket_sql("CAST(r AS VARCHAR) || '|' || CAST(k AS VARCHAR)", _JSZ_WIDTH)
+    return f"""
+    WITH a AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+               FROM orders GROUP BY 1),
+    b AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1),
+    truth AS (SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS true_size
+              FROM a JOIN b USING (k)),
+    ca AS (SELECT r, {col} AS col, CAST(SUM(c) AS BIGINT) AS v
+           FROM a CROSS JOIN UNNEST(generate_series(0, {_JSZ_DEPTH - 1})) AS g(r)
+           GROUP BY 1, 2),
+    cb AS (SELECT r, {col} AS col, CAST(SUM(c) AS BIGINT) AS v
+           FROM b CROSS JOIN UNNEST(generate_series(0, {_JSZ_DEPTH - 1})) AS g(r)
+           GROUP BY 1, 2),
+    rows_ AS (SELECT ca.r, CAST(SUM(ca.v * cb.v) AS BIGINT) AS ip
+              FROM ca JOIN cb ON ca.r = cb.r AND ca.col = cb.col
+              GROUP BY 1),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_size FROM rows_)
+    SELECT t.true_size, e.est_size,
+           e.est_size >= t.true_size AS is_overestimate,
+           round(CAST(e.est_size - t.true_size AS DOUBLE) / t.true_size, 6)
+             AS rel_overestimate
+    FROM truth t CROSS JOIN est e
+    """
+
+
+@register(
+    "q152_join_size_sketch",
+    _join_size_sql(),
+    doc="join-size estimation from Count-Min sketches (AGMS inner "
+    "product): |orders join lineitem| estimated as the min over 4 "
+    "md5-derived sketch rows of the 256-cell inner product — the "
+    "optimizer-statistics trick that prices a join from two tiny "
+    "sketches instead of executing it. Each side collapses map-side to "
+    "1024 cells; the inner product is a broadcast join of two "
+    "sketch-sized tables; the hard est>=true overestimate property "
+    "ships as a hash-checked boolean next to the exact join size",
+)
+def q152_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count("*").cast("long").alias("c"))
+    ln = load_table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count("*").cast("long").alias("c"))
+    truth = o.join(ln.withColumnRenamed("c", "cb"), "k").agg(
+        F.sum(F.col("c") * F.col("cb")).cast("long").alias("true_size")
+    )
+    rr = o.sparkSession.range(_JSZ_DEPTH).select(F.col("id").cast("int").alias("r"))
+
+    def sketch(side: DataFrame) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(rr))
+            .select(
+                "r",
+                hash_bucket(
+                    F.concat(
+                        F.col("r").cast("string"), F.lit("|"), F.col("k").cast("string")
+                    ),
+                    _JSZ_WIDTH,
+                ).alias("col"),
+                "c",
+            )
+            .groupBy("r", "col")
+            .agg(F.sum("c").cast("long").alias("v"))
+        )
+
+    ca = sketch(o)
+    cb = sketch(ln).withColumnRenamed("v", "vb")
+    est = (
+        ca.join(F.broadcast(cb), ["r", "col"])
+        .groupBy("r")
+        .agg(F.sum(F.col("v") * F.col("vb")).cast("long").alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est_size"))
+    )
+    return truth.crossJoin(F.broadcast(est)).selectExpr(
+        "true_size",
+        "est_size",
+        "est_size >= true_size AS is_overestimate",
+        "round(CAST(est_size - true_size AS DOUBLE) / true_size, 6)"
+        " AS rel_overestimate",
+    )
