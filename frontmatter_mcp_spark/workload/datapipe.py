@@ -6771,3 +6771,106 @@ def q152_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(est_size - true_size AS DOUBLE) / true_size, 6)"
         " AS rel_overestimate",
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — corpus snapshot diff: the dataset-release changelog between two
+# snapshots (added / removed / modified / unchanged documents with token
+# deltas) — a full outer join on the doc key comparing content
+# fingerprints. Snapshots are derived from the ingest-batch column
+# (q70's fixture shape); the "new" snapshot also carries a
+# deterministic revision to a doc subset so the modified class is
+# non-empty (the q115 synthetic-injection precedent).
+# ---------------------------------------------------------------------------
+def _corpus_diff_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id", 10)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, {b} AS batch,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x <> '')) AS nt
+      FROM documents
+    ),
+    old AS (SELECT doc_id, md5(text) AS fp, nt FROM base WHERE batch <= 7),
+    new_ AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS fp,
+             nt + CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS nt
+      FROM base WHERE batch >= 2
+    ),
+    j AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'modified'
+                  ELSE 'unchanged' END AS change,
+             COALESCE(o.nt, 0) AS nt_old, COALESCE(n.nt, 0) AS nt_new
+      FROM old o FULL OUTER JOIN new_ n ON n.doc_id = o.doc_id
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt_old) AS BIGINT) AS n_tokens_old,
+           CAST(SUM(nt_new) AS BIGINT) AS n_tokens_new,
+           CAST(SUM(nt_new) - SUM(nt_old) AS BIGINT) AS token_delta
+    FROM j GROUP BY 1
+    """
+
+
+@register(
+    "q153_corpus_diff",
+    _corpus_diff_sql(),
+    doc="corpus snapshot diff (the dataset-release changelog): full "
+    "outer join of two ingest-batch-derived snapshots on the doc key, "
+    "classifying added/removed/modified/unchanged by content "
+    "fingerprint with per-class token deltas; a deterministic revision "
+    "of doc_id%13 docs keeps the modified class non-empty. One "
+    "doc-key join of fingerprint-sized rows — at scale both snapshot "
+    "scans prune to their batch partitions",
+)
+def q153_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", hash_bucket(F.col("doc_id"), 10).alias("batch"),
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+", -1),
+                     lambda t: t != "")
+        ).alias("nt"),
+    )
+    old = base.filter(F.col("batch") <= 7).select(
+        "doc_id", F.md5("text").alias("fp"), "nt"
+    )
+    rev = F.col("doc_id") % 13 == 0
+    new = base.filter(F.col("batch") >= 2).select(
+        "doc_id",
+        F.md5(
+            F.when(rev, F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp"),
+        (F.col("nt") + F.when(rev, 1).otherwise(0)).alias("nt"),
+    )
+    o = old.select(
+        F.col("doc_id").alias("o_id"), F.col("fp").alias("o_fp"),
+        F.col("nt").alias("nt_old"),
+    )
+    n = new.select(
+        F.col("doc_id").alias("n_id"), F.col("fp").alias("n_fp"),
+        F.col("nt").alias("nt_new"),
+    )
+    j = o.join(n, o.o_id == n.n_id, "full_outer").select(
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("removed"))
+        .when(F.col("o_fp") != F.col("n_fp"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+        F.coalesce("nt_old", F.lit(0)).alias("nt_old"),
+        F.coalesce("nt_new", F.lit(0)).alias("nt_new"),
+    )
+    return j.groupBy("change").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt_old").cast("long").alias("n_tokens_old"),
+        F.sum("nt_new").cast("long").alias("n_tokens_new"),
+        (F.sum("nt_new") - F.sum("nt_old")).cast("long").alias("token_delta"),
+    )
