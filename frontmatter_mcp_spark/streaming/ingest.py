@@ -311,7 +311,10 @@ def _row_minhash(
 
     if text is None:
         return None
-    toks = re.split(r"\s+", str(text).strip(" "))
+    # Java \s is ASCII [ \t\n\x0B\f\r]; Python \s also matches unicode
+    # whitespace (\xa0 etc.) — spell the class out so a NBSP tokenizes
+    # exactly like the JVM operator
+    toks = re.split("[ \t\n\x0b\f\r]+", str(text).strip(" "))
     if len(toks) < shingle_n:
         return None
     joined = [" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)]

@@ -6169,16 +6169,20 @@ def _skipgram_sql() -> str:
       JOIN kept b ON b.doc_id = a.doc_id AND b.p = a.p + o.off
     ),
     noise AS (
+      -- integer fixed-point CDF: per-token weights floor into 2^24,
+      -- cumulative sums and the total are then EXACT integers, so the
+      -- [lo, hi) boundaries are pure integer division — no dependence
+      -- on float accumulation order, and the last hi is exactly 2^20
       SELECT t, lo, hi FROM (
         SELECT t,
-               CAST(FLOOR(COALESCE(SUM(wt) OVER (ORDER BY t
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0e0)
-                     / tw * {_SG_FX}) AS BIGINT) AS lo,
-               CAST(FLOOR(SUM(wt) OVER (ORDER BY t
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     / tw * {_SG_FX}) AS BIGINT) AS hi
-        FROM (SELECT t, {w} AS wt,
-                     SUM({w}) OVER () AS tw
+               (COALESCE(SUM(wfx) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  CAST(0 AS BIGINT)) * {_SG_FX})
+                 // (SUM(wfx) OVER ()) AS lo,
+               (SUM(wfx) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * {_SG_FX}) // (SUM(wfx) OVER ()) AS hi
+        FROM (SELECT t, CAST(FLOOR(({w}) * 16777216e0) AS BIGINT) AS wfx
               FROM fr CROSS JOIN tt)
       )
     ),
@@ -6244,24 +6248,26 @@ def q146_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, ["doc_id", "pb"]).select(
         "doc_id", "pa", "pb", "center", "context"
     )
-    wt = F.expr(_sg_noise_weight("cnt", "total"))
-    from pyspark.sql.window import Window as W
-
-    base = fr.crossJoin(F.broadcast(tt)).select("t", wt.alias("wt"))
-    tw = base.agg(F.sum("wt").alias("tw"))
-    wspec = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wprev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    wfx = F.expr(
+        f"CAST(FLOOR(({_sg_noise_weight('cnt', 'total')}) * 16777216e0) AS BIGINT)"
+    )
+    # integer fixed-point CDF (see the oracle comment): exact integer
+    # cumulative sums make the boundaries accumulation-order-free
+    base = fr.crossJoin(F.broadcast(tt)).select("t", wfx.alias("wfx"))
+    tw = base.agg(F.sum("wfx").cast("long").alias("twfx"))
     noise = (
         base.crossJoin(F.broadcast(tw))
         .select(
             "t",
-            F.floor(
-                F.coalesce(F.sum("wt").over(wprev), F.lit(0.0))
-                / F.col("tw") * _SG_FX
-            ).cast("long").alias("lo"),
-            F.floor(F.sum("wt").over(wspec) / F.col("tw") * _SG_FX)
-            .cast("long")
-            .alias("hi"),
+            F.expr(
+                f"(COALESCE(SUM(wfx) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED"
+                f" PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT))"
+                f" * {_SG_FX}) div twfx"
+            ).alias("lo"),
+            F.expr(
+                f"(SUM(wfx) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING"
+                f" AND CURRENT ROW) * {_SG_FX}) div twfx"
+            ).alias("hi"),
         )
     )
     exp = pairs.select(
