@@ -6446,10 +6446,15 @@ def q148_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cvec"),
         F.col("label").alias("clabel"),
     )
-    top5 = (
-        sim.cosine_topk(q, c, k=5)
-        .join(F.broadcast(q.select("qid", "true_label")), "qid")
-        .join(F.broadcast(c.select(F.col("cid"), "clabel")), "cid")
+    # the top-5 table is bounded (5 x |queries|): IT is the broadcast
+    # side of the corpus-label join, never the corpus
+    top5 = c.select("cid", "clabel").join(
+        F.broadcast(
+            sim.cosine_topk(q, c, k=5).join(
+                F.broadcast(q.select("qid", "true_label")), "qid"
+            )
+        ),
+        "cid",
     )
     votes = top5.groupBy("qid", "true_label", "clabel").agg(
         F.count("*").alias("v")
