@@ -70,6 +70,9 @@ def get_spark(
         # driver testdata writes events.ts as TIMESTAMP(NANOS); Spark has no
         # nanos type — read as long, normalize in tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the frontmatter DataSource implements pushFilters(); Spark
+        # refuses to plan such a reader unless pushdown is enabled
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
@@ -90,5 +93,6 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     ship_package_to_executors(spark)
     return spark

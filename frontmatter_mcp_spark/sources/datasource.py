@@ -35,8 +35,17 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -105,9 +114,77 @@ class FrontmatterReader(DataSourceReader):
         self.glob = options.get("glob", _DEFAULT_GLOB)
         self.num_partitions = int(options.get("numPartitions", str(_DEFAULT_PARTITIONS)))
         self.schema = schema
+        self.path_filters: list = []
+        self.mtime_filters: list = []
+
+    def pushFilters(self, filters):
+        """Filter pushdown (Spark 4.1 Python DataSource API): predicates
+        on `path` prune the FILE LISTING before any I/O (the dominant
+        scan cost is read+YAML-parse per file, so skipping a file is the
+        whole win), and range predicates on `_mtime` are applied from
+        the stat alone, before the file is opened — the
+        changed-since-X incremental-scan shape. Everything else stays
+        with Spark. Accepted filters are fully enforced by the source
+        (Spark drops them from the post-scan plan)."""
+        for f in filters:
+            if isinstance(
+                f, (EqualTo, In, StringStartsWith, StringContains, StringEndsWith)
+            ) and f.attribute == ("path",):
+                self.path_filters.append(f)
+            elif isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) and f.attribute == ("_mtime",):
+                self.mtime_filters.append(f)
+            else:
+                yield f
+
+    def _path_ok(self, rel: str) -> bool:
+        for f in self.path_filters:
+            if isinstance(f, EqualTo):
+                if rel != f.value:
+                    return False
+            elif isinstance(f, In):
+                if rel not in f.value:
+                    return False
+            elif isinstance(f, StringStartsWith):
+                if not rel.startswith(f.value):
+                    return False
+            elif isinstance(f, StringContains):
+                if f.value not in rel:
+                    return False
+            elif isinstance(f, StringEndsWith):
+                if not rel.endswith(f.value):
+                    return False
+        return True
+
+    def _mtime_ok(self, mtime: float | None) -> bool:
+        if mtime is None:  # SQL semantics: NULL fails every comparison
+            return not self.mtime_filters
+        for f in self.mtime_filters:
+            if isinstance(f, EqualTo):
+                if mtime != f.value:
+                    return False
+            elif isinstance(f, GreaterThan):
+                if not mtime > f.value:
+                    return False
+            elif isinstance(f, GreaterThanOrEqual):
+                if not mtime >= f.value:
+                    return False
+            elif isinstance(f, LessThan):
+                if not mtime < f.value:
+                    return False
+            elif isinstance(f, LessThanOrEqual):
+                if not mtime <= f.value:
+                    return False
+        return True
 
     def partitions(self) -> list[_PathChunk]:
-        paths = [str(p) for p in collect_files(Path(self.base_dir), self.glob)]
+        base = Path(self.base_dir)
+        paths = [
+            str(p)
+            for p in collect_files(base, self.glob)
+            if self._path_ok(p.relative_to(base).as_posix())
+        ]
         n = max(1, min(self.num_partitions, len(paths) or 1))
         # strided chunks over the sorted listing: deterministic
         # path->partition mapping (idempotent task retries) and balanced
@@ -128,10 +205,14 @@ class FrontmatterReader(DataSourceReader):
             error = None
             try:
                 mtime = p.stat().st_mtime
+                if not self._mtime_ok(mtime):
+                    continue  # pushed mtime filter: pruned before open
                 parsed = parse_document(p.read_text(encoding="utf-8"))
                 record = parsed["metadata"]
                 body = parsed["body"]
             except Exception as exc:  # the reference's warnings-not-errors contract
+                if not self._mtime_ok(mtime):
+                    continue  # NULL mtime fails any pushed comparison
                 error = f"{rel}: {exc}"
             row = []
             for c in cols:

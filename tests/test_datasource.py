@@ -309,3 +309,58 @@ def test_stream_into_bucketed_embedding_store(registered, tmp_path):
     got = {r.path: r.vector for r in store.read().collect()}
     expect = [float(np.float32(x)) for x in model.encode(["alpha CHANGED"])[0]]
     assert got["a.md"] == expect
+
+
+def test_path_filter_pushdown_prunes_listing(registered, vault):
+    """Predicates on `path` must prune the file LISTING before any I/O:
+    the reader accepts them in pushFilters and partitions() shrinks;
+    results match the unpushed filter exactly."""
+    from pyspark.sql import functions as F
+
+    from frontmatter_mcp_spark.sources.datasource import FrontmatterReader
+
+    df = _read(registered, vault).filter(F.col("path").startswith("sub/"))
+    assert [r.path for r in df.collect()] == ["sub/b.md"]
+
+    # unit: the reader really pruned (not Spark post-filtering)
+    from pyspark.sql.datasource import IsNotNull, StringStartsWith
+
+    reader = FrontmatterReader({"path": str(vault)}, _read(registered, vault).schema)
+    leftover = list(
+        reader.pushFilters(
+            [StringStartsWith(("path",), "sub/"), IsNotNull(("title",))]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["IsNotNull"]
+    paths = [p for c in reader.partitions() for p in c.paths]
+    assert len(paths) == 1 and paths[0].endswith("b.md")
+
+
+def test_mtime_filter_pushdown_skips_unopened_files(registered, vault, tmp_path):
+    """Range predicates on `_mtime` are decided from the stat alone —
+    the changed-since-X incremental scan: files behind the cutoff are
+    never opened (verified by making one unreadable after listing...
+    here by counting rows and the pruned unit listing)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from frontmatter_mcp_spark.sources.datasource import FrontmatterReader
+
+    v = tmp_path / "mt_vault"
+    v.mkdir()
+    (v / "old.md").write_text("---\nk: 1\n---\nx")
+    (v / "new.md").write_text("---\nk: 2\n---\ny")
+    os.utime(v / "old.md", (1_000, 1_000))
+    os.utime(v / "new.md", (2_000_000_000, 2_000_000_000))
+
+    df = _read(registered, v).filter(F.col("_mtime") > 1_000_000_000.0)
+    assert [r.path for r in df.collect()] == ["new.md"]
+
+    from pyspark.sql.datasource import GreaterThan
+
+    reader = FrontmatterReader({"path": str(v)}, _read(registered, v).schema)
+    leftover = list(reader.pushFilters([GreaterThan(("_mtime",), 1_000_000_000.0)]))
+    assert leftover == []
+    rows = [r for c in reader.partitions() for r in reader.read(c)]
+    assert len(rows) == 1
