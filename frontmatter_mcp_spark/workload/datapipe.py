@@ -6885,3 +6885,82 @@ def q153_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt_new").cast("long").alias("n_tokens_new"),
         (F.sum("nt_new") - F.sum("nt_old")).cast("long").alias("token_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — frequent itemset pairs (the Apriori/FP-growth first pass):
+# parts co-occurring in the same order with support and lift — the
+# market-basket primitive. The pair join is keyed on the order
+# (bounded basket size caps the fanout), never part x part.
+# ---------------------------------------------------------------------------
+_MB_MIN_SUPPORT = 3
+_MB_TOPK = 20
+
+
+@register(
+    "q154_itemset_pairs",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    norders AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items),
+    freq AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b ON b.ok = a.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_MB_MIN_SUPPORT}
+    ),
+    scored AS (
+      SELECT pk_a, pk_b, support,
+             round(CAST(support AS DOUBLE) * n.n / (fa.c * fb.c), 6) AS lift
+      FROM pairs
+      JOIN freq fa ON fa.pk = pk_a
+      JOIN freq fb ON fb.pk = pk_b
+      CROSS JOIN norders n
+    )
+    SELECT pk_a, pk_b, support, lift
+    FROM scored
+    ORDER BY support DESC, pk_a, pk_b LIMIT {_MB_TOPK}
+    """,
+    doc="frequent itemset pairs (market-basket / Apriori first pass): "
+    "parts co-occurring in an order, support-thresholded, with the lift "
+    "ratio against independent part frequencies — co-purchase mining. "
+    "The pair join keys on the ORDER (bounded basket size caps fanout "
+    "at |basket|^2, never part x part); per-part frequencies broadcast "
+    "back; top-k via TakeOrderedAndProject with a total-order tiebreak",
+)
+def q154_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = pin(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    norders = items.agg(F.countDistinct("ok").cast("long").alias("n"))
+    freq = items.groupBy("pk").agg(F.count("*").cast("long").alias("c"))
+    a = items.select("ok", F.col("pk").alias("pk_a"))
+    b = items.select("ok", F.col("pk").alias("pk_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pk_a") < F.col("pk_b"))
+        .groupBy("pk_a", "pk_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= _MB_MIN_SUPPORT)
+    )
+    fa = freq.select(F.col("pk").alias("pk_a"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("pk").alias("pk_b"), F.col("c").alias("cb"))
+    scored = (
+        pairs.join(fa, "pk_a")
+        .join(fb, "pk_b")
+        .crossJoin(F.broadcast(norders))
+        .select(
+            "pk_a", "pk_b", "support",
+            F.round(
+                F.col("support").cast("double") * F.col("n")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("support").desc(), "pk_a", "pk_b"
+    ).limit(_MB_TOPK)
