@@ -6964,3 +6964,96 @@ def q154_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("support").desc(), "pk_a", "pk_b"
     ).limit(_MB_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q155 — robust anomaly detection via MAD (median absolute deviation):
+# the outlier-resistant counterpart of q89's trailing z-score — a mean/
+# stddev monitor is dragged by the very spikes it should flag; median
+# and MAD are not. Exact medians (Spark percentile == DuckDB
+# quantile_cont at binary fractions, the q24 identity).
+# ---------------------------------------------------------------------------
+@register(
+    "q155_mad_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(CAST(n AS DOUBLE), 0.5) AS m
+      FROM daily GROUP BY 1
+    ),
+    mad AS (
+      SELECT daily.event_type,
+             quantile_cont(ABS(CAST(n AS DOUBLE) - m), 0.5) AS md
+      FROM daily JOIN med USING (event_type) GROUP BY 1
+    ),
+    scored AS (
+      SELECT daily.event_type, n, m, md,
+             CASE WHEN md > 0e0
+                  THEN ABS(CAST(n AS DOUBLE) - m) / (1.4826e0 * md)
+                  ELSE NULL END AS rz
+      FROM daily JOIN med USING (event_type) JOIN mad USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(m, 6) AS median_daily,
+           round(md, 6) AS mad,
+           CAST(SUM(CASE WHEN rz > 3e0 THEN 1 ELSE 0 END) AS INT) AS n_anomalies,
+           round(MAX(rz), 6) AS max_robust_z
+    FROM scored GROUP BY event_type, m, md
+    """,
+    doc="robust anomaly detection on daily event counts: median + MAD "
+    "per event type (exact interpolated medians — Spark percentile == "
+    "DuckDB quantile_cont at binary fractions), days flagged when the "
+    "MAD-normalized robust z (1.4826 consistency constant) exceeds 3. "
+    "Unlike the q89 mean/stddev monitor, the baseline is not dragged by "
+    "the spikes it measures. Two bounded-key aggregates + broadcast "
+    "joins back to the tiny daily table",
+)
+def q155_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    daily = pin(
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+        ).agg(F.count("*").cast("long").alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile(F.col("n").cast("double"), 0.5).alias("m")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.abs(F.col("n").cast("double") - F.col("m")), 0.5
+            ).alias("md")
+        )
+    )
+    scored = (
+        daily.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "rz",
+            F.expr(
+                "CASE WHEN md > 0e0 THEN ABS(CAST(n AS DOUBLE) - m)"
+                " / (1.4826e0 * md) ELSE NULL END"
+            ),
+        )
+    )
+    return scored.groupBy("event_type", "m", "md").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum((F.col("rz") > 3.0).cast("int")).cast("int").alias("n_anomalies"),
+        F.round(F.max("rz"), 6).alias("max_robust_z"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.round("m", 6).alias("median_daily"),
+        F.round("md", 6).alias("mad"),
+        F.coalesce("n_anomalies", F.lit(0)).alias("n_anomalies"),
+        "max_robust_z",
+    )
