@@ -7057,3 +7057,125 @@ def q155_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_anomalies", F.lit(0)).alias("n_anomalies"),
         "max_robust_z",
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — deterministic Poisson bootstrap: a confidence interval for a
+# corpus metric (mean tokens/doc) without resampling shuffles — each of
+# B replicates weights every row by a Poisson(1) draw derandomized from
+# md5(doc, replicate), the distributed-bootstrap standard (a true
+# resample would need a corpus-sized shuffle per replicate; Poisson
+# weights need one pass). The Poisson inverse-CDF thresholds are
+# PRECOMPUTED integer literals (2^20 fixed point), so the draw is pure
+# integer comparison — engine-exact.
+# ---------------------------------------------------------------------------
+_BOOT_B = 32
+_BOOT_FX = 1 << 20
+# cumulative Poisson(1) CDF * 2^20, floored (k = 0..7; residual mass
+# beyond 7 is < 1e-4 and maps to weight 8)
+_BOOT_CDF_FX = [385749, 771499, 964373, 1028665, 1044738, 1047952, 1048488, 1048565]
+
+
+def _boot_weight(u: str) -> str:
+    """Poisson(1) draw from a 20-bit uniform: integer threshold chain."""
+    clauses = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF_FX)
+    )
+    return f"CASE {clauses} ELSE {len(_BOOT_CDF_FX)} END"
+
+
+def _bootstrap_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    u = hash_bucket_sql(
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)", _BOOT_FX
+    )
+    w = _boot_weight(f"({u})")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    reps AS (
+      SELECT b, CAST(SUM({w} * nt) AS BIGINT) AS s,
+             CAST(SUM({w}) AS BIGINT) AS n
+      FROM toks CROSS JOIN UNNEST(generate_series(0, {_BOOT_B - 1})) AS g(b)
+      GROUP BY 1
+    ),
+    means AS (
+      SELECT b, CAST(s AS DOUBLE) / n AS m FROM reps WHERE n > 0
+    ),
+    pt AS (
+      SELECT CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS point_mean FROM toks
+    )
+    SELECT round(pt.point_mean, 6) AS point_mean,
+           CAST(COUNT(*) AS INT) AS n_replicates,
+           round(quantile_cont(m, 0.25), 6) AS boot_p25,
+           round(quantile_cont(m, 0.5), 6) AS boot_median,
+           round(quantile_cont(m, 0.75), 6) AS boot_p75,
+           round(MIN(m), 6) AS boot_min, round(MAX(m), 6) AS boot_max
+    FROM means CROSS JOIN pt
+    GROUP BY pt.point_mean
+    """
+
+
+@register(
+    "q156_bootstrap_ci",
+    _bootstrap_sql(),
+    doc="deterministic Poisson bootstrap for a corpus metric (mean "
+    "tokens/doc): B=32 replicates weight each row by a Poisson(1) draw "
+    "derandomized from md5(doc, replicate) — the distributed-bootstrap "
+    "standard (one pass; a true resample would shuffle the corpus per "
+    "replicate). Inverse-CDF thresholds are precomputed integer "
+    "literals, so draws are pure integer comparisons; replicate sums "
+    "are exact BIGINTs; the spread quartiles use the q24 percentile "
+    "identity. The error bars a data-quality dashboard should show "
+    "next to every corpus statistic",
+)
+def q156_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    nt = F.size(
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+                 lambda t: t != "")
+    ).cast("long")
+    toks = pin(d.select("doc_id", nt.alias("nt")))
+    reps_in = toks.crossJoin(
+        F.broadcast(
+            d.sparkSession.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+        )
+    )
+    u = hash_bucket(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("b").cast("string")),
+        _BOOT_FX,
+    )
+    w = F.expr(_boot_weight("u"))
+    reps = (
+        reps_in.withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("nt")).cast("long").alias("s"),
+            F.sum("w").cast("long").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select("b", (F.col("s").cast("double") / F.col("n")).alias("m"))
+    )
+    pt = toks.agg(
+        (F.sum("nt").cast("double") / F.count("*")).alias("point_mean")
+    )
+    return reps.crossJoin(F.broadcast(pt)).groupBy("point_mean").agg(
+        F.count("*").cast("int").alias("n_replicates"),
+        F.round(F.percentile("m", 0.25), 6).alias("boot_p25"),
+        F.round(F.percentile("m", 0.5), 6).alias("boot_median"),
+        F.round(F.percentile("m", 0.75), 6).alias("boot_p75"),
+        F.round(F.min("m"), 6).alias("boot_min"),
+        F.round(F.max("m"), 6).alias("boot_max"),
+    ).select(
+        F.round("point_mean", 6).alias("point_mean"),
+        "n_replicates", "boot_p25", "boot_median", "boot_p75",
+        "boot_min", "boot_max",
+    )
