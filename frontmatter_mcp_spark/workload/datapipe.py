@@ -7179,3 +7179,157 @@ def q156_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_replicates", "boot_p25", "boot_median", "boot_p75",
         "boot_min", "boot_max",
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — A/B experiment readout: users hash-split into two arms, per-arm
+# purchase conversion, and the two-proportion z statistic with pooled
+# standard error — the experimentation primitive. The normal CDF (erf)
+# is NOT cross-engine portable, so the readout ships the z value and
+# the |z| > 1.96 verdict, not a p-value.
+# ---------------------------------------------------------------------------
+def _ab_test_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    arm = f"CASE WHEN {hash_bucket_sql('user_id', 2)} = 0 THEN 'A' ELSE 'B' END"
+    return f"""
+    WITH u AS (
+      SELECT user_id, {arm} AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM u GROUP BY 1
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+             MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
+             MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+             MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
+      FROM arms
+    )
+    SELECT na, ca, nb, cb,
+           round(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+           round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+           round(CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN NULL ELSE (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) * (1e0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * (1e0 / na + 1e0 / nb)) END, 6) AS z,
+           COALESCE(ABS(CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN NULL ELSE (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) * (1e0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * (1e0 / na + 1e0 / nb)) END) > 1.96e0, FALSE) AS significant
+    FROM wide
+    """
+
+
+@register(
+    "q157_ab_test",
+    _ab_test_sql(),
+    doc="A/B experiment readout: users md5-hash-split into two arms, "
+    "per-arm purchase conversion, two-proportion z with pooled standard "
+    "error, and the |z| > 1.96 verdict. erf (the normal CDF) is not "
+    "correctly-rounded cross-engine, so the readout ships z itself — "
+    "which is all a dashboard thresholds anyway. One user-key aggregate "
+    "+ a 2-row pivot",
+)
+def q157_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+        )
+        .withColumn(
+            "arm",
+            F.when(hash_bucket(F.col("user_id"), 2) == 0, "A").otherwise("B"),
+        )
+    )
+    arms = u.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    # degenerate arms (0% or 100% pooled conversion) have zero pooled
+    # variance: z is undefined (and Spark ANSI raises on the division)
+    z = (
+        "CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN NULL ELSE "
+        "(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)"
+        " / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))"
+        " * (1e0 - CAST(ca + cb AS DOUBLE) / (na + nb))"
+        " * (1e0 / na + 1e0 / nb)) END"
+    )
+    return wide.selectExpr(
+        "na", "ca", "nb", "cb",
+        "round(CAST(ca AS DOUBLE) / na, 6) AS rate_a",
+        "round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b",
+        f"round({z}, 6) AS z".format(z=z),
+        f"COALESCE(ABS({z}) > 1.96e0, FALSE) AS significant".format(z=z),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158 — day-of-week seasonality profile: per event type, each
+# weekday's traffic as an index against the type's own mean — the
+# calendar-shape fingerprint behind staffing, alert baselines (q89/
+# q155 thresholds should season), and synthetic-data realism checks.
+# ---------------------------------------------------------------------------
+@register(
+    "q158_dow_seasonality",
+    """
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dow AS (
+      SELECT event_type, dayofweek(d) + 1 AS dw,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(SUM(n_events) AS BIGINT) AS tot_events,
+             CAST(SUM(n_days) AS BIGINT) AS tot_days
+      FROM dow GROUP BY 1
+    )
+    SELECT dow.event_type, CAST(dw AS INT) AS dow, n_events, n_days,
+           round((CAST(n_events AS DOUBLE) / n_days)
+                 / (CAST(tot_events AS DOUBLE) / tot_days), 6)
+             AS seasonality_index
+    FROM dow JOIN base ON base.event_type = dow.event_type
+    """,
+    doc="day-of-week seasonality: per event type, each weekday's mean "
+    "daily traffic indexed against the type's own overall mean — the "
+    "calendar fingerprint that alert baselines (q89/q155) should season "
+    "by. DuckDB dayofweek+1 == Spark dayofweek (the documented dialect "
+    "identity); two bounded-key aggregates over the tiny daily table",
+)
+def q158_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    daily = pin(
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+        ).agg(F.count("*").cast("long").alias("n"))
+    )
+    dow = daily.groupBy(
+        "event_type", F.dayofweek("d").cast("int").alias("dow")
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    base = dow.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("tot_events"),
+        F.sum("n_days").cast("long").alias("tot_days"),
+    )
+    return dow.join(F.broadcast(base), "event_type").selectExpr(
+        "event_type", "dow", "n_events", "n_days",
+        "round((CAST(n_events AS DOUBLE) / n_days)"
+        " / (CAST(tot_events AS DOUBLE) / tot_days), 6) AS seasonality_index",
+    )
