@@ -7333,3 +7333,99 @@ def q158_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((CAST(n_events AS DOUBLE) / n_days)"
         " / (CAST(tot_events AS DOUBLE) / tot_days), 6) AS seasonality_index",
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — triangle count + global clustering coefficient of the
+# MinHash-LSH similarity graph: triangles measure how CLIQUE-LIKE the
+# near-dup structure is (template families form dense triangles;
+# chains/stars do not) — the third classic graph primitive next to
+# connected components (q135) and PageRank (q126). All integer math.
+# ---------------------------------------------------------------------------
+def _triangles_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    bb AS ({band_rows}),
+    e AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+        ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+             CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges
+      FROM e
+    )
+    SELECT b.n_nodes, b.n_edges, b.n_wedges, t.n_triangles,
+           round(CASE WHEN b.n_wedges > 0
+                      THEN 3e0 * t.n_triangles / b.n_wedges
+                      ELSE NULL END, 6) AS clustering_coefficient
+    FROM base b CROSS JOIN tri t
+    """
+
+
+@register(
+    "q159_triangle_count",
+    _triangles_sql(),
+    doc="triangle count + global clustering coefficient of the "
+    "MinHash-LSH similarity graph (how clique-like the near-dup "
+    "structure is — template families triangle densely, chains do "
+    "not). Triangles via the canonical a<b<c edge 3-way join: on a "
+    "df-capped LSH graph node degrees are bounded, so the join is "
+    "O(edges x bounded degree), never cubic; wedges are an exact "
+    "integer aggregate of the degree table. The third graph primitive "
+    "next to components (q135) and PageRank (q126)",
+)
+def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    e = pin(
+        dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    base = e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        F.broadcast(
+            deg.agg(
+                F.count("*").cast("long").alias("n_nodes"),
+                F.sum(F.col("d") * (F.col("d") - 1) / 2)
+                .cast("long")
+                .alias("n_wedges"),
+            )
+        )
+    )
+    return base.crossJoin(F.broadcast(tri)).selectExpr(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        "round(CASE WHEN n_wedges > 0 THEN 3e0 * n_triangles / n_wedges"
+        " ELSE NULL END, 6) AS clustering_coefficient",
+    )
