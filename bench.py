@@ -70,6 +70,29 @@ def vault_benchmarks(spark) -> dict[str, float]:
         "AS t(tag) GROUP BY tag ORDER BY n DESC, tag",
     )
     out["vault_unnest_groupby"] = round(time.perf_counter() - t0, 4)
+
+    # DataSource scan with pushed path filter: the reader prunes the
+    # file LISTING before any I/O (round-5 pushFilters), so this scans
+    # ~1/10 of the vault — compare against vault_parse_cold_plus_scan
+    from pyspark.sql import functions as F
+
+    from frontmatter_mcp_spark.sources.datasource import FrontmatterDataSource
+
+    try:
+        spark.dataSource.register(FrontmatterDataSource)
+    except Exception:
+        pass  # already registered in this session
+    t0 = time.perf_counter()
+    (
+        spark.read.format("frontmatter")
+        # capped inference: the homogeneous vault needs a handful of
+        # files for the key union; at scale users pass .schema()
+        .option("sampleFiles", "20")
+        .load(str(vault))
+        .filter(F.col("path").startswith("file_00"))
+        .count()
+    )
+    out["vault_ds_pushdown_scan"] = round(time.perf_counter() - t0, 4)
     return out
 
 
