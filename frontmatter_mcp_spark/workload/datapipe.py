@@ -7429,3 +7429,144 @@ def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CASE WHEN n_wedges > 0 THEN 3e0 * n_triangles / n_wedges"
         " ELSE NULL END, 6) AS clustering_coefficient",
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — HLL register MERGE for distinct-key overlap: per-side register
+# tables (q136 machinery) combine by elementwise MAX into the UNION
+# sketch — the mergeability that makes HLL the engine-standard distinct
+# counter (partial aggregates union exactly like this) — and the
+# intersection estimate follows by inclusion-exclusion. Pairs with
+# q152: CMS prices the JOIN SIZE, HLL prices the DISTINCT overlap.
+# ---------------------------------------------------------------------------
+def _hll_regs_sql(src: str, key: str) -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    idx = hash_bucket_sql("t", _HLL_M)
+    v = "CAST(0 AS BIGINT)"
+    for i in range(8, 20):
+        v = (
+            f"({v}) * 16 + (strpos('0123456789abcdef', "
+            f"substr(md5(CAST(t AS VARCHAR)), {i}, 1)) - 1)"
+        )
+    rho = (
+        f"CASE WHEN ({v}) = 0 THEN {_HLL_RHO_BITS + 1} "
+        f"ELSE {_HLL_RHO_BITS} - length(bin({v})) + 1 END"
+    )
+    return (
+        f"SELECT {idx} AS reg, CAST(MAX({rho}) AS INT) AS rho "
+        f"FROM (SELECT DISTINCT CAST({key} AS VARCHAR) AS t FROM {src}) "
+        f"GROUP BY 1"
+    )
+
+
+def _hll_est_from_regs(regs: str) -> str:
+    sum_fx = (
+        f"(SELECT CAST(SUM(CAST(POW(2, 49 - rho) AS BIGINT)) AS BIGINT)"
+        f" + CAST(({_HLL_M} - COUNT(*)) AS BIGINT) * {_HLL_FX} FROM {regs})"
+    )
+    zeros = f"(SELECT CAST({_HLL_M} - COUNT(*) AS INT) FROM {regs})"
+    return _hll_estimate_expr(sum_fx, zeros)
+
+
+@register(
+    "q160_hll_join_overlap",
+    f"""
+    WITH ra AS ({_hll_regs_sql('orders', 'o_custkey')}),
+    rb AS ({_hll_regs_sql('customer', 'c_custkey')}),
+    ru AS (
+      SELECT reg, CAST(MAX(rho) AS INT) AS rho
+      FROM (SELECT reg, rho FROM ra UNION ALL SELECT reg, rho FROM rb)
+      GROUP BY 1
+    ),
+    truth AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_a,
+             (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer) AS nd_b,
+             (SELECT CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+               AS nd_overlap
+      FROM orders
+    )
+    SELECT t.nd_a, t.nd_b, t.nd_overlap,
+           {_hll_est_from_regs('ra')} AS est_a,
+           {_hll_est_from_regs('rb')} AS est_b,
+           {_hll_est_from_regs('ru')} AS est_union,
+           round({_hll_est_from_regs('ra')} + {_hll_est_from_regs('rb')}
+                 - {_hll_est_from_regs('ru')}, 4) AS est_overlap
+    FROM truth t
+    """,
+    doc="HLL register MERGE for distinct-key join overlap: per-side "
+    "register tables (the q136 sketch) combine by elementwise MAX into "
+    "the exact union sketch — the mergeability property that makes HLL "
+    "the engine-standard distinct counter — and |A intersect B| follows "
+    "by inclusion-exclusion, all hash-verified next to the exact "
+    "counts. Pairs with q152: CMS prices the join SIZE, HLL prices the "
+    "DISTINCT overlap; both from sketch-sized state",
+)
+def q160_hll_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    def regs(df, key):
+        t = df.select(F.col(key).cast("string").alias("t")).distinct()
+        h = F.md5(F.col("t"))
+        v = F.lit(0).cast("long")
+        for i in range(8, 20):
+            v = v * 16 + (
+                F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+            )
+        rho = F.when(v == 0, F.lit(_HLL_RHO_BITS + 1)).otherwise(
+            F.lit(_HLL_RHO_BITS) - F.length(F.bin(v)) + 1
+        )
+        return (
+            t.select(hash_bucket(F.col("t"), _HLL_M).alias("reg"), rho.alias("__rho"))
+            .groupBy("reg")
+            .agg(F.max("__rho").cast("int").alias("rho"))
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ra = pin(regs(o, "o_custkey"))
+    rb = pin(regs(c, "c_custkey"))
+    ru = (
+        ra.unionAll(rb).groupBy("reg").agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+    def est(regs_df):
+        s = regs_df.agg(
+            (
+                F.sum(F.pow(F.lit(2), F.lit(49) - F.col("rho")).cast("long"))
+                .cast("long")
+                + (F.lit(_HLL_M) - F.count("*")).cast("long") * F.lit(_HLL_FX)
+            ).alias("sum_fx"),
+            (F.lit(_HLL_M) - F.count("*")).cast("int").alias("zeros"),
+        )
+        return s.selectExpr(
+            f"{_hll_estimate_expr('sum_fx', 'zeros')} AS e"
+        )
+
+    ea = est(ra).withColumnRenamed("e", "est_a")
+    eb = est(rb).withColumnRenamed("e", "est_b")
+    eu = est(ru).withColumnRenamed("e", "est_union")
+    truth = (
+        o.agg(F.countDistinct("o_custkey").cast("long").alias("nd_a"))
+        .crossJoin(
+            F.broadcast(
+                c.agg(F.countDistinct("c_custkey").cast("long").alias("nd_b"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                o.join(c, o.o_custkey == c.c_custkey)
+                .agg(F.countDistinct("o_custkey").cast("long").alias("nd_overlap"))
+            )
+        )
+    )
+    return (
+        truth.crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .selectExpr(
+            "nd_a", "nd_b", "nd_overlap", "est_a", "est_b", "est_union",
+            "round(est_a + est_b - est_union, 4) AS est_overlap",
+        )
+    )
