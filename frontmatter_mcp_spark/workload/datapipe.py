@@ -7570,3 +7570,153 @@ def q160_hll_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(est_a + est_b - est_union, 4) AS est_overlap",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — Neyman-allocation stratified sampling: the survey-grade
+# upgrade over proportional quotas (q83/q103) — each stratum's sample
+# share is proportional to N_h * S_h, so high-variance strata get more
+# budget (minimum-variance estimator for a fixed budget). Integer-exact
+# moments, Hamilton largest-remainder rounding so the quotas sum to the
+# budget EXACTLY, md5-order selection.
+# ---------------------------------------------------------------------------
+_NEYMAN_BUDGET = 200
+
+
+def _neyman_sd(n: str, s1: str, s2: str) -> str:
+    """Sample stddev from integer moments — identical text both
+    engines: sqrt((sum_sq - sum^2/n) / (n - 1)); degenerate strata
+    (n = 1) contribute zero weight."""
+    return (
+        f"CASE WHEN {n} > 1 THEN sqrt((CAST({s2} AS DOUBLE)"
+        f" - CAST({s1} AS DOUBLE) * {s1} / {n}) / ({n} - 1)) ELSE 0e0 END"
+    )
+
+
+def _neyman_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    b = _NEYMAN_BUDGET
+    sd = _neyman_sd("n_h", "s1", "s2")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    st AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(nt) AS BIGINT) AS s1,
+             CAST(SUM(nt * nt) AS BIGINT) AS s2
+      FROM toks GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_h, s1, s2, ({sd}) AS sd_h,
+             n_h * ({sd}) AS wgt,
+             SUM(n_h * ({sd})) OVER () AS tot_w
+      FROM st
+    ),
+    quota AS (
+      SELECT source, n_h, s1, sd_h,
+             {b} * wgt / tot_w AS q,
+             CAST(FLOOR({b} * wgt / tot_w) AS BIGINT) AS fl,
+             {b} * wgt / tot_w - FLOOR({b} * wgt / tot_w) AS rem
+      FROM w
+    ),
+    alloc AS (
+      SELECT source, n_h, s1, sd_h,
+             fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                       <= {b} - (SELECT SUM(fl) FROM quota)
+                  THEN 1 ELSE 0 END AS n_alloc
+      FROM quota
+    ),
+    ranked AS (
+      SELECT t.source, t.nt,
+             ROW_NUMBER() OVER (PARTITION BY t.source
+                                ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id)
+               AS rnk
+      FROM toks t
+    ),
+    sample_ AS (
+      SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(r.nt) AS BIGINT) AS s_nt
+      FROM ranked r JOIN alloc a ON a.source = r.source AND r.rnk <= a.n_alloc
+      GROUP BY 1
+    )
+    SELECT a.source, a.n_h, round(CAST(a.s1 AS DOUBLE) / a.n_h, 6) AS mean_h,
+           round(a.sd_h, 6) AS sd_h, CAST(a.n_alloc AS INT) AS n_alloc,
+           s.n_sampled,
+           round(CAST(s.s_nt AS DOUBLE) / s.n_sampled, 6) AS sample_mean
+    FROM alloc a JOIN sample_ s ON s.source = a.source
+    """
+
+
+@register(
+    "q161_neyman_allocation",
+    _neyman_sql(),
+    doc="Neyman-allocation stratified sampling: per-source budget shares "
+    "proportional to N_h * S_h (the minimum-variance allocation for a "
+    "fixed budget — high-variance strata earn more samples than "
+    "proportional quotas give them), with stddev from integer-exact "
+    "moments, Hamilton largest-remainder rounding so quotas sum to the "
+    "budget exactly, and md5-order deterministic selection. One corpus "
+    "scan for moments + one for selection (both pinned); everything "
+    "between runs on the |sources|-row table",
+)
+def q161_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    b = _NEYMAN_BUDGET
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    nt = F.size(
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+                 lambda t: t != "")
+    ).cast("long")
+    toks = pin(d.select("doc_id", "source", nt.alias("nt")))
+    st = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum("nt").cast("long").alias("s1"),
+        F.sum(F.col("nt") * F.col("nt")).cast("long").alias("s2"),
+    )
+    sd = _neyman_sd("n_h", "s1", "s2")
+    w = st.selectExpr(
+        "source", "n_h", "s1", "s2", f"({sd}) AS sd_h", f"n_h * ({sd}) AS wgt"
+    ).withColumn("tot_w", F.sum("wgt").over(W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)))
+    quota = w.selectExpr(
+        "source", "n_h", "s1", "sd_h",
+        f"CAST(FLOOR({b} * wgt / tot_w) AS BIGINT) AS fl",
+        f"{b} * wgt / tot_w - FLOOR({b} * wgt / tot_w) AS rem",
+    )
+    tot_fl = quota.agg(F.sum("fl").alias("tf"))
+    rnk = W.orderBy(F.col("rem").desc(), "source")
+    alloc = pin(
+        quota.crossJoin(F.broadcast(tot_fl))
+        .withColumn("rr", F.row_number().over(rnk))
+        .selectExpr(
+            "source", "n_h", "s1", "sd_h",
+            f"fl + CASE WHEN rr <= {b} - tf THEN 1 ELSE 0 END AS n_alloc",
+        )
+    )
+    sel_rnk = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = toks.withColumn("rnk", F.row_number().over(sel_rnk))
+    sample_ = (
+        ranked.join(F.broadcast(alloc.select("source", "n_alloc")), "source")
+        .filter(F.col("rnk") <= F.col("n_alloc"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("nt").cast("long").alias("s_nt"),
+        )
+    )
+    return alloc.join(sample_, "source").selectExpr(
+        "source", "n_h",
+        "round(CAST(s1 AS DOUBLE) / n_h, 6) AS mean_h",
+        "round(sd_h, 6) AS sd_h",
+        "CAST(n_alloc AS INT) AS n_alloc",
+        "n_sampled",
+        "round(CAST(s_nt AS DOUBLE) / n_sampled, 6) AS sample_mean",
+    )
