@@ -7720,3 +7720,126 @@ def q161_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sampled",
         "round(CAST(s_nt AS DOUBLE) / n_sampled, 6) AS sample_mean",
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — empirical-Bayes shrinkage of per-source quality rates: a
+# small source's observed pass-rate is noisy; shrinking it toward the
+# corpus rate with a beta-binomial method-of-moments prior is the
+# standard fix before ranking/gating sources on quality (the James-
+# Stein lesson applied to curation dashboards). Rates are quantized to
+# 2^30 fixed point BEFORE the cross-source moments, so every aggregate
+# is an exact integer and the prior strength derives from identical
+# double text.
+# ---------------------------------------------------------------------------
+_EB_FX = 1 << 30
+
+
+def _eb_sql() -> str:
+    from frontmatter_mcp_spark.workload.datapipe import _MIN_TOKENS, _PII_PATTERNS
+
+    pii = (
+        f"len(regexp_extract_all(text, '{_PII_PATTERNS['n_emails']}')) * 5"
+        f" + len(regexp_extract_all(text, '{_PII_PATTERNS['n_long_digit_runs']}')) * 3"
+        f" + len(regexp_extract_all(text, '{_PII_PATTERNS['n_phones']}')) * 4"
+    )
+    return f"""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN ({pii}) = 0
+                  AND len(list_filter(string_split_regex(trim(text), '\\s+'),
+                      t -> t <> '')) >= {_MIN_TOKENS}
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents
+    ),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(keep) AS BIGINT) AS k
+      FROM d GROUP BY 1
+    ),
+    fx AS (
+      SELECT source, n, k, (k * {_EB_FX}) // n AS rfx FROM s
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS h,
+             CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(k) AS BIGINT) AS tk,
+             CAST(SUM(rfx) AS BIGINT) AS sr,
+             CAST(SUM(rfx * rfx // {_EB_FX}) AS BIGINT) AS sr2
+      FROM fx
+    ),
+    prior AS (
+      SELECT h, tn, tk,
+             CAST(tk AS DOUBLE) / tn AS m,
+             (CAST(sr2 AS DOUBLE) / h - (CAST(sr AS DOUBLE) / h)
+              * (CAST(sr AS DOUBLE) / h) / {_EB_FX}) / {_EB_FX} AS v
+      FROM mom
+    ),
+    strength AS (
+      SELECT m,
+             CASE WHEN v > 0e0 AND m * (1e0 - m) / v - 1e0 > 1e0
+                  THEN m * (1e0 - m) / v - 1e0 ELSE 1e0 END AS big_m
+      FROM prior
+    )
+    SELECT fx.source, fx.n, fx.k,
+           round(CAST(fx.k AS DOUBLE) / fx.n, 6) AS raw_rate,
+           round((fx.k + st.big_m * st.m) / (fx.n + st.big_m), 6)
+             AS shrunk_rate,
+           round(st.big_m, 6) AS prior_strength
+    FROM fx CROSS JOIN strength st
+    """
+
+
+@register(
+    "q162_eb_shrinkage",
+    _eb_sql(),
+    doc="empirical-Bayes shrinkage of per-source quality pass-rates "
+    "(beta-binomial method-of-moments prior): small sources pull "
+    "strongly toward the corpus rate, large sources barely move — the "
+    "James-Stein correction a curation dashboard needs before ranking "
+    "sources on noisy rates. Rates quantize to 2^30 fixed point before "
+    "the cross-source moments (exact integer aggregates, no float "
+    "accumulation order); the prior derives from identical double "
+    "text. One corpus scan; everything else on the |sources| table",
+)
+def q162_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.workload.datapipe import _MIN_TOKENS, _PII_PATTERNS
+
+    t = F.col("text")
+    risk = (
+        F.regexp_count(t, F.lit(_PII_PATTERNS["n_emails"])) * 5
+        + F.regexp_count(t, F.lit(_PII_PATTERNS["n_long_digit_runs"])) * 3
+        + F.regexp_count(t, F.lit(_PII_PATTERNS["n_phones"])) * 4
+    )
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(t), r"\s+", -1), lambda x: x != F.lit(""))
+    )
+    keep = ((risk == 0) & (n_tokens >= _MIN_TOKENS)).cast("int")
+    d = load_table(spark, sf_dir, "documents").select("source", keep.alias("keep"))
+    s = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"), F.sum("keep").cast("long").alias("k")
+    )
+    fx = pin(s.selectExpr("source", "n", "k", f"(k * {_EB_FX}) div n AS rfx"))
+    mom = fx.agg(
+        F.count("*").cast("long").alias("h"),
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("k").cast("long").alias("tk"),
+        F.sum("rfx").cast("long").alias("sr"),
+        F.sum(F.expr(f"rfx * rfx div {_EB_FX}")).cast("long").alias("sr2"),
+    )
+    prior = mom.selectExpr(
+        "h", "tn", "tk",
+        "CAST(tk AS DOUBLE) / tn AS m",
+        f"(CAST(sr2 AS DOUBLE) / h - (CAST(sr AS DOUBLE) / h)"
+        f" * (CAST(sr AS DOUBLE) / h) / {_EB_FX}) / {_EB_FX} AS v",
+    )
+    strength = prior.selectExpr(
+        "m",
+        "CASE WHEN v > 0e0 AND m * (1e0 - m) / v - 1e0 > 1e0"
+        " THEN m * (1e0 - m) / v - 1e0 ELSE 1e0 END AS big_m",
+    )
+    return fx.crossJoin(F.broadcast(strength)).selectExpr(
+        "source", "n", "k",
+        "round(CAST(k AS DOUBLE) / n, 6) AS raw_rate",
+        "round((k + big_m * m) / (n + big_m), 6) AS shrunk_rate",
+        "round(big_m, 6) AS prior_strength",
+    )
