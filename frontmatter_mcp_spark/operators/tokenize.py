@@ -121,6 +121,174 @@ def bpe_segment_vocab(
     )
 
 
+def unigram_induce(
+    words,
+    word_col: str = "w",
+    count_col: str = "wc",
+    max_piece: int = 3,
+    vocab_size: int = 200,
+    top: int = 50,
+    persist_fn=lambda d: d,
+):
+    """SentencePiece-style unigram-LM tokenizer induction (hard-EM, one
+    E+M round) with a fully INTEGER objective so both engines agree
+    bit-for-bit — the engine-portable tie-break story that true
+    log-probability EM lacks (libm `ln` differs in the last ulp across
+    engines, and a tokenizer's argmax segmentation is exactly the kind
+    of computation where one ulp flips a token boundary).
+
+    Pipeline (all Catalyst, zero Python in the hot path):
+    1. candidate pieces: every substring of length 1..max_piece of every
+       vocabulary word, frequency-weighted; the top ``vocab_size``
+       multi-char pieces (freq DESC, piece ASC — a total order) plus ALL
+       single characters (guarantees every word segments).
+    2. E-step: per-word optimal segmentation by dynamic programming over
+       character positions — objective lexicographic
+       (fewest tokens, then max total piece frequency, then longest
+       final piece): integers only, so the DP argmin is exact. The DP
+       runs as one F.aggregate fold per word (array-of-states
+       accumulator), piece costs looked up in a per-word map built by a
+       broadcast join against the piece table.
+    3. backtrack: a second fold walks the stored back-pointers to emit
+       the chosen pieces.
+    4. M-step: piece counts re-estimated from the Viterbi segmentations
+       (sum of word frequencies over uses).
+
+    Scale shape: the loop-free DP runs over the VOCABULARY (distinct
+    words), never the corpus; the piece table is a broadcast; the only
+    shuffles are vocabulary-sized aggregates (candidate counting, the
+    per-word cost-map regroup, the M-step count). The corpus is touched
+    once, by the caller's word count.
+
+    Returns (piece, piece_len, est_count, vocab_rank) — the ``top``
+    re-estimated pieces.
+    """
+    from pyspark.sql import Window
+
+    K = max_piece
+    base = persist_fn(
+        words.select(
+            F.col(word_col).alias("w"), F.col(count_col).cast("long").alias("wc")
+        )
+    )
+    # every (position, piece-length) substring occurrence, frequency-weighted
+    occ = (
+        base.select(
+            "w", "wc", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("t")
+        )
+        .select(
+            "w",
+            "wc",
+            "t",
+            F.explode(F.array(*[F.lit(k) for k in range(1, K + 1)])).alias("k"),
+        )
+        .filter(F.col("t") >= F.col("k"))
+        .withColumn(
+            "piece", F.col("w").substr(F.col("t") - F.col("k") + 1, F.col("k"))
+        )
+    )
+    freqs = occ.groupBy("piece").agg(F.sum("wc").cast("long").alias("freq"))
+    chars = freqs.filter(F.length("piece") == 1)
+    multi = (
+        freqs.filter(F.length("piece") > 1)
+        .orderBy(F.col("freq").desc(), "piece")
+        .limit(vocab_size)
+    )
+    pieces = chars.unionAll(multi)
+    # per-word cost map: (t * (K+1) + k) -> piece frequency; pieces
+    # outside the vocabulary simply have no entry (NULL lookup = invalid)
+    cm = (
+        occ.join(F.broadcast(pieces), "piece")
+        .select(
+            "w",
+            "wc",
+            (F.col("t") * (K + 1) + F.col("k")).cast("int").alias("key"),
+            F.col("freq").alias("value"),
+        )
+        .groupBy("w", "wc")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("key", "value"))
+            ).alias("cm")
+        )
+    )
+
+    def better_or_tie(c, b):
+        # c beats-or-ties b under (tokens ASC, sumfreq DESC); called with
+        # c's k greater than b's, so a tie also replaces (back DESC)
+        return (c["tokens"] < b["tokens"]) | (
+            (c["tokens"] == b["tokens"]) & (c["sumfreq"] >= b["sumfreq"])
+        )
+
+    def dp_step(acc, t):
+        best = None
+        for k in range(1, K + 1):
+            f = F.element_at(F.col("cm"), (t * (K + 1) + F.lit(k)).cast("int"))
+            # acc element i holds the state of position i-1; clamp the
+            # index so the k > t branch (discarded by `valid`) never
+            # feeds element_at a non-positive index
+            prev_idx = F.when(t >= F.lit(k), t - F.lit(k) + 1).otherwise(F.lit(1))
+            prev = F.element_at(acc, prev_idx)
+            c = F.struct(
+                (prev["tokens"] + 1).cast("int").alias("tokens"),
+                (prev["sumfreq"] + f).cast("long").alias("sumfreq"),
+                F.lit(k).cast("int").alias("back"),
+            )
+            if best is None:
+                best = c  # k=1 always valid: single chars are always in vocab
+            else:
+                valid = (t >= F.lit(k)) & f.isNotNull()
+                best = F.when(valid & better_or_tie(c, best), c).otherwise(best)
+        return F.concat(acc, F.array(best))
+
+    dp_init = F.array(
+        F.struct(
+            F.lit(0).cast("int").alias("tokens"),
+            F.lit(0).cast("long").alias("sumfreq"),
+            F.lit(0).cast("int").alias("back"),
+        )
+    )
+    with_dp = cm.withColumn(
+        "dp", F.aggregate(F.sequence(F.lit(1), F.length("w")), dp_init, dp_step)
+    )
+
+    def bt_step(acc, _):
+        pos = acc["pos"]
+        back = F.element_at(F.col("dp"), pos + 1)["back"]
+        nxt = F.struct(
+            (pos - back).cast("int").alias("pos"),
+            F.concat(
+                acc["ps"], F.array(F.col("w").substr(pos - back + 1, back))
+            ).alias("ps"),
+        )
+        return F.when(pos > 0, nxt).otherwise(acc)
+
+    bt_init = F.struct(
+        F.length("w").cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("ps"),
+    )
+    used = with_dp.select(
+        "wc",
+        F.explode(
+            F.aggregate(
+                F.sequence(F.lit(1), F.length("w")),
+                bt_init,
+                bt_step,
+                lambda acc: acc["ps"],
+            )
+        ).alias("piece"),
+    )
+    est = used.groupBy("piece").agg(F.sum("wc").cast("long").alias("est_count"))
+    ranked = est.orderBy(F.col("est_count").desc(), "piece").limit(top)
+    win = Window.orderBy(F.col("est_count").desc(), "piece")
+    return ranked.select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "est_count",
+        F.row_number().over(win).cast("int").alias("vocab_rank"),
+    )
+
+
 def _bpe_loop(
     words,
     word_col: str,

@@ -85,15 +85,41 @@ _LAST_GREEN_ROUND: dict[str, int] = {
         ],
         4,
     ),
+    # green in CORRECTNESS_r05.json (50/50 of the r05 window)
+    **dict.fromkeys(
+        [
+            "q100_dsir_resample", "q101_pq_recall", "q102_ann_ndcg",
+            "q103_temperature_mixture", "q105_bigram_lm_score",
+            "q106_token_budget_mixture", "q107_prototype_pruning",
+            "q108_record_linkage", "q109_bitext_margin_mining",
+            "q110_shard_manifest", "q111_quality_classifier",
+            "q113_bpe_merge_loop", "q115_pii_redaction", "q116_bpe_encode",
+            "q117_classifier_calibration", "q118_vocab_growth",
+            "q119_fuzzy_decontamination", "q120_softdedup_weights",
+            "q121_store_roundtrip_search", "q122_image_ahash_dedup",
+            "q123_wav_probe", "q124_duplication_ratio",
+            "q125_deterministic_augmentation", "q126_similarity_pagerank",
+            "q127_raking_mixture", "q128_png_ahash_dedup",
+            "q129_sparse_tfidf_knn", "q130_hard_negative_mining",
+            "q131_softdedup_sample", "q132_countmin_heavy_hitters",
+            "q134_bm25_topk", "q135_connected_components", "q136_hll_distinct",
+            "q137_dup_window_ladder", "q138_jpeg_coeff_roundtrip",
+            "q140_column_stats", "q141_incremental_mv", "q142_zorder_layout",
+            "q143_scd2_history", "q144_interval_islands", "q145_jl_projection",
+            "q146_skipgram_pairs", "q27_approx_stats",
+            "q93_duplicate_span_removal", "q94_unigram_lm_score",
+            "q95_training_manifest", "q96_simhash_candidates",
+            "q97_dsir_weights", "q98_pmi_merge_candidates", "q99_pq_adc_topk",
+        ],
+        5,
+    ),
 }
 
 # Queries whose Spark plan or oracle changed since their last green row —
 # once green they would otherwise sort by staleness and could fall outside
 # the window exactly when they most need re-verification.
 _MODIFIED_SINCE_GREEN: set[str] = {
-    # r5: bounded-error oracle replaced the rows-only check (also absent
-    # from _LAST_GREEN_ROUND, so it front-loads either way)
-    "q27_approx_stats",
+    # (q27's r5 bounded-error oracle went green in CORRECTNESS_r05 — cleared)
     # r5: persisted the shared clustered subplan (q91's fix applied to q90)
     "q90_semantic_dedup",
     # r5: label-propagation rounds now pin edges + per-round labels

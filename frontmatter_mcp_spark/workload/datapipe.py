@@ -7843,3 +7843,159 @@ def q162_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((k + big_m * m) / (n + big_m), 6) AS shrunk_rate",
         "round(big_m, 6) AS prior_strength",
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — unigram-LM tokenizer induction (SentencePiece-style hard-EM):
+# the second tokenizer-training algorithm next to q113's BPE merge loop
+# ---------------------------------------------------------------------------
+_UNI_MAXW = 10  # words longer than this are excluded from the study
+_UNI_MAXP = 3  # max piece length
+_UNI_VOCAB = 200  # multi-char candidate pieces kept
+_UNI_TOP = 50  # re-estimated pieces reported
+
+
+def _unigram_sql(
+    maxw: int = _UNI_MAXW,
+    maxp: int = _UNI_MAXP,
+    vocab: int = _UNI_VOCAB,
+    top: int = _UNI_TOP,
+) -> str:
+    """Replay of tokenize.unigram_induce: candidate counting, the
+    per-position Viterbi DP unrolled into one CTE per character position
+    (argmin via ROW_NUMBER over the integer objective), back-pointer
+    walk unrolled likewise, then the M-step count."""
+    ks = ", ".join(str(k) for k in range(1, maxp + 1))
+    ctes = [
+        """toks AS MATERIALIZED (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS t
+      FROM documents
+    )""",
+        f"""words AS MATERIALIZED (
+      SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM toks
+      WHERE regexp_matches(t, '^[a-z]+$') AND length(t) <= {maxw}
+      GROUP BY t
+    )""",
+        f"""occ AS MATERIALIZED (
+      SELECT w, wc, t.t AS t, k.k AS k, substr(w, t.t - k.k + 1, k.k) AS piece
+      FROM words,
+           UNNEST(generate_series(1, length(w))) AS t(t),
+           UNNEST([{ks}]) AS k(k)
+      WHERE t.t >= k.k
+    )""",
+        """freqs AS MATERIALIZED (
+      SELECT piece, CAST(SUM(wc) AS BIGINT) AS freq FROM occ GROUP BY piece
+    )""",
+        f"""pieces AS MATERIALIZED (
+      SELECT piece, freq FROM freqs WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, freq FROM (
+        SELECT piece, freq FROM freqs WHERE length(piece) > 1
+        ORDER BY freq DESC, piece LIMIT {vocab}
+      )
+    )""",
+        """wpk AS MATERIALIZED (
+      SELECT occ.w, occ.t, occ.k, p.freq AS f
+      FROM occ JOIN pieces p ON p.piece = occ.piece
+    )""",
+        """dp0 AS MATERIALIZED (
+      SELECT w, wc, CAST(0 AS INT) AS tokens, CAST(0 AS BIGINT) AS sumfreq,
+             CAST(0 AS INT) AS back
+      FROM words
+    )""",
+    ]
+    for t in range(1, maxw + 1):
+        branches = []
+        for k in range(1, min(maxp, t) + 1):
+            branches.append(
+                f"""SELECT p.w, p.wc, CAST(p.tokens + 1 AS INT) AS tokens,
+               CAST(p.sumfreq + c.f AS BIGINT) AS sumfreq, CAST(c.k AS INT) AS back
+        FROM dp{t - k} p JOIN wpk c ON c.w = p.w AND c.t = {t} AND c.k = {k}"""
+            )
+        union = "\n        UNION ALL ".join(branches)
+        ctes.append(
+            f"""dp{t} AS MATERIALIZED (
+      SELECT w, wc, tokens, sumfreq, back FROM (
+        SELECT cand.*, ROW_NUMBER() OVER (
+          PARTITION BY w ORDER BY tokens, sumfreq DESC, back DESC) AS rn
+        FROM ({union}) cand
+      ) WHERE rn = 1
+    )"""
+        )
+    dpall = "\n      UNION ALL ".join(
+        f"SELECT w, CAST({t} AS INT) AS pos, back FROM dp{t}"
+        for t in range(1, maxw + 1)
+    )
+    ctes.append(f"""dpall AS MATERIALIZED (
+      {dpall}
+    )""")
+    ctes.append(
+        """bt0 AS MATERIALIZED (
+      SELECT w, wc, CAST(length(w) AS INT) AS pos, CAST([] AS VARCHAR[]) AS ps
+      FROM words
+    )"""
+    )
+    for i in range(1, maxw + 1):
+        ctes.append(
+            f"""bt{i} AS MATERIALIZED (
+      SELECT b.w, b.wc,
+             CAST(CASE WHEN b.pos > 0 THEN b.pos - d.back ELSE b.pos END AS INT) AS pos,
+             CASE WHEN b.pos > 0
+                  THEN list_append(b.ps, substr(b.w, b.pos - d.back + 1, d.back))
+                  ELSE b.ps END AS ps
+      FROM bt{i - 1} b LEFT JOIN dpall d ON d.w = b.w AND d.pos = b.pos
+    )"""
+        )
+    ctes.append(
+        f"""est AS MATERIALIZED (
+      SELECT piece, CAST(SUM(wc) AS BIGINT) AS est_count
+      FROM (SELECT wc, unnest(ps) AS piece FROM bt{maxw})
+      GROUP BY piece
+    )"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT piece, CAST(length(piece) AS INT) AS piece_len, est_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY est_count DESC, piece) AS INT)
+             AS vocab_rank
+    FROM (SELECT * FROM est ORDER BY est_count DESC, piece LIMIT {top})
+    """
+
+
+@register(
+    "q163_unigram_tokenizer",
+    _unigram_sql(),
+    doc="unigram-LM tokenizer induction (SentencePiece hard-EM, one E+M "
+    "round) with a fully integer objective — fewest tokens, then max "
+    "total piece frequency, then longest final piece — so the Viterbi "
+    "DP argmin is exact and engine-portable (log-prob EM would hinge on "
+    "libm ln's last ulp). Candidate pieces are the top frequency-ranked "
+    "substrings plus all single chars; the DP is one Catalyst aggregate "
+    "fold per WORD (vocabulary-sized, never corpus-sized), piece costs "
+    "arrive via one broadcast join, and the M-step recount is a "
+    "vocabulary-sized aggregate. Oracle unrolls the DP and the "
+    "back-pointer walk into one CTE per character position",
+)
+def q163_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1), lambda t: t != ""
+    )
+    words = (
+        d.select(F.explode(toks).alias("t"))
+        .filter(F.col("t").rlike("^[a-z]+$") & (F.length("t") <= _UNI_MAXW))
+        .groupBy(F.col("t").alias("w"))
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    return tk.unigram_induce(
+        words,
+        "w",
+        "wc",
+        max_piece=_UNI_MAXP,
+        vocab_size=_UNI_VOCAB,
+        top=_UNI_TOP,
+        persist_fn=pin,
+    )
