@@ -7999,3 +7999,132 @@ def q163_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         top=_UNI_TOP,
         persist_fn=pin,
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — EXACT corpus-wide longest duplicated window length by binary
+# search: the arbitrary-length completion of q137's power-of-2 ladder
+# (ExactSubstr's length statistic, Lee et al., without a suffix array)
+# ---------------------------------------------------------------------------
+_EXD_MAX = 96  # search space [0, _EXD_MAX]; 2^7 > 97 so 7 probes pin it
+_EXD_STEPS = 7
+
+
+def _exact_dup_sql(maxn: int = _EXD_MAX, steps: int = _EXD_STEPS) -> str:
+    """Replay of the driver-side binary search: one (probe, dup-count,
+    state, candidate-set) CTE group per step, MATERIALIZED so the
+    candidate-doc chain doesn't inline exponentially."""
+    ctes = [
+        """toks AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    )""",
+        f"st0 AS MATERIALIZED (SELECT CAST(0 AS INT) AS lo, CAST({maxn} AS INT) AS hi)",
+        "cand0 AS MATERIALIZED (SELECT doc_id FROM documents)",
+    ]
+    traces = []
+    for i in range(1, steps + 1):
+        p = i - 1
+        ctes += [
+            f"""mid{i} AS MATERIALIZED (
+      SELECT CAST((lo + hi + 1) // 2 AS INT) AS m FROM st{p}
+    )""",
+            f"""dup{i} AS MATERIALIZED (
+      SELECT sp, CAST(COUNT(*) AS BIGINT) AS nd FROM (
+        SELECT DISTINCT t.doc_id, md5(array_to_string(t.w[q.i : q.i + m.m - 1], ' ')) AS sp
+        FROM toks t
+        JOIN cand{p} c ON c.doc_id = t.doc_id
+        CROSS JOIN mid{i} m,
+        UNNEST(generate_series(1, len(t.w) - m.m + 1)) AS q(i)
+        WHERE len(t.w) >= m.m
+      ) GROUP BY sp HAVING COUNT(*) >= 2
+    )""",
+            f"""n{i} AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dup{i})""",
+            f"""st{i} AS MATERIALIZED (
+      SELECT CASE WHEN n.n > 0 THEN m.m ELSE s.lo END AS lo,
+             CASE WHEN n.n > 0 THEN s.hi ELSE m.m - 1 END AS hi
+      FROM st{p} s, mid{i} m, n{i} n
+    )""",
+            f"""cand{i} AS MATERIALIZED (
+      SELECT DISTINCT t.doc_id
+      FROM toks t JOIN cand{p} c ON c.doc_id = t.doc_id
+      CROSS JOIN mid{i} m, n{i} n,
+      UNNEST(generate_series(1, len(t.w) - m.m + 1)) AS q(i)
+      WHERE n.n > 0 AND len(t.w) >= m.m
+        AND md5(array_to_string(t.w[q.i : q.i + m.m - 1], ' '))
+              IN (SELECT sp FROM dup{i})
+      UNION ALL
+      SELECT c.doc_id FROM cand{p} c CROSS JOIN n{i} n WHERE n.n = 0
+    )""",
+        ]
+        traces.append(
+            f"""SELECT CAST({i} AS INT) AS step, m.m AS probe_len, n.n AS n_dup_spans,
+             CAST(CASE WHEN n.n > 0 THEN 1 ELSE 0 END AS INT) AS went_up,
+             s.lo AS lo_after, s.hi AS hi_after
+      FROM mid{i} m, n{i} n, st{i} s"""
+        )
+    cte_block = ",\n    ".join(ctes)
+    union = "\n    UNION ALL ".join(traces)
+    return f"""
+    WITH {cte_block}
+    {union}
+    ORDER BY step
+    """
+
+
+@register(
+    "q164_exact_dup_length",
+    _exact_dup_sql(),
+    doc="EXACT longest cross-document duplicated window length (token "
+    "count) by deterministic binary search over [0, 96]: each of the 7 "
+    "probes extracts windows of ONE data-dependent length, md5s them "
+    "before the shuffle, and counts spans held by >= 2 documents; a hit "
+    "raises the lower bound and shrinks the candidate-doc set to the "
+    "docs holding a duplicate (a longer shared window implies the "
+    "shorter one, so the restriction is lossless), a miss lowers the "
+    "upper bound and keeps the set. Emits the full probe trace — "
+    "lo_after of the last row is the exact answer. Driver holds only "
+    "(lo, hi); per probe one O(candidate-tokens) pass, geometric doc "
+    "shrink, exactly the k-means-style iterative shape the oracle "
+    "unrolls step by step",
+)
+def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = pin(
+        d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+", -1).alias("w"))
+    )
+    cand = toks.select("doc_id")
+    lo, hi = 0, _EXD_MAX
+    trace = []
+    for step in range(1, _EXD_STEPS + 1):
+        mid = (lo + hi + 1) // 2
+        spans = (
+            toks.join(cand, "doc_id")
+            .filter(F.size("w") >= mid)
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(1), F.size("w") - (mid - 1))).alias("i"),
+                "w",
+            )
+            .select(
+                "doc_id",
+                F.md5(F.array_join(F.slice("w", F.col("i"), mid), " ")).alias("sp"),
+            )
+            .distinct()
+        )
+        dup = pin(
+            spans.groupBy("sp").agg(F.count("*").cast("long").alias("nd")).filter(
+                F.col("nd") >= 2
+            )
+        )
+        n = dup.count()
+        if n > 0:
+            cand = pin(spans.join(dup, "sp").select("doc_id").distinct())
+            lo = mid
+        else:
+            hi = mid - 1
+        trace.append((step, mid, n, 1 if n > 0 else 0, lo, hi))
+    return spark.createDataFrame(
+        trace,
+        "step int, probe_len int, n_dup_spans bigint, went_up int, "
+        "lo_after int, hi_after int",
+    )
