@@ -8128,3 +8128,130 @@ def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, probe_len int, n_dup_spans bigint, went_up int, "
         "lo_after int, hi_after int",
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — k-core peeling of the LSH similarity graph: the density
+# primitive next to components (q135), PageRank (q126) and triangles
+# (q159) — template families survive deep cores, chains/stars peel away
+# ---------------------------------------------------------------------------
+_KCORE_KS = [2, 3]
+_KCORE_ROUNDS = 5  # converged at test scales; production loops to fixpoint
+
+
+def _kcore_sql(ks=_KCORE_KS, rounds: int = _KCORE_ROUNDS) -> str:
+    rows_per_band = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    ctes = [
+        _SHINGLES_CTE.strip().rstrip(","),
+        f"sigs AS MATERIALIZED (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id)",
+        f"bb AS MATERIALIZED ({band_rows})",
+        """e AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    )""",
+    ]
+    traces = []
+    for k in ks:
+        ctes.append(f"e_{k}_0 AS MATERIALIZED (SELECT a, b FROM e)")
+        for r in range(1, rounds + 1):
+            p = f"e_{k}_{r - 1}"
+            ctes.append(
+                f"""keep_{k}_{r} AS MATERIALIZED (
+      SELECT n FROM (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+          SELECT a AS n FROM {p} UNION ALL SELECT b AS n FROM {p}
+        ) GROUP BY 1
+      ) WHERE d >= {k}
+    )"""
+            )
+            ctes.append(
+                f"""e_{k}_{r} AS MATERIALIZED (
+      SELECT p.a, p.b FROM {p} p
+      JOIN keep_{k}_{r} ka ON ka.n = p.a
+      JOIN keep_{k}_{r} kb ON kb.n = p.b
+    )"""
+            )
+            traces.append(
+                f"""SELECT CAST({k} AS INT) AS k, CAST({r} AS INT) AS round,
+             CAST((SELECT COUNT(*) FROM keep_{k}_{r}) AS BIGINT) AS n_nodes,
+             CAST((SELECT COUNT(*) FROM e_{k}_{r}) AS BIGINT) AS n_edges"""
+            )
+    cte_block = ",\n    ".join(ctes)
+    union = "\n    UNION ALL ".join(traces)
+    return f"""
+    WITH {cte_block}
+    {union}
+    ORDER BY k, round
+    """
+
+
+@register(
+    "q165_kcore_peeling",
+    _kcore_sql(),
+    doc="k-core peeling of the MinHash-LSH similarity graph for k=2,3: "
+    "each round drops nodes of degree < k and keeps only edges between "
+    "survivors, emitting the (k, round, nodes, edges) peeling trace — "
+    "the subgraph-density primitive that separates clique-like template "
+    "families (survive deep cores) from chains and stars (peel away). "
+    "Five fixed rounds (converged at test scales — the trace itself "
+    "proves it by repeating counts; production loops to fixpoint). "
+    "Edge list is candidate-pair-sized, never corpus-sized; each round "
+    "is one map-side-combined degree aggregate + two semi-joins on the "
+    "shrinking edge set, pinned per round so the lazy chain does not "
+    "nest exponentially (the q56 lesson)",
+)
+def q165_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    e0 = pin(
+        dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    traces = []
+    for k in _KCORE_KS:
+        e = e0
+        for r in range(1, _KCORE_ROUNDS + 1):
+            deg = (
+                e.select(F.col("a").alias("n"))
+                .unionAll(e.select(F.col("b").alias("n")))
+                .groupBy("n")
+                .agg(F.count("*").cast("long").alias("d"))
+            )
+            # localCheckpoint, not pin: with 2 ks x 5 rounds each
+            # referencing the previous round 4x (degree union, the join,
+            # the trace row), a persist-only chain still nests the LSH
+            # subtree O(2^rounds) times in the LOGICAL plan and analysis
+            # alone takes minutes — the q56 lesson's second half:
+            # persist bounds execution, checkpointing bounds the plan
+            # (on a cluster this is the classic GraphX/MLlib periodic-
+            # checkpoint pattern; the per-round tables are edge-sized)
+            keep = deg.filter(F.col("d") >= k).select("n").localCheckpoint(eager=False)
+            e = (
+                e.join(keep.withColumnRenamed("n", "a"), "a")
+                .join(keep.withColumnRenamed("n", "b"), "b")
+                .select("a", "b")
+                .localCheckpoint(eager=False)
+            )
+            traces.append(
+                keep.agg(F.count("*").cast("long").alias("n_nodes"))
+                .crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
+                .select(
+                    F.lit(k).cast("int").alias("k"),
+                    F.lit(r).cast("int").alias("round"),
+                    "n_nodes",
+                    "n_edges",
+                )
+            )
+    out = traces[0]
+    for t in traces[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("k", "round")
