@@ -8255,3 +8255,255 @@ def q165_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in traces[1:]:
         out = out.unionAll(t)
     return out.orderBy("k", "round")
+
+
+# ---------------------------------------------------------------------------
+# q166 — KMV / bottom-k (theta) sketch set operations over per-language
+# vocabularies: the third mergeable-sketch family next to HLL (q136/
+# q160 — distinct + inclusion-exclusion overlap) and CMS (q132/q152 —
+# frequencies + join size). Theta sketches estimate the INTERSECTION
+# directly (count common hashes under the union threshold), which
+# inclusion-exclusion cannot do without compounding two errors.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_REF_LANG = "en"
+
+
+def _kmv_fold_spark(h):
+    """First 13 hex digits of an md5 as a 52-bit long (exact in a
+    double, so hash -> (0,1) division is bit-identical cross-engine)."""
+    from frontmatter_mcp_spark.operators.sampling import _HEX
+
+    val = F.lit(0).cast("long")
+    for i in range(1, 14):
+        val = val * 16 + (F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1)
+    return val
+
+
+def _kmv_fold_sql(h: str) -> str:
+    from frontmatter_mcp_spark.operators.sampling import _HEX
+
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(1, 14):
+        expr = f"({expr}) * 16 + (strpos('{_HEX}', substr({h}, {i}, 1)) - 1)"
+    return f"({expr})"
+
+
+def _kmv_sql(k: int = _KMV_K, ref: str = _KMV_REF_LANG) -> str:
+    two52 = float(2**52)
+    return f"""
+    WITH wh AS MATERIALIZED (
+      SELECT DISTINCT lang, md5(t) AS h FROM (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> x <> '')) AS t
+        FROM documents
+      ) WHERE regexp_matches(t, '^[a-z]+$')
+    ),
+    ex AS MATERIALIZED (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM wh GROUP BY lang
+    ),
+    sk AS MATERIALIZED (
+      SELECT lang, h FROM (
+        SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM wh
+      ) WHERE rn <= {k}
+    ),
+    side AS MATERIALIZED (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS scnt, MAX(h) AS smax
+      FROM sk GROUP BY lang
+    ),
+    pairu AS MATERIALIZED (
+      SELECT pl, h FROM (
+        SELECT lang AS pl, h FROM sk WHERE lang <> '{ref}'
+        UNION
+        SELECT o.lang AS pl, s.h
+        FROM sk s CROSS JOIN (SELECT lang FROM ex WHERE lang <> '{ref}') o
+        WHERE s.lang = '{ref}'
+      )
+    ),
+    ustats AS MATERIALIZED (
+      SELECT pl, CAST(COUNT(*) AS BIGINT) AS ucnt, MAX(h) AS theta_h FROM (
+        SELECT pl, h, ROW_NUMBER() OVER (PARTITION BY pl ORDER BY h) AS rn
+        FROM pairu
+      ) WHERE rn <= {k} GROUP BY pl
+    ),
+    common AS MATERIALIZED (
+      SELECT b.lang AS pl, b.h
+      FROM (SELECT h FROM sk WHERE lang = '{ref}') a
+      JOIN (SELECT lang, h FROM sk WHERE lang <> '{ref}') b ON b.h = a.h
+    ),
+    cstats AS MATERIALIZED (
+      SELECT u.pl,
+             CAST(COALESCE(SUM(CASE WHEN u.ucnt < {k} OR c.h < u.theta_h
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS ccnt
+      FROM ustats u LEFT JOIN common c ON c.pl = u.pl
+      GROUP BY u.pl
+    ),
+    exinter AS MATERIALIZED (
+      SELECT b.lang AS pl, CAST(COUNT(*) AS BIGINT) AS xi
+      FROM (SELECT h FROM wh WHERE lang = '{ref}') a
+      JOIN (SELECT lang, h FROM wh WHERE lang <> '{ref}') b ON b.h = a.h
+      GROUP BY b.lang
+    )
+    SELECT u.pl AS lang_b,
+           ea.n AS n_a, eb.n AS n_b, COALESCE(xi.xi, 0) AS inter_exact,
+           round(CASE WHEN sa.scnt = {k}
+                 THEN ({k} - 1) / ({_kmv_fold_sql('sa.smax')} / {two52})
+                 ELSE CAST(sa.scnt AS DOUBLE) END, 4) AS est_a,
+           round(CASE WHEN sb.scnt = {k}
+                 THEN ({k} - 1) / ({_kmv_fold_sql('sb.smax')} / {two52})
+                 ELSE CAST(sb.scnt AS DOUBLE) END, 4) AS est_b,
+           round(CASE WHEN u.ucnt = {k}
+                 THEN ({k} - 1) / ({_kmv_fold_sql('u.theta_h')} / {two52})
+                 ELSE CAST(u.ucnt AS DOUBLE) END, 4) AS union_est,
+           round(CASE WHEN u.ucnt = {k}
+                 THEN cs.ccnt / ({_kmv_fold_sql('u.theta_h')} / {two52})
+                 ELSE CAST(cs.ccnt AS DOUBLE) END, 4) AS inter_est,
+           round(CAST(COALESCE(xi.xi, 0) AS DOUBLE)
+                 / (ea.n + eb.n - COALESCE(xi.xi, 0)), 6) AS jaccard_exact
+    FROM ustats u
+    JOIN cstats cs ON cs.pl = u.pl
+    JOIN side sa ON sa.lang = '{ref}'
+    JOIN side sb ON sb.lang = u.pl
+    JOIN ex ea ON ea.lang = '{ref}'
+    JOIN ex eb ON eb.lang = u.pl
+    LEFT JOIN exinter xi ON xi.pl = u.pl
+    ORDER BY lang_b
+    """
+
+
+@register(
+    "q166_kmv_setops",
+    _kmv_sql(),
+    doc="KMV/bottom-k (theta) sketch set operations: per-language "
+    "vocabulary sketches are the k lexicographically-smallest md5s "
+    "(hex order IS 128-bit numeric order, so selection never leaves "
+    "strings); union sketch = bottom-k of the merged sketches, distinct "
+    "estimate = (k-1)/theta with theta folded to 52 bits (exact in a "
+    "double, bit-identical division cross-engine), and the DIRECT "
+    "intersection estimate = common sketch hashes under theta / theta — "
+    "the operation HLL inclusion-exclusion (q160) can only approximate "
+    "by compounding two errors. Exact counts ride along as calibration "
+    "columns (the q82 pattern). Sketch build is one window top-k per "
+    "side over the distinct-token table; everything after operates on "
+    "k-row sketches — at 100 TB the sketches are partial-aggregable "
+    "and the exact calibration columns are the part you would drop",
+)
+def q166_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k, ref = _KMV_K, _KMV_REF_LANG
+    two52 = float(2**52)
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1), lambda t: t != ""
+    )
+    wh = pin(
+        d.select("lang", F.explode(toks).alias("t"))
+        .filter(F.col("t").rlike("^[a-z]+$"))
+        .select("lang", F.md5("t").alias("h"))
+        .distinct()
+    )
+    ex = wh.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    win = Window.partitionBy("lang").orderBy("h")
+    sk = pin(
+        wh.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") <= k)
+        .select("lang", "h")
+    )
+    side = sk.groupBy("lang").agg(
+        F.count("*").cast("long").alias("scnt"), F.max("h").alias("smax")
+    )
+    others = ex.filter(F.col("lang") != ref).select(F.col("lang").alias("pl"))
+    pairu = (
+        sk.filter(F.col("lang") != ref)
+        .select(F.col("lang").alias("pl"), "h")
+        .union(
+            sk.filter(F.col("lang") == ref)
+            .crossJoin(F.broadcast(others))
+            .select("pl", "h")
+        )
+        .distinct()
+    )
+    uwin = Window.partitionBy("pl").orderBy("h")
+    ustats = (
+        pairu.withColumn("rn", F.row_number().over(uwin)).filter(F.col("rn") <= k)
+        .groupBy("pl")
+        .agg(F.count("*").cast("long").alias("ucnt"), F.max("h").alias("theta_h"))
+    )
+    common = (
+        sk.filter(F.col("lang") == ref)
+        .select("h")
+        .join(sk.filter(F.col("lang") != ref).select(F.col("lang").alias("pl"), "h"), "h")
+    )
+    cstats = (
+        ustats.join(common, "pl", "left")
+        .groupBy("pl", "ucnt", "theta_h")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ucnt") < k) | (F.col("h") < F.col("theta_h")), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ccnt")
+        )
+    )
+    exinter = (
+        wh.filter(F.col("lang") == ref)
+        .select("h")
+        .join(wh.filter(F.col("lang") != ref).select(F.col("lang").alias("pl"), "h"), "h")
+        .groupBy("pl")
+        .agg(F.count("*").cast("long").alias("xi"))
+    )
+
+    def est(scnt, smax):
+        return F.round(
+            F.when(
+                scnt == k, (k - 1) / (_kmv_fold_spark(smax) / F.lit(two52))
+            ).otherwise(scnt.cast("double")),
+            4,
+        )
+
+    sa = F.broadcast(side.filter(F.col("lang") == ref).select(
+        F.col("scnt").alias("scnt_a"), F.col("smax").alias("smax_a")
+    ))
+    sb = side.select(
+        F.col("lang").alias("pl"),
+        F.col("scnt").alias("scnt_b"),
+        F.col("smax").alias("smax_b"),
+    )
+    ea = F.broadcast(ex.filter(F.col("lang") == ref).select(F.col("n").alias("n_a")))
+    eb = ex.select(F.col("lang").alias("pl"), F.col("n").alias("n_b"))
+    return (
+        cstats.join(F.broadcast(sb), "pl")
+        .join(F.broadcast(eb), "pl")
+        .join(exinter, "pl", "left")
+        .crossJoin(sa)
+        .crossJoin(ea)
+        .select(
+            F.col("pl").alias("lang_b"),
+            "n_a",
+            "n_b",
+            F.coalesce("xi", F.lit(0)).cast("long").alias("inter_exact"),
+            est(F.col("scnt_a"), F.col("smax_a")).alias("est_a"),
+            est(F.col("scnt_b"), F.col("smax_b")).alias("est_b"),
+            est(F.col("ucnt"), F.col("theta_h")).alias("union_est"),
+            F.round(
+                F.when(
+                    F.col("ucnt") == k,
+                    F.col("ccnt") / (_kmv_fold_spark(F.col("theta_h")) / F.lit(two52)),
+                ).otherwise(F.col("ccnt").cast("double")),
+                4,
+            ).alias("inter_est"),
+            F.round(
+                F.coalesce("xi", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("xi", F.lit(0))),
+                6,
+            ).alias("jaccard_exact"),
+        )
+        .orderBy("lang_b")
+    )
