@@ -8507,3 +8507,196 @@ def q166_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — CCNet perplexity-bucket composition: q94 scores documents, this
+# runs CCNet's actual downstream decision — split each language's corpus
+# into head/middle/tail perplexity tertiles and report the composition
+# ---------------------------------------------------------------------------
+@register(
+    "q167_perplexity_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    words AS (SELECT doc_id, lang, unnest(w) AS term FROM toks),
+    tf AS (SELECT doc_id, lang, term, COUNT(*) AS tf FROM words GROUP BY 1, 2, 3),
+    vocab AS (SELECT lang, term, SUM(tf) AS c FROM tf GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(c) AS n_total FROM vocab GROUP BY 1),
+    terms AS (
+      SELECT doc_id, tf.lang, tf.tf,
+             CAST((ln(CAST(n_total AS DOUBLE)) - ln(CAST(c AS DOUBLE))) * tf.tf
+                  AS DECIMAL(28,12)) AS nll_term
+      FROM tf JOIN vocab ON vocab.lang = tf.lang AND vocab.term = tf.term
+      JOIN tot ON tot.lang = tf.lang
+    ),
+    agg AS (
+      SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(nll_term) AS DOUBLE) / SUM(tf) AS nll_mean
+      FROM terms GROUP BY 1, 2
+    ),
+    bucketed AS (
+      SELECT lang, n_tokens, nll_mean,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY nll_mean, doc_id) AS b
+      FROM agg
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(nll_mean AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_nll,
+           ROUND(MIN(nll_mean), 6) AS min_nll,
+           ROUND(MAX(nll_mean), 6) AS max_nll
+    FROM bucketed GROUP BY lang, b
+    ORDER BY lang, bucket
+    """,
+    doc="CCNet's head/middle/tail decision: per-LANGUAGE unigram LM "
+    "(q94 scores against one global LM; CCNet trains per language), "
+    "documents ranked by mean token NLL within their language and cut "
+    "into tertiles by NTILE — doc_id tiebreak makes the cut "
+    "deterministic, decimal-exact NLL sums make the ranking key "
+    "bit-identical cross-engine. One term-key shuffle for the LM, one "
+    "per-language sort for the tertile cut (at 100 TB: approx "
+    "percentile cuts replace NTILE, same plan shape otherwise), "
+    "composition report is a map-side-combined aggregate",
+)
+def q167_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1), lambda t: t != ""
+    )
+    tf = (
+        d.select("doc_id", "lang", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tf = pin(tf)
+    vocab = tf.groupBy("lang", "term").agg(F.sum("tf").alias("c"))
+    tot = vocab.groupBy("lang").agg(F.sum("c").alias("n_total"))
+    terms = tf.join(vocab, ["lang", "term"]).join(F.broadcast(tot), "lang").select(
+        "doc_id",
+        "lang",
+        "tf",
+        (
+            (F.log(F.col("n_total").cast("double")) - F.log(F.col("c").cast("double")))
+            * F.col("tf")
+        )
+        .cast("decimal(28,12)")
+        .alias("nll_term"),
+    )
+    agg = terms.groupBy("doc_id", "lang").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        (F.sum("nll_term").cast("double") / F.sum("tf")).alias("nll_mean"),
+    )
+    win = Window.partitionBy("lang").orderBy("nll_mean", "doc_id")
+    bucketed = agg.withColumn("b", F.ntile(3).over(win))
+    return (
+        bucketed.groupBy("lang", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("nll_mean").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_nll"),
+            F.round(F.min("nll_mean"), 6).alias("min_nll"),
+            F.round(F.max("nll_mean"), 6).alias("max_nll"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            "mean_nll",
+            "min_nll",
+            "max_nll",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168 — small-file compaction planner: the lakehouse maintenance op
+# next to z-order layout (q142), SCD2 (q143) and incremental MV (q141)
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET = 65536  # target bytes per compacted output file
+
+
+@register(
+    "q168_compaction_plan",
+    f"""
+    WITH sized AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM documents
+    ),
+    binned AS (
+      SELECT source, doc_id, n_chars,
+             CAST(prior // {_COMPACT_TARGET} AS INT) AS bin
+      FROM sized
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / {_COMPACT_TARGET}, 4)
+             AS fill_ratio
+    FROM binned GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+    doc="small-file compaction planner: treats each document as an "
+    "input file of n_chars bytes and assigns per-source compaction "
+    "bins by the cumulative-sum next-fit rule (bin = floor(bytes "
+    "before me / target)) — the same parallel bin rule as q80's "
+    "sequence packing, so the plan needs one window cumsum per "
+    "source, no sequential driver loop (first-fit-decreasing would "
+    "serialize; next-fit overshoots a bin by at most one file, the "
+    "standard trade for a fully parallel planner). Emits the "
+    "compaction manifest: files, bytes, id range, fill ratio per bin",
+)
+def q168_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(win), F.lit(0)) / _COMPACT_TARGET
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("bytes"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+            F.round(
+                F.sum("n_chars").cast("double") / _COMPACT_TARGET, 4
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source", "bin")
+    )
