@@ -8437,7 +8437,7 @@ def q166_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sk.filter(F.col("lang") != ref).select(F.col("lang").alias("pl"), "h"), "h")
     )
     cstats = (
-        ustats.join(common, "pl", "left")
+        ustats.join(F.broadcast(common), "pl", "left")
         .groupBy("pl", "ucnt", "theta_h")
         .agg(
             F.coalesce(
@@ -8481,7 +8481,7 @@ def q166_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cstats.join(F.broadcast(sb), "pl")
         .join(F.broadcast(eb), "pl")
-        .join(exinter, "pl", "left")
+        .join(F.broadcast(exinter), "pl", "left")
         .crossJoin(sa)
         .crossJoin(ea)
         .select(

@@ -713,3 +713,43 @@ def test_q144_islands_single_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q163_unigram_dp_all_catalyst(spark):
+    """Unigram tokenizer: the Viterbi DP + backtrack folds are Catalyst
+    expressions (no Python anywhere), the piece table arrives by
+    broadcast, and no sort-merge join sneaks into the vocab pipeline."""
+    df = QUERIES["q163_unigram_tokenizer"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q166_kmv_sketch_joins_broadcast(spark):
+    """KMV set ops: every join over sketch-/language-sized tables is a
+    broadcast — no shuffle join anywhere (the only corpus-scale work is
+    the distinct-token aggregate and the per-side window top-k)."""
+    df = QUERIES["q166_kmv_setops"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q167_perplexity_no_python_single_window(spark):
+    """CCNet buckets: per-language LM + tertile cut stay JVM-side; the
+    NTILE cut is the only window."""
+    df = QUERIES["q167_perplexity_buckets"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q168_compaction_single_source_exchange(spark):
+    """Compaction planner: the cumsum window and the bin aggregate ride
+    the source-key exchanges — no joins, no Python, <=3 exchanges
+    (window partition, group-by re-key, final order)."""
+    df = QUERIES["q168_compaction_plan"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 3, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
