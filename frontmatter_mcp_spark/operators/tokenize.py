@@ -165,6 +165,34 @@ def unigram_induce(
     """
     from pyspark.sql import Window
 
+    seg = unigram_segment_vocab(
+        words, word_col, count_col, max_piece, vocab_size, persist_fn
+    )
+    used = seg.select("wc", F.explode("ps").alias("piece"))
+    est = used.groupBy("piece").agg(F.sum("wc").cast("long").alias("est_count"))
+    ranked = est.orderBy(F.col("est_count").desc(), "piece").limit(top)
+    win = Window.orderBy(F.col("est_count").desc(), "piece")
+    return ranked.select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "est_count",
+        F.row_number().over(win).cast("int").alias("vocab_rank"),
+    )
+
+
+def unigram_segment_vocab(
+    words,
+    word_col: str = "w",
+    count_col: str = "wc",
+    max_piece: int = 3,
+    vocab_size: int = 200,
+    persist_fn=lambda d: d,
+):
+    """The E-step of ``unigram_induce`` as a reusable artifact: per-word
+    Viterbi-optimal segmentation under the integer objective, returned
+    as (w, wc, ps: array<string>) — the vocabulary table a tokenizer
+    joins against the corpus token stream to encode it (the unigram
+    counterpart of ``bpe_segment_vocab``)."""
     K = max_piece
     base = persist_fn(
         words.select(
@@ -267,25 +295,15 @@ def unigram_induce(
         F.length("w").cast("int").alias("pos"),
         F.array().cast("array<string>").alias("ps"),
     )
-    used = with_dp.select(
+    return with_dp.select(
+        "w",
         "wc",
-        F.explode(
-            F.aggregate(
-                F.sequence(F.lit(1), F.length("w")),
-                bt_init,
-                bt_step,
-                lambda acc: acc["ps"],
-            )
-        ).alias("piece"),
-    )
-    est = used.groupBy("piece").agg(F.sum("wc").cast("long").alias("est_count"))
-    ranked = est.orderBy(F.col("est_count").desc(), "piece").limit(top)
-    win = Window.orderBy(F.col("est_count").desc(), "piece")
-    return ranked.select(
-        "piece",
-        F.length("piece").cast("int").alias("piece_len"),
-        "est_count",
-        F.row_number().over(win).cast("int").alias("vocab_rank"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("w")),
+            bt_init,
+            bt_step,
+            lambda acc: acc["ps"],
+        ).alias("ps"),
     )
 
 

@@ -7855,20 +7855,24 @@ _UNI_VOCAB = 200  # multi-char candidate pieces kept
 _UNI_TOP = 50  # re-estimated pieces reported
 
 
-def _unigram_sql(
+def _unigram_chain_ctes(
     maxw: int = _UNI_MAXW,
     maxp: int = _UNI_MAXP,
     vocab: int = _UNI_VOCAB,
-    top: int = _UNI_TOP,
-) -> str:
-    """Replay of tokenize.unigram_induce: candidate counting, the
-    per-position Viterbi DP unrolled into one CTE per character position
-    (argmin via ROW_NUMBER over the integer objective), back-pointer
-    walk unrolled likewise, then the M-step count."""
+) -> list[str]:
+    """The shared unigram-tokenizer CTE chain (replay of
+    tokenize.unigram_segment_vocab): corpus tokens, word counts,
+    candidate-piece selection, the per-position Viterbi DP unrolled into
+    one CTE per character position (argmin via ROW_NUMBER over the
+    integer objective), and the back-pointer walk likewise — ending at
+    bt{maxw} = (w, wc, ps). The train side (q163) appends the M-step
+    count; the apply side (q169) joins the segmentation lengths back to
+    the corpus token stream."""
     ks = ", ".join(str(k) for k in range(1, maxp + 1))
     ctes = [
         """toks AS MATERIALIZED (
-      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                     x -> x <> '')) AS t
       FROM documents
     )""",
@@ -7948,6 +7952,16 @@ def _unigram_sql(
       FROM bt{i - 1} b LEFT JOIN dpall d ON d.w = b.w AND d.pos = b.pos
     )"""
         )
+    return ctes
+
+
+def _unigram_sql(
+    maxw: int = _UNI_MAXW,
+    maxp: int = _UNI_MAXP,
+    vocab: int = _UNI_VOCAB,
+    top: int = _UNI_TOP,
+) -> str:
+    ctes = _unigram_chain_ctes(maxw, maxp, vocab)
     ctes.append(
         f"""est AS MATERIALIZED (
       SELECT piece, CAST(SUM(wc) AS BIGINT) AS est_count
@@ -8699,4 +8713,91 @@ def q168_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_ratio"),
         )
         .orderBy("source", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169 — unigram-tokenizer ENCODE: the corpus tokenized under the
+# q163-induced vocabulary (the apply stage, pairing with q163 exactly
+# as q116's BPE encode pairs with q113's merge loop) — emits the
+# fertility metric that lets the two tokenizer families be compared
+# ---------------------------------------------------------------------------
+def _unigram_encode_sql(
+    maxw: int = _UNI_MAXW, maxp: int = _UNI_MAXP, vocab: int = _UNI_VOCAB
+) -> str:
+    ctes = _unigram_chain_ctes(maxw, maxp, vocab)
+    ctes += [
+        f"""wt AS MATERIALIZED (
+      SELECT doc_id, t FROM toks
+      WHERE regexp_matches(t, '^[a-z]+$') AND length(t) <= {maxw}
+    )""",
+        f"""sl AS MATERIALIZED (
+      SELECT w, CAST(len(ps) AS BIGINT) AS sl FROM bt{maxw}
+    )""",
+        """agg AS MATERIALIZED (
+      SELECT wt.doc_id, CAST(COUNT(*) AS INT) AS n_words,
+             CAST(SUM(sl.sl) AS BIGINT) AS n_pieces
+      FROM wt JOIN sl ON sl.w = wt.t GROUP BY wt.doc_id
+    )""",
+    ]
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words,
+           COALESCE(agg.n_pieces, 0) AS n_pieces,
+           CASE WHEN agg.n_words IS NULL THEN NULL
+                ELSE CAST(agg.n_pieces AS DOUBLE) / agg.n_words END
+             AS pieces_per_word
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """
+
+
+@register(
+    "q169_unigram_encode",
+    _unigram_encode_sql(),
+    doc="unigram-tokenizer APPLY stage: every in-domain corpus word "
+    "(lowercase alpha, <= 10 chars) encoded under the q163-induced "
+    "vocabulary — per-document word count, Viterbi piece count, and "
+    "fertility (pieces per word), directly comparable to q116's BPE "
+    "fertility. The Viterbi DP reruns over the VOCABULARY "
+    "(bit-identical segmentations to q163), per-word piece counts "
+    "broadcast back onto the corpus token stream, and the per-doc "
+    "aggregate is map-side combined — the corpus is scanned, never "
+    "shuffled at token granularity beyond the doc key",
+)
+def q169_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1), lambda t: t != ""
+    )
+    wt = (
+        d.select("doc_id", F.explode(toks).alias("t"))
+        .filter(F.col("t").rlike("^[a-z]+$") & (F.length("t") <= _UNI_MAXW))
+    )
+    words = wt.groupBy(F.col("t").alias("w")).agg(
+        F.count("*").cast("long").alias("wc")
+    )
+    seg = tk.unigram_segment_vocab(
+        words, "w", "wc", max_piece=_UNI_MAXP, vocab_size=_UNI_VOCAB, persist_fn=pin
+    )
+    sl = seg.select("w", F.size("ps").cast("long").alias("sl"))
+    agg = (
+        wt.join(F.broadcast(sl), wt["t"] == sl["w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("sl").cast("long").alias("n_pieces"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_pieces", F.lit(0).cast("long")).alias("n_pieces"),
+            (F.col("n_pieces").cast("double") / F.col("n_words")).alias(
+                "pieces_per_word"
+            ),
+        )
     )
