@@ -8801,3 +8801,156 @@ def q169_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — hash-sample quantile summary: the engine-PORTABLE distributed
+# quantile estimator next to q27's engine-specific approx_percentile
+# sketch — a deterministic md5 Bernoulli sample IS a mergeable summary
+# (union of per-partition samples = sample of the union), and because
+# both engines draw the identical sample, the estimates hash-verify
+# EXACTLY, with the error against ground truth reported alongside
+# ---------------------------------------------------------------------------
+_HSQ_RATE = 50  # buckets of 1000 -> 5% sample
+_HSQ_PS = [0.25, 0.5, 0.75, 0.9375]  # binary fractions: interpolation exact
+
+
+def _hsq_sql() -> str:
+    b = _hash_bucket_duck("doc_id")
+    est_cols = ", ".join(
+        f"quantile_cont(n_chars, {p!r}) FILTER (WHERE {b} < {_HSQ_RATE}) AS est_p{i}"
+        for i, p in enumerate(_HSQ_PS)
+    )
+    ex_cols = ", ".join(
+        f"quantile_cont(n_chars, {p!r}) AS ex_p{i}" for i, p in enumerate(_HSQ_PS)
+    )
+    err_cols = ", ".join(
+        f"round(abs(est_p{i} - ex_p{i}), 4) AS err_p{i}" for i in range(len(_HSQ_PS))
+    )
+    out_cols = ", ".join(
+        f"round(est_p{i}, 4) AS est_p{i}, round(ex_p{i}, 4) AS exact_p{i}"
+        for i in range(len(_HSQ_PS))
+    )
+    return f"""
+    WITH stats AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(COUNT(*) FILTER (WHERE {b} < {_HSQ_RATE}) AS BIGINT) AS n_sample,
+             {est_cols},
+             {ex_cols}
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_total, n_sample, {out_cols}, {err_cols}
+    FROM stats ORDER BY source
+    """
+
+
+@register(
+    "q170_hash_sample_quantiles",
+    _hsq_sql(),
+    doc="engine-portable distributed quantile summary: a deterministic "
+    "5% md5-bucket Bernoulli sample per source (mergeable — the union "
+    "of per-partition samples is the sample of the union, the property "
+    "that makes it a summary and not just a sample) feeding exact "
+    "interpolated quantiles at binary fractions, reported against the "
+    "full-data truth with absolute errors. Complements q27: that "
+    "checks Spark's own approx_percentile within published bounds "
+    "(rows-only hash); this one hash-verifies EXACTLY because both "
+    "engines draw the identical sample. One scan, one map-side-"
+    "combined aggregate; at 100 TB the sample aggregate is the only "
+    "memory-resident state and the exact columns are the part you drop",
+)
+def q170_hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    in_sample = hash_bucket(F.col("doc_id"), 1000) < _HSQ_RATE
+    aggs = [
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(in_sample.cast("long")).cast("long").alias("n_sample"),
+    ]
+    sampled = F.when(in_sample, F.col("n_chars"))
+    for i, p in enumerate(_HSQ_PS):
+        aggs.append(F.percentile(sampled, F.lit(p)).alias(f"est_raw{i}"))
+        aggs.append(F.percentile("n_chars", F.lit(p)).alias(f"ex_raw{i}"))
+    stats = d.groupBy("source").agg(*aggs)
+    cols = ["source", "n_total", "n_sample"]
+    for i in range(len(_HSQ_PS)):
+        cols.append(F.round(F.col(f"est_raw{i}"), 4).alias(f"est_p{i}"))
+        cols.append(F.round(F.col(f"ex_raw{i}"), 4).alias(f"exact_p{i}"))
+    for i in range(len(_HSQ_PS)):
+        cols.append(
+            F.round(F.abs(F.col(f"est_raw{i}") - F.col(f"ex_raw{i}")), 4).alias(
+                f"err_p{i}"
+            )
+        )
+    return stats.select(*cols).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q171 — curriculum schedule: the training-loader's data ORDER as a
+# first-class artifact — stages by ascending LM difficulty (easy-first
+# curriculum), deterministic hash shuffle within each stage
+# ---------------------------------------------------------------------------
+@register(
+    "q171_curriculum_schedule",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(w) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    vocab AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n_total FROM vocab),
+    terms AS (
+      SELECT doc_id, tf,
+             CAST((ln(CAST(n_total AS DOUBLE)) - ln(CAST(c AS DOUBLE))) * tf
+                  AS DECIMAL(28,12)) AS nll_term
+      FROM tf JOIN vocab USING (term) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(nll_term) AS DOUBLE) / SUM(tf) AS nll_mean
+      FROM terms GROUP BY 1
+    ),
+    staged AS (
+      SELECT doc_id, nll_mean,
+             NTILE(3) OVER (ORDER BY nll_mean, doc_id) AS stage
+      FROM agg
+    )
+    SELECT doc_id, CAST(stage AS INT) AS stage,
+           ROUND(nll_mean, 6) AS difficulty,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY stage, md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS sched_order
+    FROM staged
+    """,
+    doc="easy-first curriculum schedule: documents staged into "
+    "difficulty tertiles by q94's unigram-LM score (decimal-exact, so "
+    "the tertile cut is deterministic), then hash-shuffled WITHIN each "
+    "stage (md5 of doc_id — the deterministic shuffle every epoch-"
+    "reproducible loader uses) into one global training order. The "
+    "result is the loader manifest: (doc, stage, difficulty, position). "
+    "One term shuffle for the LM, one rank for the schedule; at 100 TB "
+    "the global row_number becomes a per-range offset sum (the q83 "
+    "two-phase rank), same plan otherwise",
+)
+def q171_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    nll = tx.unigram_nll(d, "doc_id", "text").filter(F.col("nll_mean").isNotNull())
+    staged = nll.withColumn(
+        "stage", F.ntile(3).over(Window.orderBy("nll_mean", "doc_id"))
+    )
+    return staged.select(
+        "doc_id",
+        F.col("stage").cast("int").alias("stage"),
+        F.round("nll_mean", 6).alias("difficulty"),
+        F.row_number()
+        .over(Window.orderBy("stage", F.md5(F.col("doc_id").cast("string")), "doc_id"))
+        .cast("long")
+        .alias("sched_order"),
+    )
