@@ -8954,3 +8954,97 @@ def q171_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sched_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — EWMA daily smoothing + one-step forecast error: the
+# exponential-smoothing primitive next to the windowed z-score (q89),
+# MAD (q155) and day-of-week seasonality (q158). The fold is strictly
+# sequential in day order, so both engines execute the IDENTICAL IEEE
+# operation sequence — the only way a recursive filter can hash-match
+# cross-engine (a closed-form pow() rewrite would hinge on libm)
+# ---------------------------------------------------------------------------
+@register(
+    "q172_ewma_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+      FROM daily GROUP BY event_type
+    ),
+    folded AS (
+      -- err_sum is packed BEFORE level on purpose: DuckDB's list_reduce
+      -- evaluates struct_pack fields against an in-place accumulator, so
+      -- a field reading a.level must come before the field writing it
+      SELECT event_type, CAST(len(xs) AS INT) AS n_days,
+             list_reduce(
+               list_transform(xs, x -> struct_pack(
+                 err_sum := 0e0, level := x, cnt := CAST(0 AS BIGINT), x := x)),
+               (a, b) -> struct_pack(
+                 err_sum := a.err_sum + abs(b.x - a.level),
+                 level := a.level * 0.75e0 + b.x * 0.25e0,
+                 cnt := a.cnt + 1,
+                 x := b.x)) AS r
+      FROM series
+    )
+    SELECT event_type, n_days,
+           ROUND((r).level, 6) AS ewma_level,
+           CASE WHEN (r).cnt > 0
+                THEN ROUND((r).err_sum / (r).cnt, 6) ELSE NULL END AS mae_1step
+    FROM folded ORDER BY event_type
+    """,
+    doc="EWMA (alpha=1/4, a dyadic constant — the multiply-add sequence "
+    "is exact-identical cross-engine) over per-type daily counts, "
+    "seeded by the first day, emitting the final smoothed level (= the "
+    "flat next-day forecast) and the mean absolute one-step forecast "
+    "error accumulated along the fold. One events scan, one day "
+    "aggregate, then per-type sequential folds over day-count arrays — "
+    "the time dimension is bounded (days, not rows), so the collected "
+    "series stays tiny no matter the corpus size; a recursive filter "
+    "cannot be parallelized past that without changing its arithmetic",
+)
+def q172_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("xs")
+    )
+    first = F.element_at("xs", 1)
+    init = F.struct(
+        first.alias("level"),
+        F.lit(0.0).alias("err_sum"),
+        F.lit(0).cast("long").alias("cnt"),
+        first.alias("x"),
+    )
+    rest = F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0)))
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("int").alias("n_days"),
+        F.aggregate(
+            rest,
+            init,
+            lambda a, b: F.struct(
+                (a["level"] * 0.75 + b * 0.25).alias("level"),
+                (a["err_sum"] + F.abs(b - a["level"])).alias("err_sum"),
+                (a["cnt"] + 1).alias("cnt"),
+                b.alias("x"),
+            ),
+        ).alias("r"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("r")["level"], 6).alias("ewma_level"),
+        F.when(
+            F.col("r")["cnt"] > 0, F.round(F.col("r")["err_sum"] / F.col("r")["cnt"], 6)
+        ).alias("mae_1step"),
+    ).orderBy("event_type")
