@@ -9048,3 +9048,99 @@ def q172_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r")["cnt"] > 0, F.round(F.col("r")["err_sum"] / F.col("r")["cnt"], 6)
         ).alias("mae_1step"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q173 — key-skew profiler: the diagnostic that DECIDES when q78's
+# salted aggregation is worth its second shuffle — per event type, how
+# concentrated is the per-user key distribution (top shares + Gini)
+# ---------------------------------------------------------------------------
+@register(
+    "q173_skew_profile",
+    """
+    WITH uc AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, user_id, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt, user_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id DESC) AS rd
+      FROM uc
+    ),
+    prof AS (
+      SELECT event_type,
+             CAST(SUM(cnt) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(ra * cnt) AS BIGINT) AS weighted,
+             CAST(SUM(CASE WHEN rd = 1 THEN cnt ELSE 0 END) AS BIGINT) AS top1,
+             CAST(SUM(CASE WHEN rd <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS top10
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_users,
+           ROUND(CAST(top1 AS DOUBLE) / n_events, 6) AS top1_share,
+           ROUND(CAST(top10 AS DOUBLE) / n_events, 6) AS top10_share,
+           ROUND(2e0 * weighted / (CAST(n_users AS DOUBLE) * n_events)
+                 - (n_users + 1e0) / n_users, 6) AS gini,
+           CAST(top1 * n_users > 4 * n_events AS INT) AS skewed
+    FROM prof ORDER BY event_type
+    """,
+    doc="key-skew profiler over the (event_type, user) key distribution: "
+    "exact top-1/top-10 load shares and the Gini coefficient from the "
+    "grouped-data formula 2*sum(rank*count)/(n*total) - (n+1)/n — rank "
+    "and the weighted sum are exact BIGINTs under a total order (count, "
+    "then key), so the statistic hash-matches cross-engine. `skewed` "
+    "fires when the hottest key carries > 4x its uniform share — the "
+    "trigger for q78's salting. One key aggregate, one per-type window "
+    "pass (ascending and descending ranks share the exchange), "
+    "type-sized output",
+)
+def q173_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    uc = e.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wa = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").desc()
+    )
+    ranked = uc.select(
+        "event_type",
+        "cnt",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    prof = ranked.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("ra") * F.col("cnt")).cast("long").alias("weighted"),
+        F.sum(F.when(F.col("rd") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("top1"),
+        F.sum(F.when(F.col("rd") <= 10, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("top10"),
+    )
+    return prof.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        F.round(F.col("top1").cast("double") / F.col("n_events"), 6).alias(
+            "top1_share"
+        ),
+        F.round(F.col("top10").cast("double") / F.col("n_events"), 6).alias(
+            "top10_share"
+        ),
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n_users").cast("double") * F.col("n_events"))
+            - (F.col("n_users") + 1.0) / F.col("n_users"),
+            6,
+        ).alias("gini"),
+        (F.col("top1") * F.col("n_users") > 4 * F.col("n_events"))
+        .cast("int")
+        .alias("skewed"),
+    ).orderBy("event_type")
