@@ -9144,3 +9144,74 @@ def q173_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("skewed"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q174 — active-interval sweep: "how many shipments are in flight on
+# each day" is a point-in-interval RANGE JOIN (days x intervals) that
+# naive engines answer with an O(n*m) theta join; the sweep turns it
+# into +1/-1 boundary events and one cumulative sum — the q144 islands
+# trick applied to global interval stabbing
+# ---------------------------------------------------------------------------
+@register(
+    "q174_interval_sweep",
+    """
+    WITH bounds AS (
+      SELECT l_shipdate AS day, 1 AS delta FROM lineitem
+      UNION ALL
+      SELECT l_shipdate + CAST(l_quantity AS INT) * INTERVAL '1 day'
+               + INTERVAL '1 day', -1
+      FROM lineitem
+    ),
+    daily AS (
+      SELECT CAST(day AS DATE) AS day,
+             CAST(SUM(delta) AS BIGINT) AS delta,
+             CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS starts
+      FROM bounds GROUP BY 1
+    ),
+    swept AS (
+      SELECT day, starts,
+             CAST(SUM(delta) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS active
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, starts, active
+    FROM swept ORDER BY day
+    """,
+    doc="global interval stabbing by sweep: every lineitem [shipdate, "
+    "shipdate + quantity days] transit interval (the q144 windows) "
+    "becomes a +1 at start and a -1 past its end, "
+    "daily deltas aggregate map-side, and ONE running sum over the "
+    "bounded day axis yields the active-shipment count for every day — "
+    "O(n + days) against the O(n * days) point-in-interval range join a "
+    "naive plan would produce (Spark has no range-join optimizer rule; "
+    "this rewrite IS the optimization). The day axis is bounded, so the "
+    "final single-partition window is over thousands of rows no matter "
+    "the corpus size; everything corpus-sized happens in the partial "
+    "aggregate",
+)
+def q174_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.select(
+        F.col("l_shipdate").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        li.select(
+            F.date_add("l_shipdate", F.col("l_quantity").cast("int") + 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = bounds.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("delta"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("starts"),
+    )
+    win = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "starts",
+        F.sum("delta").over(win).cast("long").alias("active"),
+    ).orderBy("day")
