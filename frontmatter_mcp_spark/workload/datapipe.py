@@ -9215,3 +9215,103 @@ def q174_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "starts",
         F.sum("delta").over(win).cast("long").alias("active"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q175 — novelty rate: the memorization-risk metric beside q60's
+# decontamination DECISION — for every held-out document, what fraction
+# of its 8-token windows never occurs in the training split
+# ---------------------------------------------------------------------------
+_NOV_N = 8
+
+
+def _novelty_sql(n: int = _NOV_N) -> str:
+    b = _hash_bucket_duck("doc_id")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {b} AS bucket, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, bucket,
+             md5(array_to_string(w[i : i + {n - 1}], ' ')) AS fp
+      FROM toks, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)
+      WHERE len(w) >= {n}
+    ),
+    train_fp AS (SELECT DISTINCT fp FROM sp WHERE bucket < 800),
+    test_sp AS (SELECT doc_id, fp FROM sp WHERE bucket >= 900),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN tr.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM test_sp t LEFT JOIN train_fp tr ON tr.fp = t.fp
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_windows, n_novel,
+           ROUND(CAST(n_novel AS DOUBLE) / n_windows, 6) AS novelty_rate
+    FROM scored ORDER BY doc_id
+    """
+
+
+@register(
+    "q175_novelty_rate",
+    _novelty_sql(),
+    doc="memorization-risk novelty rate: every 8-token window of every "
+    "held-out (hash-bucket >= 900) document checked against the "
+    "distinct window set of the training split (bucket < 800) — "
+    "novelty = the fraction a model could not have copied verbatim. "
+    "q60 makes the binary keep/drop decision; this measures HOW novel "
+    "each eval document is (near-zero rates flag eval sets that leak). "
+    "Windows md5 to 32 bytes BEFORE the shuffle, the train set "
+    "deduplicates before the join, and the test side is a ~10% slice — "
+    "the anti-join shape (left join + NULL count) carries O(test "
+    "windows + distinct train windows), never the corpus pair product",
+)
+def q175_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    n = _NOV_N
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), 1000).alias("bucket"),
+        F.split(F.trim(F.col("text")), r"\s+", -1).alias("w"),
+    )
+    sp = (
+        toks.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            "bucket",
+            F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            F.md5(F.array_join(F.slice("w", F.col("i"), n), " ")).alias("fp"),
+        )
+    )
+    sp = pin(sp)
+    train_fp = sp.filter(F.col("bucket") < 800).select("fp").distinct()
+    test_sp = sp.filter(F.col("bucket") >= 900).select("doc_id", "fp")
+    scored = (
+        test_sp.join(
+            train_fp.withColumn("seen", F.lit(1)), "fp", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_windows",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_windows"), 6).alias(
+            "novelty_rate"
+        ),
+    ).orderBy("doc_id")
