@@ -9315,3 +9315,97 @@ def q175_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_rate"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q176 — Holt linear-trend smoothing: q172's EWMA upgraded with a trend
+# recursion (the forecast is level + trend, not flat). Two coupled
+# recursions defeat the q172 struct-pack ordering trick (the trend
+# update needs BOTH the new and the old level), so the oracle replays
+# the fold with a recursive CTE instead — the q135 precedent
+# ---------------------------------------------------------------------------
+@register(
+    "q176_holt_trend",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+      FROM daily GROUP BY event_type
+    ),
+    holt AS (
+      SELECT event_type, xs, 1 AS i, xs[1] AS level, 0e0 AS trend, 0e0 AS err
+      FROM series
+      UNION ALL
+      SELECT event_type, xs, i + 1,
+             0.25e0 * xs[i+1] + 0.75e0 * (level + trend),
+             0.125e0 * ((0.25e0 * xs[i+1] + 0.75e0 * (level + trend)) - level)
+               + 0.875e0 * trend,
+             err + abs(xs[i+1] - (level + trend))
+      FROM holt WHERE i < len(xs)
+    )
+    SELECT event_type, CAST(len(xs) AS INT) AS n_days,
+           ROUND(level, 6) AS level,
+           ROUND(trend, 6) AS trend,
+           ROUND(level + trend, 6) AS forecast_next,
+           CASE WHEN len(xs) > 1
+                THEN ROUND(err / (len(xs) - 1), 6) ELSE NULL END AS mae_1step
+    FROM holt WHERE i = len(xs)
+    ORDER BY event_type
+    """,
+    doc="Holt double exponential smoothing (alpha=1/4, beta=1/8 — dyadic "
+    "constants, exact-identical multiply-add sequences) over per-type "
+    "daily counts: level AND trend recursions folded strictly in day "
+    "order, one-step forecasts scored along the way, next-day forecast "
+    "= level + trend (q172's flat forecast plus slope). Same scale "
+    "shape as q172: corpus work is one day aggregate; the sequential "
+    "fold runs over bounded day-count arrays. Oracle replays the fold "
+    "via recursive CTE because the coupled recursions read both the "
+    "old and new level in one step",
+)
+def q176_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("xs")
+    )
+    first = F.element_at("xs", 1)
+    init = F.struct(
+        first.alias("level"),
+        F.lit(0.0).alias("trend"),
+        F.lit(0.0).alias("err"),
+    )
+    rest = F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0)))
+
+    def step(a, x):
+        new_level = 0.25 * x + 0.75 * (a["level"] + a["trend"])
+        return F.struct(
+            new_level.alias("level"),
+            (0.125 * (new_level - a["level"]) + 0.875 * a["trend"]).alias("trend"),
+            (a["err"] + F.abs(x - (a["level"] + a["trend"]))).alias("err"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("int").alias("n_days"),
+        F.aggregate(rest, init, step).alias("r"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("r")["level"], 6).alias("level"),
+        F.round(F.col("r")["trend"], 6).alias("trend"),
+        F.round(F.col("r")["level"] + F.col("r")["trend"], 6).alias("forecast_next"),
+        F.when(
+            F.col("n_days") > 1,
+            F.round(F.col("r")["err"] / (F.col("n_days") - 1), 6),
+        ).alias("mae_1step"),
+    ).orderBy("event_type")
