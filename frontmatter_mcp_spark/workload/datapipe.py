@@ -8020,8 +8020,13 @@ def q163_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # search: the arbitrary-length completion of q137's power-of-2 ladder
 # (ExactSubstr's length statistic, Lee et al., without a suffix array)
 # ---------------------------------------------------------------------------
-_EXD_MAX = 96  # search space [0, _EXD_MAX]; 2^7 > 97 so 7 probes pin it
-_EXD_STEPS = 7
+_EXD_MAX = 96  # search space [0, _EXD_MAX]
+# probe = min(binary midpoint, 2*max(lo, 2)): doubling from below until
+# the first miss, pure binary afterwards — one formula, no phase flag.
+# Worst case 5 doubling probes (4..64) + 6 binary probes ([64,96] is 33
+# wide), so 11 fixed steps always converge; early-converged steps
+# re-probe lo over the tiny candidate set (no-ops, pennies)
+_EXD_STEPS = 11
 
 
 def _exact_dup_sql(maxn: int = _EXD_MAX, steps: int = _EXD_STEPS) -> str:
@@ -8040,7 +8045,9 @@ def _exact_dup_sql(maxn: int = _EXD_MAX, steps: int = _EXD_STEPS) -> str:
         p = i - 1
         ctes += [
             f"""mid{i} AS MATERIALIZED (
-      SELECT CAST((lo + hi + 1) // 2 AS INT) AS m FROM st{p}
+      SELECT CAST(GREATEST(LEAST((lo + hi + 1) // 2, 2 * GREATEST(lo, 2)), 1)
+                  AS INT) AS m
+      FROM st{p}
     )""",
             f"""dup{i} AS MATERIALIZED (
       SELECT sp, CAST(COUNT(*) AS BIGINT) AS nd FROM (
@@ -8089,17 +8096,18 @@ def _exact_dup_sql(maxn: int = _EXD_MAX, steps: int = _EXD_STEPS) -> str:
     "q164_exact_dup_length",
     _exact_dup_sql(),
     doc="EXACT longest cross-document duplicated window length (token "
-    "count) by deterministic binary search over [0, 96]: each of the 7 "
-    "probes extracts windows of ONE data-dependent length, md5s them "
-    "before the shuffle, and counts spans held by >= 2 documents; a hit "
-    "raises the lower bound and shrinks the candidate-doc set to the "
-    "docs holding a duplicate (a longer shared window implies the "
-    "shorter one, so the restriction is lossless), a miss lowers the "
-    "upper bound and keeps the set. Emits the full probe trace — "
-    "lo_after of the last row is the exact answer. Driver holds only "
-    "(lo, hi); per probe one O(candidate-tokens) pass, geometric doc "
-    "shrink, exactly the k-means-style iterative shape the oracle "
-    "unrolls step by step",
+    "count) by a doubling-capped binary search over [0, 96]: probe "
+    "length = min(binary midpoint, 2*max(lo,2)), so the search doubles "
+    "from 4 while it keeps hitting and turns into pure binary search "
+    "after the first miss — the full-corpus probes only ever use SHORT "
+    "windows (a naive midpoint-first search md5'd 48-token windows over "
+    "the whole corpus and measured 123s at sf0.1; this shape is ~25x "
+    "cheaper), and by the time lengths grow the candidate-doc set has "
+    "collapsed to the docs still holding a duplicate (lossless: a "
+    "longer shared window implies the shorter one). Windows md5 before "
+    "the shuffle; 11 fixed probes emit the full trace — lo_after of the "
+    "last row is the exact answer; early convergence makes the spare "
+    "probes tiny re-probes of lo. Driver holds two integers",
 )
 def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
@@ -8110,7 +8118,7 @@ def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = 0, _EXD_MAX
     trace = []
     for step in range(1, _EXD_STEPS + 1):
-        mid = (lo + hi + 1) // 2
+        mid = max(min((lo + hi + 1) // 2, 2 * max(lo, 2)), 1)
         spans = (
             toks.join(cand, "doc_id")
             .filter(F.size("w") >= mid)
@@ -8132,7 +8140,16 @@ def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n = dup.count()
         if n > 0:
-            cand = pin(spans.join(dup, "sp").select("doc_id").distinct())
+            # localCheckpoint, not pin: 11 steps each referencing the
+            # previous candidate set through spans+dup nests the logical
+            # plan O(2^steps) deep — at 7 steps analysis was slow, at 11
+            # even building the plan STRING overflowed the heap. The
+            # checkpoint makes each round's candidate set a leaf (the
+            # q165/q135 lesson)
+            cand = (
+                spans.join(dup, "sp").select("doc_id").distinct()
+                .localCheckpoint(eager=False)
+            )
             lo = mid
         else:
             hi = mid - 1
