@@ -283,10 +283,12 @@ def unigram_segment_vocab(
     def bt_step(acc, _):
         pos = acc["pos"]
         back = F.element_at(F.col("dp"), pos + 1)["back"]
+        # prepend: the walk runs right-to-left, so prepending yields the
+        # segmentation in word order
         nxt = F.struct(
             (pos - back).cast("int").alias("pos"),
             F.concat(
-                acc["ps"], F.array(F.col("w").substr(pos - back + 1, back))
+                F.array(F.col("w").substr(pos - back + 1, back)), acc["ps"]
             ).alias("ps"),
         )
         return F.when(pos > 0, nxt).otherwise(acc)

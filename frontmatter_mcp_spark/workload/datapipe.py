@@ -7947,7 +7947,7 @@ def _unigram_chain_ctes(
       SELECT b.w, b.wc,
              CAST(CASE WHEN b.pos > 0 THEN b.pos - d.back ELSE b.pos END AS INT) AS pos,
              CASE WHEN b.pos > 0
-                  THEN list_append(b.ps, substr(b.w, b.pos - d.back + 1, d.back))
+                  THEN list_prepend(substr(b.w, b.pos - d.back + 1, d.back), b.ps)
                   ELSE b.ps END AS ps
       FROM bt{i - 1} b LEFT JOIN dpall d ON d.w = b.w AND d.pos = b.pos
     )"""
