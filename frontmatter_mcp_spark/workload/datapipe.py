@@ -2900,10 +2900,16 @@ _PQ_ITERS = 2
 _PQ_TOPK = 10
 
 
-def _pq_subspace_ctes(s: int, k: int = _PQ_K, iters: int = _PQ_ITERS) -> list[str]:
+def _pq_subspace_ctes(
+    s: int,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    src: str = "embeddings",
+    col: str = "embedding",
+) -> list[str]:
     lo = s * _PQ_SUB + 1
     hi = (s + 1) * _PQ_SUB
-    el = f"CAST(v.embedding[{lo} + i - 1] AS DOUBLE)"
+    el = f"CAST(v.{col}[{lo} + i - 1] AS DOUBLE)"
     dist = (
         f"list_sum([({el} - c.cent[i]) * ({el} - c.cent[i]) "
         f"FOR i IN generate_series(1, len(c.cent))])"
@@ -2911,8 +2917,8 @@ def _pq_subspace_ctes(s: int, k: int = _PQ_K, iters: int = _PQ_ITERS) -> list[st
     ctes = [
         f"""c0_s{s} AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-             CAST(embedding[{lo}:{hi}] AS DOUBLE[]) AS cent
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+             CAST({col}[{lo}:{hi}] AS DOUBLE[]) AS cent
+      FROM (SELECT vec_id, {col} FROM {src} ORDER BY vec_id LIMIT {k})
     )"""
     ]
     for t in range(1, iters + 1):
@@ -2922,7 +2928,7 @@ def _pq_subspace_ctes(s: int, k: int = _PQ_K, iters: int = _PQ_ITERS) -> list[st
         SELECT v.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                   ORDER BY {dist} ASC, c.cid ASC) AS rn
-        FROM embeddings v, c{t - 1}_s{s} c
+        FROM {src} v, c{t - 1}_s{s} c
       ) WHERE rn = 1
     )"""
         )
@@ -2931,8 +2937,8 @@ def _pq_subspace_ctes(s: int, k: int = _PQ_K, iters: int = _PQ_ITERS) -> list[st
         ctes.append(
             f"""m{t}_s{s} AS (
       SELECT a.cid, i AS pos,
-             {_fx_mean(f'CAST(v.embedding[{lo} + i - 1] AS DOUBLE)')} AS mv
-      FROM a{t}_s{s} a JOIN embeddings v USING (vec_id),
+             {_fx_mean(f'CAST(v.{col}[{lo} + i - 1] AS DOUBLE)')} AS mv
+      FROM a{t}_s{s} a JOIN {src} v USING (vec_id),
            UNNEST(generate_series(1, {_PQ_SUB})) AS t(i)
       GROUP BY a.cid, i
     )"""
@@ -9426,3 +9432,205 @@ def q176_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r")["err"] / (F.col("n_days") - 1), 6),
         ).alias("mae_1step"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q177 — IVF-PQ: the FAISS index architecture assembled from the parts
+# this workload already certifies separately — coarse k-means cells
+# (q48/q49) + product quantization of the RESIDUALS (q99) + nprobe ADC
+# search restricted to the probed cells
+# ---------------------------------------------------------------------------
+_IVFPQ_NPROBE = 2
+_IVFPQ_NQ = 5
+_IVFPQ_TOPK = 10
+
+
+def _ivfpq_sql() -> str:
+    T = _KMEANS_ITERS
+    ctes = [_kmeans_ctes()]
+    ctes.append(
+        f"""res AS MATERIALIZED (
+      SELECT v.vec_id, a.cid AS cluster,
+             [CAST(v.embedding[i] AS DOUBLE) - c.cent[i]
+              FOR i IN generate_series(1, len(c.cent))] AS rv
+      FROM embeddings v JOIN a{T} a USING (vec_id) JOIN c{T - 1} c ON c.cid = a.cid
+    )"""
+    )
+    for s in range(_PQ_M):
+        ctes.extend(_pq_subspace_ctes(s, src="res", col="rv"))
+    enc_joins = " ".join(
+        f"JOIN a{_PQ_ITERS}_s{s} e{s} USING (vec_id)" for s in range(1, _PQ_M)
+    )
+    ctes.append(
+        "enc AS MATERIALIZED (SELECT e0.vec_id, r.cluster, "
+        + ", ".join(f"e{s}.cid AS code{s}" for s in range(_PQ_M))
+        + f" FROM a{_PQ_ITERS}_s0 e0 {enc_joins} JOIN res r USING (vec_id))"
+    )
+    cdist = (
+        "list_sum([(CAST(q.embedding[i] AS DOUBLE) - c.cent[i]) * "
+        "(CAST(q.embedding[i] AS DOUBLE) - c.cent[i]) "
+        "FOR i IN generate_series(1, len(c.cent))])"
+    )
+    ctes.append(
+        f"""probes AS MATERIALIZED (
+      SELECT qid, cell FROM (
+        SELECT q.vec_id AS qid, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cdist} ASC, c.cid ASC) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {_IVFPQ_NQ}) q, c{T - 1} c
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    )"""
+    )
+    ctes.append(
+        f"""qres AS MATERIALIZED (
+      SELECT p.qid, p.cell,
+             [CAST(q.embedding[i] AS DOUBLE) - c.cent[i]
+              FOR i IN generate_series(1, len(c.cent))] AS qr
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN c{T - 1} c ON c.cid = p.cell
+    )"""
+    )
+    dterms = []
+    cb_joins = []
+    for s in range(_PQ_M):
+        lo = s * _PQ_SUB + 1
+        ql = f"qr.qr[{lo} + i - 1]"
+        cb = f"c{_PQ_ITERS - 1}_s{s}"
+        cb_joins.append(f"JOIN {cb} cb{s} ON cb{s}.cid = enc.code{s}")
+        dterms.append(
+            f"list_sum([({ql} - cb{s}.cent[i]) * ({ql} - cb{s}.cent[i]) "
+            f"FOR i IN generate_series(1, {_PQ_SUB})])"
+        )
+    approx = dterms[0]
+    for d in dterms[1:]:
+        approx = f"({approx} + {d})"
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block},
+    pairs AS (
+      SELECT qr.qid, enc.vec_id AS cand_id, qr.cell, {approx} AS approx_dist
+      FROM qres qr JOIN enc ON enc.cluster = qr.cell {' '.join(cb_joins)}
+    ),
+    ranked AS (
+      SELECT qid, cand_id, cell, approx_dist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY approx_dist ASC, cand_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT qid, cand_id, CAST(cell AS INT) AS cell, approx_dist,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_IVFPQ_TOPK}
+    """
+
+
+@register(
+    "q177_ivfpq_topk",
+    _ivfpq_sql(),
+    doc="IVF-PQ (the FAISS index architecture): coarse k-means cells "
+    "(q48's quantizer) partition the corpus, product quantization "
+    "(q99's machinery) encodes the RESIDUAL v - centroid[cell] as 4 "
+    "int codes, and queries probe their nprobe=2 nearest cells with a "
+    "per-cell residual ADC table — so the search scans M ints per "
+    "candidate in ~nprobe/k of the corpus instead of D floats in all "
+    "of it, which is the whole economics of billion-scale ANN. Encode "
+    "and ADC are zero-shuffle codegen maps over plan-literal "
+    "centroids; the cell restriction is a broadcast join on the "
+    "cluster key (at scale: the cell is the storage partition key and "
+    "this probe prunes partitions, the q81 pattern). Every training "
+    "iteration (coarse and subspace) replays in the oracle bit-exactly",
+)
+def q177_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from frontmatter_mcp_spark.operators import quantize as pq
+    from frontmatter_mcp_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_assign(
+        e, k=_KMEANS_K, iters=_KMEANS_ITERS, return_centroids=True
+    )
+    cents_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in cents])
+    v = F.col("embedding").cast("array<double>")
+    res = pin(
+        e.join(assigned, "vec_id").select(
+            "vec_id",
+            "cluster",
+            F.zip_with(
+                v, F.element_at(cents_lit, F.col("cluster") + 1), lambda a, b: a - b
+            ).alias("rv"),
+        )
+    )
+    books = pq.pq_train_codebooks(
+        res, id_col="vec_id", vec_col="rv", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+    )
+    encoded = pq.pq_encode(res, books, id_col="vec_id", vec_col="rv").join(
+        res.select("vec_id", "cluster"), "vec_id"
+    )
+    q = e.filter(F.col("vec_id") < _IVFPQ_NQ).select(
+        F.col("vec_id").alias("qid"), v.alias("qv")
+    )
+    cdist = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    probes = q.select(
+        "qid",
+        "qv",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.zip_with(
+                        cdist,
+                        F.sequence(F.lit(0), F.lit(_KMEANS_K - 1)),
+                        lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                    )
+                ),
+                1,
+                _IVFPQ_NPROBE,
+            )
+        ).alias("p"),
+    ).select(
+        "qid",
+        F.col("p")["cell"].alias("cell"),
+        F.zip_with(
+            F.col("qv"),
+            F.element_at(cents_lit, F.col("p")["cell"] + 1),
+            lambda a, b: a - b,
+        ).alias("qr"),
+    )
+    m, sub = _PQ_M, _PQ_SUB
+    dtab = F.array(
+        *[
+            F.transform(
+                F.array(*[F.lit(c) for c in books[s]]),
+                pq._subspace_sqdist(F.slice(F.col("qr"), s * sub + 1, sub)),
+            )
+            for s in range(m)
+        ]
+    )
+    qp = probes.select("qid", "cell", dtab.alias("__dtab"))
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("__dtab"), F.col("codes"), lambda t, c: F.element_at(t, c + 1)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = W.partitionBy("qid").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
+    return (
+        F.broadcast(qp)
+        .join(encoded, qp["cell"] == encoded["cluster"])
+        .select(
+            "qid",
+            F.col("vec_id").alias("cand_id"),
+            F.col("cell").cast("int").alias("cell"),
+            approx.alias("approx_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _IVFPQ_TOPK)
+    )
