@@ -9634,3 +9634,299 @@ def q177_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _IVFPQ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — IVF-PQ recall/cost sweep: the q101-style calibration for q177 —
+# recall@10 AND candidates scanned per nprobe, the two axes every ANN
+# deployment trades against each other
+# ---------------------------------------------------------------------------
+_IVFPQ_SWEEP = [1, 2, 4]
+
+
+def _ivfpq_recall_sql() -> str:
+    T = _KMEANS_ITERS
+    nps = ", ".join(str(n) for n in _IVFPQ_SWEEP)
+    ctes = [_kmeans_ctes()]
+    ctes.append(
+        f"""res AS MATERIALIZED (
+      SELECT v.vec_id, a.cid AS cluster,
+             [CAST(v.embedding[i] AS DOUBLE) - c.cent[i]
+              FOR i IN generate_series(1, len(c.cent))] AS rv
+      FROM embeddings v JOIN a{T} a USING (vec_id)
+      JOIN c{T - 1} c ON c.cid = a.cid
+    )"""
+    )
+    for s in range(_PQ_M):
+        ctes.extend(_pq_subspace_ctes(s, src="res", col="rv"))
+    enc_joins = " ".join(
+        f"JOIN a{_PQ_ITERS}_s{s} e{s} USING (vec_id)" for s in range(1, _PQ_M)
+    )
+    ctes.append(
+        "enc AS MATERIALIZED (SELECT e0.vec_id, r.cluster, "
+        + ", ".join(f"e{s}.cid AS code{s}" for s in range(_PQ_M))
+        + f" FROM a{_PQ_ITERS}_s0 e0 {enc_joins} JOIN res r USING (vec_id))"
+    )
+    maxp = max(_IVFPQ_SWEEP)
+    cdist = (
+        "list_sum([(CAST(q.embedding[i] AS DOUBLE) - c.cent[i]) * "
+        "(CAST(q.embedding[i] AS DOUBLE) - c.cent[i]) "
+        "FOR i IN generate_series(1, len(c.cent))])"
+    )
+    ctes.append(
+        f"""probes AS MATERIALIZED (
+      SELECT qid, cell, rn AS probe_rank FROM (
+        SELECT q.vec_id AS qid, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cdist} ASC, c.cid ASC) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {_IVFPQ_NQ}) q, c{T - 1} c
+      ) WHERE rn <= {maxp}
+    )"""
+    )
+    ctes.append(
+        f"""qres AS MATERIALIZED (
+      SELECT p.qid, p.cell, p.probe_rank,
+             [CAST(q.embedding[i] AS DOUBLE) - c.cent[i]
+              FOR i IN generate_series(1, len(c.cent))] AS qr
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN c{T - 1} c ON c.cid = p.cell
+    )"""
+    )
+    dterms = []
+    cb_joins = []
+    for s in range(_PQ_M):
+        lo = s * _PQ_SUB + 1
+        ql = f"qr.qr[{lo} + i - 1]"
+        cb = f"c{_PQ_ITERS - 1}_s{s}"
+        cb_joins.append(f"JOIN {cb} cb{s} ON cb{s}.cid = enc.code{s}")
+        dterms.append(
+            f"list_sum([({ql} - cb{s}.cent[i]) * ({ql} - cb{s}.cent[i]) "
+            f"FOR i IN generate_series(1, {_PQ_SUB})])"
+        )
+    approx = dterms[0]
+    for d in dterms[1:]:
+        approx = f"({approx} + {d})"
+    ctes.append(
+        f"""pairs AS MATERIALIZED (
+      SELECT qr.qid, enc.vec_id AS cand_id, qr.probe_rank, {approx} AS approx_dist
+      FROM qres qr JOIN enc ON enc.cluster = qr.cell {' '.join(cb_joins)}
+    )"""
+    )
+    exd = (
+        "list_sum([(CAST(q.qvec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)) * "
+        "(CAST(q.qvec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)) "
+        "FOR i IN generate_series(1, len(q.qvec))])"
+    )
+    ctes.append(
+        f"""ex AS MATERIALIZED (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {exd} ASC, e.vec_id ASC) AS rn
+        FROM (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+              WHERE vec_id < {_IVFPQ_NQ}) q, embeddings e
+      ) WHERE rn <= {_IVFPQ_TOPK}
+    )"""
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block},
+    cfg AS (SELECT unnest([{nps}]) AS nprobe),
+    ranked AS (
+      SELECT cfg.nprobe, p.qid, p.cand_id,
+             ROW_NUMBER() OVER (PARTITION BY cfg.nprobe, p.qid
+                                ORDER BY p.approx_dist ASC, p.cand_id ASC) AS rank
+      FROM cfg JOIN pairs p ON p.probe_rank <= cfg.nprobe
+    ),
+    scanned AS (
+      SELECT cfg.nprobe, CAST(COUNT(*) AS BIGINT) AS cands
+      FROM cfg JOIN pairs p ON p.probe_rank <= cfg.nprobe
+      GROUP BY cfg.nprobe
+    ),
+    per_q AS (
+      SELECT cfgq.nprobe, ex.qid,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(COUNT(r.cand_id) AS BIGINT) AS n_overlap
+      FROM (SELECT nprobe FROM cfg) cfgq
+      CROSS JOIN ex
+      LEFT JOIN (SELECT * FROM ranked WHERE rank <= {_IVFPQ_TOPK}) r
+        ON r.nprobe = cfgq.nprobe AND r.qid = ex.qid AND r.cand_id = ex.vec_id
+      GROUP BY cfgq.nprobe, ex.qid
+    )
+    SELECT s.nprobe, CAST(COUNT(*) AS INT) AS n_queries, s.cands,
+           ROUND(CAST(SUM(p.n_overlap) AS DOUBLE) / SUM(p.n_exact), 6)
+             AS mean_recall,
+           ROUND(MIN(CAST(p.n_overlap AS DOUBLE) / p.n_exact), 6) AS min_recall
+    FROM per_q p JOIN scanned s ON s.nprobe = p.nprobe
+    GROUP BY s.nprobe, s.cands
+    ORDER BY s.nprobe
+    """
+
+
+@register(
+    "q178_ivfpq_recall",
+    _ivfpq_recall_sql(),
+    doc="IVF-PQ calibration sweep: recall@10 against the exact L2 "
+    "top-10 AND candidates scanned, per nprobe in {1,2,4} — the "
+    "recall/cost frontier that picks nprobe before trusting q177's "
+    "index at scale (q101 calibrates the PQ alone; this adds the cell "
+    "restriction's miss risk). The expensive subplans are shared "
+    "across the sweep: one probe table at max nprobe, ONE ADC pass "
+    "keeping the probe rank, configs then just filter probe_rank — "
+    "the q91 shared-subplan discipline. Exact ground truth is the "
+    "q36 broadcast brute force, the part you drop in production",
+)
+def q178_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from frontmatter_mcp_spark.operators import quantize as pq
+    from frontmatter_mcp_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_assign(
+        e, k=_KMEANS_K, iters=_KMEANS_ITERS, return_centroids=True
+    )
+    cents_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in cents])
+    v = F.col("embedding").cast("array<double>")
+    res = pin(
+        e.join(assigned, "vec_id").select(
+            "vec_id",
+            "cluster",
+            F.zip_with(
+                v, F.element_at(cents_lit, F.col("cluster") + 1), lambda a, b: a - b
+            ).alias("rv"),
+        )
+    )
+    books = pq.pq_train_codebooks(
+        res, id_col="vec_id", vec_col="rv", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+    )
+    encoded = pq.pq_encode(res, books, id_col="vec_id", vec_col="rv").join(
+        res.select("vec_id", "cluster"), "vec_id"
+    )
+    q = e.filter(F.col("vec_id") < _IVFPQ_NQ).select(
+        F.col("vec_id").alias("qid"), v.alias("qv")
+    )
+    maxp = max(_IVFPQ_SWEEP)
+    cdist = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    probes = q.select(
+        "qid",
+        "qv",
+        F.posexplode(
+            F.slice(
+                F.array_sort(
+                    F.zip_with(
+                        cdist,
+                        F.sequence(F.lit(0), F.lit(_KMEANS_K - 1)),
+                        lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                    )
+                ),
+                1,
+                maxp,
+            )
+        ).alias("pidx", "p"),
+    ).select(
+        "qid",
+        (F.col("pidx") + 1).alias("probe_rank"),
+        F.col("p")["cell"].alias("cell"),
+        F.zip_with(
+            F.col("qv"),
+            F.element_at(cents_lit, F.col("p")["cell"] + 1),
+            lambda a, b: a - b,
+        ).alias("qr"),
+    )
+    m, sub = _PQ_M, _PQ_SUB
+    dtab = F.array(
+        *[
+            F.transform(
+                F.array(*[F.lit(c) for c in books[s]]),
+                pq._subspace_sqdist(F.slice(F.col("qr"), s * sub + 1, sub)),
+            )
+            for s in range(m)
+        ]
+    )
+    qp = probes.select("qid", "probe_rank", dtab.alias("__dtab"))
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("__dtab"), F.col("codes"), lambda t, c: F.element_at(t, c + 1)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cells = probes.select("qid", "probe_rank", "cell")
+    pairs = pin(
+        F.broadcast(qp.join(cells, ["qid", "probe_rank"]))
+        .join(encoded, F.col("cell") == encoded["cluster"])
+        .select(
+            "qid",
+            "probe_rank",
+            F.col("vec_id").alias("cand_id"),
+            approx.alias("approx_dist"),
+        )
+    )
+    cfg = spark.range(0).sparkSession.createDataFrame(
+        [(n,) for n in _IVFPQ_SWEEP], "nprobe int"
+    )
+    joined = F.broadcast(cfg).join(pairs, pairs["probe_rank"] <= cfg["nprobe"])
+    rw = W.partitionBy("nprobe", "qid").orderBy(
+        F.asc("approx_dist"), F.asc("cand_id")
+    )
+    ranked = joined.withColumn("rank", F.row_number().over(rw)).filter(
+        F.col("rank") <= _IVFPQ_TOPK
+    )
+    scanned = joined.groupBy("nprobe").agg(
+        F.count("*").cast("long").alias("cands")
+    )
+    qv2, cv = F.col("qv"), F.col("embedding").cast("array<double>")
+    exd = F.aggregate(
+        F.zip_with(qv2, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ew = W.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
+    ex = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .select("qid", "vec_id", exd.alias("d"))
+        .withColumn("rn", F.row_number().over(ew))
+        .filter(F.col("rn") <= _IVFPQ_TOPK)
+        .select("qid", "vec_id")
+    )
+    per_q = (
+        F.broadcast(cfg)
+        .crossJoin(ex)
+        .join(
+            ranked.select(
+                "nprobe", "qid", F.col("cand_id").alias("vec_id"), F.lit(1).alias("_hit")
+            ),
+            ["nprobe", "qid", "vec_id"],
+            "left",
+        )
+        .groupBy("nprobe", "qid")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("_hit").cast("long").alias("n_overlap"),
+        )
+    )
+    return (
+        per_q.join(F.broadcast(scanned), "nprobe")
+        .groupBy("nprobe", "cands")
+        .agg(
+            F.count("*").cast("int").alias("n_queries"),
+            F.round(
+                F.sum("n_overlap").cast("double") / F.sum("n_exact"), 6
+            ).alias("mean_recall"),
+            F.round(
+                F.min(F.col("n_overlap").cast("double") / F.col("n_exact")), 6
+            ).alias("min_recall"),
+        )
+        .select("nprobe", "n_queries", "cands", "mean_recall", "min_recall")
+        .orderBy("nprobe")
+    )
