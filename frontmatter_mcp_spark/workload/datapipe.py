@@ -9930,3 +9930,128 @@ def q178_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nprobe", "n_queries", "cands", "mean_recall", "min_recall")
         .orderBy("nprobe")
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — PSI drift between ingestion batches: the ML-ops distribution-
+# drift metric next to q151's chi-square (composition independence) and
+# q153's row-level diff — "did the new batch's length profile move?"
+# ---------------------------------------------------------------------------
+_PSI_BUCKETS = 16
+_PSI_WIDTH = 256  # n_chars per bucket; last bucket is open-ended
+
+
+def _psi_sql() -> str:
+    b = _hash_bucket_duck("doc_id", 10)
+    return f"""
+    WITH base AS (
+      SELECT LEAST(n_chars // {_PSI_WIDTH}, {_PSI_BUCKETS - 1}) AS bucket,
+             CASE WHEN {b} <= 7 THEN 1 ELSE 0 END AS is_ref
+      FROM documents
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+      FROM base GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS t_cur
+      FROM counts
+    ),
+    cells AS (
+      SELECT g.bucket,
+             COALESCE(c.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur,
+             CAST(COALESCE(c.n_ref, 0) + 1 AS DOUBLE)
+               / (t.t_ref + {_PSI_BUCKETS}) AS p_ref,
+             CAST(COALESCE(c.n_cur, 0) + 1 AS DOUBLE)
+               / (t.t_cur + {_PSI_BUCKETS}) AS p_cur
+      FROM (SELECT unnest(generate_series(0, {_PSI_BUCKETS - 1})) AS bucket) g
+      LEFT JOIN counts c USING (bucket)
+      CROSS JOIN tot t
+    ),
+    terms AS (
+      SELECT bucket, n_ref, n_cur, p_ref, p_cur,
+             (p_ref - p_cur) * ln(p_ref / p_cur) AS psi_term
+      FROM cells
+    )
+    SELECT CAST(bucket AS INT) AS bucket, n_ref, n_cur,
+           ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+           ROUND(psi_term, 6) AS psi_term,
+           ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(28,12))) OVER () AS DOUBLE), 6)
+             AS psi_total
+    FROM terms ORDER BY bucket
+    """
+
+
+@register(
+    "q179_psi_drift",
+    _psi_sql(),
+    doc="population stability index between the reference ingestion "
+    "batches (hash buckets 0-7) and the newest (8-9) over a 16-cell "
+    "length histogram: per-cell Laplace-smoothed shares (so empty "
+    "cells stay finite), psi_term = (p-q)*ln(p/q), and the corpus "
+    "drift verdict as the decimal-exact total (> 0.2 is the classic "
+    "retrain trigger). The whole metric is one corpus scan into a "
+    "16-row map-side-combined histogram; everything after runs on 16 "
+    "rows. The chi-square (q151) asks whether composition is "
+    "independent; PSI quantifies HOW FAR a marginal moved",
+)
+def q179_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.least(
+            F.floor(F.col("n_chars") / _PSI_WIDTH), F.lit(_PSI_BUCKETS - 1)
+        ).cast("long").alias("bucket"),
+        F.when(hash_bucket(F.col("doc_id"), 10) <= 7, 1).otherwise(0).alias("is_ref"),
+    )
+    counts = base.groupBy("bucket").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    grid = spark.createDataFrame(
+        [(i,) for i in range(_PSI_BUCKETS)], "bucket long"
+    )
+    cells = (
+        grid.join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            (
+                (F.coalesce("n_ref", F.lit(0)) + 1).cast("double")
+                / (F.col("t_ref") + _PSI_BUCKETS)
+            ).alias("p_ref"),
+            (
+                (F.coalesce("n_cur", F.lit(0)) + 1).cast("double")
+                / (F.col("t_cur") + _PSI_BUCKETS)
+            ).alias("p_cur"),
+        )
+    )
+    terms = cells.withColumn(
+        "psi_term",
+        (F.col("p_ref") - F.col("p_cur")) * F.log(F.col("p_ref") / F.col("p_cur")),
+    )
+    win = Window.partitionBy()
+    return terms.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round("psi_term", 6).alias("psi_term"),
+        F.round(
+            F.sum(F.col("psi_term").cast("decimal(28,12)")).over(win).cast("double"),
+            6,
+        ).alias("psi_total"),
+    ).orderBy("bucket")
