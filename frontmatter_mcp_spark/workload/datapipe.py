@@ -2434,7 +2434,9 @@ _PI_DIM = 64
 _PI_ITERS = 3
 
 
-def _power_iteration_sql(dim: int = _PI_DIM, iters: int = _PI_ITERS) -> str:
+def _power_iteration_ctes(dim: int = _PI_DIM, iters: int = _PI_ITERS) -> list[str]:
+    """The shared power-iteration CTE chain: x (cast vectors) and
+    v0..v{iters} (the normalized state vector per iteration)."""
     dot = f"list_sum([x.x[j] * vv.v[j] FOR j IN generate_series(1, {dim})])"
     ctes = [
         f"v0 AS (SELECT [1.0 / sqrt({dim}.0) FOR i IN generate_series(1, {dim})] AS v)",
@@ -2455,9 +2457,13 @@ def _power_iteration_sql(dim: int = _PI_DIM, iters: int = _PI_ITERS) -> str:
         ctes.append(
             f"""v{t} AS (SELECT list(s / n{t}.norm ORDER BY pos) AS v FROM s{t}, n{t} GROUP BY n{t}.norm)"""
         )
+    return ctes
+
+
+def _power_iteration_sql(dim: int = _PI_DIM, iters: int = _PI_ITERS) -> str:
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_power_iteration_ctes(dim, iters))
         + f"""
     SELECT CAST(i AS INT) AS pos, v[i] AS component
     FROM v{iters}, UNNEST(generate_series(1, {dim})) AS t(i)
@@ -10055,3 +10061,135 @@ def q179_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_total"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# q180 — embedding-space isotropy audit: the vector-quality datacard —
+# how much of the space's energy the top principal direction eats
+# (anisotropic spaces hurt cosine retrieval; Ethayarajh 2019, Mu &
+# Viswanath 2018 all-but-the-top), plus norm and centroid diagnostics
+# ---------------------------------------------------------------------------
+def _isotropy_sql(dim: int = _PI_DIM, iters: int = _PI_ITERS) -> str:
+    dot = f"list_sum([x.x[j] * vv.v[j] FOR j IN generate_series(1, {dim})])"
+    sq = f"list_sum([x.x[i] * x.x[i] FOR i IN generate_series(1, {dim})])"
+    ctes = _power_iteration_ctes(dim, iters)
+    ctes += [
+        f"""ray AS (
+      SELECT CAST(SUM(CAST(d * d AS DECIMAL(28,12))) AS DOUBLE) AS rayleigh
+      FROM (SELECT {dot} AS d FROM x, v{iters} vv)
+    )""",
+        f"""tr AS (
+      SELECT CAST(SUM(CAST(x.x[i] * x.x[i] AS DECIMAL(28,12))) AS DOUBLE) AS trace
+      FROM x, UNNEST(generate_series(1, {dim})) AS t(i)
+    )""",
+        f"""norms AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(sqrt({sq}) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS mean_norm
+      FROM x
+    )""",
+        f"""cmean AS (
+      SELECT i AS pos, {_fx_mean('x.x[i]')} AS mv
+      FROM x, UNNEST(generate_series(1, {dim})) AS t(i)
+      GROUP BY i
+    )""",
+        """cnorm AS (
+      SELECT sqrt(list_sum(list(mv * mv ORDER BY pos))) AS centroid_norm
+      FROM cmean
+    )""",
+    ]
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    SELECT n.n_vecs, CAST({dim} AS INT) AS dim,
+           ROUND(n.mean_norm, 6) AS mean_norm,
+           ROUND(c.centroid_norm, 6) AS centroid_norm,
+           ROUND(t.trace, 4) AS trace,
+           ROUND(r.rayleigh, 4) AS lambda1,
+           ROUND(r.rayleigh / t.trace, 6) AS top_dir_share
+    FROM norms n, tr t, ray r, cnorm c
+    """
+
+
+@register(
+    "q180_embedding_isotropy",
+    _isotropy_sql(),
+    doc="embedding-space isotropy audit: dominant-eigenvalue share "
+    "lambda1/trace via the q77 power-iteration direction's Rayleigh "
+    "quotient (decimal-exact row sums, so the eigen-estimate is "
+    "bit-deterministic), mean vector norm, and the centroid norm "
+    "(non-zero mean = the common-direction bias that 'all-but-the-top' "
+    "removes before cosine retrieval). Everything is aggregates over "
+    "ONE cast-vector table: three decimal-exact sums plus the "
+    "fixed-point per-dim means — no pairwise anything; the audit costs "
+    "a handful of corpus passes regardless of scale",
+)
+def q180_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.functions.vector import fixed_point_mean
+    from frontmatter_mcp_spark.operators.clustering import power_iteration
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = power_iteration(e, iters=_PI_ITERS)
+    dim = len(v)
+    x = F.col("embedding").cast("array<double>")
+    xs = pin(e.select(x.alias("x")))
+    dot = F.aggregate(
+        F.zip_with(F.col("x"), F.lit(v), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, t: s + t,
+    )
+    sq = F.aggregate(
+        F.transform(F.col("x"), lambda a: a * a), F.lit(0.0), lambda s, t: s + t
+    )
+    ray = xs.select(dot.alias("d")).agg(
+        F.sum((F.col("d") * F.col("d")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("rayleigh")
+    )
+    tr = (
+        xs.select(F.explode("x").alias("xi"))
+        .agg(
+            F.sum((F.col("xi") * F.col("xi")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("trace")
+        )
+    )
+    norms = xs.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        (
+            F.sum(F.sqrt(sq).cast("decimal(28,12)")).cast("double") / F.count("*")
+        ).alias("mean_norm"),
+    )
+    cmean = (
+        xs.select(F.posexplode("x").alias("pos", "xi"))
+        .groupBy("pos")
+        .agg(fixed_point_mean(F.col("xi")).alias("mv"))
+    )
+    cnorm = cmean.agg(
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("mv")))
+                    ),
+                    lambda s: s["mv"] * s["mv"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ).alias("centroid_norm")
+    )
+    return (
+        norms.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(cnorm))
+        .select(
+            "n_vecs",
+            F.lit(dim).cast("int").alias("dim"),
+            F.round("mean_norm", 6).alias("mean_norm"),
+            F.round("centroid_norm", 6).alias("centroid_norm"),
+            F.round("trace", 4).alias("trace"),
+            F.round("rayleigh", 4).alias("lambda1"),
+            F.round(F.col("rayleigh") / F.col("trace"), 6).alias("top_dir_share"),
+        )
+    )
