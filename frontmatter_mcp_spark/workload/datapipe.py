@@ -2434,28 +2434,41 @@ _PI_DIM = 64
 _PI_ITERS = 3
 
 
-def _power_iteration_ctes(dim: int = _PI_DIM, iters: int = _PI_ITERS) -> list[str]:
-    """The shared power-iteration CTE chain: x (cast vectors) and
-    v0..v{iters} (the normalized state vector per iteration)."""
+def _power_iteration_ctes(
+    dim: int = _PI_DIM,
+    iters: int = _PI_ITERS,
+    src: str | None = None,
+    prefix: str = "",
+) -> list[str]:
+    """The shared power-iteration CTE chain: x (cast vectors, omitted
+    when ``src`` names an existing (vec_id, x) CTE) and
+    {prefix}v0..{prefix}v{iters} (the normalized state per iteration).
+    ``prefix`` namespaces the chain so several runs (raw / centered /
+    corrected spaces) can coexist in one query."""
+    xs = src or f"{prefix}x"
+    p = prefix
     dot = f"list_sum([x.x[j] * vv.v[j] FOR j IN generate_series(1, {dim})])"
     ctes = [
-        f"v0 AS (SELECT [1.0 / sqrt({dim}.0) FOR i IN generate_series(1, {dim})] AS v)",
-        "x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
+        f"{p}v0 AS (SELECT [1.0 / sqrt({dim}.0) FOR i IN generate_series(1, {dim})] AS v)",
     ]
+    if src is None:
+        ctes.append(
+            f"{p}x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)"
+        )
     for t in range(1, iters + 1):
         ctes.append(
-            f"""s{t} AS (
+            f"""{p}s{t} AS (
       SELECT i AS pos,
              CAST(SUM(CAST(x.x[i] * {dot} AS DECIMAL(28,12))) AS DOUBLE) AS s
-      FROM x, v{t - 1} vv, UNNEST(generate_series(1, {dim})) AS t(i)
+      FROM {xs} x, {p}v{t - 1} vv, UNNEST(generate_series(1, {dim})) AS t(i)
       GROUP BY 1
     )"""
         )
         ctes.append(
-            f"""n{t} AS (SELECT sqrt(list_sum(list(s * s ORDER BY pos))) AS norm FROM s{t})"""
+            f"""{p}n{t} AS (SELECT sqrt(list_sum(list(s * s ORDER BY pos))) AS norm FROM {p}s{t})"""
         )
         ctes.append(
-            f"""v{t} AS (SELECT list(s / n{t}.norm ORDER BY pos) AS v FROM s{t}, n{t} GROUP BY n{t}.norm)"""
+            f"""{p}v{t} AS (SELECT list(s / {p}n{t}.norm ORDER BY pos) AS v FROM {p}s{t}, {p}n{t} GROUP BY {p}n{t}.norm)"""
         )
     return ctes
 
@@ -10193,3 +10206,173 @@ def q180_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rayleigh") / F.col("trace"), 6).alias("top_dir_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — "all-but-the-top" embedding correction (Mu & Viswanath 2018),
+# the APPLY stage for q180's audit: subtract the mean, project out the
+# top principal direction of the centered cloud, and re-audit — the
+# before/after table that justifies shipping the correction
+# ---------------------------------------------------------------------------
+def _abtt_sql(dim: int = _PI_DIM, iters: int = _PI_ITERS) -> str:
+    def dot(vtab: str) -> str:
+        return f"list_sum([x.x[j] * {vtab}.v[j] FOR j IN generate_series(1, {dim})])"
+
+    ctes = _power_iteration_ctes(dim, iters)  # x, v{iters}: raw space
+    ctes += [
+        f"""cmu AS (
+      SELECT list(mv ORDER BY pos) AS mu FROM (
+        SELECT i AS pos, {_fx_mean('x.x[i]')} AS mv
+        FROM x, UNNEST(generate_series(1, {dim})) AS t(i)
+        GROUP BY i
+      )
+    )""",
+        f"""x2 AS (
+      SELECT x.vec_id, [x.x[i] - cmu.mu[i] FOR i IN generate_series(1, {dim})] AS x
+      FROM x, cmu
+    )""",
+    ]
+    ctes += _power_iteration_ctes(dim, iters, src="x2", prefix="c")
+    ctes += [
+        f"""proj AS (
+      SELECT x.vec_id, x.x AS xv, {dot('vv')} AS d
+      FROM x2 x, cv{iters} vv
+    )""",
+        f"""x3 AS (
+      SELECT q.vec_id,
+             [q.xv[i] - vv.v[i] * q.d FOR i IN generate_series(1, {dim})] AS x
+      FROM proj q, cv{iters} vv
+    )""",
+    ]
+    ctes += _power_iteration_ctes(dim, iters, src="x3", prefix="d")
+    stages = [("raw", "x", f"v{iters}"), ("centered", "x2", f"cv{iters}"),
+              ("corrected", "x3", f"dv{iters}")]
+    rows = []
+    for name, xs, vt in stages:
+        ctes.append(
+            f"""agg_{name} AS (
+      SELECT CAST(SUM(CAST(x.x[i] * x.x[i] AS DECIMAL(28,12))) AS DOUBLE) AS trace
+      FROM {xs} x, UNNEST(generate_series(1, {dim})) AS t(i)
+    )"""
+        )
+        ctes.append(
+            f"""ray_{name} AS (
+      SELECT CAST(SUM(CAST(d * d AS DECIMAL(28,12))) AS DOUBLE) AS lam
+      FROM (SELECT {dot('vv')} AS d FROM {xs} x, {vt} vv)
+    )"""
+        )
+        ctes.append(
+            f"""cn_{name} AS (
+      SELECT sqrt(list_sum(list(mv * mv ORDER BY pos))) AS cn FROM (
+        SELECT i AS pos, {_fx_mean('x.x[i]')} AS mv
+        FROM {xs} x, UNNEST(generate_series(1, {dim})) AS t(i)
+        GROUP BY i
+      )
+    )"""
+        )
+        rows.append(
+            f"""SELECT '{name}' AS stage, ROUND(a.trace, 4) AS trace,
+             ROUND(r.lam, 4) AS lambda1,
+             ROUND(r.lam / a.trace, 6) AS top_dir_share,
+             ROUND(c.cn, 6) AS centroid_norm
+      FROM agg_{name} a, ray_{name} r, cn_{name} c"""
+        )
+    cte_block = ",\n    ".join(ctes)
+    union = "\n    UNION ALL ".join(rows)
+    return f"""
+    WITH {cte_block}
+    {union}
+    ORDER BY stage
+    """
+
+
+@register(
+    "q181_all_but_the_top",
+    _abtt_sql(),
+    doc="all-but-the-top correction applied and re-audited: the raw "
+    "space, the mean-centered space, and the space with the centered "
+    "cloud's top principal direction projected out, each reporting "
+    "trace / lambda1 / top-direction share / centroid norm — the "
+    "before/after evidence for the standard embedding postprocessing "
+    "(Mu & Viswanath 2018). Three q77-style power-iteration chains "
+    "(raw, centered, corrected — namespaced CTE prefixes), each "
+    "bit-deterministic via decimal-exact row sums; the corrected "
+    "vectors are a narrow projection (mean and direction are "
+    "driver-literal 64-vectors on the Spark side, recomputed CTEs on "
+    "the oracle side). Everything is aggregate passes — no pairwise "
+    "work at any stage",
+)
+def q181_all_but_the_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from frontmatter_mcp_spark.functions.vector import fixed_point_mean
+    from frontmatter_mcp_spark.operators.clustering import power_iteration
+
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    xs = pin(e.select("vec_id", x.alias("x")))
+
+    def means(df, col):
+        rows = (
+            df.select(F.posexplode(col).alias("pos", "xi"))
+            .groupBy("pos")
+            .agg(fixed_point_mean(F.col("xi")).alias("mv"))
+            .orderBy("pos")
+            .collect()
+        )
+        return [r.mv for r in rows]
+
+    v_raw = power_iteration(xs, iters=_PI_ITERS, vec_col="x")
+    mu = means(xs, "x")
+    x2 = pin(
+        xs.select(
+            "vec_id", F.zip_with("x", F.lit(mu), lambda a, b: a - b).alias("x")
+        )
+    )
+    v_cent = power_iteration(x2, iters=_PI_ITERS, vec_col="x")
+    dot_c = F.aggregate(
+        F.zip_with("x", F.lit(v_cent), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, t: s + t,
+    )
+    x3 = pin(
+        x2.select(
+            "vec_id",
+            F.zip_with(
+                "x", F.lit(v_cent), lambda a, b: a - b * dot_c
+            ).alias("x"),
+        )
+    )
+    v_corr = power_iteration(x3, iters=_PI_ITERS, vec_col="x")
+
+    def stage_row(name, df, v):
+        dot = F.aggregate(
+            F.zip_with("x", F.lit(v), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, t: s + t,
+        )
+        tr = df.select(F.explode("x").alias("xi")).agg(
+            F.sum((F.col("xi") * F.col("xi")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("trace")
+        )
+        ray = df.select(dot.alias("d")).agg(
+            F.sum((F.col("d") * F.col("d")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("lam")
+        )
+        cn = math.sqrt(sum(m * m for m in means(df, "x")))
+        return tr.crossJoin(F.broadcast(ray)).select(
+            F.lit(name).alias("stage"),
+            F.round("trace", 4).alias("trace"),
+            F.round("lam", 4).alias("lambda1"),
+            F.round(F.col("lam") / F.col("trace"), 6).alias("top_dir_share"),
+            F.round(F.lit(cn), 6).alias("centroid_norm"),
+        )
+
+    out = (
+        stage_row("raw", xs, v_raw)
+        .unionAll(stage_row("centered", x2, v_cent))
+        .unionAll(stage_row("corrected", x3, v_corr))
+    )
+    return out.orderBy("stage")
