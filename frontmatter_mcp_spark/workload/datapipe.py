@@ -10376,3 +10376,172 @@ def q181_all_but_the_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage_row("corrected", x3, v_corr))
     )
     return out.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# q182 — cross-source duplication attribution: WHICH sources duplicate
+# WHICH — the provenance matrix behind q30's exact-dup groups and
+# q124's corpus-level ratio (mirror-heavy source pairs jump out)
+# ---------------------------------------------------------------------------
+@register(
+    "q182_dup_attribution",
+    """
+    WITH fp AS (
+      SELECT DISTINCT md5(text) AS fp, source FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_contents
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_contents FROM fp GROUP BY 1
+    )
+    SELECT p.source_a, p.source_b, p.shared_contents,
+           ta.n_contents AS n_a, tb.n_contents AS n_b,
+           ROUND(CAST(p.shared_contents AS DOUBLE)
+                 / LEAST(ta.n_contents, tb.n_contents), 6) AS containment
+    FROM pairs p
+    JOIN tot ta ON ta.source = p.source_a
+    JOIN tot tb ON tb.source = p.source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="cross-source duplication attribution matrix: distinct content "
+    "fingerprints per source self-joined on the 16-byte hash (source "
+    "pairs ordered a<b), with pairwise containment = shared / "
+    "min(|a|,|b|) — the provenance report that turns q30's dup groups "
+    "into an actionable 'source X mirrors source Y' decision. The join "
+    "carries only distinct (fp, source) rows — content-group-sized, "
+    "never corpus-sized — and fans out only where a fingerprint "
+    "genuinely spans sources; totals broadcast back onto the "
+    "|sources|^2-bounded pair table",
+)
+def q182_dup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    fp = pin(d.select(F.md5("text").alias("fp"), "source").distinct())
+    a = fp.select(F.col("fp"), F.col("source").alias("source_a"))
+    b = fp.select(F.col("fp"), F.col("source").alias("source_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_contents"))
+    )
+    tot = fp.groupBy("source").agg(F.count("*").cast("long").alias("n_contents"))
+    return (
+        pairs.join(
+            F.broadcast(tot.select(F.col("source").alias("source_a"),
+                                   F.col("n_contents").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("source").alias("source_b"),
+                                   F.col("n_contents").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_contents",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_contents").cast("double")
+                / F.least("n_a", "n_b"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q183 — referential-integrity audit: the other half of ANALYZE next to
+# q140's column stats — does every child row have its parent?
+# ---------------------------------------------------------------------------
+@register(
+    "q183_referential_integrity",
+    """
+    WITH checks AS (
+      SELECT 'lineitem.l_orderkey -> orders' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+      UNION ALL
+      SELECT 'supplier.s_nationkey -> nation',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+      UNION ALL
+      SELECT 'nation.n_regionkey -> region',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    )
+    SELECT fk, n_child, n_orphans,
+           ROUND(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate,
+           CAST(n_orphans = 0 AS INT) AS intact
+    FROM checks ORDER BY fk
+    """,
+    doc="referential-integrity audit over the star schema's five FK "
+    "edges: child count, orphan count (parent key missing), orphan "
+    "rate, and the pass verdict — the data-quality gate every "
+    "warehouse load runs beside column stats (q140). Each check is a "
+    "left join counting parent NULLs; the three dimension parents "
+    "broadcast, the orders parent join is the only key shuffle, and "
+    "orphan counting is map-side combined (at scale: left ANTI join + "
+    "count is equivalent and prunes matched rows earlier; the LEFT "
+    "JOIN form keeps child counting in the same pass)",
+)
+def q183_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    def check(name, child, ck, parent, pk, bcast):
+        p = parent.select(pk)
+        if bcast:
+            p = F.broadcast(p)
+        return (
+            child.select(F.col(ck))
+            .join(p, child[ck] == p[pk], "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count("*").cast("long").alias("n_child"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+        )
+
+    checks = (
+        check("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey", False)
+        .unionAll(check("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey", False))
+        .unionAll(check("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey", True))
+        .unionAll(check("supplier.s_nationkey -> nation", s, "s_nationkey", n, "n_nationkey", True))
+        .unionAll(check("nation.n_regionkey -> region", n, "n_regionkey", r, "r_regionkey", True))
+    )
+    return checks.select(
+        "fk",
+        "n_child",
+        "n_orphans",
+        F.round(F.col("n_orphans").cast("double") / F.col("n_child"), 6).alias(
+            "orphan_rate"
+        ),
+        (F.col("n_orphans") == 0).cast("int").alias("intact"),
+    ).orderBy("fk")
