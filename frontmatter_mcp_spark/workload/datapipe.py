@@ -10545,3 +10545,89 @@ def q183_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_orphans") == 0).cast("int").alias("intact"),
     ).orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# q184 — equi-depth histogram (the optimizer-statistics histogram Spark
+# and every warehouse actually keeps — q140 built the equi-WIDTH kind):
+# per numeric column, 8 boundaries at binary-fraction percentiles and
+# the realized bucket occupancy (ties make real equi-depth buckets
+# unequal — the report shows exactly how unequal)
+# ---------------------------------------------------------------------------
+_EQD_PS = [i / 8 for i in range(1, 9)]  # binary fractions: exact cross-engine
+_EQD_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _equidepth_sql() -> str:
+    ps = ", ".join(repr(p) for p in _EQD_PS)
+    unpivot = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS DOUBLE) AS val FROM lineitem"
+        for c in _EQD_COLS
+    )
+    return f"""
+    WITH vals AS MATERIALIZED ({unpivot}),
+    bnds AS MATERIALIZED (
+      SELECT col, quantile_cont(val, [{ps}]) AS b FROM vals GROUP BY col
+    ),
+    bucketed AS (
+      SELECT v.col, len(list_filter(b.b, x -> x < v.val)) + 1 AS bucket, b.b
+      FROM vals v JOIN bnds b ON b.col = v.col
+    )
+    SELECT col, CAST(bucket AS INT) AS bucket,
+           ROUND(CASE WHEN bucket = 1 THEN NULL ELSE b[bucket - 1] END, 6) AS lo,
+           ROUND(b[bucket], 6) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM bucketed
+    GROUP BY col, bucket, b
+    ORDER BY col, bucket
+    """
+
+
+@register(
+    "q184_equidepth_histogram",
+    _equidepth_sql(),
+    doc="equi-depth histogram for optimizer statistics: per numeric "
+    "lineitem column, boundaries at the 1/8..8/8 percentiles (binary "
+    "fractions, so Spark percentile == DuckDB quantile_cont bit-"
+    "exactly) and the realized occupancy per bucket — heavy value ties "
+    "(l_quantity has 50 distinct values) visibly overfill buckets, "
+    "which is the property selectivity estimators must model. Two "
+    "passes over one unpivoted scan: a per-column percentile aggregate "
+    "(3 groups), boundaries broadcast back, bucket index = count of "
+    "boundaries strictly below the value (an 8-element array scan in "
+    "codegen), map-side-combined occupancy count",
+)
+def q184_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = None
+    for c in _EQD_COLS:
+        part = li.select(
+            F.lit(c).alias("col"), F.col(c).cast("double").alias("val")
+        )
+        vals = part if vals is None else vals.unionAll(part)
+    vals = pin(vals)
+    bnds = vals.groupBy("col").agg(
+        F.percentile("val", F.array(*[F.lit(p) for p in _EQD_PS])).alias("b")
+    )
+    bucketed = vals.join(F.broadcast(bnds), "col").select(
+        "col",
+        (F.size(F.filter("b", lambda x: x < F.col("val"))) + 1).alias("bucket"),
+        "b",
+    )
+    return (
+        bucketed.groupBy("col", "bucket", "b")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .select(
+            "col",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(
+                F.when(
+                    F.col("bucket") > 1, F.element_at("b", F.col("bucket") - 1)
+                ),
+                6,
+            ).alias("lo"),
+            F.round(F.element_at("b", F.col("bucket")), 6).alias("hi"),
+            "n_rows",
+        )
+        .orderBy("col", "bucket")
+    )
