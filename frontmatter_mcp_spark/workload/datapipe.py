@@ -10631,3 +10631,178 @@ def q184_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — join-estimate audit across the schema's FK edges: the AGMS
+# sketch estimate (q152's machinery) AND the classic uniform NDV
+# formula |A||B| / max(ndv_a, ndv_b) scored against the true join
+# size on every edge — the report that shows WHERE the textbook
+# formula breaks (skewed keys) and the sketch holds
+# ---------------------------------------------------------------------------
+_JEA_EDGES = [
+    ("lineitem*orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders*customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer*nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _join_audit_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    col = hash_bucket_sql(
+        "CAST(r AS VARCHAR) || '|' || CAST(k AS VARCHAR)", _JSZ_WIDTH
+    )
+    ctes, rows = [], []
+    for i, (name, ta, ka, tb, kb) in enumerate(_JEA_EDGES):
+        ctes += [
+            f"""a{i} AS MATERIALIZED (
+      SELECT {ka} AS k, CAST(COUNT(*) AS BIGINT) AS c FROM {ta} GROUP BY 1
+    )""",
+            f"""b{i} AS MATERIALIZED (
+      SELECT {kb} AS k, CAST(COUNT(*) AS BIGINT) AS c FROM {tb} GROUP BY 1
+    )""",
+            f"""stats{i} AS MATERIALIZED (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM a{i}) AS n_a,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM b{i}) AS n_b,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM a{i}) AS ndv_a,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM b{i}) AS ndv_b,
+             (SELECT CAST(COALESCE(SUM(a{i}.c * b{i}.c), 0) AS BIGINT)
+              FROM a{i} JOIN b{i} USING (k)) AS true_size
+    )""",
+            f"""ca{i} AS MATERIALIZED (
+      SELECT r, {col} AS col, CAST(SUM(c) AS BIGINT) AS v
+      FROM a{i} CROSS JOIN UNNEST(generate_series(0, {_JSZ_DEPTH - 1})) AS g(r)
+      GROUP BY 1, 2
+    )""",
+            f"""cb{i} AS MATERIALIZED (
+      SELECT r, {col} AS col, CAST(SUM(c) AS BIGINT) AS v
+      FROM b{i} CROSS JOIN UNNEST(generate_series(0, {_JSZ_DEPTH - 1})) AS g(r)
+      GROUP BY 1, 2
+    )""",
+            f"""est{i} AS MATERIALIZED (
+      SELECT CAST(MIN(ip) AS BIGINT) AS cms_est FROM (
+        SELECT ca{i}.r, CAST(SUM(ca{i}.v * cb{i}.v) AS BIGINT) AS ip
+        FROM ca{i} JOIN cb{i} ON ca{i}.r = cb{i}.r AND ca{i}.col = cb{i}.col
+        GROUP BY 1
+      )
+    )""",
+        ]
+        rows.append(
+            f"""SELECT '{name}' AS edge, s.true_size, e.cms_est,
+             CAST(s.n_a * s.n_b // GREATEST(s.ndv_a, s.ndv_b) AS BIGINT)
+               AS ndv_est,
+             ROUND(CAST(e.cms_est - s.true_size AS DOUBLE)
+                   / s.true_size, 6) AS cms_rel_err,
+             ROUND(CAST(s.n_a * s.n_b // GREATEST(s.ndv_a, s.ndv_b)
+                        - s.true_size AS DOUBLE) / s.true_size, 6)
+               AS ndv_rel_err
+      FROM stats{i} s, est{i} e"""
+        )
+    cte_block = ",\n    ".join(ctes)
+    union = "\n    UNION ALL ".join(rows)
+    return f"""
+    WITH {cte_block}
+    {union}
+    ORDER BY edge
+    """
+
+
+@register(
+    "q185_join_estimate_audit",
+    _join_audit_sql(),
+    doc="join-size estimate audit over three FK edges: the AGMS/CMS "
+    "sketch inner product (q152's estimator, guaranteed >= truth) and "
+    "the classic uniform formula n_a*n_b/max(ndv) (what rule-based "
+    "optimizers use without histograms) both scored against the exact "
+    "join size — the uniform formula is exact on perfectly uniform "
+    "FKs and drifts on skewed ones, which is precisely the evidence "
+    "for keeping sketches in optimizer statistics. Per edge: two "
+    "key-count aggregates, 1024-cell sketches, one sketch-sized inner "
+    "product; the true size is the audit column a production "
+    "optimizer never computes",
+)
+def q185_join_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    rr = spark.range(_JSZ_DEPTH).select(F.col("id").cast("int").alias("r"))
+
+    def sketch(side: DataFrame) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(rr))
+            .select(
+                "r",
+                hash_bucket(
+                    F.concat(
+                        F.col("r").cast("string"), F.lit("|"), F.col("k").cast("string")
+                    ),
+                    _JSZ_WIDTH,
+                ).alias("col"),
+                "c",
+            )
+            .groupBy("r", "col")
+            .agg(F.sum("c").cast("long").alias("v"))
+        )
+
+    out = None
+    for name, ta, ka, tb, kb in _JEA_EDGES:
+        a = pin(
+            load_table(spark, sf_dir, ta)
+            .groupBy(F.col(ka).alias("k"))
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        b = pin(
+            load_table(spark, sf_dir, tb)
+            .groupBy(F.col(kb).alias("k"))
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        stats = (
+            a.agg(
+                F.sum("c").cast("long").alias("n_a"),
+                F.count("*").cast("long").alias("ndv_a"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    b.agg(
+                        F.sum("c").cast("long").alias("n_b"),
+                        F.count("*").cast("long").alias("ndv_b"),
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    a.join(b.withColumnRenamed("c", "cb"), "k").agg(
+                        F.coalesce(F.sum(F.col("c") * F.col("cb")), F.lit(0))
+                        .cast("long")
+                        .alias("true_size")
+                    )
+                )
+            )
+        )
+        est = (
+            sketch(a)
+            .join(F.broadcast(sketch(b).withColumnRenamed("v", "vb")), ["r", "col"])
+            .groupBy("r")
+            .agg(F.sum(F.col("v") * F.col("vb")).cast("long").alias("ip"))
+            .agg(F.min("ip").cast("long").alias("cms_est"))
+        )
+        ndv_est = F.floor(
+            F.col("n_a") * F.col("n_b") / F.greatest("ndv_a", "ndv_b")
+        ).cast("long")
+        row = stats.crossJoin(F.broadcast(est)).select(
+            F.lit(name).alias("edge"),
+            "true_size",
+            "cms_est",
+            ndv_est.alias("ndv_est"),
+            F.round(
+                (F.col("cms_est") - F.col("true_size")).cast("double")
+                / F.col("true_size"),
+                6,
+            ).alias("cms_rel_err"),
+            F.round(
+                (ndv_est - F.col("true_size")).cast("double") / F.col("true_size"),
+                6,
+            ).alias("ndv_rel_err"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("edge")
