@@ -297,3 +297,90 @@ def pagerank_fixed_point(
         F.coalesce(F.col("odeg"), F.lit(0)).cast("int").alias("out_degree"),
         F.col("pr_fx"),
     )
+
+
+def ppr_fixed_point(
+    edges,
+    nodes,
+    seeds,
+    id_col: str = "doc_id",
+    iters: int = 3,
+    scale: int = 2**40,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    persist_fn=lambda d: d,
+):
+    """Personalized (topic-sensitive) PageRank: identical exact
+    fixed-point arithmetic to ``pagerank_fixed_point``, but ALL
+    teleport mass lands on the seed set — rank means "centrality as
+    seen from the seeds", the trust-propagation signal (TrustRank) a
+    curation pipeline uses to score documents by their similarity-graph
+    proximity to a vetted subset.
+
+        pr_0      = S div |seeds|          on seeds, else 0
+        pr_{t+1}  = [seed] * (S*(den-num)) div (den*|seeds|)
+                    + (num * sum_incoming(pr div outdeg)) div den
+
+    Same scale shape as the uniform variant: pinned annotated edges,
+    one dst-key shuffle per iteration, linear plan chain.
+    """
+    from pyspark.sql import functions as F
+
+    e0 = edges.select(F.col("src"), F.col("dst"))
+    outdeg = persist_fn(e0.groupBy("src").agg(F.count("*").cast("long").alias("odeg")))
+    e = persist_fn(e0.join(outdeg, "src"))
+    seed_flag = persist_fn(
+        nodes.join(
+            seeds.select(F.col(id_col), F.lit(1).alias("is_seed")), id_col, "left"
+        ).select(id_col, F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    )
+    ns_row = F.broadcast(
+        seed_flag.agg(F.sum("is_seed").cast("long").alias("ns"))
+    )
+    base = scale * (damp_den - damp_num)
+    pr = seed_flag.crossJoin(ns_row).select(
+        id_col,
+        "is_seed",
+        "ns",
+        F.expr(f"CASE WHEN is_seed = 1 THEN CAST({scale} AS BIGINT) div ns "
+               "ELSE CAST(0 AS BIGINT) END").alias("pr"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(pr.select(F.col(id_col).alias("src"), "pr"), "src")
+            .select(F.col("dst"), F.expr("pr div odeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("csum"))
+        )
+        pr = (
+            pr.select(id_col, "is_seed", "ns")
+            .join(contrib, F.col(id_col) == F.col("dst"), "left")
+            .select(
+                id_col,
+                "is_seed",
+                "ns",
+                F.coalesce(F.col("csum"), F.lit(0)).alias("csum"),
+            )
+            .select(
+                id_col,
+                "is_seed",
+                "ns",
+                (
+                    F.expr(
+                        f"CASE WHEN is_seed = 1 THEN CAST({base} AS BIGINT)"
+                        f" div (CAST({damp_den} AS BIGINT) * ns)"
+                        " ELSE CAST(0 AS BIGINT) END"
+                    )
+                    + F.expr(f"(CAST({damp_num} AS BIGINT) * csum) div {damp_den}")
+                ).alias("pr"),
+            )
+        )
+    out = pr.select(id_col, "is_seed", F.col("pr").alias("pr_fx")).join(
+        outdeg.select(F.col("src").alias(id_col), "odeg"), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        F.col("is_seed").cast("int").alias("is_seed"),
+        F.coalesce(F.col("odeg"), F.lit(0)).cast("int").alias("out_degree"),
+        F.col("pr_fx"),
+    )

@@ -10806,3 +10806,276 @@ def q185_join_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# q186 — personalized PageRank from a trusted seed set (TrustRank):
+# q126 ranks by global similarity-graph centrality; this ranks by
+# proximity to a vetted subset — the trust-propagation curation signal
+# ---------------------------------------------------------------------------
+def _ppr_sql(iters: int = _PR_ITERS) -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    s, base = _PR_SCALE, _PR_SCALE * 15
+    ctes = [
+        _SHINGLES_CTE.strip().rstrip(","),
+        f"sigs AS MATERIALIZED (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id)",
+        f"bb AS MATERIALIZED ({band_rows})",
+        """pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+    )""",
+        """edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+    )""",
+        "odeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg "
+        "FROM edges GROUP BY 1)",
+        """sf AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_seed
+      FROM documents
+    )""",
+        "nseed AS MATERIALIZED (SELECT CAST(SUM(is_seed) AS BIGINT) AS ns FROM sf)",
+        f"""p0 AS MATERIALIZED (
+      SELECT doc_id, is_seed,
+             CASE WHEN is_seed = 1 THEN CAST({s} AS BIGINT) // ns
+                  ELSE CAST(0 AS BIGINT) END AS pr
+      FROM sf CROSS JOIN nseed
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""p{t} AS MATERIALIZED (
+      SELECT d.doc_id, d.is_seed,
+             CASE WHEN d.is_seed = 1
+                  THEN CAST({base} AS BIGINT) // (100 * ns)
+                  ELSE CAST(0 AS BIGINT) END
+             + (85 * COALESCE(c.csum, CAST(0 AS BIGINT))) // 100 AS pr
+      FROM sf d CROSS JOIN nseed
+      LEFT JOIN (
+        SELECT e.dst, CAST(SUM(p.pr // o.odeg) AS BIGINT) AS csum
+        FROM edges e
+        JOIN p{t - 1} p ON p.doc_id = e.src
+        JOIN odeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) c ON c.dst = d.doc_id
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT p.doc_id, CAST(p.is_seed AS INT) AS is_seed,
+           CAST(COALESCE(o.odeg, 0) AS INT) AS out_degree,
+           CAST(p.pr AS BIGINT) AS pr_fx
+    FROM p{iters} p LEFT JOIN odeg o ON o.src = p.doc_id
+    """
+
+
+@register(
+    "q186_personalized_pagerank",
+    _ppr_sql(),
+    doc="personalized PageRank (TrustRank) over the LSH similarity "
+    "graph: all teleport mass lands on the trusted seed set (lang='en' "
+    "stands in for a vetted corpus), so pr_fx measures proximity to "
+    "the seeds through the near-dup structure — zero means unreachable "
+    "from any seed, the trust-propagation curation signal. Same exact "
+    "scaled-integer floor-division arithmetic as q126 (bit-identical "
+    "oracle replay per iteration), same scale shape: pinned annotated "
+    "edges, one dst-key shuffle per iteration, linear plan chain",
+)
+def q186_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.clustering import ppr_fixed_point
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", _NUM_HASHES, _BANDS)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    seeds = d.filter(F.col("lang") == "en").select("doc_id")
+    return ppr_fixed_point(
+        edges, d.select("doc_id"), seeds, "doc_id",
+        iters=_PR_ITERS, scale=_PR_SCALE, persist_fn=pin,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — modularity of the near-dup partition: does q56's grouping
+# actually carve the LSH graph at its joints? The community-QUALITY
+# metric that closes the graph-analytics family (components q135,
+# PageRank q126/q186, triangles q159, k-core q165)
+# ---------------------------------------------------------------------------
+_MOD_SCALE = 2**30
+
+
+def _modularity_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE.strip().rstrip(',')},
+    sigs AS MATERIALIZED (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    bb AS MATERIALIZED ({band_rows}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+    ),
+    lbl0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM sym
+    ),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM lbl0),
+    l1 AS MATERIALIZED (
+      SELECT l.node, LEAST(l.label, COALESCE(m.nl, l.label)) AS label
+      FROM l0 l LEFT JOIN (
+        SELECT s.src, MIN(x.label) AS nl FROM sym s
+        JOIN l0 x ON x.node = s.dst GROUP BY s.src
+      ) m ON m.src = l.node
+    ),
+    l2 AS MATERIALIZED (
+      SELECT l.node, LEAST(l.label, COALESCE(m.nl, l.label)) AS label
+      FROM l1 l LEFT JOIN (
+        SELECT s.src, MIN(x.label) AS nl FROM sym s
+        JOIN l1 x ON x.node = s.dst GROUP BY s.src
+      ) m ON m.src = l.node
+    ),
+    l3 AS MATERIALIZED (
+      SELECT l.node, LEAST(l.label, COALESCE(m.nl, l.label)) AS label
+      FROM l2 l LEFT JOIN (
+        SELECT s.src, MIN(x.label) AS nl FROM sym s
+        JOIN l2 x ON x.node = s.dst GROUP BY s.src
+      ) m ON m.src = l.node
+    ),
+    m AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    comm AS MATERIALIZED (
+      SELECT la.label AS c,
+             CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT)
+               AS e_in,
+             CAST(0 AS BIGINT) AS d_sum
+      FROM e
+      JOIN l3 la ON la.node = e.a
+      JOIN l3 lb ON lb.node = e.b
+      GROUP BY la.label
+    ),
+    deg AS MATERIALIZED (
+      SELECT l3.label AS c, CAST(COUNT(*) AS BIGINT) AS d_sum
+      FROM sym JOIN l3 ON l3.node = sym.src
+      GROUP BY l3.label
+    ),
+    per_c AS MATERIALIZED (
+      SELECT d.c,
+             COALESCE(cm.e_in, 0) AS e_in, d.d_sum,
+             CAST(COALESCE(cm.e_in, 0) * {_MOD_SCALE} // m.m AS BIGINT)
+             - CAST(d.d_sum * d.d_sum * {_MOD_SCALE} // (4 * m.m * m.m) AS BIGINT)
+               AS q_fx
+      FROM deg d LEFT JOIN comm cm ON cm.c = d.c CROSS JOIN m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           (SELECT m FROM m) AS n_edges,
+           CAST(SUM(e_in) AS BIGINT) AS intra_edges,
+           CAST(SUM(q_fx) AS BIGINT) AS modularity_fx,
+           ROUND(CAST(SUM(q_fx) AS DOUBLE) / {_MOD_SCALE}, 6) AS modularity
+    FROM per_c
+    """
+
+
+@register(
+    "q187_partition_modularity",
+    _modularity_sql(),
+    doc="Newman modularity of the min-label-propagation partition over "
+    "the LSH similarity graph: Q = sum_c [e_c/m - (d_c/2m)^2] in exact "
+    "2^30 fixed point (floor divisions, so the score hash-matches "
+    "bit-for-bit) — the community-quality metric that says whether the "
+    "near-dup grouping carves the graph at its joints (Q near the "
+    "maximum means groups are dense inside, sparse between — template "
+    "families; Q near 0 means the partition is no better than random). "
+    "Three propagation rounds on the edge-node set only (the q56 "
+    "shape), then everything runs on community-sized aggregates of the "
+    "edge list",
+)
+def q187_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    e = pin(
+        dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    sym = pin(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    labels = pin(
+        sym.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    )
+    for _ in range(3):
+        nbr = (
+            sym.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nl"))
+        )
+        labels = pin(
+            labels.join(nbr, labels["node"] == nbr["src"], "left").select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nl", F.col("label"))
+                ).alias("label"),
+            )
+        )
+    m_row = F.broadcast(e.agg(F.count("*").cast("long").alias("m")))
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("cb"))
+    comm = (
+        e.join(la, "a")
+        .join(lb, "b")
+        .groupBy(F.col("ca").alias("c"))
+        .agg(
+            F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0))
+            .cast("long")
+            .alias("e_in")
+        )
+    )
+    deg = (
+        sym.join(labels.select(F.col("node").alias("src"), "label"), "src")
+        .groupBy(F.col("label").alias("c"))
+        .agg(F.count("*").cast("long").alias("d_sum"))
+    )
+    s = _MOD_SCALE
+    per_c = (
+        deg.join(comm, "c", "left")
+        .crossJoin(m_row)
+        .select(
+            "c",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            "d_sum",
+            (
+                F.expr(f"CAST(coalesce(e_in, 0) * {s} AS BIGINT) div m")
+                - F.expr(f"CAST(d_sum * d_sum * {s} AS BIGINT) div (4 * m * m)")
+            ).alias("q_fx"),
+        )
+    )
+    return per_c.crossJoin(m_row).agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.max("m").cast("long").alias("n_edges"),
+        F.sum("e_in").cast("long").alias("intra_edges"),
+        F.sum("q_fx").cast("long").alias("modularity_fx"),
+        F.round(F.sum("q_fx").cast("double") / s, 6).alias("modularity"),
+    )
