@@ -11079,3 +11079,148 @@ def q187_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q_fx").cast("long").alias("modularity_fx"),
         F.round(F.sum("q_fx").cast("double") / s, 6).alias("modularity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — conversion-latency statistics: q18's as-of join finds WHICH
+# click preceded each purchase; this measures HOW LONG attribution
+# took — the funnel-latency layer (exact integer microsecond deltas,
+# binary-fraction percentiles)
+# ---------------------------------------------------------------------------
+@register(
+    "q188_conversion_latency",
+    """
+    WITH pairs AS (
+      SELECT p.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lat_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(lat_us) AS BIGINT) AS min_us,
+           ROUND(quantile_cont(lat_us, 0.5), 4) AS p50_us,
+           ROUND(quantile_cont(lat_us, 0.75), 4) AS p75_us,
+           ROUND(quantile_cont(lat_us, 0.9375), 4) AS p94_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_us
+    FROM pairs
+    """,
+    doc="conversion-latency profile over the click->purchase as-of "
+    "pairs (attributed purchases only — the ASOF INNER form): exact "
+    "integer microsecond deltas, interpolated percentiles at binary "
+    "fractions (Spark percentile == DuckDB quantile_cont bit-exactly). "
+    "Spark side reuses q18's union+window as-of rewrite, then one "
+    "global aggregate; at scale the percentile becomes approx and the "
+    "rest is unchanged",
+)
+def q188_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pairs = (
+        tagged.withColumn(
+            "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+        )
+        .filter((F.col("is_purchase") == 1) & F.col("last_click_ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("last_click_ts").cast("timestamp"))
+            ).alias("lat_us"),
+        )
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.min("lat_us").cast("long").alias("min_us"),
+        F.round(F.percentile("lat_us", F.lit(0.5)), 4).alias("p50_us"),
+        F.round(F.percentile("lat_us", F.lit(0.75)), 4).alias("p75_us"),
+        F.round(F.percentile("lat_us", F.lit(0.9375)), 4).alias("p94_us"),
+        F.max("lat_us").cast("long").alias("max_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — ingestion parse-quality accounting: the dead-letter report for
+# the semi-structured props column (q14 consumes the parseable rows;
+# this counts what the TRY_CAST path silently dropped, per event type)
+# ---------------------------------------------------------------------------
+@register(
+    "q189_parse_quality",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN props IS NULL OR json_valid(props) = false
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_json,
+           CAST(SUM(CASE WHEN json_valid(props)
+                          AND json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,
+           CAST(SUM(CASE WHEN json_valid(props)
+                          AND json_extract_string(props, '$.k') IS NOT NULL
+                          AND TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                              IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable_k,
+           CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                              IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           ROUND(CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                                             AS INT) IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS ok_rate
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="semi-structured parse-quality accounting per event type: rows "
+    "whose props are invalid JSON, valid JSON missing the key, present "
+    "but uncastable, and cleanly consumable — the dead-letter-queue "
+    "report every ingestion pipeline keeps next to the happy path "
+    "(q14). One scan, map-side-combined counters, JSON probing stays "
+    "in JVM codegen (get_json_object / try_cast, no Python)",
+)
+def q189_parse_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    valid = F.expr("get_json_object(props, '$') IS NOT NULL")
+    k_str = F.expr("get_json_object(props, '$.k')")
+    k_int = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("props").isNull() | ~valid, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_invalid_json"),
+            F.sum(F.when(valid & k_str.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing_k"),
+            F.sum(
+                F.when(valid & k_str.isNotNull() & k_int.isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_uncastable_k"),
+            F.sum(F.when(k_int.isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ok"),
+        )
+        .withColumn(
+            "ok_rate",
+            F.round(F.col("n_ok").cast("double") / F.col("n_rows"), 6),
+        )
+        .orderBy("event_type")
+    )
