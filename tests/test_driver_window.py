@@ -56,7 +56,8 @@ def test_modified_queries_are_inside_the_window():
     order = list(QUERIES)
     never = {n for n in QUERIES if n not in _LAST_GREEN_ROUND and QUERIES[n].oracle}
     displaced = sorted(_MODIFIED_SINCE_GREEN - set(_window()))
-    if len(never) < DRIVER_WINDOW:
+    modified = {n for n in _MODIFIED_SINCE_GREEN if n in QUERIES}
+    if len(never) + len(modified) <= DRIVER_WINDOW:
         assert not displaced, (
             f"modified-since-green queries outside the window: {displaced}"
         )
