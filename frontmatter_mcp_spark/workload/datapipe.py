@@ -11224,3 +11224,118 @@ def q189_parse_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — sample-estimated percentile fences: q85's length gate driven by
+# q170's deterministic 5% md5 sample instead of a full-data percentile
+# pass, with exact-fence agreement accounting — the production shape at
+# 100 TB (fence estimation touches 5% of rows; the corpus pays one
+# narrow gating scan against a broadcast fence table)
+# ---------------------------------------------------------------------------
+def _q190_sql() -> str:
+    b = _hash_bucket_duck("doc_id", 1000)
+    return f"""
+    WITH stats AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(COUNT(*) FILTER (WHERE {b} < {_HSQ_RATE}) AS BIGINT)
+               AS n_sample,
+             quantile_cont(n_chars, {_LEN_P_LOW!r})
+               FILTER (WHERE {b} < {_HSQ_RATE}) AS s_low,
+             quantile_cont(n_chars, {_LEN_P_HIGH!r})
+               FILTER (WHERE {b} < {_HSQ_RATE}) AS s_high,
+             quantile_cont(n_chars, {_LEN_P_LOW!r}) AS e_low,
+             quantile_cont(n_chars, {_LEN_P_HIGH!r}) AS e_high
+      FROM documents GROUP BY source
+    ),
+    gated AS (
+      SELECT d.source,
+             COALESCE(d.n_chars < s.s_low OR d.n_chars > s.s_high, FALSE)
+               AS flag_s,
+             (d.n_chars < s.e_low OR d.n_chars > s.e_high) AS flag_e
+      FROM documents d JOIN stats s USING (source)
+    ),
+    counts AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN flag_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flag_sample,
+             CAST(SUM(CASE WHEN flag_e THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flag_exact,
+             CAST(SUM(CASE WHEN flag_s AND NOT flag_e THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_only_sample,
+             CAST(SUM(CASE WHEN flag_e AND NOT flag_s THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_only_exact
+      FROM gated GROUP BY source
+    )
+    SELECT s.source, s.n_total, s.n_sample,
+           ROUND(s.s_low, 4) AS sample_low, ROUND(s.s_high, 4) AS sample_high,
+           ROUND(s.e_low, 4) AS exact_low, ROUND(s.e_high, 4) AS exact_high,
+           c.n_flag_sample, c.n_flag_exact, c.n_only_sample, c.n_only_exact
+    FROM stats s JOIN counts c USING (source)
+    ORDER BY s.source
+    """
+
+
+@register(
+    "q190_sample_fence_gate",
+    _q190_sql(),
+    doc="sample-estimated outlier fences: per-source length fences at "
+    "the q85 binary-fraction percentiles, estimated from q170's "
+    "deterministic 5% md5-bucket sample, applied to the WHOLE corpus, "
+    "with per-source agreement accounting vs the exact fences "
+    "(only-sample / only-exact disagreement counts quantify what the "
+    "cheap estimate costs). Both engines draw the identical sample and "
+    "interpolate at exact binary fractions over integers, so fences and "
+    "counts hash-match. Plan: one stats aggregate (sample + exact "
+    "percentiles share the scan), fences broadcast back, one "
+    "map-side-combined gating aggregate. At 100 TB the exact columns "
+    "drop and fence estimation reads 5% of the data",
+)
+def q190_sample_fence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    in_sample = hash_bucket(F.col("doc_id"), 1000) < _HSQ_RATE
+    sampled = F.when(in_sample, F.col("n_chars"))
+    stats = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(in_sample.cast("long")).cast("long").alias("n_sample"),
+        F.percentile(sampled, F.lit(_LEN_P_LOW)).alias("s_low"),
+        F.percentile(sampled, F.lit(_LEN_P_HIGH)).alias("s_high"),
+        F.percentile("n_chars", F.lit(_LEN_P_LOW)).alias("e_low"),
+        F.percentile("n_chars", F.lit(_LEN_P_HIGH)).alias("e_high"),
+    )
+    # a source with zero sampled rows has NULL sample fences -> no fence
+    flag_s = F.coalesce(
+        (F.col("n_chars") < F.col("s_low")) | (F.col("n_chars") > F.col("s_high")),
+        F.lit(False),
+    )
+    flag_e = (F.col("n_chars") < F.col("e_low")) | (F.col("n_chars") > F.col("e_high"))
+    counts = (
+        d.join(F.broadcast(stats.select("source", "s_low", "s_high", "e_low", "e_high")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(flag_s.cast("long")).cast("long").alias("n_flag_sample"),
+            F.sum(flag_e.cast("long")).cast("long").alias("n_flag_exact"),
+            F.sum((flag_s & ~flag_e).cast("long")).cast("long").alias("n_only_sample"),
+            F.sum((flag_e & ~flag_s).cast("long")).cast("long").alias("n_only_exact"),
+        )
+    )
+    return (
+        stats.join(counts, "source")
+        .select(
+            "source",
+            "n_total",
+            "n_sample",
+            F.round("s_low", 4).alias("sample_low"),
+            F.round("s_high", 4).alias("sample_high"),
+            F.round("e_low", 4).alias("exact_low"),
+            F.round("e_high", 4).alias("exact_high"),
+            "n_flag_sample",
+            "n_flag_exact",
+            "n_only_sample",
+            "n_only_exact",
+        )
+        .orderBy("source")
+    )
