@@ -528,3 +528,109 @@ def q139_stream_session_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events",
     )
+
+
+@register(
+    "q191_stream_skew_profile",
+    """
+    WITH uc AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS w, event_type, user_id,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT w, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY w, event_type
+                                ORDER BY cnt, user_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY w, event_type
+                                ORDER BY cnt DESC, user_id DESC) AS rd
+      FROM uc
+    ),
+    prof AS (
+      SELECT w, event_type,
+             CAST(SUM(cnt) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(ra * cnt) AS BIGINT) AS weighted,
+             CAST(SUM(CASE WHEN rd = 1 THEN cnt ELSE 0 END) AS BIGINT) AS top1,
+             CAST(SUM(CASE WHEN rd <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS top10
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           n_events, n_users,
+           ROUND(CAST(top1 AS DOUBLE) / n_events, 6) AS top1_share,
+           ROUND(CAST(top10 AS DOUBLE) / n_events, 6) AS top10_share,
+           ROUND(2e0 * weighted / (CAST(n_users AS DOUBLE) * n_events)
+                 - (n_users + 1e0) / n_users, 6) AS gini,
+           CAST(top1 * n_users > 4 * n_events AS INT) AS skewed
+    FROM prof ORDER BY window_start, event_type
+    """,
+    doc="streaming twin of q173's key-skew profiler: the stateful "
+    "streaming stage is a watermarked 1-day tumbling aggregation per "
+    "(window, event_type, user) — the only corpus-sized state, bounded "
+    "by the watermark — and the skew statistics (exact-integer Gini, "
+    "top-1/top-10 load shares, the q78 salting trigger) run on that "
+    "AGGREGATE (|windows| x |types| x |active users| rows, not the "
+    "event stream), exactly as a production deploy computes them per "
+    "trigger in foreachBatch (the q112 discipline). The per-window "
+    "verdicts are the live dashboard that tells an operator WHEN a key "
+    "went hot, not just that it is hot overall. == batch time_bucket + "
+    "the q173 grouped-data Gini formula",
+)
+def q191_stream_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    stream = ev.read_events_stream(spark, sf_dir)
+    per_user = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type", "user_id")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    uc = ev.run_stream_to_batch(per_user, "stream_skew_out").select(
+        F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+        "event_type",
+        "user_id",
+        "cnt",
+    )
+    wa = W.partitionBy("window_start", "event_type").orderBy("cnt", "user_id")
+    wd = W.partitionBy("window_start", "event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").desc()
+    )
+    ranked = uc.select(
+        "window_start",
+        "event_type",
+        "cnt",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    prof = ranked.groupBy("window_start", "event_type").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("ra") * F.col("cnt")).cast("long").alias("weighted"),
+        F.sum(F.when(F.col("rd") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("top1"),
+        F.sum(F.when(F.col("rd") <= 10, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("top10"),
+    )
+    return prof.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        "n_users",
+        F.round(F.col("top1").cast("double") / F.col("n_events"), 6).alias(
+            "top1_share"
+        ),
+        F.round(F.col("top10").cast("double") / F.col("n_events"), 6).alias(
+            "top10_share"
+        ),
+        F.round(
+            2.0 * F.col("weighted")
+            / (F.col("n_users").cast("double") * F.col("n_events"))
+            - (F.col("n_users") + 1.0) / F.col("n_users"),
+            6,
+        ).alias("gini"),
+        (F.col("top1") * F.col("n_users") > 4 * F.col("n_events"))
+        .cast("int")
+        .alias("skewed"),
+    ).orderBy("window_start", "event_type")
