@@ -11339,3 +11339,161 @@ def q190_sample_fence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — CUSUM change-point detection over per-type daily volumes: the
+# page-one drift detector (did this event type's rate shift upward, and
+# WHEN) in exact integer arithmetic — scaled by n_days so the reference
+# mean needs no division, folded sequentially over the bounded day axis
+# ---------------------------------------------------------------------------
+@register(
+    "q192_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    axis AS (
+      SELECT event_type, unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day
+      FROM spans
+    ),
+    filled AS (
+      SELECT a.event_type, a.day, COALESCE(d.n, CAST(0 AS BIGINT)) AS n
+      FROM axis a LEFT JOIN daily d
+        ON d.event_type = a.event_type AND d.day = a.day
+    ),
+    series AS (
+      SELECT event_type,
+             list(struct_pack(day := strftime(day, '%Y-%m-%d'), n := n)
+                  ORDER BY day) AS xs,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM filled GROUP BY 1
+    ),
+    folded AS (
+      -- every field recomputes s_new from the OLD a.s and s is packed
+      -- LAST, so DuckDB's in-place struct_pack evaluation and Spark's
+      -- functional fold see identical values at every step
+      SELECT event_type, n_days, total,
+        list_reduce(
+          list_prepend(
+            struct_pack(max_s := CAST(0 AS BIGINT),
+                        first_alarm := CAST(NULL AS VARCHAR),
+                        n_alarms := CAST(0 AS BIGINT),
+                        day := CAST(NULL AS VARCHAR),
+                        d := CAST(0 AS BIGINT),
+                        s := CAST(0 AS BIGINT)),
+            list_transform(xs, x -> struct_pack(
+              max_s := CAST(0 AS BIGINT),
+              first_alarm := CAST(NULL AS VARCHAR),
+              n_alarms := CAST(0 AS BIGINT),
+              day := x.day,
+              d := x.n * n_days - total - total // 4,
+              s := CAST(0 AS BIGINT)))),
+          (a, b) -> struct_pack(
+            max_s := GREATEST(a.max_s,
+                              GREATEST(CAST(0 AS BIGINT), a.s + b.d)),
+            first_alarm := CASE
+              WHEN a.first_alarm IS NULL
+               AND GREATEST(CAST(0 AS BIGINT), a.s + b.d) > 3 * total
+              THEN b.day ELSE a.first_alarm END,
+            n_alarms := a.n_alarms + CASE
+              WHEN GREATEST(CAST(0 AS BIGINT), a.s + b.d) > 3 * total
+              THEN 1 ELSE 0 END,
+            day := b.day,
+            d := b.d,
+            s := GREATEST(CAST(0 AS BIGINT), a.s + b.d))) AS r
+      FROM series
+    )
+    SELECT event_type, CAST(n_days AS INT) AS n_days, total AS total_events,
+           ROUND(CAST(total AS DOUBLE) / n_days, 4) AS mean_daily,
+           (r).max_s AS max_cusum,
+           (r).first_alarm AS first_alarm_day,
+           CAST((r).n_alarms AS INT) AS n_alarms
+    FROM folded ORDER BY event_type
+    """,
+    doc="one-sided CUSUM drift detection per event type: daily counts on "
+    "a gap-filled day axis (missing days count 0 — a detector that skips "
+    "quiet days is blind to outages), deviations scaled by n_days so the "
+    "reference mean and the 25% allowance stay exact BIGINTs (x*n_days - "
+    "total - total//4), folded as S_t = max(0, S_{t-1} + d_t) with alarm "
+    "threshold 3*mean-days. Emits the max statistic, the FIRST alarm day "
+    "(the change-point estimate), and the alarm-day count. One events "
+    "scan, one day aggregate; the fold runs over the bounded day axis, "
+    "so the collected series is O(days) no matter the corpus size",
+)
+def q192_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    axis = spans.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    filled = axis.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0).cast("long")).alias("n")
+    )
+    series = filled.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("xs"),
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    zero = F.lit(0).cast("long")
+    elems = F.transform(
+        "xs",
+        lambda x: F.struct(
+            F.date_format(x["day"], "yyyy-MM-dd").alias("day"),
+            (
+                x["n"] * F.col("n_days") - F.col("total") - F.expr("total div 4")
+            ).alias("d"),
+        ),
+    )
+    init = F.struct(
+        zero.alias("max_s"),
+        F.lit(None).cast("string").alias("first_alarm"),
+        zero.alias("n_alarms"),
+        F.lit(None).cast("string").alias("day"),
+        zero.alias("d"),
+        zero.alias("s"),
+    )
+
+    def merge(a, b):
+        s_new = F.greatest(zero, a["s"] + b["d"])
+        alarm = s_new > 3 * F.col("total")
+        return F.struct(
+            F.greatest(a["max_s"], s_new).alias("max_s"),
+            F.when(a["first_alarm"].isNull() & alarm, b["day"])
+            .otherwise(a["first_alarm"])
+            .alias("first_alarm"),
+            (a["n_alarms"] + F.when(alarm, 1).otherwise(0)).alias("n_alarms"),
+            b["day"].alias("day"),
+            b["d"].alias("d"),
+            s_new.alias("s"),
+        )
+
+    folded = series.select(
+        "event_type",
+        "n_days",
+        "total",
+        F.aggregate(elems, init, merge).alias("r"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("n_days").cast("int").alias("n_days"),
+        F.col("total").alias("total_events"),
+        F.round(F.col("total").cast("double") / F.col("n_days"), 4).alias(
+            "mean_daily"
+        ),
+        F.col("r")["max_s"].alias("max_cusum"),
+        F.col("r")["first_alarm"].alias("first_alarm_day"),
+        F.col("r")["n_alarms"].cast("int").alias("n_alarms"),
+    ).orderBy("event_type")
