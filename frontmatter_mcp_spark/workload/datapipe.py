@@ -11497,3 +11497,148 @@ def q192_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r")["first_alarm"].alias("first_alarm_day"),
         F.col("r")["n_alarms"].cast("int").alias("n_alarms"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q193 — Markov transition matrix over per-user event sequences + the
+# chain's stationary distribution: the behavioral fingerprint (what
+# follows what, and where does a random session spend its time) in the
+# q126 exact fixed-point arithmetic so every power iteration replays
+# bit-identically in the oracle CTEs
+# ---------------------------------------------------------------------------
+_MKV_SCALE = 2**30
+_MKV_ITERS = 6
+
+
+def _markov_sql(iters: int = _MKV_ITERS, s: int = _MKV_SCALE) -> str:
+    ctes = [
+        """pairs AS (
+      SELECT user_id, event_type AS dst,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src
+      FROM events
+    )""",
+        """trans AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2
+    )""",
+        "rowtot AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM trans GROUP BY 1)",
+        f"""tfx AS (
+      SELECT t.src, t.dst, (t.cnt * {s}) // r.tot AS p_fx
+      FROM trans t JOIN rowtot r USING (src)
+    )""",
+        "types AS (SELECT DISTINCT event_type FROM events)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM types)",
+        f"""pi0 AS (
+      SELECT event_type, CAST({s} AS BIGINT) // n AS pi FROM types CROSS JOIN nn
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""pi{t} AS (
+      SELECT ty.event_type, COALESCE(c.m, CAST(0 AS BIGINT)) AS pi
+      FROM types ty LEFT JOIN (
+        SELECT t.dst, CAST(SUM(p.pi * t.p_fx // {s}) AS BIGINT) AS m
+        FROM tfx t JOIN pi{t - 1} p ON p.event_type = t.src
+        GROUP BY t.dst
+      ) c ON c.dst = ty.event_type
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    top AS (
+      SELECT src, dst, p_fx,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY p_fx DESC, dst) AS rn
+      FROM tfx
+    )
+    SELECT ty.event_type,
+           CAST(COALESCE(r.tot, 0) AS BIGINT) AS n_out,
+           CAST(COALESCE(sp.p_fx, 0) AS BIGINT) AS self_p_fx,
+           tp.dst AS top_next, tp.p_fx AS top_next_p_fx,
+           CAST(p.pi AS BIGINT) AS pi_fx
+    FROM types ty
+    LEFT JOIN rowtot r ON r.src = ty.event_type
+    LEFT JOIN (SELECT src, p_fx FROM tfx WHERE src = dst) sp
+           ON sp.src = ty.event_type
+    LEFT JOIN (SELECT src, dst, p_fx FROM top WHERE rn = 1) tp
+           ON tp.src = ty.event_type
+    JOIN pi{iters} p ON p.event_type = ty.event_type
+    ORDER BY ty.event_type
+    """
+
+
+@register(
+    "q193_markov_transitions",
+    _markov_sql(),
+    doc="first-order Markov model of user behavior: adjacent event pairs "
+    "per user (one LAG window over (ts, event_id) total order) fold into "
+    "a |types|^2 transition matrix; probabilities are 2^30 fixed point "
+    "((cnt*S)//row_total, exact BIGINTs) and the stationary distribution "
+    "runs 6 power iterations in the same floor-division arithmetic — "
+    "each iteration one tiny matrix-vector join replayed verbatim in an "
+    "oracle CTE (the q126 discipline; dangling mass drops, which is "
+    "deterministic on both engines). Output per type: out-volume, "
+    "self-loop probability, argmax next type, stationary mass. The "
+    "corpus pays one window pass + one pair aggregate; everything "
+    "iterative runs on the types-sized matrix",
+)
+def q193_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    s = _MKV_SCALE
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    trans = pairs.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
+    rowtot = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("tot"))
+    tfx = pin(
+        trans.join(rowtot, "src").select(
+            "src", "dst", F.expr(f"(cnt * {s}) div tot").alias("p_fx")
+        )
+    )
+    types = e.select("event_type").distinct()
+    nn = types.agg(F.count("*").cast("long").alias("n"))
+    pi = types.crossJoin(F.broadcast(nn)).select(
+        "event_type", F.expr(f"cast({s} as bigint) div n").alias("pi")
+    )
+    for _ in range(_MKV_ITERS):
+        contrib = (
+            tfx.join(pi, tfx["src"] == pi["event_type"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr(f"(pi * p_fx) div {s}")).cast("long").alias("m"))
+        )
+        pi = types.join(
+            contrib, types["event_type"] == contrib["dst"], "left"
+        ).select("event_type", F.coalesce("m", F.lit(0).cast("long")).alias("pi"))
+    top_w = W.partitionBy("src").orderBy(F.col("p_fx").desc(), "dst")
+    top = (
+        tfx.withColumn("rn", F.row_number().over(top_w))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("top_next"), F.col("p_fx").alias("top_next_p_fx"))
+    )
+    selfp = tfx.filter(F.col("src") == F.col("dst")).select(
+        "src", F.col("p_fx").alias("self_raw")
+    )
+    return (
+        types.join(rowtot, types["event_type"] == rowtot["src"], "left")
+        .drop(rowtot["src"])
+        .join(selfp, types["event_type"] == selfp["src"], "left")
+        .drop(selfp["src"])
+        .join(top, types["event_type"] == top["src"], "left")
+        .drop(top["src"])
+        .join(pi, "event_type")
+        .select(
+            "event_type",
+            F.coalesce("tot", F.lit(0).cast("long")).alias("n_out"),
+            F.coalesce("self_raw", F.lit(0).cast("long")).alias("self_p_fx"),
+            "top_next",
+            "top_next_p_fx",
+            F.col("pi").alias("pi_fx"),
+        )
+        .orderBy("event_type")
+    )
