@@ -11642,3 +11642,128 @@ def q193_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — multi-touch conversion attribution: every purchase distributes
+# one unit of credit over the user's preceding touches inside a 3-day
+# horizon under three standard models (first-touch / last-touch /
+# linear), in exact integer credit units so the division leaves no
+# float residue (the remainder goes to the last touch by rule)
+# ---------------------------------------------------------------------------
+_ATTR_SCALE = 2**20
+_ATTR_TOUCH_TYPES = ("click", "view", "signup")
+
+
+def _attribution_sql(s: int = _ATTR_SCALE) -> str:
+    touch_in = ", ".join(f"'{t}'" for t in _ATTR_TOUCH_TYPES)
+    return f"""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS touch_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ({touch_in})
+    ),
+    pairs AS (
+      SELECT c.conv_id, t.touch_id, t.event_type, t.ts
+      FROM conv c JOIN touch t ON t.user_id = c.user_id
+       AND t.ts < c.conv_ts AND t.ts >= c.conv_ts - INTERVAL '3 days'
+    ),
+    ranked AS (
+      SELECT conv_id, touch_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY ts, touch_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY ts DESC, touch_id DESC) AS rn_last,
+             COUNT(*) OVER (PARTITION BY conv_id) AS n_t
+      FROM pairs
+    ),
+    credits AS (
+      SELECT event_type, touch_id, conv_id,
+             {s} // n_t
+               + CASE WHEN rn_last = 1 THEN {s} % n_t ELSE 0 END AS c_lin,
+             CASE WHEN rn_first = 1 THEN {s} ELSE 0 END AS c_first,
+             CASE WHEN rn_last = 1 THEN {s} ELSE 0 END AS c_last
+      FROM ranked
+    )
+    SELECT event_type,
+           CAST(COUNT(DISTINCT touch_id) AS BIGINT) AS n_touch_events,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           CAST(SUM(c_lin) AS BIGINT) AS credit_linear,
+           CAST(SUM(c_first) AS BIGINT) AS credit_first,
+           CAST(SUM(c_last) AS BIGINT) AS credit_last
+    FROM credits GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "q194_touch_attribution",
+    _attribution_sql(),
+    doc="multi-touch attribution over the click/view/signup -> purchase "
+    "funnel: per conversion, the user's touches in the trailing 3 days "
+    "ranked under a (ts, event_id) total order; linear credit is "
+    "S//n with the integer remainder assigned to the LAST touch (sums "
+    "are exactly S per attributed conversion — no float residue to "
+    "drift cross-engine), first/last-touch get the whole unit. The "
+    "pair join is user-keyed with a bounded time horizon (the q55 "
+    "interval-join shape — at 100 TB this runs as the watermarked "
+    "stream-stream join, state bounded by the 3-day horizon); ranks "
+    "run per conversion, aggregation is map-side combined per channel",
+)
+def q194_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    s = _ATTR_SCALE
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = e.filter(F.col("event_type").isin(*_ATTR_TOUCH_TYPES)).select(
+        F.col("event_id").alias("touch_id"), "user_id", "ts", "event_type"
+    )
+    pairs = conv.join(touch, "user_id").filter(
+        (F.col("ts") < F.col("conv_ts"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("interval 3 days"))
+    )
+    ranked = pairs.select(
+        "conv_id",
+        "touch_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("conv_id").orderBy("ts", "touch_id"))
+        .alias("rn_first"),
+        F.row_number()
+        .over(
+            W.partitionBy("conv_id").orderBy(
+                F.col("ts").desc(), F.col("touch_id").desc()
+            )
+        )
+        .alias("rn_last"),
+        F.count("*").over(W.partitionBy("conv_id")).alias("n_t"),
+    )
+    credits = ranked.select(
+        "event_type",
+        "touch_id",
+        "conv_id",
+        (
+            F.expr(f"{s} div n_t")
+            + F.when(F.col("rn_last") == 1, F.lit(s) % F.col("n_t")).otherwise(0)
+        ).alias("c_lin"),
+        F.when(F.col("rn_first") == 1, F.lit(s)).otherwise(0).alias("c_first"),
+        F.when(F.col("rn_last") == 1, F.lit(s)).otherwise(0).alias("c_last"),
+    )
+    return (
+        credits.groupBy("event_type")
+        .agg(
+            F.countDistinct("touch_id").cast("long").alias("n_touch_events"),
+            F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+            F.sum("c_lin").cast("long").alias("credit_linear"),
+            F.sum("c_first").cast("long").alias("credit_first"),
+            F.sum("c_last").cast("long").alias("credit_last"),
+        )
+        .orderBy("event_type")
+    )
