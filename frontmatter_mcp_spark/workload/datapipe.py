@@ -11767,3 +11767,85 @@ def q194_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — readability scoring: Flesch reading-ease + Flesch-Kincaid grade
+# from three integer counters (sentence terminators, words, vowel-group
+# syllable proxy). The classic text-quality signal set next to q35's
+# structural profile — all counting stays in JVM codegen, and the final
+# formulas are single identically-written double expressions over exact
+# integer ratios, so they evaluate bit-identically cross-engine
+# ---------------------------------------------------------------------------
+@register(
+    "q195_readability",
+    r"""
+    WITH c AS (
+      SELECT doc_id, source,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t <> '')) AS n_words,
+             len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_sentences AS INT) AS n_sentences,
+           CAST(n_words AS INT) AS n_words,
+           CAST(n_syllables AS INT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+           END AS flesch_ease,
+           CASE WHEN n_words > 0 THEN
+             ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+           END AS fk_grade
+    FROM c
+    """,
+    doc="readability profile per document: sentence count (terminator "
+    "runs, floored at 1), word count (the corpus-standard whitespace "
+    "tokenizer), and the vowel-group syllable proxy feed the Flesch "
+    "reading-ease and Flesch-Kincaid grade formulas — written as ONE "
+    "identical double expression on both engines over exact integer "
+    "ratios (int/int division and a fixed multiply-add chain are "
+    "IEEE-deterministic; no libm calls). Narrow zero-shuffle "
+    "projection, regex counters in codegen — the cheap filter stage "
+    "that runs before any model-based quality score",
+)
+def q195_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = F.col("text")
+    n_sent = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    n_words = F.size(
+        F.filter(F.split(F.trim(t), r"\s+", -1), lambda x: x != F.lit(""))
+    )
+    n_syl = F.regexp_count(t, F.lit("[aeiouyAEIOUY]+"))
+    c = d.select(
+        "doc_id",
+        "source",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syl.alias("n_syllables"),
+    )
+    wd = F.col("n_words").cast("double")
+    ease = F.round(
+        206.835
+        - 1.015 * (wd / F.col("n_sentences"))
+        - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+        4,
+    )
+    grade = F.round(
+        0.39 * (wd / F.col("n_sentences"))
+        + 11.8 * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        - 15.59,
+        4,
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n_sentences").cast("int").alias("n_sentences"),
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_syllables").cast("int").alias("n_syllables"),
+        F.when(F.col("n_words") > 0, ease).alias("flesch_ease"),
+        F.when(F.col("n_words") > 0, grade).alias("fk_grade"),
+    )
