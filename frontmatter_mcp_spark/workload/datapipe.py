@@ -11849,3 +11849,124 @@ def q195_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_words") > 0, ease).alias("flesch_ease"),
         F.when(F.col("n_words") > 0, grade).alias("fk_grade"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — Zipf rank-frequency fit: OLS of ln(count) on ln(rank) over each
+# source's top-200 vocabulary — the classic corpus-health diagnostic
+# (natural text sits near slope -1; templated/synthetic corpora flatten
+# or steepen). Each log term is quantized to DECIMAL(28,12) before
+# summation (the q94/q171 discipline: exact order-independent sums; the
+# only cross-engine exposure is the documented sub-quantum 1-ulp libm
+# class), and the closed-form OLS runs on the exact sums
+# ---------------------------------------------------------------------------
+_ZIPF_TOP = 200
+
+
+@register(
+    "q196_zipf_fit",
+    rf"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    words AS (SELECT source, unnest(w) AS term FROM toks),
+    vocab AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, term) AS r
+      FROM vocab
+    ),
+    t AS (
+      SELECT source,
+             CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(28,12)) AS x,
+             CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(28,12)) AS y,
+             CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                  AS DECIMAL(28,12)) AS xy,
+             CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                  AS DECIMAL(28,12)) AS xx,
+             CAST(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                  AS DECIMAL(28,12)) AS yy
+      FROM ranked WHERE r <= {_ZIPF_TOP}
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx,
+             CAST(SUM(yy) AS DOUBLE) AS syy
+      FROM t GROUP BY 1
+    )
+    SELECT source, CAST(n AS INT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM agg ORDER BY source
+    """,
+    doc="Zipf's-law fit per source: vocabulary ranked under a (count "
+    "desc, term) total order, the top-200 (rank, count) points fitted "
+    "by closed-form OLS in log-log space. Log terms quantize to "
+    "DECIMAL(28,12) so the sums are exact and order-independent; the "
+    "final slope/intercept/r2 are identical double expression chains "
+    "on both engines. One token shuffle + one vocab aggregate; the "
+    "regression itself touches 200 rows per source regardless of "
+    "corpus size",
+)
+def q196_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    words = d.select("source", F.explode(toks).alias("term"))
+    vocab = words.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ranked = vocab.select(
+        "source",
+        "c",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.col("c").desc(), "term"))
+        .alias("r"),
+    ).filter(F.col("r") <= _ZIPF_TOP)
+    lnr = F.log(F.col("r").cast("double"))
+    lnc = F.log(F.col("c").cast("double"))
+    t = ranked.select(
+        "source",
+        lnr.cast("decimal(28,12)").alias("x"),
+        lnc.cast("decimal(28,12)").alias("y"),
+        (lnr * lnc).cast("decimal(28,12)").alias("xy"),
+        (lnr * lnr).cast("decimal(28,12)").alias("xx"),
+        (lnc * lnc).cast("decimal(28,12)").alias("yy"),
+    )
+    agg = t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "source",
+        n.cast("int").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("source")
