@@ -11970,3 +11970,83 @@ def q196_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q197 — daily value distribution bands: the box-plot time series
+# (p25/p50/p75 + IQR whiskers + outlier count per day per type) that
+# every metrics dashboard draws — exact interpolated percentiles at
+# binary fractions (cross-engine bit-identical), decimal-exact means
+# ---------------------------------------------------------------------------
+@register(
+    "q197_daily_value_bands",
+    """
+    WITH d AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day, value
+      FROM events
+    ),
+    bands AS (
+      SELECT event_type, day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             quantile_cont(value, 0.25e0) AS p25,
+             quantile_cont(value, 0.5e0) AS p50,
+             quantile_cont(value, 0.75e0) AS p75
+      FROM d GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           ROUND(sum_value / n, 6) AS mean_value,
+           ROUND(p25, 6) AS p25, ROUND(p50, 6) AS p50, ROUND(p75, 6) AS p75,
+           ROUND(p75 - p25, 6) AS iqr,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d x
+            WHERE x.event_type = bands.event_type AND x.day = bands.day
+              AND (x.value < p25 - 1.5e0 * (p75 - p25)
+                   OR x.value > p75 + 1.5e0 * (p75 - p25))) AS n_outliers
+    FROM bands ORDER BY event_type, day
+    """,
+    doc="box-plot bands per (event type, day): exact interpolated "
+    "quartiles at binary fractions, decimal-exact mean, IQR, and the "
+    "Tukey 1.5*IQR outlier count (computed by a second pass against "
+    "the per-group fences — in Spark one broadcast join back, not a "
+    "correlated subquery). The day axis bounds every group; both "
+    "scans are map-side-combined aggregates over the same shuffle key",
+)
+def q197_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    bands = d.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+    )
+    fences = bands.select(
+        "event_type",
+        "day",
+        (F.col("p25") - 1.5 * (F.col("p75") - F.col("p25"))).alias("lo"),
+        (F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))).alias("hi"),
+    )
+    outliers = (
+        d.join(F.broadcast(fences), ["event_type", "day"])
+        .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n_outliers"))
+    )
+    return (
+        bands.join(outliers, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(F.col("sum_value") / F.col("n"), 6).alias("mean_value"),
+            F.round("p25", 6).alias("p25"),
+            F.round("p50", 6).alias("p50"),
+            F.round("p75", 6).alias("p75"),
+            F.round(F.col("p75") - F.col("p25"), 6).alias("iqr"),
+            F.coalesce("n_outliers", F.lit(0).cast("long")).alias("n_outliers"),
+        )
+        .orderBy("event_type", "day")
+    )
