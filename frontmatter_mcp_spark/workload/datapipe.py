@@ -12050,3 +12050,106 @@ def q197_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — RFM customer segmentation: the canonical BI cohort cut —
+# recency / frequency / monetary quintiles under total orders, with the
+# standard named segments. Quintile cuts are NTILE under a total order
+# (metric, then custkey), monetary is decimal-exact, recency is integer
+# days vs the corpus horizon — every cut deterministic cross-engine
+# ---------------------------------------------------------------------------
+@register(
+    "q198_rfm_segments",
+    """
+    WITH horizon AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    rfm AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)), maxd)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS monetary
+      FROM orders CROSS JOIN horizon
+      GROUP BY o_custkey, maxd
+    ),
+    scored AS (
+      SELECT custkey, recency_days, n_orders, monetary,
+             NTILE(5) OVER (ORDER BY recency_days, custkey) AS r_q,
+             NTILE(5) OVER (ORDER BY n_orders DESC, custkey) AS f_q,
+             NTILE(5) OVER (ORDER BY monetary DESC, custkey) AS m_q
+      FROM rfm
+    )
+    SELECT custkey, CAST(recency_days AS INT) AS recency_days, n_orders,
+           ROUND(monetary, 4) AS monetary,
+           CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CASE
+             WHEN r_q = 1 AND f_q <= 2 THEN 'champion'
+             WHEN f_q <= 2 THEN 'loyal'
+             WHEN r_q = 1 AND f_q >= 4 THEN 'new'
+             WHEN r_q >= 4 AND f_q >= 4 THEN 'hibernating'
+             WHEN r_q >= 4 THEN 'at_risk'
+             ELSE 'regular'
+           END AS segment
+    FROM scored
+    """,
+    doc="RFM segmentation over orders: per-customer recency (integer "
+    "days vs the corpus max date — one broadcast one-row horizon), "
+    "frequency, and decimal-exact monetary value, cut into quintiles "
+    "by NTILE under (metric, custkey) total orders, then the standard "
+    "champion/loyal/new/at-risk/hibernating labeling. One orders "
+    "shuffle on custkey; the three NTILEs share one customer-sized "
+    "sort each — at 100 TB the quintile boundaries come from the q83 "
+    "two-phase rank instead of a global NTILE, same cut points",
+)
+def q198_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    rfm = (
+        o.crossJoin(F.broadcast(horizon))
+        .groupBy(F.col("o_custkey").alias("custkey"), "maxd")
+        .agg(
+            F.datediff(F.max("maxd"), F.max(F.to_date("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .drop("maxd")
+    )
+    scored = rfm.select(
+        "custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        F.ntile(5).over(W.orderBy("recency_days", "custkey")).alias("r_q"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("n_orders").desc(), "custkey"))
+        .alias("f_q"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary").desc(), "custkey"))
+        .alias("m_q"),
+    )
+    seg = (
+        F.when((F.col("r_q") == 1) & (F.col("f_q") <= 2), "champion")
+        .when(F.col("f_q") <= 2, "loyal")
+        .when((F.col("r_q") == 1) & (F.col("f_q") >= 4), "new")
+        .when((F.col("r_q") >= 4) & (F.col("f_q") >= 4), "hibernating")
+        .when(F.col("r_q") >= 4, "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey",
+        F.col("recency_days").cast("int").alias("recency_days"),
+        "n_orders",
+        F.round("monetary", 4).alias("monetary"),
+        F.col("r_q").cast("int").alias("r_q"),
+        F.col("f_q").cast("int").alias("f_q"),
+        F.col("m_q").cast("int").alias("m_q"),
+        seg.alias("segment"),
+    )
