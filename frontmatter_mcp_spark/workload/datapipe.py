@@ -12153,3 +12153,69 @@ def q198_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_q").cast("int").alias("m_q"),
         seg.alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — top behavioral paths: the most common 3-step event sequences
+# per user (the "what do users actually do" path-analysis view that
+# complements q193's one-step transition matrix and q74's fixed-target
+# funnel) — two LAG windows, one trigram aggregate, total-order top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q199_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS t3,
+             LAG(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t2,
+             LAG(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t1
+      FROM events
+    ),
+    tri AS (
+      SELECT t1 || ' > ' || t2 || ' > ' || t3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM seq WHERE t1 IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tri)
+    SELECT path, n, n_users, ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+    FROM tri CROSS JOIN tot
+    ORDER BY n DESC, path LIMIT 20
+    """,
+    doc="top-20 three-step user paths: trigrams of each user's event "
+    "sequence under the (ts, event_id) total order (two LAGs share one "
+    "window sort), aggregated with distinct-user support and share of "
+    "all trigrams, top-k under (count desc, path) total order. One "
+    "user-keyed window pass, one |types|^3-bounded aggregate, "
+    "TakeOrderedAndProject for the limit",
+)
+def q199_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("t3"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    tri = seq.groupBy(
+        F.concat_ws(" > ", "t1", "t2", "t3").alias("path")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    tot = tri.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        tri.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n",
+            "n_users",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
