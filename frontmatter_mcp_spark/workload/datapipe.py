@@ -12219,3 +12219,105 @@ def q199_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — co-movement matrix: Pearson correlation of daily volumes
+# between every event-type pair (do errors spike with purchases?) on a
+# shared gap-filled day axis. Every moment sum is an exact BIGINT (the
+# inputs are integer counts), and the final correlation is one double
+# expression whose only rounding ops (cast, sqrt, divide) are IEEE
+# correctly-rounded — bit-identical cross-engine with no libm exposure
+# ---------------------------------------------------------------------------
+@register(
+    "q200_volume_correlation",
+    """
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    axis AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    filled AS (
+      SELECT t.event_type, a.day, COALESCE(d.n, CAST(0 AS BIGINT)) AS n
+      FROM types t CROSS JOIN axis a
+      LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = a.day
+    ),
+    pairs AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(x.n) AS BIGINT) AS sx, CAST(SUM(y.n) AS BIGINT) AS sy,
+             CAST(SUM(x.n * y.n) AS BIGINT) AS sxy,
+             CAST(SUM(x.n * x.n) AS BIGINT) AS sxx,
+             CAST(SUM(y.n * y.n) AS BIGINT) AS syy
+      FROM filled x JOIN filled y
+        ON x.day = y.day AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(nd AS INT) AS n_days,
+           ROUND(CAST(nd * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(nd * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(nd * syy - sy * sy AS DOUBLE))), 6) AS corr
+    FROM pairs ORDER BY type_a, type_b
+    """,
+    doc="daily-volume correlation matrix across event types: counts on "
+    "a shared gap-filled day axis (a type silent on a day is 0, not "
+    "absent — dropping those days would bias every correlation toward "
+    "+1), all five moment sums exact BIGINTs, Pearson r as one "
+    "cast/sqrt/divide chain (IEEE correctly-rounded ops only). One "
+    "events scan + one day aggregate; the pair join runs on the "
+    "|types| x |days| bounded series, never on raw events",
+)
+def q200_volume_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    axis = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    filled = (
+        types.crossJoin(axis)
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0).cast("long")).alias("n"))
+    )
+    x = filled.select(
+        F.col("event_type").alias("type_a"), "day", F.col("n").alias("xn")
+    )
+    y = filled.select(
+        F.col("event_type").alias("type_b"), "day", F.col("n").alias("yn")
+    )
+    pairs = (
+        x.join(y, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("long").alias("nd"),
+            F.sum("xn").cast("long").alias("sx"),
+            F.sum("yn").cast("long").alias("sy"),
+            F.sum(F.col("xn") * F.col("yn")).cast("long").alias("sxy"),
+            F.sum(F.col("xn") * F.col("xn")).cast("long").alias("sxx"),
+            F.sum(F.col("yn") * F.col("yn")).cast("long").alias("syy"),
+        )
+    )
+    nd, sx, sy = F.col("nd"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        nd.cast("int").alias("n_days"),
+        F.round(
+            (nd * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((nd * sxx - sx * sx).cast("double"))
+                * F.sqrt((nd * syy - sy * sy).cast("double"))
+            ),
+            6,
+        ).alias("corr"),
+    ).orderBy("type_a", "type_b")
