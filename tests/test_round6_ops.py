@@ -153,3 +153,164 @@ def test_compaction_bins_are_contiguous_and_sized(spark):
         total = sum(r.bytes for r in bins)
         # next-fit never creates more bins than total/target + 1 per source
         assert len(bins) <= total // _COMPACT_TARGET + 1
+
+
+def _gapfilled_daily(spark) -> dict[str, list[tuple[str, int]]]:
+    """Per-type (day, count) series on the per-type gap-filled day axis."""
+    import datetime as dt
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    by_type: dict[str, dict[dt.date, int]] = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, {})[r.day.date()] = r.n
+    out: dict[str, list[tuple[str, int]]] = {}
+    for et, m in by_type.items():
+        d, d1 = min(m), max(m)
+        xs = []
+        while d <= d1:
+            xs.append((d.isoformat(), m.get(d, 0)))
+            d += dt.timedelta(days=1)
+        out[et] = xs
+    return out
+
+
+def test_cusum_fold_matches_python_loop(spark):
+    from frontmatter_mcp_spark.workload.datapipe import q192_cusum_changepoint
+
+    out = {r.event_type: r for r in
+           q192_cusum_changepoint(spark, "/root/testdata/sf0.001").collect()}
+    for et, xs in _gapfilled_daily(spark).items():
+        total = sum(n for _, n in xs)
+        n_days = len(xs)
+        s = max_s = n_alarms = 0
+        first_alarm = None
+        for day, n in xs:
+            d = n * n_days - total - total // 4
+            s = max(0, s + d)
+            max_s = max(max_s, s)
+            if s > 3 * total:
+                n_alarms += 1
+                if first_alarm is None:
+                    first_alarm = day
+        r = out[et]
+        assert r.n_days == n_days and r.total_events == total, et
+        assert r.max_cusum == max_s, et
+        assert r.first_alarm_day == first_alarm, et
+        assert r.n_alarms == n_alarms, et
+
+
+def test_attribution_credit_conservation(spark):
+    from frontmatter_mcp_spark.workload.datapipe import (
+        _ATTR_SCALE,
+        _ATTR_TOUCH_TYPES,
+        q194_touch_attribution,
+    )
+
+    rows = q194_touch_attribution(spark, "/root/testdata/sf0.001").collect()
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id", F.col("ts").alias("cts")
+    )
+    touch = e.filter(F.col("event_type").isin(*_ATTR_TOUCH_TYPES)).select(
+        "user_id", "ts"
+    )
+    n_attributed = (
+        conv.join(touch, "user_id")
+        .filter(
+            (F.col("ts") < F.col("cts"))
+            & (F.col("ts") >= F.col("cts") - F.expr("interval 3 days"))
+        )
+        .select("conv_id")
+        .distinct()
+        .count()
+    )
+    expected = n_attributed * _ATTR_SCALE
+    # every attributed conversion distributes EXACTLY one credit unit
+    # under each model (the integer remainder rule leaves no residue)
+    assert sum(r.credit_linear for r in rows) == expected
+    assert sum(r.credit_first for r in rows) == expected
+    assert sum(r.credit_last for r in rows) == expected
+
+
+def test_volume_correlation_matches_numpy(spark):
+    import numpy as np
+
+    from frontmatter_mcp_spark.workload.datapipe import q200_volume_correlation
+
+    rows = q200_volume_correlation(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no type pairs"
+    # replicate on the SHARED gap-filled axis (global span)
+    per_type = _gapfilled_daily(spark)
+    import datetime as dt
+
+    d0 = min(dt.date.fromisoformat(xs[0][0]) for xs in per_type.values())
+    d1 = max(dt.date.fromisoformat(xs[-1][0]) for xs in per_type.values())
+    axis = []
+    d = d0
+    while d <= d1:
+        axis.append(d.isoformat())
+        d += dt.timedelta(days=1)
+    series = {
+        et: np.array([dict(xs).get(day, 0) for day in axis], dtype=float)
+        for et, xs in per_type.items()
+    }
+    for r in rows:
+        assert abs(r.corr) <= 1.0 + 1e-12
+        expect = np.corrcoef(series[r.type_a], series[r.type_b])[0, 1]
+        assert abs(r.corr - expect) < 1e-6, (r.type_a, r.type_b)
+
+
+def test_zipf_fit_matches_numpy(spark):
+    import numpy as np
+
+    from frontmatter_mcp_spark.workload.datapipe import _ZIPF_TOP, q196_zipf_fit
+
+    rows = {r.source: r for r in
+            q196_zipf_fit(spark, "/root/testdata/sf0.001").collect()}
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    vocab = words.groupBy("source", "term").count().collect()
+    by_src: dict[str, list[tuple[int, str]]] = {}
+    for r in vocab:
+        by_src.setdefault(r.source, []).append((r["count"], r.term))
+    for src, terms in by_src.items():
+        top = sorted(terms, key=lambda t: (-t[0], t[1]))[:_ZIPF_TOP]
+        x = np.log(np.arange(1, len(top) + 1, dtype=float))
+        y = np.log(np.array([c for c, _ in top], dtype=float))
+        slope, intercept = np.polyfit(x, y, 1)
+        r = rows[src]
+        assert r.n_terms == len(top)
+        assert abs(r.zipf_slope - slope) < 1e-4, src
+        assert abs(r.intercept - intercept) < 1e-4, src
+        assert -1e-9 <= r.r2 <= 1 + 1e-9
+
+
+def test_markov_fixed_point_invariants(spark):
+    from frontmatter_mcp_spark.workload.datapipe import (
+        _MKV_SCALE,
+        q193_markov_transitions,
+    )
+
+    rows = q193_markov_transitions(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # stationary mass: non-negative, total bounded by the scale (floor
+    # division only loses mass, never creates it)
+    assert all(r.pi_fx >= 0 for r in rows)
+    assert sum(r.pi_fx for r in rows) <= _MKV_SCALE
+    for r in rows:
+        if r.n_out > 0:
+            assert r.top_next is not None
+            assert 0 <= r.self_p_fx <= r.top_next_p_fx <= _MKV_SCALE
