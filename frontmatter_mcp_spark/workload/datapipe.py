@@ -12201,11 +12201,14 @@ def q199_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type", 1).over(w).alias("t2"),
         F.lag("event_type", 2).over(w).alias("t1"),
     ).filter(F.col("t1").isNotNull())
-    tri = seq.groupBy(
-        F.concat_ws(" > ", "t1", "t2", "t3").alias("path")
-    ).agg(
-        F.count("*").cast("long").alias("n"),
-        F.countDistinct("user_id").cast("long").alias("n_users"),
+    # tri feeds two consumers with different projections (the share
+    # denominator prunes n_users), so without a pin the corpus window
+    # pass runs twice — the q75/q90 lesson
+    tri = pin(
+        seq.groupBy(F.concat_ws(" > ", "t1", "t2", "t3").alias("path")).agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
     )
     tot = tri.agg(F.sum("n").cast("long").alias("total"))
     return (

@@ -753,3 +753,76 @@ def test_q168_compaction_single_source_exchange(spark):
     assert plan.count("Exchange") <= 3, plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q190_sample_fence_broadcast_back(spark):
+    """Sample-fence gate: fences broadcast back to the corpus (the q85
+    shape), all counters JVM-side."""
+    df = QUERIES["q190_sample_fence_gate"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q192_cusum_no_join_on_raw_events(spark):
+    """CUSUM: the gap-fill join runs on the (type, day) aggregate, the
+    fold is a Catalyst aggregate expression — no Python, and the only
+    corpus-scale exchange is the day aggregate's."""
+    df = QUERIES["q192_cusum_changepoint"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial aggregation on the events scan side
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q194_attribution_partial_aggs_no_python(spark):
+    """Attribution: ranks per conversion, channel aggregate map-side
+    combined, everything JVM-side."""
+    df = QUERIES["q194_touch_attribution"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q195_readability_is_narrow(spark):
+    """Readability: a zero-exchange codegen projection."""
+    df = QUERIES["q195_readability"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only exchange is ensure_parallelism's repartition of the
+    # single-file scan — no shuffle introduced by the computation itself
+    assert plan.count("Exchange") == 1 and "REPARTITION_BY_NUM" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q197_bands_broadcast_fences_no_resort(spark):
+    """Value bands: the outlier pass joins broadcast fences — no
+    correlated subquery, no second sort of the events table."""
+    df = QUERIES["q197_daily_value_bands"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q199_top_paths_topk_no_global_sort(spark):
+    """Top paths: the LIMIT 20 is TakeOrderedAndProject over the trigram
+    aggregate, both LAGs share one window sort, and the pinned trigram
+    table keeps the share denominator from re-running the corpus window
+    pass (its pruned projection would not canonicalize for reuse)."""
+    df = QUERIES["q199_top_paths"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    # both Window mentions sit under InMemoryRelation plan text — the
+    # pass executes once; no third copy appears anywhere
+    assert plan.count("Window") <= 2, plan
+
+
+def test_q200_correlation_pair_join_on_bounded_series(spark):
+    """Volume correlation: the self-join runs on the gap-filled
+    (type, day) series, never on raw events — the events scan feeds
+    exactly one aggregate subtree (reused), and the join keys are the
+    bounded day axis."""
+    df = QUERIES["q200_volume_correlation"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
