@@ -314,3 +314,44 @@ def test_markov_fixed_point_invariants(spark):
         if r.n_out > 0:
             assert r.top_next is not None
             assert 0 <= r.self_p_fx <= r.top_next_p_fx <= _MKV_SCALE
+
+
+def test_holt_winters_fold_matches_python_loop(spark):
+    from frontmatter_mcp_spark.workload.datapipe import q201_holt_winters
+
+    out = {r.event_type: r for r in
+           q201_holt_winters(spark, "/root/testdata/sf0.001").collect()}
+    # q201 folds over OBSERVED days only (no gap fill) — rebuild that
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series: dict[str, list[float]] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(float(r.n))
+    for et, xs in series.items():
+        if len(xs) < 8:
+            assert et not in out
+            continue
+        level = sum(xs[:7]) / 7.0  # float sum == left-assoc chain
+        trend, err = 0.0, 0.0
+        seas = [v - level for v in xs[:7]]
+        for i in range(8, len(xs) + 1):
+            s_idx = (i - 1) % 7
+            sv = seas[s_idx]
+            x = xs[i - 1]
+            err += abs(x - (level + trend + sv))
+            nl = 0.25 * (x - sv) + 0.75 * (level + trend)
+            trend = 0.125 * (nl - level) + 0.875 * trend
+            seas[s_idx] = 0.25 * (x - nl) + 0.75 * sv
+            level = nl
+        r = out[et]
+        assert abs(r.level - round(level, 6)) < 1e-9, et
+        assert abs(r.trend - round(trend, 6)) < 1e-9, et
+        assert abs(
+            r.forecast_next - round(level + trend + seas[len(xs) % 7], 6)
+        ) < 1e-9, et
+        assert abs(r.mae_1step - round(err / (len(xs) - 7), 6)) < 1e-9, et
