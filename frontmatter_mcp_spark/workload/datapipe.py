@@ -12470,3 +12470,81 @@ def q201_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(r["err"] / (F.col("n_days") - 7), 6).alias("mae_1step"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q202 — differentially-private release of the (lang, source) census:
+# epsilon=1 Laplace noise DERANDOMIZED from the cell key's md5 (the
+# q125/q131 derandomization discipline applied to the privacy layer) —
+# reruns release identical noise, and the oracle replays the exact
+# inverse-CDF draw so the noisy release itself hash-verifies
+# ---------------------------------------------------------------------------
+_DP_HEX_DIGITS = 12  # 48 bits of uniform
+
+
+def _dp_uniform_sql(key: str) -> str:
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(1, _DP_HEX_DIGITS + 1):
+        expr = (
+            f"({expr}) * 16 + (strpos('0123456789abcdef', "
+            f"substr(md5({key}), {i}, 1)) - 1)"
+        )
+    return f"(CAST(({expr}) AS DOUBLE) + 0.5e0) / {float(16 ** _DP_HEX_DIGITS)!r}"
+
+
+@register(
+    "q202_dp_release",
+    f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    drawn AS (
+      SELECT lang, source, n,
+             {_dp_uniform_sql("'dp|' || lang || '|' || source")} AS u
+      FROM cells
+    ),
+    noised AS (
+      SELECT lang, source, n,
+             ROUND(CASE WHEN u < 0.5e0 THEN ln(2e0 * u)
+                        ELSE -ln(2e0 * (1e0 - u)) END, 6) AS noise
+      FROM drawn
+    )
+    SELECT lang, source, n AS true_n,
+           GREATEST(CAST(FLOOR(n + noise + 0.5e0) AS BIGINT),
+                    CAST(0 AS BIGINT)) AS released_n,
+           ABS(GREATEST(CAST(FLOOR(n + noise + 0.5e0) AS BIGINT),
+                        CAST(0 AS BIGINT)) - n) AS abs_err
+    FROM noised ORDER BY lang, source
+    """,
+    doc="epsilon=1 differentially-private census release over the "
+    "(lang, source) cells: Laplace noise via the inverse CDF on a "
+    "48-bit uniform derived from md5 of the cell key — deterministic, "
+    "so backfills release the same table and the driver can hash-check "
+    "the privacy layer itself (the true_n audit column is the part a "
+    "real release drops; the per-cell draw is what a production system "
+    "seeds from a private key instead). Noise quantizes to 6 decimals "
+    "before the floor(x+0.5) integer rounding (half-up on both "
+    "engines, unlike bare round()). One aggregate, then narrow codegen",
+)
+def q202_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n"))
+    h = F.md5(F.concat(F.lit("dp|"), F.col("lang"), F.lit("|"), F.col("source")))
+    u = (
+        F.conv(F.substring(h, 1, _DP_HEX_DIGITS), 16, 10).cast("double")
+        + 0.5
+    ) / float(16 ** _DP_HEX_DIGITS)
+    noise = F.round(
+        F.when(u < 0.5, F.log(2.0 * u)).otherwise(-F.log(2.0 * (1.0 - u))), 6
+    )
+    released = F.greatest(
+        F.floor(F.col("n") + noise + 0.5).cast("long"), F.lit(0).cast("long")
+    )
+    return cells.select(
+        "lang",
+        "source",
+        F.col("n").alias("true_n"),
+        released.alias("released_n"),
+        F.abs(released - F.col("n")).alias("abs_err"),
+    ).orderBy("lang", "source")
