@@ -12548,3 +12548,138 @@ def q202_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         released.alias("released_n"),
         F.abs(released - F.col("n")).alias("abs_err"),
     ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# q203 — pairwise two-sample Kolmogorov-Smirnov tests between sources
+# over the document-length distribution: the distribution-shift test
+# that needs no binning choice (unlike q179's PSI buckets). The D
+# statistic is computed as an exact INTEGER — max |c_a*n_b - c_b*n_a|
+# over the shared value axis — so the test hash-verifies cross-engine;
+# only the final normalization and the critical value touch doubles
+# ---------------------------------------------------------------------------
+@register(
+    "q203_ks_source_shift",
+    """
+    WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+    src AS (
+      SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM src GROUP BY 1),
+    axis AS (
+      SELECT t.source, t.n, a.v,
+             CAST(COALESCE(SUM(s.c), 0) AS BIGINT) AS cv
+      FROM tot t CROSS JOIN vals a
+      LEFT JOIN src s ON s.source = t.source AND s.n_chars = a.v
+      GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT source, n, v,
+             CAST(SUM(cv) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cdf_c
+      FROM axis
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS n_a, b.n AS n_b,
+             CAST(MAX(ABS(a.cdf_c * b.n - b.cdf_c * a.n)) AS BIGINT)
+               AS d_scaled
+      FROM cum a JOIN cum b ON a.v = b.v AND a.source < b.source
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT source_a, source_b, n_a, n_b, d_scaled,
+           ROUND(CAST(d_scaled AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
+             AS d_stat,
+           ROUND(1.358e0 * sqrt((CAST(n_a AS DOUBLE) + n_b)
+                                / (CAST(n_a AS DOUBLE) * n_b)), 6) AS crit_05,
+           CAST(CAST(d_scaled AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+                > 1.358e0 * sqrt((CAST(n_a AS DOUBLE) + n_b)
+                                 / (CAST(n_a AS DOUBLE) * n_b)) AS INT)
+             AS reject_05
+    FROM pairs ORDER BY source_a, source_b
+    """,
+    doc="two-sample KS test for every source pair over n_chars: per-"
+    "source cumulative counts on the shared distinct-value axis (the "
+    "domain is bounded — document lengths, not documents), then "
+    "D = max|c_a*n_b - c_b*n_a| as an exact BIGINT cross-multiplication "
+    "(no per-step division, so the max is hash-exact); d_stat, the "
+    "alpha=0.05 critical value (1.358*sqrt((n_a+n_b)/(n_a*n_b)), IEEE "
+    "sqrt), and the reject flag follow in one deterministic double "
+    "chain. Corpus pays one (source, length) aggregate; the axis "
+    "cross join, cumsums, and the pair join all run on the bounded "
+    "value domain",
+)
+def q203_ks_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    vals = d.select(F.col("n_chars").alias("v")).distinct()
+    src = d.groupBy("source", "n_chars").agg(F.count("*").cast("long").alias("c"))
+    tot = src.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    # src is unique on (source, n_chars): the left join yields at most
+    # one match per (source, v) — no re-aggregation needed
+    axis = (
+        tot.select(F.col("source").alias("s"), "n")
+        .crossJoin(vals)
+        .join(
+            src.select(
+                F.col("source").alias("s2"),
+                F.col("n_chars").alias("v2"),
+                "c",
+            ),
+            (F.col("s") == F.col("s2")) & (F.col("v") == F.col("v2")),
+            "left",
+        )
+        .select(
+            F.col("s").alias("source"),
+            "n",
+            "v",
+            F.coalesce("c", F.lit(0)).cast("long").alias("cv"),
+        )
+    )
+    cum = axis.select(
+        "source",
+        "n",
+        "v",
+        F.sum("cv")
+        .over(W.partitionBy("source").orderBy("v").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cdf_c"),
+    )
+    a = cum.select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("n_a"),
+        "v",
+        F.col("cdf_c").alias("ca"),
+    )
+    b = cum.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("n_b"),
+        "v",
+        F.col("cdf_c").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "v")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(
+            F.max(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")))
+            .cast("long")
+            .alias("d_scaled")
+        )
+    )
+    na_d = F.col("n_a").cast("double")
+    d_stat = F.col("d_scaled").cast("double") / (na_d * F.col("n_b"))
+    crit = 1.358 * F.sqrt((na_d + F.col("n_b")) / (na_d * F.col("n_b")))
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "d_scaled",
+        F.round(d_stat, 6).alias("d_stat"),
+        F.round(crit, 6).alias("crit_05"),
+        (d_stat > crit).cast("int").alias("reject_05"),
+    ).orderBy("source_a", "source_b")
