@@ -826,3 +826,47 @@ def test_q200_correlation_pair_join_on_bounded_series(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """Spark's runtime row-level filtering (InjectRuntimeFilter): a
+    selective dimension filter turns into a bloom filter applied on the
+    fact side BEFORE its shuffle — the engine-level realization of
+    q86's hand-built bloom prefilter. The application-side threshold
+    defaults to 10GB because the rewrite only pays at scale; at test
+    scale we drop it to 0 to pin the mechanism (at 100 TB the default
+    triggers naturally). Results must be identical either way."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet").filter("p_brand = 'Brand#13'")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        j = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        filtered = {(r.p_brand, r["count"]) for r in j.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
+    plain = {
+        (r.p_brand, r["count"])
+        for r in li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .count()
+        .collect()
+    }
+    assert filtered == plain
