@@ -12683,3 +12683,141 @@ def q203_ks_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_05"),
         (d_stat > crit).cast("int").alias("reject_05"),
     ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# q204 — experiment readout: the end-to-end A/B analysis every product
+# team runs — deterministic hash assignment (the q57 split machinery),
+# per-variant click->purchase conversion, and the two-proportion z-test
+# verdict (q157's arithmetic) in one declarative plan
+# ---------------------------------------------------------------------------
+def _experiment_sql() -> str:
+    b = _hash_bucket_duck("user_id", 2)
+    return f"""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN {b} = 0 THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchased
+      FROM events GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(clicked) AS BIGINT) AS n_clicked,
+             CAST(SUM(CASE WHEN clicked = 1 AND purchased = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      FROM assigned GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN variant = 'A' THEN n_users END) AS users_a,
+        MAX(CASE WHEN variant = 'A' THEN n_clicked END) AS clicked_a,
+        MAX(CASE WHEN variant = 'A' THEN n_converted END) AS converted_a,
+        MAX(CASE WHEN variant = 'B' THEN n_users END) AS users_b,
+        MAX(CASE WHEN variant = 'B' THEN n_clicked END) AS clicked_b,
+        MAX(CASE WHEN variant = 'B' THEN n_converted END) AS converted_b
+      FROM v
+    )
+    SELECT users_a, clicked_a, converted_a, users_b, clicked_b, converted_b,
+           ROUND(CAST(converted_a AS DOUBLE) / clicked_a, 6) AS rate_a,
+           ROUND(CAST(converted_b AS DOUBLE) / clicked_b, 6) AS rate_b,
+           -- a pooled rate of exactly 0 or 1 has zero variance: no test
+           CASE WHEN converted_a + converted_b > 0
+                 AND converted_a + converted_b < clicked_a + clicked_b
+                THEN ROUND((CAST(converted_a AS DOUBLE) / clicked_a
+                            - CAST(converted_b AS DOUBLE) / clicked_b)
+                     / sqrt((CAST(converted_a + converted_b AS DOUBLE)
+                             / (clicked_a + clicked_b))
+                            * (1e0 - CAST(converted_a + converted_b AS DOUBLE)
+                                     / (clicked_a + clicked_b))
+                            * (1e0 / clicked_a + 1e0 / clicked_b)), 6)
+           END AS z,
+           CASE WHEN converted_a + converted_b > 0
+                 AND converted_a + converted_b < clicked_a + clicked_b
+                THEN CAST(ABS((CAST(converted_a AS DOUBLE) / clicked_a
+                          - CAST(converted_b AS DOUBLE) / clicked_b)
+                         / sqrt((CAST(converted_a + converted_b AS DOUBLE)
+                                 / (clicked_a + clicked_b))
+                                * (1e0 - CAST(converted_a + converted_b AS DOUBLE)
+                                         / (clicked_a + clicked_b))
+                                * (1e0 / clicked_a + 1e0 / clicked_b))) > 1.96e0
+                     AS INT)
+                ELSE 0 END AS significant_05
+    FROM w
+    """
+
+
+@register(
+    "q204_experiment_readout",
+    _experiment_sql(),
+    doc="A/B experiment readout in one plan: users assigned to variants "
+    "by the deterministic md5 bucket (the q57 split — assignment "
+    "reproducible across engines and reruns), per-variant click->"
+    "purchase conversion among clickers, and the pooled two-proportion "
+    "z-test with the alpha=0.05 verdict (q157's IEEE sqrt/divide "
+    "chain). One user-keyed aggregate + one 2-row pivot — at 100 TB "
+    "the only shuffle is the per-user collapse, which AQE coalesces",
+)
+def q204_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.groupBy(
+        "user_id",
+        F.when(hash_bucket(F.col("user_id"), 2) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+    ).agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("clicked"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("purchased"),
+    )
+    v = assigned.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("clicked").cast("long").alias("n_clicked"),
+        F.sum(((F.col("clicked") == 1) & (F.col("purchased") == 1)).cast("int"))
+        .cast("long")
+        .alias("n_converted"),
+    )
+    w = v.agg(
+        *[
+            F.max(F.when(F.col("variant") == var, F.col(c))).alias(
+                f"{out}_{var.lower()}"
+            )
+            for var in ("A", "B")
+            for c, out in [
+                ("n_users", "users"),
+                ("n_clicked", "clicked"),
+                ("n_converted", "converted"),
+            ]
+        ]
+    )
+    ca, cb = F.col("converted_a").cast("double"), F.col("converted_b").cast("double")
+    ka, kb = F.col("clicked_a"), F.col("clicked_b")
+    rate_a, rate_b = ca / ka, cb / kb
+    pool = (ca + cb) / (ka + kb)
+    # a pooled rate of exactly 0 or 1 has zero variance: no test
+    nondegenerate = (
+        (F.col("converted_a") + F.col("converted_b") > 0)
+        & (F.col("converted_a") + F.col("converted_b") < ka + kb)
+    )
+    z = F.when(
+        nondegenerate,
+        (rate_a - rate_b)
+        / F.sqrt(pool * (1.0 - pool) * (1.0 / ka + 1.0 / kb)),
+    )
+    return w.select(
+        "users_a",
+        "clicked_a",
+        "converted_a",
+        "users_b",
+        "clicked_b",
+        "converted_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+        F.coalesce((F.abs(z) > 1.96).cast("int"), F.lit(0)).alias(
+            "significant_05"
+        ),
+    )
