@@ -12821,3 +12821,158 @@ def q204_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_05"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — cross-entropy domain-similarity matrix (the Moore-Lewis /
+# CCNet data-selection signal at corpus granularity): every source's
+# token distribution scored under every source's add-1-smoothed
+# unigram LM. The diagonal is each domain's own entropy; an off-
+# diagonal cell minus its column diagonal is the Moore-Lewis score of
+# "data from r under target s"
+# ---------------------------------------------------------------------------
+@register(
+    "q205_crossentropy_matrix",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    words AS (SELECT source, unnest(w) AS term FROM toks),
+    tf AS (
+      SELECT source AS r, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words GROUP BY 1, 2
+    ),
+    ns AS (SELECT r AS s, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM tf),
+    grid AS (
+      SELECT ns.s, t.term, ns.n, vv.v,
+             COALESCE(c.tf, CAST(0 AS BIGINT)) AS c0
+      FROM (SELECT DISTINCT term FROM tf) t
+      CROSS JOIN ns CROSS JOIN vv
+      LEFT JOIN tf c ON c.r = ns.s AND c.term = t.term
+    ),
+    lp AS (
+      SELECT s, term,
+             ln(CAST(n + v AS DOUBLE)) - ln(CAST(c0 + 1 AS DOUBLE)) AS nll
+      FROM grid
+    ),
+    cells AS (
+      SELECT lp.s AS model_source, tf.r AS data_source,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(lp.nll * tf.tf AS DECIMAL(28,12))) AS DOUBLE)
+               / SUM(tf.tf) AS nll_raw
+      FROM tf JOIN lp ON lp.term = tf.term
+      GROUP BY 1, 2
+    ),
+    out AS (
+      SELECT model_source, data_source, n_tokens,
+             ROUND(nll_raw, 6) AS mean_nll,
+             ROUND(nll_raw, 6)
+               - MAX(CASE WHEN model_source = data_source
+                          THEN ROUND(nll_raw, 6) END)
+                 OVER (PARTITION BY data_source) AS ml_raw
+      FROM cells
+    )
+    SELECT model_source, data_source, n_tokens, mean_nll,
+           ROUND(ml_raw, 6) AS moore_lewis
+    FROM out ORDER BY model_source, data_source
+    """,
+    doc="Moore-Lewis cross-entropy matrix: per (model source s, data "
+    "source r), the mean token NLL of r's text under s's add-1-"
+    "smoothed unigram LM — the data-selection signal for 'which "
+    "domains resemble my target'. moore_lewis = cell minus the data "
+    "source's own-entropy diagonal (negative = r looks MORE like s "
+    "than like itself). Per-term NLLs quantize to DECIMAL(28,12) "
+    "before the exact sum (the q94/q171 ln discipline). One token "
+    "explode + one (source, term) aggregate; the smoothing grid and "
+    "the scoring join run on |vocab| x |sources| — at 100 TB the "
+    "vocab gets the df-cap and an OOV bucket, same plan otherwise",
+)
+def q205_crossentropy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    # tf feeds three consumers (totals, the smoothing grid's left side,
+    # and the scoring join) with different projections — pin it
+    tf = pin(
+        words.groupBy(F.col("source").alias("r"), "term").agg(
+            F.count("*").cast("long").alias("tf")
+        )
+    )
+    ns = tf.groupBy(F.col("r").alias("s")).agg(F.sum("tf").cast("long").alias("n"))
+    vv = tf.agg(F.countDistinct("term").cast("long").alias("v"))
+    terms = tf.select("term").distinct()
+    grid = (
+        terms.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(vv))
+        .join(
+            tf.select(F.col("r").alias("s2"), F.col("term").alias("t2"), "tf"),
+            (F.col("s") == F.col("s2")) & (F.col("term") == F.col("t2")),
+            "left",
+        )
+        .select(
+            "s",
+            "term",
+            "n",
+            "v",
+            F.coalesce("tf", F.lit(0).cast("long")).alias("c0"),
+        )
+    )
+    lp = grid.select(
+        "s",
+        "term",
+        (
+            F.log((F.col("n") + F.col("v")).cast("double"))
+            - F.log((F.col("c0") + 1).cast("double"))
+        ).alias("nll"),
+    )
+    cells = (
+        tf.join(lp, "term")
+        .groupBy(
+            F.col("s").alias("model_source"), F.col("r").alias("data_source")
+        )
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum((F.col("nll") * F.col("tf")).cast("decimal(28,12)")).cast(
+                    "double"
+                )
+                / F.sum("tf")
+            ).alias("nll_raw"),
+        )
+    )
+    diag = F.max(
+        F.when(
+            F.col("model_source") == F.col("data_source"),
+            F.round(F.col("nll_raw"), 6),
+        )
+    ).over(W.partitionBy("data_source"))
+    return (
+        cells.select(
+            "model_source",
+            "data_source",
+            "n_tokens",
+            F.round("nll_raw", 6).alias("mean_nll"),
+            (F.round(F.col("nll_raw"), 6) - diag).alias("ml_raw"),
+        )
+        .select(
+            "model_source",
+            "data_source",
+            "n_tokens",
+            "mean_nll",
+            F.round("ml_raw", 6).alias("moore_lewis"),
+        )
+        .orderBy("model_source", "data_source")
+    )
