@@ -12976,3 +12976,80 @@ def q205_crossentropy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model_source", "data_source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q206 — effective token budget: the number every pretraining plan
+# actually needs — per-source tokens BEFORE and AFTER exact dedup
+# (q30's global keeper rule), with the duplication inflation factor.
+# The raw token count overstates a crawl's worth; this is the data
+# card's "how much unique signal is really here" line
+# ---------------------------------------------------------------------------
+@register(
+    "q206_effective_tokens",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM t GROUP BY fp)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS effective_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                 / SUM(CASE WHEN k.doc_id IS NOT NULL THEN n_tokens
+                            ELSE 0 END), 6) AS inflation
+    FROM t LEFT JOIN keepers k ON k.doc_id = t.doc_id
+    GROUP BY source ORDER BY source
+    """,
+    doc="per-source effective token budget after exact dedup: q30's "
+    "global keeper rule (MIN doc_id per content fingerprint — a "
+    "duplicate spanning sources credits only the keeper's source), "
+    "raw vs effective token sums, and the inflation factor raw/"
+    "effective. One scan computes fingerprints and token counts, one "
+    "fp aggregate picks keepers, one semi-join-shaped left join marks "
+    "them — all counters map-side combined. The inflation column is "
+    "what turns a '2T tokens crawled' claim into the number the "
+    "training-compute plan can use",
+)
+def q206_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("fp"),
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+", -1), lambda x: x != F.lit(""))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    keepers = t.groupBy("fp").agg(F.min("doc_id").alias("kid"))
+    marked = t.join(
+        keepers, t["doc_id"] == keepers["kid"], "left"
+    )
+    kept = F.col("kid").isNotNull()
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("raw_tokens"),
+            F.sum(kept.cast("long")).cast("long").alias("kept_docs"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("effective_tokens"),
+        )
+        .withColumn(
+            "inflation",
+            F.round(
+                F.col("raw_tokens").cast("double") / F.col("effective_tokens"), 6
+            ),
+        )
+        .orderBy("source")
+    )
