@@ -13053,3 +13053,108 @@ def q206_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — cross-table AS-OF enrichment: every order annotated with the
+# customer's most recent event STRICTLY before the order timestamp —
+# the feature-engineering join (behavioral recency at decision time)
+# done with the q18/q188 union+window rewrite instead of a per-row
+# subquery: one shuffle on the user key, one ordered window pass
+# ---------------------------------------------------------------------------
+@register(
+    "q207_order_asof_enrichment",
+    """
+    WITH u AS (
+      SELECT user_id AS k, ts, 1 AS kind, event_type, event_id,
+             CAST(NULL AS BIGINT) AS okey
+      FROM events
+      UNION ALL
+      SELECT o_custkey, o_orderdate, 0, CAST(NULL AS VARCHAR),
+             CAST(NULL AS BIGINT), o_orderkey
+      FROM orders
+    ),
+    w AS (
+      SELECT k, ts, kind, okey,
+             last_value(event_type IGNORE NULLS) OVER
+               (PARTITION BY k ORDER BY ts, kind, COALESCE(event_id, okey)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type,
+             last_value(CASE WHEN kind = 1 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER
+               (PARTITION BY k ORDER BY ts, kind, COALESCE(event_id, okey)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_us
+      FROM u
+    )
+    SELECT okey AS o_orderkey, k AS custkey,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS order_ts,
+           last_type,
+           CAST(CASE WHEN last_us IS NOT NULL
+                     THEN (epoch_us(ts) - last_us) // 60000000 END AS BIGINT)
+             AS gap_minutes
+    FROM w WHERE kind = 0
+    """,
+    doc="as-of join ACROSS tables (orders x events on the shared user "
+    "key): each order picks up the type and integer-minute recency of "
+    "the customer's latest strictly-earlier event via the union+window "
+    "rewrite — order rows sort BEFORE events at equal timestamps "
+    "(kind 0 < 1), so same-instant events are excluded by "
+    "construction, and last_value IGNORE NULLS carries the event "
+    "state forward. One exchange on the user key, one window pass, "
+    "no per-row subquery and no range join — the q18 discipline "
+    "generalized to two tables. Customers with no prior events get "
+    "NULLs (left-join semantics for free)",
+)
+def q207_order_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    u = e.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_type",
+        "event_id",
+        F.lit(None).cast("long").alias("okey"),
+    ).unionAll(
+        o.select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("ts"),
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("o_orderkey").alias("okey"),
+        )
+    )
+    win = (
+        W.partitionBy("k")
+        .orderBy("ts", "kind", F.coalesce("event_id", "okey"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w = u.select(
+        "k",
+        "ts",
+        "kind",
+        "okey",
+        F.last("event_type", ignorenulls=True).over(win).alias("last_type"),
+        F.last(
+            F.when(F.col("kind") == 1, F.unix_micros(F.col("ts").cast("timestamp"))),
+            ignorenulls=True,
+        )
+        .over(win)
+        .alias("last_us"),
+    )
+    return w.filter(F.col("kind") == 0).select(
+        F.col("okey").alias("o_orderkey"),
+        F.col("k").alias("custkey"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+        "last_type",
+        F.when(
+            F.col("last_us").isNotNull(),
+            F.expr(
+                "(unix_micros(cast(ts as timestamp)) - last_us) div 60000000"
+            ),
+        )
+        .cast("long")
+        .alias("gap_minutes"),
+    )
