@@ -13158,3 +13158,133 @@ def q207_order_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_minutes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — tokenizer bake-off: the q113/q116 BPE family and the q163/q169
+# unigram family trained exactly as their own queries train them, then
+# compared head-to-head on the common word domain — weighted fertility,
+# segmentation agreement, and piece-inventory overlap. The decision
+# artifact a tokenizer selection actually needs, and the first query to
+# run BOTH induction chains in one plan
+# ---------------------------------------------------------------------------
+def _bakeoff_sql() -> str:
+    import re as _re
+
+    uni = _unigram_chain_ctes()
+    # the BPE chain's `toks` is identical to the unigram chain's (reuse
+    # it); its `words` differs (no length cap) — namespace it to bwords
+    bpe = [
+        _re.sub(r"\bwords\b", "bwords", c) for c in _bpe_chain_ctes(_BPE_ITERS)[1:]
+    ]
+    ctes = uni + bpe
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    j AS (
+      SELECT u.w, u.wc, b.seq, u.ps
+      FROM bt{_UNI_MAXW} u JOIN s{_BPE_ITERS} b ON b.w = u.w
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common_words,
+             CAST(SUM(wc) AS BIGINT) AS total_wc,
+             CAST(SUM(wc * len(string_split(seq, ' '))) AS BIGINT) AS bt,
+             CAST(SUM(wc * len(ps)) AS BIGINT) AS ut,
+             CAST(SUM(CASE WHEN len(string_split(seq, ' ')) = len(ps)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_same_len,
+             CAST(SUM(CASE WHEN seq = array_to_string(ps, ' ')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_same_seg
+      FROM j
+    ),
+    pb AS (SELECT DISTINCT unnest(string_split(seq, ' ')) AS p FROM j),
+    pu AS (SELECT DISTINCT unnest(ps) AS p FROM j),
+    pc AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pb) AS n_bpe_pieces,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pu) AS n_uni_pieces,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM pb JOIN pu USING (p)) AS n_shared_pieces
+    )
+    SELECT n_common_words, total_wc,
+           ROUND(CAST(bt AS DOUBLE) / total_wc, 6) AS bpe_fertility,
+           ROUND(CAST(ut AS DOUBLE) / total_wc, 6) AS uni_fertility,
+           n_same_len, n_same_seg,
+           n_bpe_pieces, n_uni_pieces, n_shared_pieces
+    FROM m CROSS JOIN pc
+    """
+
+
+@register(
+    "q208_tokenizer_bakeoff",
+    _bakeoff_sql(),
+    doc="tokenizer bake-off on the common word domain (lowercase alpha "
+    "<= 10 chars): the BPE merge chain (trained on its own uncapped "
+    "word census, bit-identical to q113/q116) and the unigram Viterbi "
+    "chain (bit-identical to q163/q169) segment the same words; the "
+    "report compares frequency-weighted fertility, how often the two "
+    "families agree on piece COUNT and on the exact segmentation, and "
+    "the used-piece inventory overlap. Both vocab pipelines run over "
+    "the word census (corpus touched once for the shared token "
+    "explode); the comparison join and piece aggregates are vocab-"
+    "sized. One row out",
+)
+def q208_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1), lambda t: t != ""
+    )
+    wt = d.select(F.explode(toks).alias("t")).filter(F.col("t").rlike("^[a-z]+$"))
+    words = pin(
+        wt.groupBy(F.col("t").alias("w")).agg(F.count("*").cast("long").alias("wc"))
+    )
+    bseg = tk.bpe_segment_vocab(words, "w", "wc", iters=_BPE_ITERS, persist_fn=pin)
+    useg = tk.unigram_segment_vocab(
+        words.filter(F.length("w") <= _UNI_MAXW),
+        "w",
+        "wc",
+        max_piece=_UNI_MAXP,
+        vocab_size=_UNI_VOCAB,
+        persist_fn=pin,
+    )
+    j = pin(
+        useg.select("w", "wc", "ps").join(bseg.select("w", "seq"), "w")
+    )
+    bl = F.size(F.split(F.col("seq"), " ", -1))
+    ul = F.size("ps")
+    m = j.agg(
+        F.count("*").cast("long").alias("n_common_words"),
+        F.sum("wc").cast("long").alias("total_wc"),
+        F.sum(F.col("wc") * bl).cast("long").alias("bt"),
+        F.sum(F.col("wc") * ul).cast("long").alias("ut"),
+        F.sum((bl == ul).cast("int")).cast("long").alias("n_same_len"),
+        F.sum((F.col("seq") == F.array_join("ps", " ")).cast("int"))
+        .cast("long")
+        .alias("n_same_seg"),
+    )
+    pb = j.select(F.explode(F.split("seq", " ", -1)).alias("p")).distinct()
+    pu = j.select(F.explode("ps").alias("p")).distinct()
+    pc = (
+        pb.agg(F.count("*").cast("long").alias("n_bpe_pieces"))
+        .crossJoin(F.broadcast(pu.agg(F.count("*").cast("long").alias("n_uni_pieces"))))
+        .crossJoin(
+            F.broadcast(
+                pb.join(pu, "p").agg(
+                    F.count("*").cast("long").alias("n_shared_pieces")
+                )
+            )
+        )
+    )
+    return m.crossJoin(F.broadcast(pc)).select(
+        "n_common_words",
+        "total_wc",
+        F.round(F.col("bt").cast("double") / F.col("total_wc"), 6).alias(
+            "bpe_fertility"
+        ),
+        F.round(F.col("ut").cast("double") / F.col("total_wc"), 6).alias(
+            "uni_fertility"
+        ),
+        "n_same_len",
+        "n_same_seg",
+        "n_bpe_pieces",
+        "n_uni_pieces",
+        "n_shared_pieces",
+    )
