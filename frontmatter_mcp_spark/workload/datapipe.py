@@ -13288,3 +13288,139 @@ def q208_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_uni_pieces",
         "n_shared_pieces",
     )
+
+
+# ---------------------------------------------------------------------------
+# q209 — Kaplan-Meier survival curve for time-to-first-purchase: the
+# censoring-aware "how long until users convert" curve naive
+# conversion rates get wrong (users who simply haven't converted YET
+# are censored at the horizon, not counted as failures). The product
+# fold runs strictly in day order — exact integer risk sets and event
+# counts, one divide+multiply per step, identical on both engines
+# ---------------------------------------------------------------------------
+@register(
+    "q209_km_survival",
+    """
+    WITH RECURSIVE users AS (
+      SELECT user_id, MIN(ts) AS entry FROM events GROUP BY 1
+    ),
+    purch AS (
+      SELECT user_id, MIN(ts) AS pts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(ts) AS mx FROM events),
+    dur AS (
+      SELECT u.user_id,
+             CASE WHEN p.pts IS NOT NULL
+                  THEN date_diff('day', CAST(u.entry AS DATE), CAST(p.pts AS DATE))
+                  ELSE date_diff('day', CAST(u.entry AS DATE), CAST(mx AS DATE))
+             END AS t,
+             CASE WHEN p.pts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM users u LEFT JOIN purch p USING (user_id) CROSS JOIN horizon
+    ),
+    daylev AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM dur GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(SUM(c) OVER (ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+      FROM daylev
+    ),
+    series AS (
+      SELECT list(struct_pack(t := t, d := d, n := n) ORDER BY t) AS xs
+      FROM risk WHERE d > 0
+    ),
+    km AS (
+      SELECT xs, 0 AS i, 1e0 AS s FROM series
+      UNION ALL
+      SELECT xs, i + 1,
+             s * (1e0 - CAST(xs[i+1].d AS DOUBLE) / xs[i+1].n)
+      FROM km WHERE i < len(xs)
+    )
+    SELECT CAST(xs[i].t AS INT) AS t_days,
+           xs[i].n AS n_risk, xs[i].d AS d_events,
+           ROUND(s, 6) AS s_hat
+    FROM km WHERE i >= 1
+    ORDER BY t_days
+    """,
+    doc="Kaplan-Meier estimator over the event log: per user, entry = "
+    "first event, failure = first purchase, censored at the corpus "
+    "horizon; risk sets are reverse-cumulative integer counts, and "
+    "S(t) multiplies (1 - d/n) strictly in day order (a sequential "
+    "fold — exp(sum(log)) would trade exactness for parallelism and "
+    "drag libm in). Only failure days enter the product (censoring "
+    "days contribute factor 1, the textbook rule). Corpus work is two "
+    "user-keyed aggregates; the fold runs over the bounded day axis. "
+    "The oracle replays the product as a recursive CTE (q176 "
+    "discipline); Spark folds with F.aggregate, emitting the whole "
+    "curve from one accumulator array",
+)
+def q209_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(F.min("ts").alias("entry"))
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    horizon = e.agg(F.max("ts").alias("mx"))
+    dur = (
+        users.join(purch, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("pts").isNotNull(),
+                F.datediff(F.to_date("pts"), F.to_date("entry")),
+            )
+            .otherwise(F.datediff(F.to_date("mx"), F.to_date("entry")))
+            .alias("t"),
+            F.when(F.col("pts").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    daylev = dur.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"), F.count("*").cast("long").alias("c")
+    )
+    risk = daylev.select(
+        "t",
+        "d",
+        F.sum("c")
+        .over(W.orderBy("t").rowsBetween(0, W.unboundedFollowing))
+        .cast("long")
+        .alias("n"),
+    ).filter(F.col("d") > 0)
+    series = risk.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "n"))).alias("xs")
+    )
+    out_type = "array<struct<t:int,d:bigint,n:bigint,s:double>>"
+    init = F.struct(
+        F.lit(1.0).alias("s"),
+        F.lit(None).cast(out_type).alias("out"),
+    )
+
+    def step(a, x):
+        s_new = a["s"] * (1.0 - x["d"].cast("double") / x["n"])
+        row = F.struct(
+            x["t"].cast("int").alias("t"),
+            x["d"].alias("d"),
+            x["n"].alias("n"),
+            s_new.alias("s"),
+        )
+        return F.struct(
+            s_new.alias("s"),
+            F.when(a["out"].isNull(), F.array(row))
+            .otherwise(F.concat(a["out"], F.array(row)))
+            .alias("out"),
+        )
+
+    folded = series.select(F.aggregate("xs", init, step).alias("r"))
+    curve = folded.select(F.explode(F.col("r")["out"]).alias("p"))
+    return curve.select(
+        F.col("p")["t"].alias("t_days"),
+        F.col("p")["n"].alias("n_risk"),
+        F.col("p")["d"].alias("d_events"),
+        F.round(F.col("p")["s"], 6).alias("s_hat"),
+    ).orderBy("t_days")
