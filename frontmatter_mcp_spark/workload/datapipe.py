@@ -13424,3 +13424,74 @@ def q209_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p")["d"].alias("d_events"),
         F.round(F.col("p")["s"], 6).alias("s_hat"),
     ).orderBy("t_days")
+
+
+# ---------------------------------------------------------------------------
+# q210 — discount elasticity per brand: grouped OLS of quantity on
+# discount over the lineitem facts — the classic "does discounting
+# move volume" BI regression. Discounts are two-decimal and quantities
+# integral, so every moment sum is EXACT in DECIMAL (no ln, no
+# quantization loss — unlike q196's log-log fit); only the final
+# closed-form slope touches doubles
+# ---------------------------------------------------------------------------
+@register(
+    "q210_discount_elasticity",
+    """
+    WITH t AS (
+      SELECT p.p_brand AS brand,
+             CAST(l.l_discount AS DECIMAL(8,2)) AS x,
+             CAST(l.l_quantity AS DECIMAL(8,2)) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    agg AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM t GROUP BY 1
+    )
+    SELECT brand, n,
+           ROUND(sy / n, 6) AS mean_qty,
+           ROUND(sx / n, 6) AS mean_discount,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           ROUND(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)
+                 / (sy / n), 6) AS elasticity_at_mean
+    FROM agg ORDER BY brand
+    """,
+    doc="grouped OLS of l_quantity on l_discount per part brand: the "
+    "dimension join broadcasts, the five moment sums are map-side-"
+    "combined DECIMAL aggregates (two-decimal discounts and integral "
+    "quantities are exact in decimal — the sums carry NO float error, "
+    "so this regression needs none of q196's quantization), and "
+    "slope/intercept/point elasticity are one identical double chain. "
+    "One fact scan, one brand-keyed exchange of 5 numbers per brand",
+)
+def q210_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    t = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_discount").cast("decimal(8,2)").alias("x"),
+        F.col("l_quantity").cast("decimal(8,2)").alias("y"),
+    )
+    agg = t.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "brand",
+        "n",
+        F.round(sy / n, 6).alias("mean_qty"),
+        F.round(sx / n, 6).alias("mean_discount"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(slope * (sx / n) / (sy / n), 6).alias("elasticity_at_mean"),
+    ).orderBy("brand")
