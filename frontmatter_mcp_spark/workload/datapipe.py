@@ -13495,3 +13495,99 @@ def q210_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(slope * (sx / n) / (sy / n), 6).alias("elasticity_at_mean"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# q211 — context-length planning sweep: for each candidate max_seq_len,
+# the padding waste, truncation loss, and utilization of one-doc-per-
+# sequence batching, against the concat-packing lower bound (q80's
+# rule) — the numbers that decide a training run's sequence length.
+# One corpus scan; the config dimension is a 4-element literal explode
+# ---------------------------------------------------------------------------
+_SEQLEN_CONFIGS = [256, 512, 1024, 2048]
+
+
+@register(
+    "q211_seqlen_sweep",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n
+      FROM documents
+    ),
+    conf AS (SELECT unnest([{", ".join(str(c) for c in _SEQLEN_CONFIGS)}]) AS cap),
+    swept AS (
+      SELECT c.cap,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t.n) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN t.n <= c.cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fit,
+             CAST(SUM(CASE WHEN t.n < c.cap THEN c.cap - t.n ELSE 0 END)
+                  AS BIGINT) AS pad_tokens,
+             CAST(SUM(CASE WHEN t.n > c.cap THEN t.n - c.cap ELSE 0 END)
+                  AS BIGINT) AS truncated_tokens,
+             CAST(SUM(CASE WHEN t.n < c.cap THEN t.n ELSE c.cap END) AS BIGINT)
+               AS used_tokens
+      FROM toks t CROSS JOIN conf c
+      GROUP BY 1
+    )
+    SELECT cap, n_docs, total_tokens, n_fit, pad_tokens, truncated_tokens,
+           ROUND(CAST(used_tokens AS DOUBLE) / (CAST(cap AS DOUBLE) * n_docs), 6)
+             AS utilization,
+           CAST(CAST(CEIL(CAST(total_tokens AS DOUBLE) / cap) AS BIGINT)
+                AS BIGINT) AS packed_bins,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / CAST(CEIL(CAST(total_tokens AS DOUBLE) / cap) AS BIGINT), 6)
+             AS packing_gain
+    FROM swept ORDER BY cap
+    """,
+    doc="context-length sweep over {256,512,1024,2048}: per candidate "
+    "cap, how many documents fit whole, the padding tokens burned and "
+    "the tail tokens lost by one-doc-per-sequence batching, its "
+    "utilization, and the q80 concat-packing bin count "
+    "(ceil(total/cap)) with the sequences-saved gain factor — the "
+    "planning table that picks a training run's sequence length "
+    "before anyone pays for it. All counters exact integers, "
+    "map-side combined over one token-count scan crossed with a "
+    "4-row literal config table",
+)
+def q211_seqlen_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n")
+    )
+    conf = spark.createDataFrame(
+        [(c,) for c in _SEQLEN_CONFIGS], "cap int"
+    )
+    t, c = F.col("n"), F.col("cap")
+    swept = (
+        toks.crossJoin(F.broadcast(conf))
+        .groupBy("cap")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(t).cast("long").alias("total_tokens"),
+            F.sum((t <= c).cast("int")).cast("long").alias("n_fit"),
+            F.sum(F.when(t < c, c - t).otherwise(0)).cast("long").alias("pad_tokens"),
+            F.sum(F.when(t > c, t - c).otherwise(0))
+            .cast("long")
+            .alias("truncated_tokens"),
+            F.sum(F.when(t < c, t).otherwise(c)).cast("long").alias("used_tokens"),
+        )
+    )
+    bins = F.ceil(F.col("total_tokens").cast("double") / F.col("cap")).cast("long")
+    return swept.select(
+        "cap",
+        "n_docs",
+        "total_tokens",
+        "n_fit",
+        "pad_tokens",
+        "truncated_tokens",
+        F.round(
+            F.col("used_tokens").cast("double")
+            / (F.col("cap").cast("double") * F.col("n_docs")),
+            6,
+        ).alias("utilization"),
+        bins.alias("packed_bins"),
+        F.round(F.col("n_docs").cast("double") / bins, 6).alias("packing_gain"),
+    ).orderBy("cap")
