@@ -13591,3 +13591,96 @@ def q211_seqlen_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         bins.alias("packed_bins"),
         F.round(F.col("n_docs").cast("double") / bins, 6).alias("packing_gain"),
     ).orderBy("cap")
+
+
+# ---------------------------------------------------------------------------
+# q212 — cohort LTV curves: users grouped by entry month, purchase
+# revenue accumulated by months-since-entry — the lifetime-value view
+# that q73's retention counts lack a money dimension for. Month deltas
+# are exact integer arithmetic (y*12+m), revenue sums decimal-exact,
+# the cumulative curve one bounded window per cohort
+# ---------------------------------------------------------------------------
+@register(
+    "q212_cohort_ltv",
+    """
+    WITH entry AS (
+      SELECT user_id,
+             MIN(CAST(date_part('year', ts) AS BIGINT) * 12
+                 + CAST(date_part('month', ts) AS BIGINT)) AS m0
+      FROM events GROUP BY 1
+    ),
+    sizes AS (SELECT m0, CAST(COUNT(*) AS BIGINT) AS n_users FROM entry GROUP BY 1),
+    rev AS (
+      SELECT e.m0,
+             CAST(date_part('year', p.ts) AS BIGINT) * 12
+               + CAST(date_part('month', p.ts) AS BIGINT) - e.m0 AS k,
+             CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS revenue
+      FROM events p JOIN entry e USING (user_id)
+      WHERE p.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    curve AS (
+      SELECT m0, k, revenue,
+             SUM(revenue) OVER (PARTITION BY m0 ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev
+    )
+    SELECT CAST(m0 // 12 AS INT) AS cohort_year,
+           CAST(m0 % 12 + 1 AS INT) AS cohort_month,
+           CAST(k AS INT) AS months_since,
+           s.n_users,
+           ROUND(CAST(revenue AS DOUBLE), 4) AS revenue,
+           ROUND(CAST(cum AS DOUBLE), 4) AS cum_revenue,
+           ROUND(CAST(cum AS DOUBLE) / s.n_users, 6) AS ltv_per_user
+    FROM curve JOIN sizes s USING (m0)
+    ORDER BY m0, k
+    """,
+    doc="cohort lifetime-value accumulation: entry month per user (an "
+    "exact y*12+m integer, no interval arithmetic to disagree on), "
+    "purchase revenue per (cohort, months-since) in decimal-exact "
+    "sums, cumulated by one window over the bounded month axis, and "
+    "normalized per cohort user. Note month-0 is the acquisition "
+    "month. Corpus pays one user aggregate + one revenue aggregate; "
+    "the curve runs on |cohorts| x |months| rows",
+)
+def q212_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    mexpr = (F.year("ts").cast("long") * 12 + F.month("ts").cast("long"))
+    entry = e.groupBy("user_id").agg(F.min(mexpr).alias("m0"))
+    sizes = entry.groupBy("m0").agg(F.count("*").cast("long").alias("n_users"))
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(entry, "user_id")
+        .groupBy("m0", (mexpr - F.col("m0")).alias("k"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("revenue")
+        )
+    )
+    curve = rev.select(
+        "m0",
+        "k",
+        "revenue",
+        F.sum("revenue")
+        .over(W.partitionBy("m0").orderBy("k").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    return (
+        curve.join(sizes, "m0")
+        .select(
+            F.expr("m0 div 12").cast("int").alias("cohort_year"),
+            (F.col("m0") % 12 + 1).cast("int").alias("cohort_month"),
+            F.col("k").cast("int").alias("months_since"),
+            "n_users",
+            F.round(F.col("revenue").cast("double"), 4).alias("revenue"),
+            F.round(F.col("cum").cast("double"), 4).alias("cum_revenue"),
+            F.round(F.col("cum").cast("double") / F.col("n_users"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_year", "cohort_month", "months_since")
+    )
