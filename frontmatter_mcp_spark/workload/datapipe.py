@@ -13684,3 +13684,122 @@ def q212_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_year", "cohort_month", "months_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — right-to-be-forgotten impact audit: a deterministic 1% subject
+# cohort (the q57 hash split as the deletion queue) traced through
+# every table that references the user key — row counts, distinct
+# subjects touched, and revenue at stake per table, BEFORE any delete
+# runs. The cascade plan every GDPR workflow reviews first
+# ---------------------------------------------------------------------------
+def _gdpr_sql() -> str:
+    b = _hash_bucket_duck("user_id", 100)
+    bc = _hash_bucket_duck("o_custkey", 100)
+    return f"""
+    WITH subjects AS (
+      SELECT DISTINCT user_id FROM events WHERE {b} = 0
+    ),
+    ev AS (
+      SELECT 'events' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_subjects,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(e.value AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DOUBLE) AS revenue_at_stake
+      FROM events e JOIN subjects s ON s.user_id = e.user_id
+    ),
+    od AS (
+      SELECT 'orders' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_subjects,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue_at_stake
+      FROM orders o WHERE {bc} = 0
+    ),
+    li AS (
+      SELECT 'lineitem' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_subjects,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue_at_stake
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE {bc} = 0
+    )
+    SELECT table_name, n_rows, n_subjects, ROUND(revenue_at_stake, 4)
+             AS revenue_at_stake
+    FROM (SELECT * FROM ev UNION ALL SELECT * FROM od
+          UNION ALL SELECT * FROM li)
+    ORDER BY table_name
+    """
+
+
+@register(
+    "q213_gdpr_impact",
+    _gdpr_sql(),
+    doc="deletion-impact audit for a deterministic 1% md5 subject "
+    "cohort: per referencing table (events directly; orders and its "
+    "lineitem cascade via the same bucket rule on o_custkey — the "
+    "shared customer-key domain), the rows that would be tombstoned, "
+    "distinct subjects involved, and decimal-exact revenue at stake. "
+    "The subject predicate is a pure hash of the key, so it pushes "
+    "into each scan (no subject-list shuffle for the orders side; "
+    "events joins the distinct-subject broadcast). At 100 TB this is "
+    "three independent scans + one orderkey join — the audit costs "
+    "what the tables cost to read, nothing more",
+)
+def q213_gdpr_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    subjects = e.filter(hash_bucket(F.col("user_id"), 100) == 0).select(
+        "user_id"
+    ).distinct()
+    zero6 = F.lit(0).cast("decimal(18,6)")
+    ev = e.join(F.broadcast(subjects), "user_id").agg(
+        F.lit("events").alias("table_name"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_subjects"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(zero6)
+        )
+        .cast("double")
+        .alias("revenue_at_stake"),
+    )
+    omask = hash_bucket(F.col("o_custkey"), 100) == 0
+    od = o.filter(omask).agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("n_subjects"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue_at_stake"),
+    )
+    lj = li.join(
+        o.filter(omask).select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("n_subjects"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue_at_stake"),
+    )
+    return (
+        ev.unionAll(od)
+        .unionAll(lj)
+        .select(
+            "table_name",
+            "n_rows",
+            "n_subjects",
+            F.round("revenue_at_stake", 4).alias("revenue_at_stake"),
+        )
+        .orderBy("table_name")
+    )
