@@ -13803,3 +13803,48 @@ def q213_gdpr_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 — design-effect audit of the q127 raking weights: Kish effective
+# sample size and weight variability — the check every weighted-
+# mixture design needs BEFORE training on it (a raked mix that hits
+# its marginals but has deff 3 is paying 3x the variance). One
+# template, both engines, on top of the q127 chain
+# ---------------------------------------------------------------------------
+def _kish_sql(table: str, idiv: str) -> str:
+    return f"""
+    WITH r AS ({_raking_sql(table, idiv)}),
+    s AS (
+      SELECT CAST(SUM(CAST(n_docs AS BIGINT)) AS BIGINT) AS n_total,
+             CAST(SUM(CAST(n_docs AS BIGINT) * weight_fx) AS BIGINT) AS sw,
+             CAST(SUM(CAST(n_docs AS BIGINT) * weight_fx * weight_fx)
+                  AS BIGINT) AS sw2
+      FROM r
+    )
+    SELECT n_total, sw, sw2,
+           ROUND((CAST(sw AS DOUBLE) * sw) / sw2, 4) AS n_eff,
+           ROUND(n_total / ((CAST(sw AS DOUBLE) * sw) / sw2), 6) AS deff,
+           ROUND(sqrt(CAST(n_total AS DOUBLE) * sw2 / (CAST(sw AS DOUBLE) * sw)
+                      - 1e0), 6) AS cv_weights
+    FROM s
+    """
+
+
+@register(
+    "q214_kish_design_effect",
+    _kish_sql("documents", "//"),
+    doc="Kish effective sample size for the raked mixture: n_eff = "
+    "(sum w)^2 / sum w^2 over per-document weights (cells expand by "
+    "their exact integer counts — sums stay BIGINT; only the final "
+    "ratio and the weight coefficient of variation touch doubles, "
+    "with magnitudes safely under 2^53), design effect n/n_eff, and "
+    "cv = sqrt(n*sw2/sw^2 - 1). Shares q127's one-corpus-scan IPF "
+    "chain via the same two-dialect SQL template; everything after "
+    "the cell aggregate is cell-table-sized",
+)
+def q214_kish_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_q214"
+    )
+    return spark.sql(_kish_sql("documents_q214", " div "))
