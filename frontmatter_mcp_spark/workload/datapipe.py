@@ -13848,3 +13848,90 @@ def q214_kish_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents_q214"
     )
     return spark.sql(_kish_sql("documents_q214", " div "))
+
+
+# ---------------------------------------------------------------------------
+# q215 — inter-arrival burstiness per event type: per-user gaps between
+# consecutive same-type events, their exact integer moments, and the
+# Gamma method-of-moments fit (shape < 1 = bursty, > 1 = regular) —
+# the renewal-process view that complements q209's first-passage curve
+# ---------------------------------------------------------------------------
+@register(
+    "q215_interarrival_gamma",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id))) // 60000000 AS x
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM gaps WHERE x IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_minutes,
+           ROUND((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS var_minutes,
+           ROUND((CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    / (CAST(n AS DOUBLE) * (n - 1))), 6) AS gamma_shape,
+           ROUND(((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  / (CAST(n AS DOUBLE) * (n - 1)))
+                 / (CAST(sx AS DOUBLE) / n), 6) AS gamma_scale,
+           CAST((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                / (CAST(n AS DOUBLE) * (n - 1))
+                > (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+                AS INT) AS bursty
+    FROM m WHERE n > 1 ORDER BY event_type
+    """,
+    doc="renewal statistics per event type: integer-minute inter-"
+    "arrival gaps per (user, type) from one LAG window, exact BIGINT "
+    "first/second moments, then the Gamma method-of-moments fit "
+    "(shape = mean^2/var, scale = var/mean) and the burstiness "
+    "verdict (var > mean^2 i.e. CV > 1 — shape < 1, clumped arrivals; "
+    "an exponential process has shape exactly 1). One window pass "
+    "sharing the (user, type) exchange, one map-side-combined moment "
+    "aggregate, |types| rows out",
+)
+def q215_interarrival_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g0 = e.select("event_type", us.alias("us"), F.lag(us).over(w).alias("prev_us"))
+    gaps = g0.select(
+        "event_type",
+        F.when(
+            F.col("prev_us").isNotNull(),
+            F.expr("(us - prev_us) div 60000000"),
+        ).alias("x"),
+    )
+    m = (
+        gaps.filter(F.col("x").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    n = F.col("n")
+    sxd, sxxd = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    mean = sxd / n
+    var = (n * sxxd - sxd * F.col("sx")) / (n.cast("double") * (n - 1))
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_minutes"),
+        F.round(var, 6).alias("var_minutes"),
+        F.round(mean * mean / var, 6).alias("gamma_shape"),
+        F.round(var / mean, 6).alias("gamma_scale"),
+        (var > mean * mean).cast("int").alias("bursty"),
+    ).orderBy("event_type")
