@@ -13935,3 +13935,143 @@ def q215_interarrival_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var / mean, 6).alias("gamma_scale"),
         (var > mean * mean).cast("int").alias("bursty"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q216 — autocorrelation of daily volumes (lags 1..7): the "is there
+# weekly structure / how persistent are shocks" diagnostic that picks
+# between q172/q176/q201's smoothers. Deviations are scaled by n_days
+# so every cross-product sum is an exact BIGINT on both engines; only
+# the final ratio is a double
+# ---------------------------------------------------------------------------
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "q216_volume_acf",
+    f"""
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    axis AS (
+      SELECT event_type, unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day
+      FROM spans
+    ),
+    filled AS (
+      SELECT a.event_type, a.day, COALESCE(d.n, CAST(0 AS BIGINT)) AS n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY a.event_type ORDER BY a.day)
+                  AS BIGINT) AS i
+      FROM axis a LEFT JOIN daily d
+        ON d.event_type = a.event_type AND d.day = a.day
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS nd
+      FROM filled GROUP BY 1
+    ),
+    dev AS (
+      SELECT f.event_type, f.i, f.n * t.nd - t.s AS d, t.nd
+      FROM filled f JOIN tot t USING (event_type)
+    ),
+    lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+    num AS (
+      SELECT a.event_type, l.lag,
+             CAST(SUM(a.d * b.d) AS BIGINT) AS num
+      FROM dev a
+      JOIN lags l ON TRUE
+      JOIN dev b ON b.event_type = a.event_type AND b.i = a.i + l.lag
+      GROUP BY 1, 2
+    ),
+    den AS (
+      SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS den, MAX(nd) AS nd
+      FROM dev GROUP BY 1
+    )
+    SELECT n.event_type, CAST(n.lag AS INT) AS lag, CAST(d.nd AS INT) AS n_days,
+           ROUND(CAST(n.num AS DOUBLE) / d.den, 6) AS acf
+    FROM num n JOIN den d USING (event_type)
+    ORDER BY n.event_type, n.lag
+    """,
+    doc="sample autocorrelation of per-type daily counts at lags 1-7 "
+    "on the gap-filled day axis: deviations scaled by n_days "
+    "(n_t*N - S, exact BIGINTs — no float mean to disagree on), "
+    "lagged cross-products summed exactly via a self-join on the "
+    "bounded day index, normalized by the lag-0 sum of squares (the "
+    "standard biased ACF estimator). A near-1 lag-7 value is the "
+    "weekly-seasonality trigger for q201. All iteration-free: one "
+    "events scan, then |types| x |days| x 7 bounded work",
+)
+def q216_volume_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    axis = spans.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    filled = (
+        axis.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        )
+        .withColumn(
+            "i",
+            F.row_number()
+            .over(W.partitionBy("event_type").orderBy("day"))
+            .cast("long"),
+        )
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("s"), F.count("*").cast("long").alias("nd")
+    )
+    dev = pin(
+        filled.join(tot, "event_type").select(
+            "event_type",
+            "i",
+            (F.col("n") * F.col("nd") - F.col("s")).alias("d"),
+            "nd",
+        )
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = dev.select("event_type", "i", F.col("d").alias("da"))
+    b = dev.select(
+        F.col("event_type").alias("et2"), F.col("i").alias("i2"), F.col("d").alias("db")
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("i2") == F.col("i") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("da") * F.col("db")).cast("long").alias("num"))
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("den"),
+        F.max("nd").alias("nd"),
+    )
+    return (
+        num.join(den, "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("nd").cast("int").alias("n_days"),
+            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
