@@ -14075,3 +14075,98 @@ def q216_volume_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — Benford first-digit audit of order totals: the classic
+# anomaly/fraud screen for transaction amounts. Expected proportions
+# log10(1+1/d) ship as PRE-COMPUTED literals (no libm call in either
+# engine), observed counts are exact integers, and the chi-square
+# statistic is one deterministic double chain
+# ---------------------------------------------------------------------------
+_BENFORD_P = [
+    0.301029995664, 0.176091259056, 0.124938736608, 0.096910013008,
+    0.079181246048, 0.066946789631, 0.057991946978, 0.051152522447,
+    0.045757490561,
+]
+
+
+def _benford_sql() -> str:
+    expected = " UNION ALL ".join(
+        f"SELECT {d} AS digit, {p!r} AS p_expected"
+        for d, p in enumerate(_BENFORD_P, start=1)
+    )
+    return f"""
+    WITH obs AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM obs),
+    exp AS ({expected})
+    SELECT e.digit, COALESCE(o.n, CAST(0 AS BIGINT)) AS n_observed,
+           ROUND(CAST(COALESCE(o.n, 0) AS DOUBLE) / t.nt, 6) AS p_observed,
+           ROUND(e.p_expected, 6) AS p_expected,
+           ROUND((CAST(COALESCE(o.n, 0) AS DOUBLE) - t.nt * e.p_expected)
+                 * (CAST(COALESCE(o.n, 0) AS DOUBLE) - t.nt * e.p_expected)
+                 / (t.nt * e.p_expected), 6) AS chi2_term
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+    ORDER BY e.digit
+    """
+
+
+@register(
+    "q217_benford_audit",
+    _benford_sql(),
+    doc="Benford's-law conformance of o_totalprice first digits: the "
+    "transaction-amount fraud screen. The nine expected proportions "
+    "log10(1+1/d) are pre-computed 12-decimal literals (identical "
+    "bytes in both plans — the only way to keep log10 out of the "
+    "determinism surface), the first digit comes from integer floor + "
+    "string head (no float log to bucket with), and each digit row "
+    "carries its chi-square contribution. One scan, map-side-combined "
+    "9-bucket counts, 9 rows out — the full-statistic sum is one more "
+    "trivial aggregate a caller adds",
+)
+def q217_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    obs = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("long").alias("nt"))
+    exp = spark.createDataFrame(
+        [(d, p) for d, p in enumerate(_BENFORD_P, start=1)],
+        "digit int, p_expected double",
+    )
+    j = (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n_observed"),
+            "p_expected",
+            "nt",
+        )
+    )
+    dev = F.col("n_observed").cast("double") - F.col("nt") * F.col("p_expected")
+    return j.select(
+        "digit",
+        "n_observed",
+        F.round(F.col("n_observed").cast("double") / F.col("nt"), 6).alias(
+            "p_observed"
+        ),
+        F.round("p_expected", 6).alias("p_expected"),
+        F.round(dev * dev / (F.col("nt") * F.col("p_expected")), 6).alias(
+            "chi2_term"
+        ),
+    ).orderBy("digit")
