@@ -14170,3 +14170,66 @@ def q217_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# q218 — fulfillment SLA trends: ship-delay percentiles and on-time
+# rate per order month — the supply-chain counterpart of q197's value
+# bands. Delays are exact integer days; percentiles interpolate at
+# binary fractions; the month axis bounds every group
+# ---------------------------------------------------------------------------
+@register(
+    "q218_fulfillment_sla",
+    """
+    WITH d AS (
+      SELECT strftime(time_bucket(INTERVAL '1 month', o.o_orderdate), '%Y-%m')
+               AS order_month,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS delay_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           quantile_cont(delay_days, 0.5e0) AS p50_delay,
+           quantile_cont(delay_days, 0.75e0) AS p75_delay,
+           quantile_cont(delay_days, 0.9375e0) AS p94_delay,
+           CAST(MAX(delay_days) AS INT) AS max_delay,
+           ROUND(CAST(SUM(CASE WHEN delay_days <= 30 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS on_time_30d
+    FROM d GROUP BY order_month ORDER BY order_month
+    """,
+    doc="order-to-ship SLA per order month: integer-day delays "
+    "(order date to each lineitem's ship date), exact interpolated "
+    "delay percentiles at binary fractions (0.5/0.75/15/16), the max, "
+    "and the 30-day on-time rate. The orderkey join is the only "
+    "corpus exchange (fact-to-fact — sort-merge at scale, exactly as "
+    "TPC-H plans it); the month axis bounds the output. The dashboard "
+    "that catches a fulfillment regression the week it starts",
+)
+def q218_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "order_month"
+        ),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "delay_days"
+        ),
+    )
+    return (
+        d.groupBy("order_month")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.percentile("delay_days", F.lit(0.5)).alias("p50_delay"),
+            F.percentile("delay_days", F.lit(0.75)).alias("p75_delay"),
+            F.percentile("delay_days", F.lit(0.9375)).alias("p94_delay"),
+            F.max("delay_days").cast("int").alias("max_delay"),
+            F.round(
+                F.sum((F.col("delay_days") <= 30).cast("int")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("on_time_30d"),
+        )
+        .orderBy("order_month")
+    )
