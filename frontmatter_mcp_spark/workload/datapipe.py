@@ -14233,3 +14233,82 @@ def q218_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — behavioral diversity profile: per-user Gini-Simpson diversity
+# of the event-type mix (1 - sum p_i^2), bucketed into a population
+# histogram. The exact-rational alternative to a Shannon-entropy
+# profile — no ln anywhere, so the statistic is a pure integer ratio
+# ---------------------------------------------------------------------------
+@register(
+    "q219_behavior_diversity",
+    """
+    WITH uc AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c * c) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS INT) AS n_types
+      FROM uc GROUP BY 1
+    ),
+    d AS (
+      SELECT user_id, n_types, total,
+             1e0 - CAST(s2 AS DOUBLE) / (CAST(total AS DOUBLE) * total)
+               AS diversity
+      FROM u
+    )
+    SELECT CAST(FLOOR(diversity * 10e0) AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(total) AS BIGINT) AS n_events,
+           ROUND(MIN(diversity), 6) AS min_diversity,
+           ROUND(MAX(diversity), 6) AS max_diversity,
+           ROUND(CAST(SUM(CAST(n_types AS BIGINT)) AS DOUBLE) / COUNT(*), 6)
+             AS mean_types
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+    doc="Gini-Simpson behavioral diversity per user (1 - sum(c_i^2)/"
+    "T^2 — the collision-probability complement, exact integer "
+    "numerators, no ln), histogrammed into diversity deciles with "
+    "user/event mass and mean type breadth per bucket. decile 0 = "
+    "single-minded users, 7+ = uniform across all five types (max "
+    "diversity 0.8). Two map-side-combined aggregates sharing the "
+    "user key; the floor(d*10) bucketing is deterministic because "
+    "diversity is an exact double ratio of integers",
+)
+def q219_behavior_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uc = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    u = uc.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.count("*").cast("int").alias("n_types"),
+    )
+    d = u.select(
+        "n_types",
+        "total",
+        (
+            1.0
+            - F.col("s2").cast("double")
+            / (F.col("total").cast("double") * F.col("total"))
+        ).alias("diversity"),
+    )
+    return (
+        d.groupBy(F.floor(F.col("diversity") * 10.0).cast("int").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("total").cast("long").alias("n_events"),
+            F.round(F.min("diversity"), 6).alias("min_diversity"),
+            F.round(F.max("diversity"), 6).alias("max_diversity"),
+            F.round(
+                F.sum(F.col("n_types").cast("long")).cast("double") / F.count("*"),
+                6,
+            ).alias("mean_types"),
+        )
+        .orderBy("decile")
+    )
