@@ -14312,3 +14312,101 @@ def q219_behavior_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — session entry/exit matrix: where sessions start, where they
+# die, and how often they bounce — the web-analytics flow view built
+# on q19/q52's 30-minute gap sessionization. One window chain shares
+# the user-key sort; the matrix is |types|^2-bounded
+# ---------------------------------------------------------------------------
+@register(
+    "q220_session_entry_exit",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM g
+    ),
+    marked AS (
+      SELECT DISTINCT user_id, sess,
+             FIRST_VALUE(event_type) OVER w AS entry_type,
+             LAST_VALUE(event_type) OVER w AS exit_type,
+             COUNT(*) OVER w AS n_events
+      FROM s
+      WINDOW w AS (PARTITION BY user_id, sess ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS mean_events
+    FROM marked GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="session flow matrix: 30-minute gap sessionization (the q19/"
+    "q52 rule, same (ts, event_id) total order), each session's entry "
+    "and exit event types from one full-frame window, then the "
+    "|types|^2 matrix of session counts, single-event bounces, and "
+    "mean session depth. The sessionize and mark windows share the "
+    "user-key exchange; the distinct collapses to one row per "
+    "session before the bounded matrix aggregate",
+)
+def q220_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (us - F.lag(us).over(ow) > 1_800_000_000)
+            | F.lag("ts").over(ow).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = g.withColumn(
+        "sess", F.sum("is_new").over(ow.rowsBetween(W.unboundedPreceding, 0))
+    )
+    fw = (
+        W.partitionBy("user_id", "sess")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    marked = s.select(
+        "user_id",
+        "sess",
+        F.first("event_type").over(fw).alias("entry_type"),
+        F.last("event_type").over(fw).alias("exit_type"),
+        F.count("*").over(fw).alias("n_events"),
+    ).distinct()
+    return (
+        marked.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("int"))
+            .cast("long")
+            .alias("n_bounces"),
+            F.round(
+                F.sum("n_events").cast("double") / F.count("*"), 6
+            ).alias("mean_events"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )
