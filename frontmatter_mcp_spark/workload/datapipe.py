@@ -14410,3 +14410,112 @@ def q220_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type", "exit_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 — concurrent-session load curve: how many 30-minute-gap
+# sessions are simultaneously open in each hour — q174's +1/-1 sweep
+# applied to DERIVED intervals (the q220 sessions), i.e. the capacity-
+# planning number a connection-pool or serving tier is sized from
+# ---------------------------------------------------------------------------
+@register(
+    "q221_concurrent_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM g
+    ),
+    spans AS (
+      SELECT user_id, sess,
+             time_bucket(INTERVAL '1 hour', MIN(ts)) AS h0,
+             time_bucket(INTERVAL '1 hour',
+                         MAX(ts) + INTERVAL '30 minutes') + INTERVAL '1 hour'
+               AS h1
+      FROM s GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT h0 AS hour, 1 AS delta FROM spans
+      UNION ALL
+      SELECT h1, -1 FROM spans
+    ),
+    hourly AS (
+      SELECT hour, CAST(SUM(delta) AS BIGINT) AS delta,
+             CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS starts
+      FROM bounds GROUP BY 1
+    )
+    SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, starts,
+           CAST(SUM(delta) OVER (ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS active
+    FROM hourly ORDER BY hour
+    """,
+    doc="hourly concurrent-session curve: sessions from the q19/q52 "
+    "30-minute gap rule become [first event hour, last event + 30min "
+    "hour] intervals, each contributing +1/-1 boundary deltas, and "
+    "ONE running sum over the bounded hour axis yields simultaneous "
+    "open sessions — O(sessions + hours) against the O(sessions x "
+    "hours) stabbing join a naive plan writes (the q174 rewrite over "
+    "derived intervals). Peak `active` is the serving-capacity "
+    "number. One user-key window chain + one session aggregate; the "
+    "final window runs over hours only",
+)
+def q221_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (us - F.lag(us).over(ow) > 1_800_000_000)
+            | F.lag("ts").over(ow).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = g.withColumn(
+        "sess", F.sum("is_new").over(ow.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = s.groupBy("user_id", "sess").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        (
+            F.date_trunc(
+                "hour", F.max("ts") + F.expr("interval 30 minutes")
+            )
+            + F.expr("interval 1 hour")
+        ).alias("h1"),
+    )
+    bounds = spans.select(F.col("h0").alias("hour"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.col("h1").alias("hour"), F.lit(-1).alias("delta"))
+    )
+    hourly = bounds.groupBy("hour").agg(
+        F.sum("delta").cast("long").alias("delta"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("starts"),
+    )
+    return hourly.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "starts",
+        F.sum("delta")
+        .over(W.orderBy("hour").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("active"),
+    ).orderBy("hour")
