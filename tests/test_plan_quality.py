@@ -870,3 +870,44 @@ def test_runtime_bloom_filter_join_injection(spark):
         .collect()
     }
     assert filtered == plain
+
+
+def test_q205_crossentropy_pins_tf_and_broadcasts_totals(spark):
+    """Cross-entropy matrix: the (source, term) tf table is pinned (three
+    consumers), per-source totals and the vocab size ride in as
+    broadcasts, everything JVM-side."""
+    df = QUERIES["q205_crossentropy_matrix"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q208_bakeoff_single_corpus_explode(spark):
+    """Tokenizer bake-off: the corpus token explode feeds ONE pinned
+    word census; both induction chains and the comparison run at
+    vocabulary scale (every Generate past the first sits under an
+    InMemoryRelation or explodes vocab-sized arrays)."""
+    df = QUERIES["q208_tokenizer_bakeoff"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q216_acf_pins_deviation_series(spark):
+    """ACF: the deviation series feeds numerator and denominator —
+    pinned so the events aggregate runs once; the lag join is on the
+    bounded day index."""
+    df = QUERIES["q216_volume_acf"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q221_sweep_no_stabbing_join(spark):
+    """Concurrent sessions: the sweep must not join sessions against an
+    hour axis — boundary deltas + one running sum only."""
+    df = QUERIES["q221_concurrent_sessions"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
