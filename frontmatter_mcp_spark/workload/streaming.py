@@ -634,3 +634,130 @@ def q191_stream_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("skewed"),
     ).orderBy("window_start", "event_type")
+
+
+@register(
+    "q222_stream_cusum_alarm",
+    """
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+             list(struct_pack(day := strftime(day, '%Y-%m-%d'), n := n)
+                  ORDER BY day) AS xs,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    folded AS (
+      SELECT event_type, n_days, total,
+        list_reduce(
+          list_prepend(
+            struct_pack(max_s := CAST(0 AS BIGINT),
+                        first_alarm := CAST(NULL AS VARCHAR),
+                        n_alarms := CAST(0 AS BIGINT),
+                        day := CAST(NULL AS VARCHAR),
+                        d := CAST(0 AS BIGINT),
+                        s := CAST(0 AS BIGINT)),
+            list_transform(xs, x -> struct_pack(
+              max_s := CAST(0 AS BIGINT),
+              first_alarm := CAST(NULL AS VARCHAR),
+              n_alarms := CAST(0 AS BIGINT),
+              day := x.day,
+              d := x.n * n_days - total - total // 4,
+              s := CAST(0 AS BIGINT)))),
+          (a, b) -> struct_pack(
+            max_s := GREATEST(a.max_s,
+                              GREATEST(CAST(0 AS BIGINT), a.s + b.d)),
+            first_alarm := CASE
+              WHEN a.first_alarm IS NULL
+               AND GREATEST(CAST(0 AS BIGINT), a.s + b.d) > 3 * total
+              THEN b.day ELSE a.first_alarm END,
+            n_alarms := a.n_alarms + CASE
+              WHEN GREATEST(CAST(0 AS BIGINT), a.s + b.d) > 3 * total
+              THEN 1 ELSE 0 END,
+            day := b.day,
+            d := b.d,
+            s := GREATEST(CAST(0 AS BIGINT), a.s + b.d))) AS r
+      FROM series
+    )
+    SELECT event_type, CAST(n_days AS INT) AS n_days, total AS total_events,
+           (r).max_s AS max_cusum,
+           (r).first_alarm AS first_alarm_day,
+           CAST((r).n_alarms AS INT) AS n_alarms
+    FROM folded ORDER BY event_type
+    """,
+    doc="streaming drift alarm: q192's exact-integer one-sided CUSUM "
+    "run on the output of a watermarked 1-day tumbling count — the "
+    "stateful streaming stage holds only (window, type) counts "
+    "(bounded by the watermark) and the fold runs per trigger on the "
+    "windows-sized aggregate (the q191 foreachBatch discipline). "
+    "Observed windows only — a silent day emits no window in a "
+    "stream, so unlike batch q192 the detector sees arrival gaps "
+    "only when a count row exists; the batch oracle folds the same "
+    "observed-day series. == q192's arithmetic minus the gap fill",
+)
+def q222_stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    counts = ev.tumbling_counts(stream, "1 day")
+    out = ev.run_stream_to_batch(counts, "stream_cusum_out")
+    daily = out.select(
+        "event_type",
+        F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("xs"),
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    zero = F.lit(0).cast("long")
+    elems = F.transform(
+        "xs",
+        lambda x: F.struct(
+            x["day"].alias("day"),
+            (
+                x["n"] * F.col("n_days") - F.col("total") - F.expr("total div 4")
+            ).alias("d"),
+        ),
+    )
+    init = F.struct(
+        zero.alias("max_s"),
+        F.lit(None).cast("string").alias("first_alarm"),
+        zero.alias("n_alarms"),
+        F.lit(None).cast("string").alias("day"),
+        zero.alias("d"),
+        zero.alias("s"),
+    )
+
+    def merge(a, b):
+        s_new = F.greatest(zero, a["s"] + b["d"])
+        alarm = s_new > 3 * F.col("total")
+        return F.struct(
+            F.greatest(a["max_s"], s_new).alias("max_s"),
+            F.when(a["first_alarm"].isNull() & alarm, b["day"])
+            .otherwise(a["first_alarm"])
+            .alias("first_alarm"),
+            (a["n_alarms"] + F.when(alarm, 1).otherwise(0)).alias("n_alarms"),
+            b["day"].alias("day"),
+            b["d"].alias("d"),
+            s_new.alias("s"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.col("n_days").cast("int").alias("n_days"),
+        F.col("total").alias("total_events"),
+        F.aggregate(elems, init, merge).alias("r"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        "total_events",
+        F.col("r")["max_s"].alias("max_cusum"),
+        F.col("r")["first_alarm"].alias("first_alarm_day"),
+        F.col("r")["n_alarms"].cast("int").alias("n_alarms"),
+    ).orderBy("event_type")
