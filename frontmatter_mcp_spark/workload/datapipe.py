@@ -14519,3 +14519,101 @@ def q221_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("active"),
     ).orderBy("hour")
+
+
+# ---------------------------------------------------------------------------
+# q223 — per-dimension embedding drift monitor: means and second
+# moments of every embedding coordinate compared between two
+# deterministic pipeline halves (vec_id parity as the batch split) —
+# the production check for "did the new embedding/model/preprocessing
+# batch shift the space" at coordinate granularity, complementing
+# q179's scalar PSI and q180's global isotropy
+# ---------------------------------------------------------------------------
+_FXP_POW2 = 2**49
+
+
+@register(
+    "q223_embedding_drift",
+    f"""
+    WITH x AS (
+      SELECT vec_id % 2 AS half, i - 1 AS pos,
+             CAST(embedding[i] AS DOUBLE) AS xi
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    stats AS (
+      SELECT half, pos,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(xi * {_FXP_POW2}.0) AS DECIMAL(38,0)))
+                  AS DOUBLE) / COUNT(*) / {_FXP_POW2}.0 AS mean_v,
+             CAST(SUM(CAST(xi * xi AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS m2
+      FROM x GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.pos, a.n AS n0, b.n AS n1,
+             a.mean_v AS mean0, b.mean_v AS mean1,
+             a.m2 - a.mean_v * a.mean_v AS var0,
+             b.m2 - b.mean_v * b.mean_v AS var1
+      FROM stats a JOIN stats b ON a.pos = b.pos AND a.half = 0 AND b.half = 1
+    )
+    SELECT CAST(pos AS INT) AS pos, n0, n1,
+           ROUND(mean0, 6) AS mean0, ROUND(mean1, 6) AS mean1,
+           ROUND(abs(mean1 - mean0), 6) AS mean_shift,
+           ROUND(var0, 6) AS var0, ROUND(var1, 6) AS var1,
+           ROUND(var1 / var0, 6) AS var_ratio,
+           CAST(abs(mean1 - mean0) > 0.25e0 * sqrt(var0) AS INT) AS drifted
+    FROM w ORDER BY pos
+    """,
+    doc="embedding drift per coordinate between two deterministic "
+    "halves of the store (vec_id parity standing in for 'previous "
+    "batch vs new batch'): fixed-point 2^49 means (the q39/q180 "
+    "machinery — map-side-combined, no per-group arrays), decimal-"
+    "quantized second moments, variance ratios, and a drifted flag "
+    "when the mean shift exceeds a quarter of the reference sigma. "
+    "One posexplode + one (half, dim) aggregate; output is dims-"
+    "sized. The monitor that catches a silently retrained encoder "
+    "before an ANN index is rebuilt against mixed geometry",
+)
+def q223_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.functions.vector import fixed_point_mean
+
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "xi"),
+    )
+    stats = x.groupBy("half", "pos").agg(
+        F.count("*").cast("long").alias("n"),
+        fixed_point_mean(F.col("xi")).alias("mean_v"),
+        (
+            F.sum((F.col("xi") * F.col("xi")).cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("m2"),
+    )
+    a = stats.filter(F.col("half") == 0).select(
+        "pos",
+        F.col("n").alias("n0"),
+        F.col("mean_v").alias("mean0"),
+        (F.col("m2") - F.col("mean_v") * F.col("mean_v")).alias("var0"),
+    )
+    b = stats.filter(F.col("half") == 1).select(
+        F.col("pos").alias("pos1"),
+        F.col("n").alias("n1"),
+        F.col("mean_v").alias("mean1"),
+        (F.col("m2") - F.col("mean_v") * F.col("mean_v")).alias("var1"),
+    )
+    w = a.join(b, a["pos"] == b["pos1"]).drop("pos1")
+    return w.select(
+        F.col("pos").cast("int").alias("pos"),
+        "n0",
+        "n1",
+        F.round("mean0", 6).alias("mean0"),
+        F.round("mean1", 6).alias("mean1"),
+        F.round(F.abs(F.col("mean1") - F.col("mean0")), 6).alias("mean_shift"),
+        F.round("var0", 6).alias("var0"),
+        F.round("var1", 6).alias("var1"),
+        F.round(F.col("var1") / F.col("var0"), 6).alias("var_ratio"),
+        (F.abs(F.col("mean1") - F.col("mean0")) > 0.25 * F.sqrt(F.col("var0")))
+        .cast("int")
+        .alias("drifted"),
+    ).orderBy("pos")
