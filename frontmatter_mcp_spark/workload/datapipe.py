@@ -14617,3 +14617,173 @@ def q223_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("drifted"),
     ).orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# q224 — maximal marginal relevance reranking: the diversity-aware
+# rerank every RAG retrieval stack bolts onto raw ANN top-k (q36) —
+# greedy selection maximizing lambda*relevance - (1-lambda)*max
+# similarity to the already-picked set, 5 steps, each replayed as an
+# oracle CTE. Closes the retrieval family next to q102's NDCG eval
+# ---------------------------------------------------------------------------
+_MMR_NQ = 3
+_MMR_TOPC = 20
+_MMR_K = 5
+
+
+def _mmr_sql() -> str:
+    cos_qc = _duck_cos("q.qv", "e.embedding")
+    cos_ab = _duck_cos("ea.embedding", "eb.embedding")
+    ctes = [
+        f"q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {_MMR_NQ})",
+        f"""c AS (
+      SELECT qid, cid, r FROM (
+        SELECT q.qid, e.vec_id AS cid, {cos_qc} AS r,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_qc} DESC, e.vec_id) AS rn
+        FROM q JOIN embeddings e ON e.vec_id >= {_MMR_NQ}
+      ) WHERE rn <= {_MMR_TOPC}
+    )""",
+        f"""ps AS (
+      SELECT a.qid, a.cid AS ca, b.cid AS cb, {cos_ab} AS s
+      FROM c a JOIN c b ON a.qid = b.qid AND a.cid <> b.cid
+      JOIN embeddings ea ON ea.vec_id = a.cid
+      JOIN embeddings eb ON eb.vec_id = b.cid
+    )""",
+        """sel1 AS (
+      SELECT qid, cid, 1 AS step FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY r DESC, cid) AS rn
+        FROM c
+      ) WHERE rn = 1
+    )""",
+    ]
+    for t in range(2, _MMR_K + 1):
+        ctes.append(
+            f"""sel{t} AS (
+      SELECT qid, cid, step FROM sel{t - 1}
+      UNION ALL
+      SELECT qid, cid, {t} AS step FROM (
+        SELECT c.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.qid
+                 ORDER BY 0.7e0 * c.r - 0.3e0 * m.ms DESC, c.cid) AS rn
+        FROM c
+        JOIN (
+          SELECT p.qid, p.ca AS cid, MAX(p.s) AS ms
+          FROM ps p JOIN sel{t - 1} s ON s.qid = p.qid AND s.cid = p.cb
+          GROUP BY 1, 2
+        ) m ON m.qid = c.qid AND m.cid = c.cid
+        WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} s2
+                          WHERE s2.qid = c.qid AND s2.cid = c.cid)
+      ) WHERE rn = 1
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT s.qid, CAST(s.step AS INT) AS step, s.cid,
+           ROUND(c.r, 6) AS relevance
+    FROM sel{_MMR_K} s JOIN c ON c.qid = s.qid AND c.cid = s.cid
+    ORDER BY s.qid, s.step
+    """
+
+
+@register(
+    "q224_mmr_rerank",
+    _mmr_sql(),
+    doc="MMR diversified reranking over the q36 retrieval shape: per "
+    "query, the exact-cosine top-20 candidates (query side broadcast), "
+    "then 5 greedy steps of argmax(0.7*relevance - 0.3*max-sim-to-"
+    "selected) with a (score, cid) total order — each step one tiny "
+    "join+window on the pinned candidate/pair tables, replayed "
+    "verbatim in the oracle CTEs. Cosines are the sequential-fold "
+    "doubles both engines compute bit-identically (q90 discipline). "
+    "At scale the candidate fetch is the ANN index probe; the MMR "
+    "loop always runs on k^2-bounded state per query",
+)
+def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    base = e.filter(F.col("vec_id") >= _MMR_NQ).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    r = vector.cosine_similarity(F.col("qv"), F.col("embedding"))
+    scored = F.broadcast(q).crossJoin(base).select(
+        "qid", "cid", r.alias("r"), "embedding"
+    )
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("r").desc(), "cid")
+    )
+    c = pin(
+        scored.withColumn("rn", rn).filter(F.col("rn") <= _MMR_TOPC).select(
+            "qid", "cid", "r", "embedding"
+        )
+    )
+    a = c.select("qid", F.col("cid").alias("ca"), F.col("embedding").alias("ea"))
+    b = c.select(
+        F.col("qid").alias("qid2"),
+        F.col("cid").alias("cb"),
+        F.col("embedding").alias("eb"),
+    )
+    ps = pin(
+        a.join(b, (F.col("qid") == F.col("qid2")) & (F.col("ca") != F.col("cb")))
+        .select(
+            "qid",
+            "ca",
+            "cb",
+            vector.cosine_similarity(F.col("ea"), F.col("eb")).alias("s"),
+        )
+    )
+    sel = (
+        c.withColumn(
+            "rn2",
+            F.row_number().over(W.partitionBy("qid").orderBy(F.col("r").desc(), "cid")),
+        )
+        .filter(F.col("rn2") == 1)
+        .select("qid", "cid", F.lit(1).alias("step"))
+    )
+    for t in range(2, _MMR_K + 1):
+        ms = (
+            ps.join(
+                sel.select(F.col("qid").alias("q3"), F.col("cid").alias("c3")),
+                (F.col("qid") == F.col("q3")) & (F.col("cb") == F.col("c3")),
+            )
+            .groupBy("qid", "ca")
+            .agg(F.max("s").alias("ms"))
+        )
+        remaining = c.join(sel.select("qid", "cid"), ["qid", "cid"], "left_anti")
+        picked = (
+            remaining.join(
+                ms,
+                (remaining["qid"] == ms["qid"]) & (remaining["cid"] == ms["ca"]),
+            )
+            .drop(ms["qid"])
+            .select(
+                "qid",
+                "cid",
+                (0.7 * F.col("r") - 0.3 * F.col("ms")).alias("score"),
+            )
+            .withColumn(
+                "rn3",
+                F.row_number().over(
+                    W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+                ),
+            )
+            .filter(F.col("rn3") == 1)
+            .select("qid", "cid", F.lit(t).alias("step"))
+        )
+        sel = sel.unionAll(picked)
+    return (
+        sel.join(c.select("qid", "cid", "r"), ["qid", "cid"])
+        .select(
+            "qid",
+            F.col("step").cast("int").alias("step"),
+            "cid",
+            F.round("r", 6).alias("relevance"),
+        )
+        .orderBy("qid", "step")
+    )
