@@ -14787,3 +14787,162 @@ def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "step")
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — precedence matrix: for every event-type pair (a, b), in how
+# many sessions does a occur strictly before b — the any-gap ordering
+# signal q199's adjacent trigrams cannot see, and the lift against
+# the independence baseline. First-occurrence times make it one
+# bounded comparison per (session, pair), never a pair scan of events
+# ---------------------------------------------------------------------------
+@register(
+    "q225_precedence_matrix",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM g
+    ),
+    firsts AS (
+      SELECT user_id, sess, event_type, ts, event_id FROM (
+        SELECT user_id, sess, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sess, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM s
+      ) WHERE rn = 1
+    ),
+    nsess AS (SELECT CAST(COUNT(DISTINCT (user_id, sess)) AS BIGINT) AS ns
+              FROM firsts),
+    occ AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM firsts GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS before_type, b.event_type AS after_type,
+             CAST(COUNT(*) AS BIGINT) AS n_precede
+      FROM firsts a JOIN firsts b
+        ON a.user_id = b.user_id AND a.sess = b.sess
+       AND a.event_type <> b.event_type
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+      GROUP BY 1, 2
+    )
+    SELECT p.before_type, p.after_type, p.n_precede,
+           oa.n_sessions AS n_before, ob.n_sessions AS n_after,
+           ROUND(CAST(p.n_precede AS DOUBLE) * t.ns
+                 / (CAST(oa.n_sessions AS DOUBLE) * ob.n_sessions), 6)
+             AS lift
+    FROM pairs p
+    JOIN occ oa ON oa.event_type = p.before_type
+    JOIN occ ob ON ob.event_type = p.after_type
+    CROSS JOIN nsess t
+    ORDER BY p.before_type, p.after_type
+    """,
+    doc="session precedence matrix: per (session, type) FIRST "
+    "occurrence under the (ts, event_id) total order, then one |types|^2-bounded self-join per session "
+    "counting strict a-before-b precedences, with lift = P(a<b) / "
+    "(P(a)P(b)) against session-level independence. The any-gap "
+    "ordering view that complements q199 (adjacent steps) and q193 "
+    "(one-step transitions). Corpus pays the q19 sessionize chain + "
+    "one (session, type) aggregate; the pair join runs on at most "
+    "|types| rows per session",
+)
+def q225_precedence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (us - F.lag(us).over(ow) > 1_800_000_000)
+            | F.lag("ts").over(ow).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = g.withColumn(
+        "sess", F.sum("is_new").over(ow.rowsBetween(W.unboundedPreceding, 0))
+    )
+    fw = W.partitionBy("user_id", "sess", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    firsts = pin(
+        s.withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "sess", "event_type", "ts", "event_id")
+    )
+    nsess = firsts.select("user_id", "sess").distinct().agg(
+        F.count("*").cast("long").alias("ns")
+    )
+    occ = firsts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    a = firsts.select(
+        "user_id",
+        "sess",
+        F.col("event_type").alias("before_type"),
+        F.col("ts").alias("ta"),
+        F.col("event_id").alias("ia"),
+    )
+    b = firsts.select(
+        F.col("user_id").alias("u2"),
+        F.col("sess").alias("s2"),
+        F.col("event_type").alias("after_type"),
+        F.col("ts").alias("tb"),
+        F.col("event_id").alias("ib"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("sess") == F.col("s2"))
+            & (F.col("before_type") != F.col("after_type"))
+            & (
+                (F.col("ta") < F.col("tb"))
+                | ((F.col("ta") == F.col("tb")) & (F.col("ia") < F.col("ib")))
+            ),
+        )
+        .groupBy("before_type", "after_type")
+        .agg(F.count("*").cast("long").alias("n_precede"))
+    )
+    oa = occ.select(
+        F.col("event_type").alias("before_type"),
+        F.col("n_sessions").alias("n_before"),
+    )
+    ob = occ.select(
+        F.col("event_type").alias("after_type"),
+        F.col("n_sessions").alias("n_after"),
+    )
+    return (
+        pairs.join(F.broadcast(oa), "before_type")
+        .join(F.broadcast(ob), "after_type")
+        .crossJoin(F.broadcast(nsess))
+        .select(
+            "before_type",
+            "after_type",
+            "n_precede",
+            "n_before",
+            "n_after",
+            F.round(
+                F.col("n_precede").cast("double") * F.col("ns")
+                / (F.col("n_before").cast("double") * F.col("n_after")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("before_type", "after_type")
+    )
