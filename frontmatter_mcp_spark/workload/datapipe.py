@@ -13554,8 +13554,10 @@ _SEQLEN_CONFIGS = [256, 512, 1024, 2048]
 )
 def q211_seqlen_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = d.select(
-        F.size(tx.tokens(F.col("text"))).cast("long").alias("n")
+    # pinned: projection collapse would otherwise push the tokenize
+    # under the config cross join and re-split every text 4x
+    toks = pin(
+        d.select(F.size(tx.tokens(F.col("text"))).cast("long").alias("n"))
     )
     conf = spark.createDataFrame(
         [(c,) for c in _SEQLEN_CONFIGS], "cap int"
