@@ -14948,3 +14948,94 @@ def q225_precedence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("before_type", "after_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — watermark planning sweep: the observed-lateness table that
+# picks a streaming watermark BEFORE deploying one — per candidate
+# delay bound, how many events would arrive too late, at what rate,
+# and how many event-time windows they would have corrected. Arrival
+# lateness is derandomized from the event id (the q92/q125 md5
+# discipline: 10% of events late, uniform 0-119 minutes)
+# ---------------------------------------------------------------------------
+_WM_CANDIDATES = [5, 15, 30, 60, 120]
+
+
+def _watermark_sql() -> str:
+    late_sel = _hash_bucket_duck("event_id", 1000)
+    late_amt = _hash_bucket_duck("event_id || 'd'", 120)
+    caps = ", ".join(str(w) for w in _WM_CANDIDATES)
+    return f"""
+    WITH lat AS (
+      SELECT event_id, ts,
+             CASE WHEN {late_sel} < 100 THEN {late_amt} ELSE 0 END AS delay_min
+      FROM events
+    ),
+    w AS (SELECT unnest([{caps}]) AS wm),
+    swept AS (
+      SELECT w.wm,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN delay_min > w.wm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+             CAST(COUNT(DISTINCT CASE WHEN delay_min > w.wm
+                  THEN time_bucket(INTERVAL '1 hour', ts) END) AS BIGINT)
+               AS n_windows_affected,
+             CAST(MAX(delay_min) AS INT) AS max_delay
+      FROM lat CROSS JOIN w
+      GROUP BY 1
+    )
+    SELECT wm AS watermark_minutes, n_events, n_late,
+           ROUND(CAST(n_late AS DOUBLE) / n_events, 6) AS late_rate,
+           n_windows_affected, max_delay
+    FROM swept ORDER BY wm
+    """
+
+
+@register(
+    "q226_watermark_sweep",
+    _watermark_sql(),
+    doc="streaming watermark sizing from the lateness distribution: "
+    "per candidate bound (5/15/30/60/120 min), the events that would "
+    "be dropped as too-late, the late rate, and the distinct "
+    "event-time hours those stragglers belong to (the state the "
+    "watermark would have had to keep open). Lateness is md5-derived "
+    "(10% late, uniform 0-119 min) so both engines see the identical "
+    "arrival process; in production the delay column is observed "
+    "arrival_ts - event_ts and the same one-scan sweep applies. All "
+    "counters map-side combined over one scan x 5-row config table",
+)
+def q226_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    delay = F.when(
+        hash_bucket(F.col("event_id"), 1000) < 100,
+        hash_bucket(F.concat(F.col("event_id").cast("string"), F.lit("d")), 120),
+    ).otherwise(0)
+    lat = pin(
+        e.select("ts", delay.alias("delay_min"))
+    )
+    w = spark.createDataFrame([(c,) for c in _WM_CANDIDATES], "wm int")
+    late = F.col("delay_min") > F.col("wm")
+    swept = (
+        lat.crossJoin(F.broadcast(w))
+        .groupBy("wm")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(late.cast("int")).cast("long").alias("n_late"),
+            F.countDistinct(F.when(late, F.date_trunc("hour", "ts")))
+            .cast("long")
+            .alias("n_windows_affected"),
+            F.max("delay_min").cast("int").alias("max_delay"),
+        )
+    )
+    return swept.select(
+        F.col("wm").alias("watermark_minutes"),
+        "n_events",
+        "n_late",
+        F.round(F.col("n_late").cast("double") / F.col("n_events"), 6).alias(
+            "late_rate"
+        ),
+        "n_windows_affected",
+        "max_delay",
+    ).orderBy("watermark_minutes")
