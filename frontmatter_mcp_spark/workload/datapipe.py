@@ -15039,3 +15039,162 @@ def q226_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_windows_affected",
         "max_delay",
     ).orderBy("watermark_minutes")
+
+
+# ---------------------------------------------------------------------------
+# q227 — revenue concentration (Lorenz deciles): what share of total
+# revenue the top-k% of customers carry — the whale-dependence view
+# next to q173's per-key Gini. Decile cuts by NTILE under a total
+# order, revenue decimal-exact, shares one double chain
+# ---------------------------------------------------------------------------
+@register(
+    "q227_revenue_concentration",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      FROM cust
+    ),
+    tot AS (SELECT CAST(SUM(rev) AS DECIMAL(28,6)) AS total FROM cust),
+    d AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev) AS DECIMAL(28,6)) AS rev
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST(decile AS INT) AS decile, n_customers,
+           ROUND(CAST(rev AS DOUBLE), 4) AS revenue,
+           ROUND(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+           ROUND(CAST(SUM(rev) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(total AS DOUBLE), 6) AS cum_share
+    FROM d CROSS JOIN tot ORDER BY decile
+    """,
+    doc="customer revenue Lorenz table: per-customer decimal-exact "
+    "revenue, NTILE(10) deciles under (revenue desc, custkey) total "
+    "order, per-decile share and the cumulative concentration curve "
+    "(decile 1 cum_share is 'top-10% carries X%'). One custkey "
+    "aggregate + one customer-sized sort; at 100 TB the decile "
+    "boundaries come from the q83 two-phase rank",
+)
+def q227_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("decimal(28,6)")
+        .alias("rev")
+    )
+    ranked = cust.select(
+        "rev",
+        F.ntile(10)
+        .over(W.orderBy(F.col("rev").desc(), "o_custkey"))
+        .alias("decile"),
+    )
+    tot = cust.agg(F.sum("rev").cast("decimal(28,6)").alias("total"))
+    d = ranked.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev").cast("decimal(28,6)").alias("rev"),
+    )
+    cum = F.sum("rev").over(
+        W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                cum.cast("double") / F.col("total").cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228 — epoch-shuffle decorrelation audit: are two epochs' training
+# orders actually independent? Spearman rank correlation between the
+# epoch-1 and epoch-2 md5 shuffle orders — EXACT integers end to end
+# (rho = 1 - 6*sum(d^2)/(n(n^2-1))), so the audit hash-verifies and a
+# broken shuffle (correlated epochs) is a hard test failure, not a
+# judgement call
+# ---------------------------------------------------------------------------
+@register(
+    "q228_epoch_shuffle_audit",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('e1|' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS r1,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('e2|' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS r2
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sd2,
+             CAST(SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fixed
+      FROM r
+    )
+    SELECT n, sd2, n_fixed,
+           ROUND(1e0 - 6e0 * sd2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                 * n - 1e0)), 6) AS spearman_rho,
+           CAST(ABS(1e0 - 6e0 * sd2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                 * n - 1e0))) < 3e0 / sqrt(CAST(n AS DOUBLE)) AS INT)
+             AS decorrelated
+    FROM agg
+    """,
+    doc="epoch-to-epoch shuffle quality: documents ranked under two "
+    "independent md5 epoch keys (the q171 loader's reshuffle), "
+    "Spearman rho between the orders from the exact closed form over "
+    "BIGINT rank differences (ties impossible — md5 then doc_id "
+    "total order), plus fixed-point count and a 3/sqrt(n) "
+    "decorrelation verdict. A shuffle bug that reuses epoch seeds "
+    "(rho = 1) or block-rotates (high rho) fails loudly. At 100 TB "
+    "the global ranks come from the q83 two-phase machinery; the "
+    "audit itself is one map-side-combined aggregate",
+)
+def q228_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    key = lambda e: F.md5(  # noqa: E731
+        F.concat(F.lit(e + "|"), F.col("doc_id").cast("string"))
+    )
+    r = d.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(key("e1"), "doc_id")).cast("long").alias("r1"),
+        F.row_number().over(W.orderBy(key("e2"), "doc_id")).cast("long").alias("r2"),
+    )
+    agg = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
+        .cast("long")
+        .alias("sd2"),
+        F.sum((F.col("r1") == F.col("r2")).cast("int"))
+        .cast("long")
+        .alias("n_fixed"),
+    )
+    nd = F.col("n").cast("double")
+    rho = 1.0 - 6.0 * F.col("sd2") / (nd * (nd * F.col("n") - 1.0))
+    return agg.select(
+        "n",
+        "sd2",
+        "n_fixed",
+        F.round(rho, 6).alias("spearman_rho"),
+        (F.abs(rho) < 3.0 / F.sqrt(nd)).cast("int").alias("decorrelated"),
+    )
