@@ -3661,13 +3661,20 @@ def _cfdiv(a: str, m: str) -> str:
     return f"CAST((({a}) - (((({a}) % ({m})) + ({m})) % ({m}))) / ({m}) AS BIGINT)"
 
 
-def _classifier_sql(buckets: int = _CLF_BUCKETS, iters: int = _CLF_ITERS) -> str:
+def _classifier_sql(
+    buckets: int = _CLF_BUCKETS, iters: int = _CLF_ITERS, train_where: str = ""
+) -> str:
     """Replay of operators.classifier.hashed_linear_scores: every GD
-    iteration is a (gradient, weights) CTE pair over the same tf table."""
+    iteration is a (gradient, weights) CTE pair over the same tf table.
+    With ``train_where``, the GRADIENT/label/count side restricts to the
+    matching documents (proper training split) while the tf features and
+    the final scoring cover the whole corpus — the q229 conformal shape;
+    the default emits the exact historical full-corpus SQL (q111/q114)."""
     from frontmatter_mcp_spark.operators.classifier import LRINV, PDIV, SCALE
     from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
 
     s, half = SCALE, SCALE // 2
+    tw = f" WHERE {train_where}" if train_where else ""
     ctes = [
         """toks AS (
       SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
@@ -3679,12 +3686,12 @@ def _classifier_sql(buckets: int = _CLF_BUCKETS, iters: int = _CLF_ITERS) -> str
              CAST(COUNT(*) AS BIGINT) AS tf
       FROM toks GROUP BY 1, 2
     )""",
-        """lab AS (
+        f"""lab AS (
       SELECT doc_id,
              CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
-      FROM documents
+      FROM documents{tw}
     )""",
-        f"nn AS (SELECT CAST(COUNT(*) * {LRINV} AS BIGINT) AS d FROM documents)",
+        f"nn AS (SELECT CAST(COUNT(*) * {LRINV} AS BIGINT) AS d FROM documents{tw})",
         # iteration 1: w = 0, so the residual is S/2 - S*y directly
         f"""g1 AS (
       SELECT b, CAST(SUM(({half} - {s} * y) * tf) AS BIGINT) AS g
@@ -3719,14 +3726,24 @@ def _classifier_sql(buckets: int = _CLF_BUCKETS, iters: int = _CLF_ITERS) -> str
       FROM tf JOIN w{iters} USING (b) GROUP BY doc_id
     )"""
     )
+    final_lab = "lab"
+    if train_where:
+        ctes.append(
+            """alllab AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+      FROM documents
+    )"""
+        )
+        final_lab = "alllab"
     joined = ",\n    ".join(ctes)
     return f"""
     WITH {joined}
-    SELECT lab.doc_id, CAST(y AS INT) AS label,
+    SELECT {final_lab}.doc_id, CAST(y AS INT) AS label,
            CAST(COALESCE(z, 0) AS BIGINT) AS score_fx,
            CAST(LEAST({s}, GREATEST(0, {half} + {_cfdiv('COALESCE(z, 0)', str(PDIV))}))
                 AS DOUBLE) / {s} AS prob
-    FROM lab LEFT JOIN zf ON lab.doc_id = zf.doc_id
+    FROM {final_lab} LEFT JOIN zf ON {final_lab}.doc_id = zf.doc_id
     """
 
 
@@ -15197,4 +15214,162 @@ def q228_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_fixed",
         F.round(rho, 6).alias("spearman_rho"),
         (F.abs(rho) < 3.0 / F.sqrt(nd)).cast("int").alias("decorrelated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q229 — split-conformal calibration of the q111 quality classifier:
+# train on split 0, take the ceil((n+1)*0.9)-quantile nonconformity
+# threshold from split 1's positives (a pure ORDER STATISTIC — integer
+# rank, no interpolation, exact fixed-point scores), then audit the
+# marginal coverage guarantee on held-out split 2. The distribution-
+# free "is my filter's confidence honest" check, entirely in-engine
+# ---------------------------------------------------------------------------
+def _conformal_sql() -> str:
+    split = _hash_bucket_duck("doc_id", 3)
+    clf = _classifier_sql(train_where=f"{split} = 0")
+    return f"""
+    WITH clf AS ({clf}),
+    tagged AS (
+      SELECT c.doc_id, c.label, c.score_fx, {split} AS split
+      FROM clf c
+    ),
+    cal AS (
+      SELECT score_fx,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_fx DESC, doc_id)
+                  AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_cal
+      FROM tagged WHERE split = 1 AND label = 1
+    ),
+    thr AS (
+      SELECT n_cal,
+             (9 * (n_cal + 1) + 9) // 10 AS k,
+             MAX(CASE WHEN rn = (9 * (n_cal + 1) + 9) // 10
+                      THEN score_fx END) AS t
+      FROM cal GROUP BY n_cal
+    ),
+    ev AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_eval,
+        CAST(SUM(label) AS BIGINT) AS n_eval_pos,
+        CAST(SUM(CASE WHEN label = 1
+                       AND (t.t IS NULL OR score_fx >= t.t)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        CAST(SUM(CASE WHEN t.t IS NULL OR score_fx >= t.t
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+      FROM tagged CROSS JOIN thr t WHERE split = 2
+    )
+    SELECT t.n_cal AS n_cal_pos, CAST(t.k AS BIGINT) AS k_rank,
+           t.t AS threshold_fx,
+           e.n_eval, e.n_eval_pos,
+           ROUND(CAST(e.n_covered AS DOUBLE) / e.n_eval_pos, 6) AS coverage,
+           ROUND(CAST(e.n_selected AS DOUBLE) / e.n_eval, 6) AS selection_rate
+    FROM thr t CROSS JOIN ev e
+    """
+
+
+@register(
+    "q229_conformal_calibration",
+    _conformal_sql(),
+    doc="split-conformal prediction audit over the in-engine trained "
+    "quality classifier: a 3-way md5 split (train / calibrate / "
+    "evaluate), the q111 GD training restricted to split 0 via the "
+    "parameterized replay (features and scoring still cover the whole "
+    "corpus), the conformal threshold as the k = ceil(0.9*(n+1))-th "
+    "LARGEST calibration-positive score (an exact integer-rank order "
+    "statistic over exact fixed-point scores — if k exceeds n_cal the "
+    "set is everything, the textbook rule), and held-out coverage + "
+    "selection rate on split 2. Conformal's marginal-coverage "
+    "guarantee makes `coverage` land near 0.9 for ANY score "
+    "distribution — the honesty check for every model-based filter "
+    "in this workload. Adds one rank over calibration positives and "
+    "two counters to q111's training cost",
+)
+def q229_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators import classifier as clf
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    split = hash_bucket(F.col("doc_id"), 3)
+    w_rows = clf.train_weights(
+        d.filter(split == 0),
+        "doc_id",
+        "text",
+        label=(F.col("lang") == "en").cast("int"),
+        buckets=_CLF_BUCKETS,
+        iters=_CLF_ITERS,
+        persist_fn=pin,
+    ).collect()
+    weights = {r.b: r.w for r in w_rows}
+    scored = pin(
+        d.select(
+            "doc_id",
+            split.alias("split"),
+            (F.col("lang") == "en").cast("long").alias("label"),
+            clf.literal_score_expr("text", weights, buckets=_CLF_BUCKETS).alias(
+                "score_fx"
+            ),
+        )
+    )
+    cal = scored.filter((F.col("split") == 1) & (F.col("label") == 1)).select(
+        "doc_id", "score_fx"
+    )
+    ncal = cal.agg(F.count("*").cast("long").alias("n_cal"))
+    ranked = cal.select(
+        "score_fx",
+        F.row_number()
+        .over(W.orderBy(F.col("score_fx").desc(), "doc_id"))
+        .cast("long")
+        .alias("rn"),
+    )
+    k = F.expr("(9 * (n_cal + 1) + 9) div 10")
+    thr = (
+        ranked.crossJoin(F.broadcast(ncal))
+        .groupBy("n_cal")
+        .agg(
+            F.max(F.when(F.col("rn") == k, F.col("score_fx"))).alias("t"),
+        )
+        .select("n_cal", F.expr("(9 * (n_cal + 1) + 9) div 10").alias("k"), "t")
+    )
+    ev = (
+        scored.filter(F.col("split") == 2)
+        .crossJoin(F.broadcast(thr.select("t")))
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.sum("label").cast("long").alias("n_eval_pos"),
+            F.sum(
+                F.when(
+                    (F.col("label") == 1)
+                    & (F.col("t").isNull() | (F.col("score_fx") >= F.col("t"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+            F.sum(
+                F.when(
+                    F.col("t").isNull() | (F.col("score_fx") >= F.col("t")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_selected"),
+        )
+    )
+    return (
+        thr.crossJoin(F.broadcast(ev))
+        .select(
+            F.col("n_cal").alias("n_cal_pos"),
+            F.col("k").cast("long").alias("k_rank"),
+            F.col("t").alias("threshold_fx"),
+            "n_eval",
+            "n_eval_pos",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_eval_pos"), 6
+            ).alias("coverage"),
+            F.round(
+                F.col("n_selected").cast("double") / F.col("n_eval"), 6
+            ).alias("selection_rate"),
+        )
     )
