@@ -15373,3 +15373,178 @@ def q229_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("selection_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — reciprocal-rank fusion: the standard hybrid-retrieval combiner
+# (RRF, k=60) over two independent ANN methods this workload already
+# certifies — IVF cell probing (q37) and hyperplane LSH (q43) — with
+# the exact brute-force top-10 annotated per fused hit. Two retrievers
+# disagree on different misses; the fusion's in_exact rate shows the
+# ensemble recovering what each single index drops
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_DEPTH = 20
+
+
+def _rrf_sql() -> str:
+    nb = _LSH_NBITS
+    cents = f"""cents AS (
+      SELECT label, list(mean_v ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, i AS pos,
+               {_fx_mean('CAST(embedding[i] AS DOUBLE)')} AS mean_v
+        FROM cands, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY label, i
+      ) GROUP BY label
+    )"""
+    return f"""
+    WITH cands AS (SELECT * FROM embeddings WHERE vec_id >= 5),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          WHERE vec_id < 5),
+    {cents},
+    probe AS (
+      SELECT qid, qvec, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY {_duck_cos('qvec', 'centroid')} DESC, label ASC)
+               AS cell_rank
+      FROM q, cents
+    ),
+    probed AS (SELECT qid, qvec, label FROM probe WHERE cell_rank <= 2),
+    ipairs AS (
+      SELECT p.qid, e.vec_id AS cid, {_duck_cos('p.qvec', 'e.embedding')} AS sim
+      FROM probed p JOIN cands e ON e.label = p.label
+    ),
+    iranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC)
+               AS rank
+      FROM ipairs
+    ),
+    ivf AS (SELECT qid, cid, rank FROM iranked WHERE rank <= {_RRF_DEPTH}),
+    cbuck AS (
+      SELECT vec_id AS cid, embedding AS cvec,
+             {_duck_lsh_bucket('embedding', nb)} AS bucket
+      FROM cands
+    ),
+    qbuck AS (
+      SELECT qid, qvec, {_duck_lsh_bucket('qvec', nb)} AS bucket FROM q
+    ),
+    lpairs AS (
+      SELECT qb.qid, cb.cid, {_duck_cos('qb.qvec', 'cb.cvec')} AS sim
+      FROM cbuck cb JOIN qbuck qb ON qb.bucket = cb.bucket
+    ),
+    lranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC)
+               AS rank
+      FROM lpairs
+    ),
+    lsh AS (SELECT qid, cid, rank FROM lranked WHERE rank <= {_RRF_DEPTH}),
+    fused AS (
+      SELECT COALESCE(i.qid, l.qid) AS qid, COALESCE(i.cid, l.cid) AS cid,
+             i.rank AS ri, l.rank AS rl,
+             COALESCE(1e0 / ({_RRF_K} + i.rank), 0e0)
+               + COALESCE(1e0 / ({_RRF_K} + l.rank), 0e0) AS rrf
+      FROM ivf i FULL JOIN lsh l ON i.qid = l.qid AND i.cid = l.cid
+    ),
+    franked AS (
+      SELECT qid, cid, ri, rl, rrf,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, cid ASC)
+               AS fused_rank
+      FROM fused
+    ),
+    epairs AS (
+      SELECT q.qid, e.vec_id AS cid, {_duck_cos('q.qvec', 'e.embedding')} AS sim
+      FROM q, cands e
+    ),
+    exact AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC)
+                 AS rank
+        FROM epairs
+      ) WHERE rank <= 10
+    )
+    SELECT f.qid, CAST(f.fused_rank AS INT) AS fused_rank, f.cid,
+           ROUND(f.rrf, 9) AS rrf,
+           CAST(f.ri IS NOT NULL AS INT) AS from_ivf,
+           CAST(f.rl IS NOT NULL AS INT) AS from_lsh,
+           CAST(ex.cid IS NOT NULL AS INT) AS in_exact_top10
+    FROM franked f LEFT JOIN exact ex ON ex.qid = f.qid AND ex.cid = f.cid
+    WHERE f.fused_rank <= 10
+    ORDER BY f.qid, fused_rank
+    """
+
+
+@register(
+    "q230_rrf_fusion",
+    _rrf_sql(),
+    doc="hybrid retrieval by reciprocal-rank fusion: IVF-probed top-20 "
+    "and hyperplane-LSH top-20 per query (both over the same candidate "
+    "set, both already certified standalone as q37/q43), fused by "
+    "RRF(60) — rank-only combination, so the fusion needs no score "
+    "normalization between methods — with per-hit provenance flags "
+    "and the exact brute-force top-10 membership annotated. Ranks "
+    "come from the certified sequential-fold cosines; the RRF score "
+    "is a two-term exact-division sum in fixed order. Each retriever "
+    "keeps its own scale shape (broadcast probes, bucket join); the "
+    "fusion join runs on 2*depth rows per query",
+)
+def q230_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cands = e.filter(F.col("vec_id") >= 5)
+    cv = cands.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    ivf = (
+        sim.ivf_topk(q, cands, k=_RRF_DEPTH, nprobe=2)
+        .withColumnRenamed("vec_id", "cid")
+        .select("qid", "cid", F.col("rank").alias("ri"))
+    )
+    lsh = sim.lsh_topk(
+        q, cv, dim=_LSH_DIM, nbits=_LSH_NBITS, k=_RRF_DEPTH
+    ).select(F.col("qid").alias("lqid"), F.col("cid").alias("lcid"), F.col("rank").alias("rl"))
+    fused = ivf.join(
+        lsh,
+        (F.col("qid") == F.col("lqid")) & (F.col("cid") == F.col("lcid")),
+        "full_outer",
+    ).select(
+        F.coalesce("qid", "lqid").alias("qid"),
+        F.coalesce("cid", "lcid").alias("cid"),
+        "ri",
+        "rl",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("ri")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rl")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    franked = fused.withColumn(
+        "fused_rank",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col("rrf").desc(), "cid")
+        ),
+    ).filter(F.col("fused_rank") <= 10)
+    exact = sim.cosine_topk(q, cv, k=10).select(
+        F.col("qid").alias("eqid"), F.col("cid").alias("ecid")
+    )
+    return (
+        franked.join(
+            exact,
+            (F.col("qid") == F.col("eqid")) & (F.col("cid") == F.col("ecid")),
+            "left",
+        )
+        .select(
+            "qid",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            "cid",
+            F.round("rrf", 9).alias("rrf"),
+            F.col("ri").isNotNull().cast("int").alias("from_ivf"),
+            F.col("rl").isNotNull().cast("int").alias("from_lsh"),
+            F.col("ecid").isNotNull().cast("int").alias("in_exact_top10"),
+        )
+        .orderBy("qid", "fused_rank")
+    )
