@@ -355,3 +355,20 @@ def test_holt_winters_fold_matches_python_loop(spark):
             r.forecast_next - round(level + trend + seas[len(xs) % 7], 6)
         ) < 1e-9, et
         assert abs(r.mae_1step - round(err / (len(xs) - 7), 6)) < 1e-9, et
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split-conformal's marginal guarantee: coverage on the held-out
+    split lands at or above ~(1 - alpha) minus finite-sample slack.
+    This pins the STATISTICAL property, not just cross-engine parity."""
+    from frontmatter_mcp_spark.workload.datapipe import (
+        q229_conformal_calibration,
+    )
+
+    row = q229_conformal_calibration(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row.n_cal_pos > 20 and row.n_eval_pos > 20
+    # finite-sample slack ~ 2 binomial sigmas at the eval size
+    slack = 2.0 * (0.09 / row.n_eval_pos) ** 0.5 + 0.02
+    assert row.coverage >= 0.9 - slack, row
+    # the set must not be trivial (selecting everything)
+    assert row.selection_rate < 1.0, row
