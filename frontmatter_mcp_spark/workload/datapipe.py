@@ -15548,3 +15548,97 @@ def q230_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — Hill tail-index estimator: how heavy is each source's
+# document-length tail (alpha ~ 1/H) — the diagnostic that says
+# whether truncation budgets and packing bins (q211) face a power law
+# or an exponential tail. Order statistics under a total order; log
+# ratios quantized to DECIMAL for exact summation (the q196 ln class)
+# ---------------------------------------------------------------------------
+_HILL_K = 100
+
+
+@register(
+    "q231_hill_tail_index",
+    f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM documents
+    ),
+    kth AS (
+      SELECT source, n, CAST(n_chars AS DOUBLE) AS xk
+      FROM ranked WHERE rn = {_HILL_K} + 1
+    ),
+    terms AS (
+      SELECT r.source, r.n,
+             CAST(ln(CAST(r.n_chars AS DOUBLE)) - ln(k.xk)
+                  AS DECIMAL(28,12)) AS t
+      FROM ranked r JOIN kth k ON k.source = r.source
+      WHERE r.rn <= {_HILL_K}
+    )
+    SELECT source, MAX(n) AS n_docs,
+           CAST(COUNT(*) AS INT) AS k,
+           ROUND(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS hill_h,
+           ROUND(COUNT(*) / CAST(SUM(t) AS DOUBLE), 6) AS tail_alpha,
+           CAST(COUNT(*) / CAST(SUM(t) AS DOUBLE) < 2e0 AS INT)
+             AS infinite_variance
+    FROM terms GROUP BY source, n ORDER BY source
+    """,
+    doc=f"Hill estimator over the top-{_HILL_K} order statistics of "
+    "n_chars per source: H = mean(ln(x_(i)/x_(k+1))), tail index "
+    "alpha = 1/H, and the alpha<2 infinite-variance flag (when true, "
+    "mean-based capacity planning on this source is meaningless and "
+    "q85/q190's percentile fences are the only honest gates). Log "
+    "ratios quantize to DECIMAL(28,12) before the exact sum. One "
+    "per-source rank window; the estimator touches k+1 rows per "
+    "source regardless of corpus size",
+)
+def q231_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("source")).cast("long").alias("n"),
+    )
+    kth = ranked.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("source").alias("s2"), F.col("n_chars").cast("double").alias("xk")
+    )
+    terms = (
+        ranked.filter(F.col("rn") <= _HILL_K)
+        .join(F.broadcast(kth), F.col("source") == F.col("s2"))
+        .select(
+            "source",
+            "n",
+            (
+                F.log(F.col("n_chars").cast("double")) - F.log(F.col("xk"))
+            )
+            .cast("decimal(28,12)")
+            .alias("t"),
+        )
+    )
+    return (
+        terms.groupBy("source", "n")
+        .agg(
+            F.count("*").cast("int").alias("k"),
+            F.sum("t").cast("double").alias("st"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "k",
+            F.round(F.col("st") / F.col("k"), 6).alias("hill_h"),
+            F.round(F.col("k") / F.col("st"), 6).alias("tail_alpha"),
+            (F.col("k") / F.col("st") < 2.0).cast("int").alias("infinite_variance"),
+        )
+        .orderBy("source")
+    )
