@@ -15642,3 +15642,77 @@ def q231_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q232 — quantile normalization across sources: each document's length
+# mapped onto the GLOBAL length distribution at its within-source rank
+# (the batch-effect removal microarray pipelines standardized, applied
+# to corpus features) — after it, every source has the same marginal
+# distribution, so downstream per-length gates can't favor a source.
+# Pure integer rank arithmetic: rank, ceil-map, order-statistic join
+# ---------------------------------------------------------------------------
+@register(
+    "q232_quantile_normalize",
+    """
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS BIGINT) AS rs,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+      FROM documents
+    ),
+    g AS (
+      SELECT n_chars AS gval,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rg,
+             CAST(COUNT(*) OVER () AS BIGINT) AS ng
+      FROM documents
+    )
+    SELECT s.doc_id, s.source, s.n_chars,
+           CAST(s.rs AS BIGINT) AS rank_in_source,
+           g.gval AS norm_chars
+    FROM s JOIN g ON g.rg = (s.rs * (SELECT MAX(ng) FROM g) + s.ns - 1) // s.ns
+    """,
+    doc="quantile normalization of n_chars across sources: within-"
+    "source rank rs of ns maps to the global order statistic at "
+    "ceil(rs*N/ns) — exact integer arithmetic end to end, no "
+    "interpolation, deterministic under the (value, doc_id) total "
+    "orders. The normalized column preserves each source's internal "
+    "ordering while forcing identical marginals — the fairness "
+    "precondition for any cross-source length gate. Two rank windows "
+    "+ one equi-join on the computed rank; at 100 TB both ranks come "
+    "from the q83 two-phase machinery and the join stays a rank-key "
+    "shuffle",
+)
+def q232_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("rs"),
+        F.count("*").over(W.partitionBy("source")).cast("long").alias("ns"),
+    )
+    g = d.select(
+        F.col("n_chars").alias("gval"),
+        F.row_number().over(W.orderBy("n_chars", "doc_id")).cast("long").alias("rg"),
+    )
+    ng = d.agg(F.count("*").cast("long").alias("ng"))
+    target = F.expr("(rs * ng + ns - 1) div ns")
+    return (
+        s.crossJoin(F.broadcast(ng))
+        .withColumn("tg", target)
+        .join(g, F.col("tg") == F.col("rg"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("rs").alias("rank_in_source"),
+            F.col("gval").alias("norm_chars"),
+        )
+    )
