@@ -15716,3 +15716,134 @@ def q232_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gval").alias("norm_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 — water-filling budget allocation: DERIVE the per-source token
+# quotas for a target budget (here half the corpus) such that no
+# source exceeds the common level L while small sources keep
+# everything — the max-min-fair solver whose OUTPUT is what q83/q106
+# consume as given. Exact integer arithmetic: the split point, level,
+# and remainder distribution are all rank/floor-div rules
+# ---------------------------------------------------------------------------
+@register(
+    "q233_water_filling",
+    r"""
+    WITH cap AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS c
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(SUM(c) // 2 AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cap
+    ),
+    ranked AS (
+      SELECT source, c,
+             CAST(ROW_NUMBER() OVER (ORDER BY c, source) AS BIGINT) AS rn,
+             CAST(SUM(c) OVER (ORDER BY c, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS prefix
+      FROM cap
+    ),
+    cand AS (
+      SELECT r.source, r.c, r.rn, r.prefix - r.c AS pre, t.t, t.n,
+             (t.t - (r.prefix - r.c)) // (t.n - r.rn + 1) AS lvl
+      FROM ranked r CROSS JOIN tot t
+    ),
+    split AS (
+      SELECT MIN(rn) AS srn FROM cand WHERE c > lvl
+    ),
+    params AS (
+      SELECT c.pre AS pre_s, c.n - c.rn + 1 AS k, c.lvl AS lv,
+             (c.t - c.pre) % (c.n - c.rn + 1) AS r, c.rn AS srn
+      FROM cand c JOIN split s ON c.rn = s.srn
+    )
+    SELECT c.source, c.c AS capacity,
+           CAST(CASE WHEN p.srn IS NULL OR c.rn < p.srn THEN c.c
+                     ELSE p.lv + CASE WHEN c.rn > c.n - p.r THEN 1 ELSE 0 END
+                END AS BIGINT) AS allocated,
+           CAST(CASE WHEN p.srn IS NULL OR c.rn < p.srn
+                     THEN 0 ELSE 1 END AS INT) AS capped,
+           t.t AS budget
+    FROM cand c LEFT JOIN params p ON TRUE CROSS JOIN tot t
+    ORDER BY c.source
+    """,
+    doc="max-min fair (water-filling) allocation of a token budget "
+    "(half the corpus) across sources: sources sorted by capacity, "
+    "the split point is the first source whose capacity exceeds the "
+    "feasible common level (T - prefix)//(remaining), smaller sources "
+    "keep everything, capped sources get the level with the integer "
+    "remainder distributed to the largest ranks — allocations sum to "
+    "EXACTLY the budget whenever any source is capped (tested). One "
+    "corpus scan for capacities; everything else runs on the "
+    "|sources|-sized table. The solver q83/q106's quota inputs "
+    "actually come from",
+)
+def q233_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    cap = d.groupBy("source").agg(
+        F.sum(F.size(tx.tokens(F.col("text")))).cast("long").alias("c")
+    )
+    tot = cap.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.expr("sum(c) div 2").cast("long").alias("t"),
+        F.count("*").cast("long").alias("n"),
+    )
+    ranked = cap.select(
+        "source",
+        "c",
+        F.row_number().over(W.orderBy("c", "source")).cast("long").alias("rn"),
+        F.sum("c")
+        .over(W.orderBy("c", "source").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("prefix"),
+    )
+    cand = ranked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "c",
+        "rn",
+        (F.col("prefix") - F.col("c")).alias("pre"),
+        "t",
+        "n",
+        F.expr("(t - (prefix - c)) div (n - rn + 1)").alias("lvl"),
+    )
+    split = cand.filter(F.col("c") > F.col("lvl")).agg(
+        F.min("rn").alias("srn")
+    )
+    params = (
+        cand.join(F.broadcast(split), cand["rn"] == split["srn"])
+        .select(
+            F.col("pre").alias("pre_s"),
+            (F.col("n") - F.col("rn") + 1).alias("k"),
+            F.col("lvl").alias("lv"),
+            F.expr("(t - pre) % (n - rn + 1)").alias("r"),
+            F.col("srn"),
+        )
+    )
+    alloc = F.when(
+        F.col("srn").isNull() | (F.col("rn") < F.col("srn")), F.col("c")
+    ).otherwise(
+        F.col("lv")
+        + F.when(F.col("rn") > F.col("n") - F.col("r"), 1).otherwise(0)
+    )
+    return (
+        cand.join(F.broadcast(params), F.lit(True), "left")
+        .select(
+            "source",
+            F.col("c").alias("capacity"),
+            alloc.cast("long").alias("allocated"),
+            F.when(
+                F.col("srn").isNull() | (F.col("rn") < F.col("srn")), 0
+            )
+            .otherwise(1)
+            .cast("int")
+            .alias("capped"),
+            F.col("t").alias("budget"),
+        )
+        .orderBy("source")
+    )

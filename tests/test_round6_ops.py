@@ -372,3 +372,21 @@ def test_conformal_coverage_guarantee(spark):
     assert row.coverage >= 0.9 - slack, row
     # the set must not be trivial (selecting everything)
     assert row.selection_rate < 1.0, row
+
+
+def test_water_filling_invariants(spark):
+    from frontmatter_mcp_spark.workload.datapipe import q233_water_filling
+
+    rows = q233_water_filling(spark, "/root/testdata/sf0.001").collect()
+    budget = rows[0].budget
+    assert all(r.allocated <= r.capacity for r in rows)
+    if any(r.capped for r in rows):
+        # with any capped source the allocations exhaust the budget exactly
+        assert sum(r.allocated for r in rows) == budget
+        lo = min(r.allocated for r in rows if r.capped)
+        # uncapped sources never exceed any capped source's level
+        for r in rows:
+            if not r.capped:
+                assert r.capacity <= lo + 1
+    else:
+        assert sum(r.allocated for r in rows) <= budget
