@@ -15847,3 +15847,76 @@ def q233_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q236 — Pareto frontier (skyline): the documents no other document
+# dominates on (longer, higher lexical diversity) — the classic
+# skyline operator, which Spark lacks natively, rewritten for 2D as
+# ONE sort + ONE running-max window instead of the O(n^2) dominance
+# self-join a naive plan writes
+# ---------------------------------------------------------------------------
+@register(
+    "q236_pareto_frontier",
+    r"""
+    WITH m AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_distinct(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')))
+               AS BIGINT) AS n_distinct_terms
+      FROM documents
+    ),
+    swept AS (
+      SELECT doc_id, n_chars, n_distinct_terms,
+             MAX(n_distinct_terms) OVER (
+               ORDER BY n_chars DESC, n_distinct_terms DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_seen
+      FROM m
+    )
+    SELECT doc_id, n_chars, n_distinct_terms
+    FROM swept
+    WHERE best_seen IS NULL OR n_distinct_terms > best_seen
+    ORDER BY n_chars DESC, doc_id
+    """,
+    doc="2D skyline over (n_chars, distinct-term count): a document is "
+    "on the frontier iff no other document is at least as long AND "
+    "strictly more lexically diverse — computed by sorting on the "
+    "first criterion and keeping rows that beat the running max of "
+    "the second (exact integers; the (n_chars desc, diversity desc, "
+    "doc_id) total order makes equal-length groups resolve "
+    "deterministically: only a group's best survives, and ties on "
+    "both criteria keep the first doc_id). O(n log n) against the "
+    "O(n^2) dominance join; the window is one global sort, which at "
+    "100 TB becomes the q83 two-phase range sort with per-range "
+    "running-max carry",
+)
+def q236_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_distinct_terms"),
+    )
+    w = W.orderBy(
+        F.col("n_chars").desc(), F.col("n_distinct_terms").desc(), "doc_id"
+    ).rowsBetween(W.unboundedPreceding, -1)
+    swept = m.withColumn("best_seen", F.max("n_distinct_terms").over(w))
+    return (
+        swept.filter(
+            F.col("best_seen").isNull()
+            | (F.col("n_distinct_terms") > F.col("best_seen"))
+        )
+        .select("doc_id", "n_chars", "n_distinct_terms")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+    )
