@@ -15920,3 +15920,86 @@ def q236_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "n_distinct_terms")
         .orderBy(F.col("n_chars").desc(), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — time-decayed popularity ranking: event-type scores under a
+# 7-day half-life, the ranking every "trending now" surface uses —
+# with dyadic per-week decay (2^-weeks is an EXACT double), the
+# whole score is deterministic without a single libm call
+# ---------------------------------------------------------------------------
+@register(
+    "q234_decayed_popularity",
+    """
+    WITH horizon AS (SELECT MAX(time_bucket(INTERVAL '1 day', ts)) AS d1
+                     FROM events),
+    daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.event_type, d.n,
+             date_diff('day', CAST(d.day AS DATE), CAST(h.d1 AS DATE)) AS age,
+             CAST(d.n AS DOUBLE)
+               / CAST(1 << LEAST(date_diff('day', CAST(d.day AS DATE),
+                                           CAST(h.d1 AS DATE)) // 7, 62)
+                      AS DOUBLE) AS term
+      FROM daily d CROSS JOIN horizon h
+    )
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS raw_count,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS decayed_score,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY SUM(CAST(term AS DECIMAL(28,12))) DESC, event_type)
+             AS INT) AS rank
+    FROM scored GROUP BY event_type
+    ORDER BY rank
+    """,
+    doc="half-life popularity: daily counts decayed by 2^-(age//7) — "
+    "a dyadic factor, so n/2^k is exact in doubles and the "
+    "DECIMAL-quantized sum is order-independent; ranking by the "
+    "decayed score with a type tiebreak. A freshly-hot type outranks "
+    "a historically-bigger but stale one — the recency ranking raw "
+    "counts can't express. One day aggregate + a types-sized window; "
+    "the decay is a shift, never exp()",
+)
+def q234_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.date_trunc("day", "ts")).alias("d1"))
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    scored = (
+        daily.crossJoin(F.broadcast(horizon))
+        .withColumn(
+            "k",
+            F.least(
+                F.expr("datediff(to_date(d1), to_date(day)) div 7").cast("int"),
+                F.lit(62),
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.expr(
+                "cast(n as double) / cast(shiftleft(cast(1 as bigint), k) as double)"
+            ).alias("term"),
+        )
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("raw_count"),
+        F.sum(F.col("term").cast("decimal(28,12)")).alias("sd"),
+    )
+    return agg.select(
+        "event_type",
+        "raw_count",
+        F.round(F.col("sd").cast("double"), 6).alias("decayed_score"),
+        F.row_number()
+        .over(W.orderBy(F.col("sd").desc(), "event_type"))
+        .cast("int")
+        .alias("rank"),
+    ).orderBy("rank")
