@@ -16003,3 +16003,125 @@ def q234_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rank"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# q235 — data-quality census across EVERY table in the catalog: null /
+# blank / distinct counts per column, generated from one shared spec
+# so the Spark plan and the oracle can never disagree about what was
+# profiled. The first page of every data-platform quality report
+# ---------------------------------------------------------------------------
+_CENSUS_SPEC: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "n"), ("r_name", "s")],
+    "nation": [("n_nationkey", "n"), ("n_name", "s"), ("n_regionkey", "n")],
+    "customer": [
+        ("c_custkey", "n"), ("c_name", "s"), ("c_nationkey", "n"),
+        ("c_acctbal", "n"), ("c_mktsegment", "s"),
+    ],
+    "supplier": [("s_suppkey", "n"), ("s_name", "s"), ("s_nationkey", "n")],
+    "part": [
+        ("p_partkey", "n"), ("p_name", "s"), ("p_brand", "s"),
+        ("p_type", "s"), ("p_size", "n"), ("p_retailprice", "n"),
+    ],
+    "orders": [
+        ("o_orderkey", "n"), ("o_custkey", "n"), ("o_orderstatus", "s"),
+        ("o_totalprice", "n"), ("o_orderdate", "t"), ("o_orderpriority", "s"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "n"), ("l_partkey", "n"), ("l_suppkey", "n"),
+        ("l_quantity", "n"), ("l_extendedprice", "n"), ("l_discount", "n"),
+        ("l_returnflag", "s"), ("l_shipdate", "t"),
+    ],
+    "events": [
+        ("event_id", "n"), ("ts", "t"), ("user_id", "n"),
+        ("event_type", "s"), ("value", "n"), ("props", "s"),
+    ],
+    "documents": [
+        ("doc_id", "n"), ("text", "s"), ("lang", "s"),
+        ("source", "s"), ("n_chars", "n"),
+    ],
+    "embeddings": [("vec_id", "n"), ("label", "n")],
+}
+
+
+def _census_sql() -> str:
+    parts = []
+    for t, cols in _CENSUS_SPEC.items():
+        aggs = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+        rows = []
+        for c, kind in cols:
+            aggs.append(
+                f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS nn_{c}"
+            )
+            aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+            blank = (
+                f"CAST(SUM(CASE WHEN trim({c}) = '' THEN 1 ELSE 0 END) AS BIGINT)"
+                if kind == "s"
+                else "CAST(0 AS BIGINT)"
+            )
+            aggs.append(f"{blank} AS nb_{c}")
+            rows.append(
+                f"SELECT '{t}' AS table_name, '{c}' AS column_name, n_rows,"
+                f" nn_{c} AS n_null, nb_{c} AS n_blank, nd_{c} AS n_distinct"
+                f" FROM agg_{t}"
+            )
+        parts.append((f"agg_{t} AS (SELECT {', '.join(aggs)} FROM {t})", rows))
+    ctes = ",\n    ".join(p[0] for p in parts)
+    unions = "\n      UNION ALL ".join(r for p in parts for r in p[1])
+    return f"""
+    WITH {ctes}
+    SELECT * FROM ({unions})
+    ORDER BY table_name, column_name
+    """
+
+
+@register(
+    "q235_null_census",
+    _census_sql(),
+    doc="whole-catalog data-quality census: per (table, column), row "
+    "count, NULLs, blank strings, and exact distinct counts — "
+    "generated from ONE column spec shared with the Spark builder, so "
+    "the profile and its oracle cannot drift. Each table is scanned "
+    "once (all its column counters share the aggregate; the distinct "
+    "counts expand map-side), and the result is columns-sized. The "
+    "report that catches a silently-nulled upstream field the day it "
+    "happens; at 100 TB swap the exact distincts for q136's HLL "
+    "registers, same shape",
+)
+def q235_null_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, cols in _CENSUS_SPEC.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count("*").cast("long").alias("n_rows")]
+        for c, kind in cols:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"nn_{c}")
+            )
+            aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
+            blank = (
+                F.sum((F.trim(F.col(c)) == "").cast("int")).cast("long")
+                if kind == "s"
+                else F.lit(0).cast("long")
+            )
+            aggs.append(blank.alias(f"nb_{c}"))
+        agg = df.agg(*aggs)
+        rows = agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table_name"),
+                            F.lit(c).alias("column_name"),
+                            F.col("n_rows").alias("n_rows"),
+                            F.col(f"nn_{c}").alias("n_null"),
+                            F.col(f"nb_{c}").alias("n_blank"),
+                            F.col(f"nd_{c}").alias("n_distinct"),
+                        )
+                        for c, _ in cols
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        out = rows if out is None else out.unionAll(rows)
+    return out.orderBy("table_name", "column_name")
