@@ -16125,3 +16125,88 @@ def q235_null_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("r.*")
         out = rows if out is None else out.unionAll(rows)
     return out.orderBy("table_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# q237 — experiment sample-size planner: from each source cohort's
+# observed conversion rate, the per-arm n needed to detect a 10% and
+# a 20% relative lift at alpha=0.05 / power=0.8 — the power analysis
+# that runs BEFORE q204's readout. z-constants ship as literals;
+# everything else is one deterministic double chain over exact counts
+# ---------------------------------------------------------------------------
+_Z_ALPHA = 1.959963984540054  # Phi^-1(0.975), precomputed literal
+_Z_BETA = 0.8416212335729143  # Phi^-1(0.80), precomputed literal
+
+
+def _samplesize_sql() -> str:
+    z = f"({_Z_ALPHA!r} + {_Z_BETA!r})"
+    terms = []
+    for lift, tag in ((0.1, "10"), (0.2, "20")):
+        delta = f"(p * {lift!r})"
+        terms.append(
+            f"CAST(CEIL({z} * {z} * 2e0 * p * (1e0 - p) / ({delta} * {delta}))"
+            f" AS BIGINT) AS n_per_arm_lift{tag}"
+        )
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(conv) AS BIGINT) AS n_conv,
+             CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS p
+      FROM u
+    )
+    SELECT n_users, n_conv, ROUND(p, 6) AS base_rate,
+           {", ".join(terms)},
+           CAST(CAST(CEIL({z} * {z} * 2e0 * p * (1e0 - p)
+                / ((p * 0.1e0) * (p * 0.1e0))) AS BIGINT)
+                <= n_users // 2 AS INT) AS powered_for_10pct
+    FROM r
+    """
+
+
+@register(
+    "q237_sample_size_planner",
+    _samplesize_sql(),
+    doc="two-proportion power analysis over the observed user "
+    "conversion rate: n per arm = (z_a + z_b)^2 * 2p(1-p) / delta^2 "
+    "for 10% and 20% relative lifts at alpha=.05/power=.8, plus the "
+    "verdict of whether the CURRENT population could power the 10% "
+    "test. The normal quantiles are precomputed literals (identical "
+    "bytes both plans — no inverse-CDF in either engine); counts are "
+    "exact and the formula one shared double chain. One user "
+    "collapse, one-row output — the question to answer before "
+    "running q204 at all",
+)
+def q237_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    r = u.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+        (F.sum("conv").cast("double") / F.count("*")).alias("p"),
+    )
+    z2 = (_Z_ALPHA + _Z_BETA) * (_Z_ALPHA + _Z_BETA)
+    p = F.col("p")
+
+    def n_arm(lift: float):
+        delta = p * lift
+        return F.ceil(F.lit(z2) * 2.0 * p * (1.0 - p) / (delta * delta)).cast(
+            "long"
+        )
+
+    return r.select(
+        "n_users",
+        "n_conv",
+        F.round(p, 6).alias("base_rate"),
+        n_arm(0.1).alias("n_per_arm_lift10"),
+        n_arm(0.2).alias("n_per_arm_lift20"),
+        (n_arm(0.1) <= F.expr("n_users div 2")).cast("int").alias(
+            "powered_for_10pct"
+        ),
+    )
