@@ -16357,3 +16357,144 @@ def q238_pair_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "n_common", "jaccard", "evidence")
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — frequent triples: which THREE event types co-occur in one
+# session beyond what their singles predict — the k=3 extension of
+# q154's pair itemsets, feasible exactly because the per-session
+# distinct-type set is bounded (the 3-subsets are generated from the
+# session's own type set, never by a corpus three-way self-join)
+# ---------------------------------------------------------------------------
+@register(
+    "q239_itemset_triples",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM g
+    ),
+    items AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+    nsess AS (SELECT CAST(COUNT(DISTINCT (user_id, sess)) AS BIGINT) AS ns
+              FROM items),
+    singles AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1
+    ),
+    triples AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, c.event_type AS t3,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM items a
+      JOIN items b ON b.user_id = a.user_id AND b.sess = a.sess
+                  AND b.event_type > a.event_type
+      JOIN items c ON c.user_id = a.user_id AND c.sess = a.sess
+                  AND c.event_type > b.event_type
+      GROUP BY 1, 2, 3
+    )
+    SELECT t.t1, t.t2, t.t3, t.n_sessions,
+           ROUND(CAST(t.n_sessions AS DOUBLE) / x.ns, 6) AS support,
+           ROUND(CAST(t.n_sessions AS DOUBLE) * x.ns * x.ns
+                 / (CAST(s1.n AS DOUBLE) * s2.n * s3.n), 6) AS lift
+    FROM triples t
+    JOIN singles s1 ON s1.event_type = t.t1
+    JOIN singles s2 ON s2.event_type = t.t2
+    JOIN singles s3 ON s3.event_type = t.t3
+    CROSS JOIN nsess x
+    ORDER BY t.t1, t.t2, t.t3
+    """,
+    doc="k=3 frequent itemsets over session type-sets: all ordered "
+    "triples t1<t2<t3 counted by two self-joins on the (session, "
+    "type) distinct set — bounded at C(|types|,3) rows per session, "
+    "never a corpus-scale three-way join — with support and the "
+    "three-way lift n*N^2/(n1*n2*n3) against session-level "
+    "independence. The q154 basket analysis one order higher; the "
+    "sessionize chain is shared with q220/q225",
+)
+def q239_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (us - F.lag(us).over(ow) > 1_800_000_000)
+            | F.lag("ts").over(ow).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = g.withColumn(
+        "sess", F.sum("is_new").over(ow.rowsBetween(W.unboundedPreceding, 0))
+    )
+    items = pin(s.select("user_id", "sess", "event_type").distinct())
+    nsess = items.select("user_id", "sess").distinct().agg(
+        F.count("*").cast("long").alias("ns")
+    )
+    singles = items.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = items.select("user_id", "sess", F.col("event_type").alias("t1"))
+    b = items.select(
+        F.col("user_id").alias("u2"), F.col("sess").alias("s2"),
+        F.col("event_type").alias("t2"),
+    )
+    c = items.select(
+        F.col("user_id").alias("u3"), F.col("sess").alias("s3"),
+        F.col("event_type").alias("t3"),
+    )
+    triples = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("sess") == F.col("s2"))
+            & (F.col("t2") > F.col("t1")),
+        )
+        .join(
+            c,
+            (F.col("user_id") == F.col("u3"))
+            & (F.col("sess") == F.col("s3"))
+            & (F.col("t3") > F.col("t2")),
+        )
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+    )
+    s1 = singles.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))
+    s2_ = singles.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))
+    s3_ = singles.select(F.col("event_type").alias("t3"), F.col("n").alias("n3"))
+    return (
+        triples.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2_), "t2")
+        .join(F.broadcast(s3_), "t3")
+        .crossJoin(F.broadcast(nsess))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n_sessions",
+            F.round(F.col("n_sessions").cast("double") / F.col("ns"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_sessions").cast("double") * F.col("ns") * F.col("ns")
+                / (F.col("n1").cast("double") * F.col("n2") * F.col("n3")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("t1", "t2", "t3")
+    )
