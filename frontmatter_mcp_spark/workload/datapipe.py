@@ -16498,3 +16498,86 @@ def q239_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t1", "t2", "t3")
     )
+
+
+@register(
+    "q240_stream_decayed_popularity",
+    """
+    WITH horizon AS (SELECT MAX(time_bucket(INTERVAL '1 day', ts)) AS d1
+                     FROM events),
+    daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.event_type, d.n,
+             date_diff('day', CAST(d.day AS DATE), CAST(h.d1 AS DATE)) AS age,
+             CAST(d.n AS DOUBLE)
+               / CAST(1 << LEAST(date_diff('day', CAST(d.day AS DATE),
+                                           CAST(h.d1 AS DATE)) // 7, 62)
+                      AS DOUBLE) AS term
+      FROM daily d CROSS JOIN horizon h
+    )
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS raw_count,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS decayed_score,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY SUM(CAST(term AS DECIMAL(28,12))) DESC, event_type)
+             AS INT) AS rank
+    FROM scored GROUP BY event_type
+    ORDER BY rank
+    """,
+    doc="streaming twin of q234's half-life popularity: the stateful "
+    "stage is the watermarked 1-day tumbling count (state bounded by "
+    "the watermark), and the dyadic decay + ranking run per trigger "
+    "on the windows-sized aggregate (the q191/q222 foreachBatch "
+    "discipline) — a live 'trending now' ranking whose scores are "
+    "bit-identical to the batch recompute. == q234's batch oracle",
+)
+def q240_stream_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.streaming import events as ev
+
+    stream = ev.read_events_stream(spark, sf_dir)
+    out = ev.run_stream_to_batch(
+        ev.tumbling_counts(stream, "1 day"), "stream_decay_out"
+    )
+    daily = out.select(
+        "event_type",
+        F.col("window.start").alias("day"),
+        F.col("n").cast("long").alias("n"),
+    )
+    horizon = daily.agg(F.max("day").alias("d1"))
+    scored = (
+        daily.crossJoin(F.broadcast(horizon))
+        .withColumn(
+            "k",
+            F.least(
+                F.expr("datediff(to_date(d1), to_date(day)) div 7").cast("int"),
+                F.lit(62),
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.expr(
+                "cast(n as double) / cast(shiftleft(cast(1 as bigint), k) as double)"
+            ).alias("term"),
+        )
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("raw_count"),
+        F.sum(F.col("term").cast("decimal(28,12)")).alias("sd"),
+    )
+    return agg.select(
+        "event_type",
+        "raw_count",
+        F.round(F.col("sd").cast("double"), 6).alias("decayed_score"),
+        F.row_number()
+        .over(W.orderBy(F.col("sd").desc(), "event_type"))
+        .cast("int")
+        .alias("rank"),
+    ).orderBy("rank")
