@@ -390,3 +390,63 @@ def test_water_filling_invariants(spark):
                 assert r.capacity <= lo + 1
     else:
         assert sum(r.allocated for r in rows) <= budget
+
+
+def test_km_survival_matches_python_loop(spark):
+    from frontmatter_mcp_spark.workload.datapipe import q209_km_survival
+
+    rows = q209_km_survival(spark, "/root/testdata/sf0.001").collect()
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    recs = e.select("user_id", "ts", "event_type").collect()
+    entry, pts, mx = {}, {}, None
+    for r in recs:
+        entry[r.user_id] = min(entry.get(r.user_id, r.ts), r.ts)
+        if r.event_type == "purchase":
+            pts[r.user_id] = min(pts.get(r.user_id, r.ts), r.ts)
+        mx = r.ts if mx is None else max(mx, r.ts)
+    durs = []
+    for u, t0 in entry.items():
+        if u in pts:
+            durs.append(((pts[u].date() - t0.date()).days, 1))
+        else:
+            durs.append(((mx.date() - t0.date()).days, 0))
+    from collections import Counter
+
+    d_at = Counter(t for t, ev in durs if ev)
+    c_at = Counter(t for t, _ in durs)
+    s = 1.0
+    expect = []
+    alive = len(durs)
+    for t in sorted(c_at):
+        n_risk = alive
+        if d_at.get(t, 0) > 0:
+            s = s * (1.0 - d_at[t] / n_risk)
+            expect.append((t, n_risk, d_at[t], round(s, 6)))
+        alive -= c_at[t]
+    got = [(r.t_days, r.n_risk, r.d_events, r.s_hat) for r in rows]
+    assert got == expect
+
+
+def test_ks_statistic_matches_python(spark):
+    from frontmatter_mcp_spark.workload.datapipe import q203_ks_source_shift
+
+    rows = q203_ks_source_shift(spark, "/root/testdata/sf0.001").collect()
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    by_src: dict[str, list[int]] = {}
+    for r in d.select("source", "n_chars").collect():
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    vals = sorted({v for xs in by_src.values() for v in xs})
+    for r in rows[:30]:
+        xa = sorted(by_src[r.source_a])
+        xb = sorted(by_src[r.source_b])
+        na, nb = len(xa), len(xb)
+        import bisect
+
+        dmax = max(
+            abs(bisect.bisect_right(xa, v) * nb - bisect.bisect_right(xb, v) * na)
+            for v in vals
+        )
+        assert (r.n_a, r.n_b, r.d_scaled) == (na, nb, dmax), (
+            r.source_a,
+            r.source_b,
+        )
