@@ -16581,3 +16581,94 @@ def q240_stream_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("int")
         .alias("rank"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# q241 — price-volume decomposition: WHY did each brand's revenue move
+# between 1995 and 1996 — the volume effect ((q2-q1) at old unit
+# price) vs the price effect (new volume times the unit-price change),
+# which sum EXACTLY to the revenue delta (algebraic identity, checked
+# as an output column). The FP&A bridge chart as a query
+# ---------------------------------------------------------------------------
+@register(
+    "q241_price_volume_bridge",
+    """
+    WITH y AS (
+      SELECT p.p_brand AS brand,
+             CAST(date_part('year', o.o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE date_part('year', o.o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.brand, a.qty AS q1, a.rev AS r1, b.qty AS q2, b.rev AS r2
+      FROM y a JOIN y b ON a.brand = b.brand AND a.yr = 1995 AND b.yr = 1996
+    )
+    SELECT brand,
+           ROUND(r1, 4) + 0e0 AS rev_1995, ROUND(r2, 4) + 0e0 AS rev_1996,
+           ROUND(r2 - r1, 4) + 0e0 AS delta,
+           ROUND((q2 - q1) * (r1 / q1), 4) + 0e0 AS volume_effect,
+           ROUND(q2 * (r2 / q2 - r1 / q1), 4) + 0e0 AS price_effect,
+           ROUND((r2 - r1) - ((q2 - q1) * (r1 / q1) + q2 * (r2 / q2 - r1 / q1)),
+                 4) + 0e0 AS residual
+    FROM w WHERE q1 > 0 AND q2 > 0
+    ORDER BY brand
+    """,
+    doc="revenue bridge per brand between 1995 and 1996: decimal-exact "
+    "yearly quantity and revenue, unit prices as their ratio, volume "
+    "effect (q2-q1)*u1 and price effect q2*(u2-u1) — algebraically "
+    "these sum to the delta, and the residual column proves it "
+    "(vanishes up to the display rounding; both engines evaluate the "
+    "identical double chain). One fact scan + broadcast dims, "
+    "brand-sized everything after; the 'why did the number move' "
+    "report every finance review opens with",
+)
+def q241_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    y = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    a = y.filter(F.col("yr") == 1995).select(
+        "brand", F.col("qty").alias("q1"), F.col("rev").alias("r1")
+    )
+    b = y.filter(F.col("yr") == 1996).select(
+        F.col("brand").alias("b2"), F.col("qty").alias("q2"), F.col("rev").alias("r2")
+    )
+    w = a.join(b, a["brand"] == b["b2"]).filter(
+        (F.col("q1") > 0) & (F.col("q2") > 0)
+    )
+    q1, r1, q2, r2 = F.col("q1"), F.col("r1"), F.col("q2"), F.col("r2")
+    vol = (q2 - q1) * (r1 / q1)
+    price = q2 * (r2 / q2 - r1 / q1)
+    # + 0.0 normalizes IEEE negative zero (a -1e-9 residual rounds to
+    # -0.0 on one engine and 0.0 on the other)
+    return w.select(
+        "brand",
+        (F.round(r1, 4) + 0.0).alias("rev_1995"),
+        (F.round(r2, 4) + 0.0).alias("rev_1996"),
+        (F.round(r2 - r1, 4) + 0.0).alias("delta"),
+        (F.round(vol, 4) + 0.0).alias("volume_effect"),
+        (F.round(price, 4) + 0.0).alias("price_effect"),
+        (F.round((r2 - r1) - (vol + price), 4) + 0.0).alias("residual"),
+    ).orderBy("brand")
