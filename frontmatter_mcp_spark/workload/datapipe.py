@@ -16672,3 +16672,104 @@ def q241_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(price, 4) + 0.0).alias("price_effect"),
         (F.round((r2 - r1) - (vol + price), 4) + 0.0).alias("residual"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# q242 — seasonality-adjusted anomalies: daily volumes scored against
+# their own day-of-week baseline (q158's seasonality REMOVED before
+# q155's MAD rule runs) — the detector that doesn't page on every
+# weekend dip. All integer: residuals scaled by the per-dow count,
+# MAD per type via exact integer medians of scaled residuals
+# ---------------------------------------------------------------------------
+@register(
+    "q242_seasonal_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dowbase AS (
+      SELECT event_type, dayofweek(day) AS dow,
+             CAST(SUM(n) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS k
+      FROM daily GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT d.event_type, d.day, d.n,
+             d.n * b.k - b.s AS r_scaled, b.k
+      FROM daily d JOIN dowbase b
+        ON b.event_type = d.event_type AND b.dow = dayofweek(d.day)
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(median(ABS(r_scaled)) AS DOUBLE) AS mad_scaled
+      FROM resid GROUP BY 1
+    )
+    SELECT r.event_type, strftime(r.day, '%Y-%m-%d') AS day, r.n,
+           ROUND(CAST(r.r_scaled AS DOUBLE) / r.k, 4) AS residual,
+           ROUND(CAST(ABS(r.r_scaled) AS DOUBLE) / m.mad_scaled, 4)
+             AS mad_score
+    FROM resid r JOIN mad m ON m.event_type = r.event_type
+    WHERE m.mad_scaled > 0
+      AND CAST(ABS(r.r_scaled) AS DOUBLE) / m.mad_scaled > 5e0
+    ORDER BY r.event_type, day
+    """,
+    doc="seasonal-residual anomaly detection: each (type, day) count's "
+    "deviation from its own day-of-week mean as the exact integer "
+    "n*k - s (scaled by the dow-group size so no float mean exists), "
+    "then a per-type MAD rule on the scaled residuals — medians of "
+    "integers interpolate at most at .5, exact on both engines — "
+    "flagging days beyond 5 MADs. Removing the weekly baseline first "
+    "is what separates 'Tuesday spike' from 'weekend as usual', the "
+    "failure mode of the raw q155 rule on seasonal series. Two "
+    "bounded aggregates + one join on the (type, dow) table",
+)
+def q242_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    dow = F.dayofweek("day")
+    base = daily.groupBy("event_type", dow.alias("dow")).agg(
+        F.sum("n").cast("long").alias("s"), F.count("*").cast("long").alias("k")
+    )
+    resid = pin(
+        daily.join(
+            base,
+            (daily["event_type"] == base["event_type"]) & (dow == base["dow"]),
+        )
+        .drop(base["event_type"])
+        .select(
+            "event_type",
+            "day",
+            "n",
+            (F.col("n") * F.col("k") - F.col("s")).alias("r_scaled"),
+            "k",
+        )
+    )
+    mad = resid.groupBy("event_type").agg(
+        F.median(F.abs("r_scaled")).cast("double").alias("mad_scaled")
+    )
+    return (
+        resid.join(
+            mad.filter(F.col("mad_scaled") > 0).withColumnRenamed(
+                "event_type", "et2"
+            ),
+            F.col("event_type") == F.col("et2"),
+        )
+        .filter(
+            F.abs("r_scaled").cast("double") / F.col("mad_scaled") > 5.0
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(F.col("r_scaled").cast("double") / F.col("k"), 4).alias(
+                "residual"
+            ),
+            F.round(
+                F.abs("r_scaled").cast("double") / F.col("mad_scaled"), 4
+            ).alias("mad_score"),
+        )
+        .orderBy("event_type", "day")
+    )
