@@ -16773,3 +16773,114 @@ def q242_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 — degree assortativity of the MinHash-LSH similarity graph: do
+# highly-duplicated documents link to other hubs (assortative, r > 0 —
+# template families) or to leaves (disassortative — one boilerplate
+# source radiating copies)? The structural summary beside q159's
+# triangles, q165's cores, and q187's modularity — exact BIGINT
+# moment sums over integer degrees, one IEEE sqrt chain at the end
+# ---------------------------------------------------------------------------
+def _assortativity_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE.strip().rstrip(',')},
+    sigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    bb AS ({band_rows}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    ed AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e JOIN deg da ON da.node = e.src
+                   JOIN deg db ON db.node = e.dst
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM ed
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT nn.n_nodes, m.m2 // 2 AS n_edges,
+           ROUND(CAST(m.m2 * m.sxy - m.sx * m.sy AS DOUBLE)
+                 / (sqrt(CAST(m.m2 * m.sxx - m.sx * m.sx AS DOUBLE))
+                    * sqrt(CAST(m.m2 * m.syy - m.sy * m.sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM m CROSS JOIN nn
+    """
+
+
+@register(
+    "q243_degree_assortativity",
+    _assortativity_sql(),
+    doc="Newman degree assortativity over the LSH candidate graph "
+    "(both edge directions, the standard undirected convention): "
+    "Pearson correlation of endpoint degrees with every moment sum an "
+    "exact BIGINT (degrees are integers; the edge list is the only "
+    "corpus-scale table and it is touched once for degrees and once "
+    "for endpoint pairs), final r one cast/sqrt/divide chain. "
+    "Positive r = hubs-link-hubs template families; negative = "
+    "star-shaped boilerplate radiation — they need different dedup "
+    "strategies (q56 keeper rules vs q59 span removal)",
+)
+def q243_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", _NUM_HASHES, _BANDS)
+    edges = pin(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("nb"), F.col("d").alias("y"))
+    ed = (
+        edges.join(da, edges["src"] == F.col("na"))
+        .join(db, edges["dst"] == F.col("nb"))
+        .select("x", "y")
+    )
+    m = ed.agg(
+        F.count("*").cast("long").alias("m2"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    m2, sx, sy = F.col("m2"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.expr("m2 div 2").alias("n_edges"),
+        F.round(
+            (m2 * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((m2 * sxx - sx * sx).cast("double"))
+                * F.sqrt((m2 * syy - sy * sy).cast("double"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
