@@ -16884,3 +16884,83 @@ def q243_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — vector hygiene: L2-norm outliers in the embedding store (zero
+# or near-zero vectors from failed encodes, extreme norms from scale
+# bugs) via the q155 MAD rule on norms — the QC pass every ANN index
+# build should refuse to proceed without, beside q223's drift monitor
+# ---------------------------------------------------------------------------
+@register(
+    "q244_embedding_norm_qc",
+    f"""
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * embedding[i]
+                            FOR i IN generate_series(1, len(embedding))]))
+               AS nrm
+      FROM embeddings
+    ),
+    med AS (
+      SELECT CAST(median(nrm) AS DOUBLE) AS m FROM norms
+    ),
+    madt AS (
+      SELECT CAST(median(ABS(n.nrm - med.m)) AS DOUBLE) AS mad, MAX(med.m) AS m
+      FROM norms n CROSS JOIN med GROUP BY ()
+    )
+    SELECT n.vec_id, ROUND(n.nrm, 6) AS norm,
+           ROUND(t.m, 6) AS median_norm,
+           CASE WHEN n.nrm < 1e-6 THEN 'zero_vector'
+                WHEN ABS(n.nrm - t.m) > 5e0 * t.mad THEN 'norm_outlier'
+           END AS reason
+    FROM norms n CROSS JOIN madt t
+    WHERE n.nrm < 1e-6 OR ABS(n.nrm - t.m) > 5e0 * t.mad
+    ORDER BY n.vec_id
+    """,
+    doc="embedding-store QC: per-vector L2 norms (the sequential-fold "
+    "dot both engines compute bit-identically), the median/MAD fence "
+    "over them (medians of doubles interpolate by one exact IEEE "
+    "midpoint), and the flagged rows with reasons — zero vectors "
+    "(failed encodes) and 5-MAD norm outliers (mis-scaled batches). "
+    "One narrow scan + two tiny aggregates broadcast back; an index "
+    "build that skips this ships its encoder's failures into every "
+    "similarity result",
+)
+def q244_embedding_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(x, lambda a: a * a), F.lit(0.0), lambda s, t: s + t
+        )
+    )
+    norms = pin(e.select("vec_id", nrm.alias("nrm")))
+    med = norms.agg(F.median("nrm").cast("double").alias("m"))
+    madt = (
+        norms.crossJoin(F.broadcast(med))
+        .agg(
+            F.median(F.abs(F.col("nrm") - F.col("m"))).cast("double").alias("mad"),
+            F.max("m").alias("m"),
+        )
+    )
+    flagged = (
+        norms.crossJoin(F.broadcast(madt))
+        .filter(
+            (F.col("nrm") < 1e-6)
+            | (F.abs(F.col("nrm") - F.col("m")) > 5.0 * F.col("mad"))
+        )
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("norm"),
+            F.round("m", 6).alias("median_norm"),
+            F.when(F.col("nrm") < 1e-6, "zero_vector")
+            .when(
+                F.abs(F.col("nrm") - F.col("m")) > 5.0 * F.col("mad"),
+                "norm_outlier",
+            )
+            .alias("reason"),
+        )
+        .orderBy("vec_id")
+    )
+    return flagged
