@@ -16964,3 +16964,200 @@ def q244_embedding_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
     )
     return flagged
+
+
+# ---------------------------------------------------------------------------
+# q245 — ANN cost/recall ledger: for each retrieval method this
+# workload certifies (brute force, IVF nprobe=2, hyperplane LSH), the
+# DISTANCE COMPUTATIONS actually paid per query and the recall@10 they
+# bought — the cross-method economics that q178 answers within IVF-PQ
+# and q82 within LSH radii. Candidate-set sizes are exact integer
+# counts; recall is overlap with the exact top-10
+# ---------------------------------------------------------------------------
+def _ann_ledger_sql() -> str:
+    nb = _LSH_NBITS
+    cents = f"""cents AS (
+      SELECT label, list(mean_v ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, i AS pos,
+               {_fx_mean('CAST(embedding[i] AS DOUBLE)')} AS mean_v
+        FROM cands, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY label, i
+      ) GROUP BY label
+    )"""
+    return f"""
+    WITH cands AS (SELECT * FROM embeddings WHERE vec_id >= 5),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          WHERE vec_id < 5),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    {cents},
+    epairs AS (
+      SELECT q.qid, e.vec_id AS cid, {_duck_cos('q.qvec', 'e.embedding')} AS sim
+      FROM q, cands e
+    ),
+    exact AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC)
+                 AS rank
+        FROM epairs
+      ) WHERE rank <= 10
+    ),
+    probe AS (
+      SELECT qid, qvec, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY {_duck_cos('qvec', 'centroid')} DESC, label ASC)
+               AS cell_rank
+      FROM q, cents
+    ),
+    probed AS (SELECT qid, qvec, label FROM probe WHERE cell_rank <= 2),
+    ipairs AS (
+      SELECT p.qid, e.vec_id AS cid, {_duck_cos('p.qvec', 'e.embedding')} AS sim
+      FROM probed p JOIN cands e ON e.label = p.label
+    ),
+    itop AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC)
+                 AS rank
+        FROM ipairs
+      ) WHERE rank <= 10
+    ),
+    cbuck AS (
+      SELECT vec_id AS cid, embedding AS cvec,
+             {_duck_lsh_bucket('embedding', nb)} AS bucket
+      FROM cands
+    ),
+    qbuck AS (
+      SELECT qid, qvec, {_duck_lsh_bucket('qvec', nb)} AS bucket FROM q
+    ),
+    lpairs AS (
+      SELECT qb.qid, cb.cid, {_duck_cos('qb.qvec', 'cb.cvec')} AS sim
+      FROM cbuck cb JOIN qbuck qb ON qb.bucket = cb.bucket
+    ),
+    ltop AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC)
+                 AS rank
+        FROM lpairs
+      ) WHERE rank <= 10
+    ),
+    ledger AS (
+      SELECT 'brute' AS method,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM epairs) AS n_distances,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_hits
+      UNION ALL
+      SELECT 'ivf_nprobe2',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ipairs),
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM itop t JOIN exact x ON x.qid = t.qid AND x.cid = t.cid)
+      UNION ALL
+      SELECT 'lsh_4bit',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lpairs),
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM ltop t JOIN exact x ON x.qid = t.qid AND x.cid = t.cid)
+    )
+    SELECT l.method, l.n_distances, l.n_hits,
+           ROUND(CAST(l.n_distances AS DOUBLE) / nq.n, 4)
+             AS distances_per_query,
+           ROUND(CAST(l.n_hits AS DOUBLE) / (10 * nq.n), 6) AS recall_at10,
+           ROUND(CAST(l.n_distances AS DOUBLE) / l.n_hits, 4)
+             AS distances_per_hit
+    FROM ledger l CROSS JOIN nq
+    ORDER BY l.method
+    """
+
+
+@register(
+    "q245_ann_cost_ledger",
+    _ann_ledger_sql(),
+    doc="cross-method ANN economics: distance computations paid (exact "
+    "candidate-pair counts) vs recall@10 bought, for brute force, "
+    "IVF(nprobe=2), and 4-bit hyperplane LSH over the same query/"
+    "candidate split — distances-per-hit is the number an index "
+    "choice is actually made on. All counts exact integers on the "
+    "certified q36/q37/q43 plans; recall joins run on 10-row-per-"
+    "query toplists. The ledger view that makes q82/q178's per-"
+    "family sweeps comparable ACROSS families",
+)
+def q245_ann_cost_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cands = e.filter(F.col("vec_id") >= 5)
+    cv = cands.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    nq = q.count()
+    # brute force: every (q, cand) pair is a distance computation
+    exact = pin(
+        sim.cosine_topk(q, cv, k=10).select("qid", "cid")
+    )
+    n_brute = cands.count() * nq
+    # IVF: distances = centroid scans (tiny, excluded on both sides) +
+    # candidates inside the probed cells
+    cents = sim.label_centroids(cands)
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cent_sim",
+            vector.cosine_similarity(F.col("qvec"), F.col("centroid")),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    wp = W.partitionBy("qid").orderBy(F.desc("cent_sim"), F.asc("label"))
+    probed = (
+        probe.withColumn("cell_rank", F.row_number().over(wp))
+        .filter(F.col("cell_rank") <= 2)
+        .select("qid", "qvec", "label")
+    )
+    ipairs = pin(
+        cands.join(F.broadcast(probed), "label").select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            vector.cosine_similarity(F.col("qvec"), F.col("embedding")).alias(
+                "sim"
+            ),
+        )
+    )
+    wr = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    itop = ipairs.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= 10
+    )
+    lsh_all = pin(
+        sim.lsh_topk(q, cv, dim=_LSH_DIM, nbits=_LSH_NBITS, k=10**9)
+    )
+    ltop = lsh_all.filter(F.col("rank") <= 10)
+
+    def row(method, n_dist_df_or_int, top):
+        hits = top.join(exact, ["qid", "cid"]).count()
+        nd = (
+            n_dist_df_or_int
+            if isinstance(n_dist_df_or_int, int)
+            else n_dist_df_or_int.count()
+        )
+        return (method, nd, hits)
+
+    rows = [
+        row("brute", n_brute, exact),
+        row("ivf_nprobe2", ipairs, itop),
+        row("lsh_4bit", lsh_all, ltop),
+    ]
+    out = spark.createDataFrame(
+        rows, "method string, n_distances long, n_hits long"
+    )
+    return out.select(
+        "method",
+        "n_distances",
+        "n_hits",
+        F.round(F.col("n_distances").cast("double") / nq, 4).alias(
+            "distances_per_query"
+        ),
+        F.round(F.col("n_hits").cast("double") / (10 * nq), 6).alias(
+            "recall_at10"
+        ),
+        F.round(
+            F.col("n_distances").cast("double") / F.col("n_hits"), 4
+        ).alias("distances_per_hit"),
+    ).orderBy("method")
