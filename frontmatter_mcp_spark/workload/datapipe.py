@@ -17161,3 +17161,181 @@ def q245_ann_cost_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_distances").cast("double") / F.col("n_hits"), 4
         ).alias("distances_per_hit"),
     ).orderBy("method")
+
+
+# ---------------------------------------------------------------------------
+# q246 — sketch ROLLUP up the time hierarchy: per-day HLL registers of
+# distinct users merged into monthly and total registers by
+# elementwise MAX — months and the grand total cost NO rescan of the
+# events table, the exact warehouse pattern that makes sketches (not
+# counts) the thing you materialize. Exact audit columns ride along
+# ---------------------------------------------------------------------------
+def _hll_rollup_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    idx = hash_bucket_sql("t", _HLL_M)
+    v = "CAST(0 AS BIGINT)"
+    for i in range(8, 20):
+        v = (
+            f"({v}) * 16 + (strpos('0123456789abcdef', "
+            f"substr(md5(CAST(t AS VARCHAR)), {i}, 1)) - 1)"
+        )
+    rho = (
+        f"CASE WHEN ({v}) = 0 THEN {_HLL_RHO_BITS + 1} "
+        f"ELSE {_HLL_RHO_BITS} - length(bin({v})) + 1 END"
+    )
+    est = _hll_estimate_expr("s.sum_fx", "s.zeros")
+    lvl_sum = f"""
+      SELECT period,
+             CAST(SUM(CAST(POW(2, 49 - rho) AS BIGINT)) AS BIGINT)
+               + CAST(({_HLL_M} - COUNT(*)) AS BIGINT) * {_HLL_FX} AS sum_fx,
+             CAST({_HLL_M} - COUNT(*) AS INT) AS zeros
+    """
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS day, user_id AS t
+      FROM events
+    ),
+    dayregs AS (
+      SELECT day, {idx} AS reg, CAST(MAX({rho}) AS INT) AS rho
+      FROM items GROUP BY 1, 2
+    ),
+    daysum AS ({lvl_sum.replace('period', "strftime(day, '%Y-%m-%d') AS period")}
+      FROM dayregs GROUP BY day),
+    monregs AS (
+      SELECT strftime(day, '%Y-%m') AS mon, reg, CAST(MAX(rho) AS INT) AS rho
+      FROM dayregs GROUP BY 1, 2
+    ),
+    monsum AS ({lvl_sum.replace('period', 'mon AS period')}
+      FROM monregs GROUP BY mon),
+    totregs AS (SELECT reg, CAST(MAX(rho) AS INT) AS rho
+                FROM dayregs GROUP BY 1),
+    totsum AS ({lvl_sum.replace('period', "'ALL' AS period")}
+      FROM totregs GROUP BY 1=1),
+    dayex AS (SELECT strftime(day, '%Y-%m-%d') AS period,
+                     CAST(COUNT(DISTINCT t) AS BIGINT) AS n_exact
+              FROM items GROUP BY 1),
+    monex AS (SELECT strftime(day, '%Y-%m') AS period,
+                     CAST(COUNT(DISTINCT t) AS BIGINT) AS n_exact
+              FROM items GROUP BY 1),
+    totex AS (SELECT 'ALL' AS period,
+                     CAST(COUNT(DISTINCT t) AS BIGINT) AS n_exact FROM items),
+    lv AS (
+      SELECT 'day' AS level, s.period, s.sum_fx, s.zeros, e.n_exact
+      FROM daysum s JOIN dayex e USING (period)
+      UNION ALL
+      SELECT 'month', s.period, s.sum_fx, s.zeros, e.n_exact
+      FROM monsum s JOIN monex e USING (period)
+      UNION ALL
+      SELECT 'total', s.period, s.sum_fx, s.zeros, e.n_exact
+      FROM totsum s JOIN totex e USING (period)
+    )
+    SELECT level, period, n_exact, s.zeros, s.sum_fx,
+           {est} AS estimate,
+           ABS({est} - n_exact) / n_exact <= 0.39 AS within_3sigma
+    FROM lv s
+    ORDER BY level, period
+    """
+
+
+@register(
+    "q246_hll_time_rollup",
+    _hll_rollup_sql(),
+    doc="mergeable-sketch rollup: per-day HLL registers of distinct "
+    "users (q136's deterministic md5 construction), merged into "
+    "monthly and grand-total registers by elementwise MAX — the "
+    "month/total estimates NEVER rescan events, which is the entire "
+    "reason a warehouse materializes sketches instead of counts "
+    "(distincts don't add; registers do merge). Exact per-level "
+    "audits and 3-sigma bounds ride along as the columns a real "
+    "deployment drops. One events scan, day-register state is "
+    "|days| x 64 integers",
+)
+def q246_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    items = pin(
+        e.select(
+            F.date_trunc("day", "ts").alias("day"), F.col("user_id").alias("t")
+        ).distinct()
+    )
+    h = F.md5(F.col("t").cast("string"))
+    v = F.lit(0).cast("long")
+    for i in range(8, 20):
+        v = v * 16 + (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+        )
+    rho = F.when(v == 0, F.lit(_HLL_RHO_BITS + 1)).otherwise(
+        F.lit(_HLL_RHO_BITS) - F.length(F.bin(v)) + 1
+    )
+    dayregs = pin(
+        items.select(
+            "day", hash_bucket(F.col("t"), _HLL_M).alias("reg"), rho.alias("__rho")
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("__rho").cast("int").alias("rho"))
+    )
+
+    def lvl_sum(regs, period_col):
+        return regs.groupBy(period_col.alias("period")).agg(
+            (
+                F.sum(
+                    F.pow(F.lit(2), F.lit(49) - F.col("rho")).cast("long")
+                ).cast("long")
+                + (F.lit(_HLL_M) - F.count("*")).cast("long") * F.lit(_HLL_FX)
+            ).alias("sum_fx"),
+            (F.lit(_HLL_M) - F.count("*")).cast("int").alias("zeros"),
+        )
+
+    daysum = lvl_sum(dayregs, F.date_format("day", "yyyy-MM-dd"))
+    monregs = dayregs.groupBy(
+        F.date_format("day", "yyyy-MM").alias("mon"), "reg"
+    ).agg(F.max("rho").cast("int").alias("rho"))
+    monsum = lvl_sum(monregs, F.col("mon"))
+    totregs = dayregs.groupBy("reg").agg(F.max("rho").cast("int").alias("rho"))
+    totsum = lvl_sum(totregs.withColumn("k", F.lit("ALL")), F.col("k"))
+    dayex = items.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("period")
+    ).agg(F.countDistinct("t").cast("long").alias("n_exact"))
+    monex = items.groupBy(
+        F.date_format("day", "yyyy-MM").alias("period")
+    ).agg(F.countDistinct("t").cast("long").alias("n_exact"))
+    totex = items.agg(
+        F.lit("ALL").alias("period"),
+        F.countDistinct("t").cast("long").alias("n_exact"),
+    )
+    lv = (
+        daysum.join(dayex, "period").withColumn("level", F.lit("day"))
+        .unionByName(
+            monsum.join(monex, "period").withColumn("level", F.lit("month"))
+        )
+        .unionByName(
+            totsum.join(totex, "period").withColumn("level", F.lit("total"))
+        )
+    )
+    m = _HLL_M
+    raw = (
+        F.lit(0.7213 / (1.0 + 1.079 / m))
+        * m
+        * m
+        / (F.col("sum_fx").cast("double") / float(_HLL_FX))
+    )
+    est = F.round(
+        F.when(
+            (raw <= 2.5 * m) & (F.col("zeros") > 0),
+            m * F.log(F.lit(float(m)) / F.col("zeros")),
+        ).otherwise(raw),
+        4,
+    )
+    return lv.select(
+        "level",
+        "period",
+        "n_exact",
+        "zeros",
+        "sum_fx",
+        est.alias("estimate"),
+        (F.abs(est - F.col("n_exact")) / F.col("n_exact") <= 0.39).alias(
+            "within_3sigma"
+        ),
+    ).orderBy("level", "period")
