@@ -17339,3 +17339,107 @@ def q246_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_3sigma"
         ),
     ).orderBy("level", "period")
+
+
+# ---------------------------------------------------------------------------
+# q247 — anomaly root-cause contributions: for each day the TOTAL
+# event volume breaks its MAD fence, which event types carried the
+# deviation and in what shares — the first question an on-call asks
+# after the q155/q242 page fires. All integer: scaled deviations per
+# type against that type's own daily mean
+# ---------------------------------------------------------------------------
+@register(
+    "q247_anomaly_contributions",
+    """
+    WITH daily AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT day, CAST(SUM(n) AS BIGINT) AS nt FROM daily GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(SUM(nt) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS k
+      FROM tot
+    ),
+    dev AS (
+      SELECT t.day, t.nt, t.nt * b.k - b.s AS d_scaled, b.k
+      FROM tot t CROSS JOIN base b
+    ),
+    mad AS (SELECT CAST(median(ABS(d_scaled)) AS DOUBLE) AS m FROM dev),
+    anom AS (
+      SELECT d.day, d.nt, d.d_scaled, d.k
+      FROM dev d CROSS JOIN mad
+      WHERE mad.m > 0 AND CAST(ABS(d.d_scaled) AS DOUBLE) / mad.m > 5e0
+    ),
+    tbase AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM daily GROUP BY 1
+    )
+    SELECT strftime(a.day, '%Y-%m-%d') AS day, a.nt AS total_events,
+           d.event_type, d.n,
+           ROUND(CAST(d.n * t.k - t.s AS DOUBLE) / t.k, 4) AS type_deviation,
+           ROUND(CAST((d.n * t.k - t.s) AS DOUBLE) * a.k
+                 / (t.k * CAST(a.d_scaled AS DOUBLE)), 6) AS contribution
+    FROM anom a
+    JOIN daily d ON d.day = a.day
+    JOIN tbase t ON t.event_type = d.event_type
+    ORDER BY day, d.event_type
+    """,
+    doc="root-cause table for total-volume anomalies: days whose total "
+    "deviation (scaled integer n*k - s, no float mean) exceeds 5 MADs, "
+    "then each type's own-baseline deviation and its SHARE of the "
+    "day's total deviation (shares sum to ~1 when type day-coverage "
+    "is complete). Two bounded aggregates + joins on the day axis — "
+    "the decomposition every incident review needs next to the alarm",
+)
+def q247_anomaly_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = pin(
+        e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type").agg(
+            F.count("*").cast("long").alias("n")
+        )
+    )
+    tot = daily.groupBy("day").agg(F.sum("n").cast("long").alias("nt"))
+    base = tot.agg(
+        F.sum("nt").cast("long").alias("s"), F.count("*").cast("long").alias("k")
+    )
+    dev = tot.crossJoin(F.broadcast(base)).select(
+        "day", "nt", (F.col("nt") * F.col("k") - F.col("s")).alias("d_scaled"), "k"
+    )
+    mad = dev.agg(F.median(F.abs("d_scaled")).cast("double").alias("m"))
+    anom = (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(
+            (F.col("m") > 0)
+            & (F.abs("d_scaled").cast("double") / F.col("m") > 5.0)
+        )
+        .select("day", "nt", "d_scaled", "k")
+    )
+    tbase = daily.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("ts_"), F.count("*").cast("long").alias("tk")
+    )
+    return (
+        anom.join(daily, "day")
+        .join(F.broadcast(tbase), "event_type")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("nt").alias("total_events"),
+            "event_type",
+            "n",
+            F.round(
+                (F.col("n") * F.col("tk") - F.col("ts_")).cast("double")
+                / F.col("tk"),
+                4,
+            ).alias("type_deviation"),
+            F.round(
+                (F.col("n") * F.col("tk") - F.col("ts_")).cast("double")
+                * F.col("k")
+                / (F.col("tk") * F.col("d_scaled").cast("double")),
+                6,
+            ).alias("contribution"),
+        )
+        .orderBy("day", "event_type")
+    )
