@@ -17443,3 +17443,153 @@ def q247_anomaly_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q248 — lead-lag cross-correlation: does one event type's daily
+# volume PREDICT another's k days later (click leads purchase?) —
+# the cross-correlogram at lags -3..3 that q200's lag-0 matrix and
+# q216's self-ACF cannot see. Same exact-integer scaled-deviation
+# machinery on the shared gap-filled day axis
+# ---------------------------------------------------------------------------
+_XCORR_LAGS = 3
+
+
+@register(
+    "q248_lead_lag_xcorr",
+    f"""
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    axis AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    filled AS (
+      SELECT t.event_type, a.day, COALESCE(d.n, CAST(0 AS BIGINT)) AS n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY t.event_type ORDER BY a.day)
+                  AS BIGINT) AS i
+      FROM types t CROSS JOIN axis a
+      LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = a.day
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS nd
+      FROM filled GROUP BY 1
+    ),
+    dev AS (
+      SELECT f.event_type, f.i, f.n * t.nd - t.s AS d
+      FROM filled f JOIN tot t USING (event_type)
+    ),
+    den AS (
+      SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS ss FROM dev GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(-{_XCORR_LAGS}, {_XCORR_LAGS})) AS lag),
+    num AS (
+      SELECT a.event_type AS lead_type, b.event_type AS lag_type, l.lag,
+             CAST(SUM(a.d * b.d) AS BIGINT) AS num
+      FROM dev a
+      JOIN lags l ON TRUE
+      JOIN dev b ON b.i = a.i + l.lag AND b.event_type <> a.event_type
+      GROUP BY 1, 2, 3
+    )
+    SELECT n.lead_type, n.lag_type, CAST(n.lag AS INT) AS lag,
+           ROUND(CAST(n.num AS DOUBLE)
+                 / (sqrt(CAST(da.ss AS DOUBLE)) * sqrt(CAST(db.ss AS DOUBLE))),
+                 6) AS xcorr
+    FROM num n
+    JOIN den da ON da.event_type = n.lead_type
+    JOIN den db ON db.event_type = n.lag_type
+    WHERE n.lead_type < n.lag_type
+    ORDER BY n.lead_type, n.lag_type, n.lag
+    """,
+    doc="cross-correlogram between every event-type pair at lags -3..3 "
+    "days: scaled-integer deviations on the shared gap-filled axis "
+    "(n*N - S, exact), lagged cross-products as BIGINT sums via the "
+    "bounded day-index join, normalized by each series' own sum of "
+    "squares (IEEE sqrt). A peak at lag k>0 means the first type "
+    "LEADS the second by k days — the causality-screening view "
+    "marketing/capacity teams act on. All work after the day "
+    "aggregate is |types|^2 x |days| x 7 bounded",
+)
+def q248_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    axis = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    filled = (
+        types.crossJoin(axis)
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        )
+        .withColumn(
+            "i",
+            F.row_number()
+            .over(W.partitionBy("event_type").orderBy("day"))
+            .cast("long"),
+        )
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("s"), F.count("*").cast("long").alias("nd")
+    )
+    dev = pin(
+        filled.join(tot, "event_type").select(
+            "event_type", "i", (F.col("n") * F.col("nd") - F.col("s")).alias("d")
+        )
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss")
+    )
+    lags = spark.range(-_XCORR_LAGS, _XCORR_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = dev.select(F.col("event_type").alias("lead_type"), "i", F.col("d").alias("da"))
+    b = dev.select(
+        F.col("event_type").alias("lag_type"),
+        F.col("i").alias("i2"),
+        F.col("d").alias("db"),
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("i2") == F.col("i") + F.col("lag"))
+            & (F.col("lag_type") != F.col("lead_type")),
+        )
+        .groupBy("lead_type", "lag_type", "lag")
+        .agg(F.sum(F.col("da") * F.col("db")).cast("long").alias("num"))
+        .filter(F.col("lead_type") < F.col("lag_type"))
+    )
+    da = den.select(F.col("event_type").alias("lead_type"), F.col("ss").alias("ssa"))
+    db2 = den.select(F.col("event_type").alias("lag_type"), F.col("ss").alias("ssb"))
+    return (
+        num.join(F.broadcast(da), "lead_type")
+        .join(F.broadcast(db2), "lag_type")
+        .select(
+            "lead_type",
+            "lag_type",
+            F.col("lag").cast("int").alias("lag"),
+            F.round(
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("ssa").cast("double"))
+                    * F.sqrt(F.col("ssb").cast("double"))
+                ),
+                6,
+            ).alias("xcorr"),
+        )
+        .orderBy("lead_type", "lag_type", "lag")
+    )
