@@ -17593,3 +17593,81 @@ def q248_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lead_type", "lag_type", "lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — lexical richness profile: type-token ratio, hapax fraction,
+# and Simpson's vocabulary concentration per source — the vocabulary-
+# health panel beside q118's growth curve and q196's Zipf slope, in
+# pure integer/rational arithmetic (no ln anywhere)
+# ---------------------------------------------------------------------------
+@register(
+    "q249_lexical_richness",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    words AS (SELECT source, unnest(w) AS term FROM toks),
+    vocab AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_frac,
+           ROUND(CAST(SUM(c * (c - 1)) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) * (SUM(c) - 1)), 6) AS simpson_d
+    FROM vocab GROUP BY source ORDER BY source
+    """,
+    doc="vocabulary-health panel per source: type-token ratio, hapax "
+    "legomena fraction (the one-off words that dominate natural text "
+    "and vanish in templated corpora), and Simpson's D (the exact "
+    "repeat-draw collision probability sum c(c-1)/N(N-1) — integer "
+    "numerators, one division). No ln, so every column is a pure "
+    "integer ratio rounded for display. One token explode + one "
+    "vocab aggregate (the q58/q196 exchange class); a source whose "
+    "hapax_frac collapses relative to its peers is template spam "
+    "before any dedup confirms it",
+)
+def q249_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    vocab = words.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return (
+        vocab.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("int")).cast("long").alias("n_hapax"),
+            F.round(F.count("*").cast("double") / F.sum("c"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(
+                F.sum((F.col("c") == 1).cast("int")).cast("double") / F.count("*"),
+                6,
+            ).alias("hapax_frac"),
+            F.round(
+                F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+                / (F.sum("c").cast("double") * (F.sum("c") - 1)),
+                6,
+            ).alias("simpson_d"),
+        )
+        .orderBy("source")
+    )
