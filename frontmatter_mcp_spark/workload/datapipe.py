@@ -17671,3 +17671,248 @@ def q249_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — training-readiness gate: CI for the corpus. Five cheap audit
+# signals this workload certifies individually — dup inflation (q206),
+# mixture design effect (q214), epoch-shuffle decorrelation (q228),
+# max cross-source KS drift (q203), and the hapax floor (q249) —
+# recomputed in ONE plan as named verdicts plus the overall PASS bit
+# that a pipeline can block a training launch on
+# ---------------------------------------------------------------------------
+def _readiness_sql() -> str:
+    kish = _kish_sql("documents", "//")
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, md5(text) AS fp,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n
+      FROM documents
+    ),
+    keep AS (SELECT MIN(doc_id) AS kid FROM tok GROUP BY fp),
+    infl AS (
+      SELECT CAST(SUM(n) AS DOUBLE)
+             / SUM(CASE WHEN k.kid IS NOT NULL THEN n ELSE 0 END) AS inflation
+      FROM tok LEFT JOIN keep k ON k.kid = tok.doc_id
+    ),
+    kish AS (SELECT deff FROM ({kish})),
+    ranks AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('e1|' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS r1,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('e2|' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS r2
+      FROM documents
+    ),
+    rho AS (
+      SELECT ABS(1e0 - 6e0 * SUM((r1 - r2) * (r1 - r2))
+                 / (CAST(COUNT(*) AS DOUBLE)
+                    * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1e0))) AS a,
+             3e0 / sqrt(CAST(COUNT(*) AS DOUBLE)) AS bound
+      FROM ranks
+    ),
+    src AS (
+      SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM src GROUP BY 1),
+    vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+    saxis AS (
+      SELECT t.source, t.n, a.v, COALESCE(s.c, CAST(0 AS BIGINT)) AS cv
+      FROM stot t CROSS JOIN vals a
+      LEFT JOIN src s ON s.source = t.source AND s.n_chars = a.v
+    ),
+    scum AS (
+      SELECT source, n, v,
+             CAST(SUM(cv) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cc
+      FROM saxis
+    ),
+    ksmax AS (
+      SELECT MAX(CAST(ABS(a.cc * b.n - b.cc * a.n) AS DOUBLE)
+                 / (CAST(a.n AS DOUBLE) * b.n)) AS d
+      FROM scum a JOIN scum b ON a.v = b.v AND a.source < b.source
+    ),
+    hap AS (
+      SELECT CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax
+      FROM (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                        '\s+'), x -> x <> '')) AS term
+          FROM documents
+        ) GROUP BY term
+      )
+    )
+    SELECT ROUND(i.inflation, 4) AS dup_inflation,
+           CAST(i.inflation <= 1.5e0 AS INT) AS dup_ok,
+           ROUND(k.deff, 4) AS mixture_deff,
+           CAST(k.deff <= 2e0 AS INT) AS mixture_ok,
+           ROUND(r.a, 6) AS shuffle_abs_rho,
+           CAST(r.a < r.bound AS INT) AS shuffle_ok,
+           ROUND(m.d, 6) AS max_ks_drift,
+           CAST(m.d <= 0.3e0 AS INT) AS drift_ok,
+           ROUND(h.hapax, 6) AS hapax_frac,
+           CAST(h.hapax >= 0.05e0 AS INT) AS richness_ok,
+           CAST(i.inflation <= 1.5e0 AND k.deff <= 2e0 AND r.a < r.bound
+                AND m.d <= 0.3e0 AND h.hapax >= 0.05e0 AS INT) AS ready
+    FROM infl i CROSS JOIN kish k CROSS JOIN rho r
+    CROSS JOIN ksmax m CROSS JOIN hap h
+    """
+
+
+@register(
+    "q250_training_readiness",
+    _readiness_sql(),
+    doc="the launch gate: five independently-certified audit rules "
+    "(q206 dup inflation <= 1.5, q214 Kish design effect <= 2, q228 "
+    "epoch-shuffle |rho| under 3/sqrt(n), q203 max cross-source KS "
+    "drift <= 0.3, q249 hapax fraction >= 0.05) recomputed in one "
+    "declarative plan as named verdict bits plus the overall `ready` "
+    "flag — continuous integration for the corpus itself, the row a "
+    "training launch blocks on. Each signal keeps its certified "
+    "shape (fingerprint aggregate, IPF chain, rank windows, bounded "
+    "KS axis, vocab aggregate); the gate is their one-row cross join",
+)
+def q250_training_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents_q250")
+    # signal 1: dup inflation (q206 rule)
+    tok = d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+", -1),
+                lambda x: x != F.lit(""),
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    keep = tok.groupBy("fp").agg(F.min("doc_id").alias("kid"))
+    infl = (
+        tok.join(keep, tok["doc_id"] == keep["kid"], "left")
+        .agg(
+            (
+                F.sum("n").cast("double")
+                / F.sum(F.when(F.col("kid").isNotNull(), F.col("n")).otherwise(0))
+            ).alias("inflation")
+        )
+    )
+    # signal 2: Kish design effect over the raking weights (q214 chain)
+    kish = spark.sql(_kish_sql("documents_q250", " div ")).select("deff")
+    # signal 3: epoch-shuffle decorrelation (q228 rule)
+    key = lambda e: F.md5(  # noqa: E731
+        F.concat(F.lit(e + "|"), F.col("doc_id").cast("string"))
+    )
+    ranks = d.select(
+        F.row_number().over(W.orderBy(key("e1"), "doc_id")).cast("long").alias("r1"),
+        F.row_number().over(W.orderBy(key("e2"), "doc_id")).cast("long").alias("r2"),
+    )
+    nd = F.count("*").cast("double")
+    rho = ranks.agg(
+        F.abs(
+            1.0
+            - 6.0
+            * F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
+            / (nd * (nd * F.count("*") - 1.0))
+        ).alias("a"),
+        (3.0 / F.sqrt(nd)).alias("bound"),
+    )
+    # signal 4: max cross-source KS drift (q203 machinery, max only)
+    src = d.groupBy("source", "n_chars").agg(F.count("*").cast("long").alias("c"))
+    stot = src.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    vals = d.select(F.col("n_chars").alias("v")).distinct()
+    saxis = (
+        stot.select(F.col("source").alias("s"), "n")
+        .crossJoin(vals)
+        .join(
+            src.select(
+                F.col("source").alias("s2"), F.col("n_chars").alias("v2"), "c"
+            ),
+            (F.col("s") == F.col("s2")) & (F.col("v") == F.col("v2")),
+            "left",
+        )
+        .select(
+            F.col("s").alias("source"),
+            "n",
+            "v",
+            F.coalesce("c", F.lit(0)).cast("long").alias("cv"),
+        )
+    )
+    scum = saxis.select(
+        "source",
+        "n",
+        "v",
+        F.sum("cv")
+        .over(
+            W.partitionBy("source").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("cc"),
+    )
+    a = scum.select(
+        F.col("source").alias("sa"), F.col("n").alias("na"), "v",
+        F.col("cc").alias("ca"),
+    )
+    b = scum.select(
+        F.col("source").alias("sb"), F.col("n").alias("nb"),
+        F.col("v").alias("vb"), F.col("cc").alias("cb"),
+    )
+    ksmax = (
+        a.join(b, (F.col("v") == F.col("vb")) & (F.col("sa") < F.col("sb")))
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+                .cast("double")
+                / (F.col("na").cast("double") * F.col("nb"))
+            ).alias("d")
+        )
+    )
+    # signal 5: hapax floor (q249 rule, global)
+    vocab = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term")
+    ).groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    hap = vocab.agg(
+        (
+            F.sum((F.col("c") == 1).cast("int")).cast("double") / F.count("*")
+        ).alias("hapax")
+    )
+    row = (
+        infl.crossJoin(F.broadcast(kish))
+        .crossJoin(F.broadcast(rho))
+        .crossJoin(F.broadcast(ksmax))
+        .crossJoin(F.broadcast(hap))
+    )
+    ready = (
+        (F.col("inflation") <= 1.5)
+        & (F.col("deff") <= 2.0)
+        & (F.col("a") < F.col("bound"))
+        & (F.col("d") <= 0.3)
+        & (F.col("hapax") >= 0.05)
+    )
+    return row.select(
+        F.round("inflation", 4).alias("dup_inflation"),
+        (F.col("inflation") <= 1.5).cast("int").alias("dup_ok"),
+        F.round("deff", 4).alias("mixture_deff"),
+        (F.col("deff") <= 2.0).cast("int").alias("mixture_ok"),
+        F.round("a", 6).alias("shuffle_abs_rho"),
+        (F.col("a") < F.col("bound")).cast("int").alias("shuffle_ok"),
+        F.round("d", 6).alias("max_ks_drift"),
+        (F.col("d") <= 0.3).cast("int").alias("drift_ok"),
+        F.round("hapax", 6).alias("hapax_frac"),
+        (F.col("hapax") >= 0.05).cast("int").alias("richness_ok"),
+        ready.cast("int").alias("ready"),
+    )
