@@ -17916,3 +17916,118 @@ def q250_training_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hapax") >= 0.05).cast("int").alias("richness_ok"),
         ready.cast("int").alias("ready"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — robust means: 10%-trimmed and 10%-winsorized document-length
+# means per source beside the raw mean — integer-rank trimming (no
+# interpolation anywhere), decimal-exact sums, the robust-location
+# family's complement to q155/q242's robust-dispersion MAD
+# ---------------------------------------------------------------------------
+@register(
+    "q251_robust_means",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM documents
+    ),
+    marked AS (
+      SELECT source, n_chars, n,
+             rn > n // 10 AND rn <= n - n // 10 AS kept,
+             CASE WHEN rn <= n // 10 THEN 'lo'
+                  WHEN rn > n - n // 10 THEN 'hi' END AS clipped
+      FROM r
+    ),
+    fences AS (
+      SELECT source,
+             MIN(CASE WHEN kept THEN n_chars END) AS lo_v,
+             MAX(CASE WHEN kept THEN n_chars END) AS hi_v
+      FROM marked GROUP BY 1
+    )
+    SELECT m.source, MAX(m.n) AS n_docs,
+           ROUND(CAST(SUM(CAST(m.n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                 / MAX(m.n), 6) AS raw_mean,
+           ROUND(CAST(SUM(CASE WHEN m.kept
+                               THEN CAST(m.n_chars AS DECIMAL(28,6))
+                               ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                 / SUM(CASE WHEN m.kept THEN 1 ELSE 0 END), 6) AS trimmed_mean,
+           ROUND(CAST(SUM(CASE WHEN m.kept THEN CAST(m.n_chars AS DECIMAL(28,6))
+                               WHEN m.clipped = 'lo'
+                                 THEN CAST(f.lo_v AS DECIMAL(28,6))
+                               ELSE CAST(f.hi_v AS DECIMAL(28,6)) END)
+                      AS DOUBLE) / MAX(m.n), 6) AS winsorized_mean,
+           CAST(SUM(CASE WHEN m.clipped IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped
+    FROM marked m JOIN fences f ON f.source = m.source
+    GROUP BY m.source ORDER BY m.source
+    """,
+    doc="robust location per source: the raw mean, the 10%-trimmed "
+    "mean (drop the bottom/top n//10 by integer rank under a (value, "
+    "doc_id) total order — no quantile interpolation to disagree on), "
+    "and the winsorized mean (clipped tails replaced by the surviving "
+    "extremes). All sums DECIMAL-exact; a raw mean far from its "
+    "trimmed twin is the numeric symptom of the heavy tail q231 "
+    "measures. One rank window + one aggregate per source",
+)
+def q251_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("source")).cast("long").alias("n"),
+    )
+    k = F.expr("n div 10")
+    marked = r.select(
+        "source",
+        "n_chars",
+        "n",
+        ((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k)).alias("kept"),
+        F.when(F.col("rn") <= k, "lo")
+        .when(F.col("rn") > F.col("n") - k, "hi")
+        .alias("clipped"),
+    )
+    fences = marked.groupBy(F.col("source").alias("s2")).agg(
+        F.min(F.when(F.col("kept"), F.col("n_chars"))).alias("lo_v"),
+        F.max(F.when(F.col("kept"), F.col("n_chars"))).alias("hi_v"),
+    )
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    z = F.lit(0).cast("decimal(28,6)")
+    return (
+        marked.join(F.broadcast(fences), F.col("source") == F.col("s2"))
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.round(
+                F.sum(dec(F.col("n_chars"))).cast("double") / F.max("n"), 6
+            ).alias("raw_mean"),
+            F.round(
+                F.sum(
+                    F.when(F.col("kept"), dec(F.col("n_chars"))).otherwise(z)
+                ).cast("double")
+                / F.sum(F.col("kept").cast("int")),
+                6,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.sum(
+                    F.when(F.col("kept"), dec(F.col("n_chars")))
+                    .when(F.col("clipped") == "lo", dec(F.col("lo_v")))
+                    .otherwise(dec(F.col("hi_v")))
+                ).cast("double")
+                / F.max("n"),
+                6,
+            ).alias("winsorized_mean"),
+            F.sum(F.col("clipped").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_clipped"),
+        )
+        .orderBy("source")
+    )
