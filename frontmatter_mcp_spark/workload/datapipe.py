@@ -18031,3 +18031,91 @@ def q251_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q252 — Theil-Sen robust trend: the median of all pairwise slopes of
+# each type's daily series — the trend estimate one crazy outage day
+# cannot drag (unlike q176/q210's least squares). Pairwise slopes are
+# exact rationals evaluated identically; the O(days^2) pair set is
+# bounded because the time axis is days, not rows
+# ---------------------------------------------------------------------------
+@register(
+    "q252_theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS i
+      FROM daily
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.n - a.n AS DOUBLE) / (b.i - a.i) AS s
+      FROM idx a JOIN idx b
+        ON b.event_type = a.event_type AND b.i > a.i
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(median(s) AS DOUBLE), 6) AS theil_sen_slope,
+           ROUND(CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS frac_rising
+    FROM slopes GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Theil-Sen slope per event type over observed daily counts: "
+    "every day-pair's slope (integer difference ratios — exact "
+    "rationals in doubles), the median slope (interpolating one exact "
+    "IEEE midpoint at most), and the fraction of rising pairs (a "
+    "Mann-Kendall-style direction signal). Breakdown point 29% vs "
+    "OLS's zero: one corrupted day moves q176's fit but not this. "
+    "The pair join is |days|^2-bounded per type after one day "
+    "aggregate of the corpus",
+)
+def q252_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    idx = pin(
+        daily.select(
+            "event_type",
+            "n",
+            F.row_number()
+            .over(W.partitionBy("event_type").orderBy("day"))
+            .cast("long")
+            .alias("i"),
+        )
+    )
+    a = idx.select("event_type", F.col("n").alias("na"), F.col("i").alias("ia"))
+    b = idx.select(
+        F.col("event_type").alias("et2"),
+        F.col("n").alias("nb"),
+        F.col("i").alias("ib"),
+    )
+    slopes = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("ib") > F.col("ia"))
+    ).select(
+        "event_type",
+        ((F.col("nb") - F.col("na")).cast("double") / (F.col("ib") - F.col("ia"))).alias(
+            "s"
+        ),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.median("s").cast("double"), 6).alias("theil_sen_slope"),
+            F.round(
+                F.sum((F.col("s") > 0).cast("int")).cast("double") / F.count("*"),
+                6,
+            ).alias("frac_rising"),
+        )
+        .orderBy("event_type")
+    )
