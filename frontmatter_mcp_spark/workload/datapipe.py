@@ -18119,3 +18119,141 @@ def q252_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — change-point localization by binary segmentation: the single
+# split of each type's gap-filled daily series that maximizes the
+# between-segment sum of squares — WHERE the level shifted, the
+# complement of q192's CUSUM (which says THAT and roughly when it
+# drifted). Scores are integer-cross-multiplied before one double
+# division, argmax under a (score, day) total order
+# ---------------------------------------------------------------------------
+@register(
+    "q253_binseg_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    axis AS (
+      SELECT event_type, unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day
+      FROM spans
+    ),
+    filled AS (
+      SELECT a.event_type, a.day, COALESCE(d.n, CAST(0 AS BIGINT)) AS n
+      FROM axis a LEFT JOIN daily d
+        ON d.event_type = a.event_type AND d.day = a.day
+    ),
+    cum AS (
+      SELECT event_type, day, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS s1,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS k,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nt
+      FROM filled
+    ),
+    scored AS (
+      SELECT event_type, day, k, s1, s, nt,
+             CAST((s1 * nt - s * k) * (s1 * nt - s * k) AS DOUBLE)
+               / (CAST(k AS DOUBLE) * (nt - k) * nt * nt) AS bss,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY
+               CAST((s1 * nt - s * k) * (s1 * nt - s * k) AS DOUBLE)
+                 / (CAST(k AS DOUBLE) * (nt - k) * nt * nt) DESC, day)
+               AS rn
+      FROM cum WHERE k < nt
+    )
+    SELECT event_type,
+           strftime(day + INTERVAL '1 day', '%Y-%m-%d') AS shift_day,
+           CAST(nt AS INT) AS n_days,
+           ROUND(CAST(s1 AS DOUBLE) / k, 6) AS mean_before,
+           ROUND(CAST(s - s1 AS DOUBLE) / (nt - k), 6) AS mean_after,
+           ROUND(CAST(s - s1 AS DOUBLE) / (nt - k)
+                 - CAST(s1 AS DOUBLE) / k, 6) AS level_shift,
+           ROUND(bss, 6) AS bss_score
+    FROM scored WHERE rn = 1 ORDER BY event_type
+    """,
+    doc="binary-segmentation change-point per type: one prefix-sum "
+    "window gives every candidate split's between-segment score "
+    "(s1*N - S*k cross-multiplied as exact BIGINTs, squared, one "
+    "double division), argmax under (score desc, day) picks the "
+    "boundary, and the output names the first day of the NEW level "
+    "with both segment means and the shift. CUSUM (q192) alarms; "
+    "this localizes — together they are the drift post-mortem. All "
+    "work beyond the day aggregate is O(days) per type",
+)
+def q253_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    axis = spans.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    filled = axis.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0).cast("long")).alias("n")
+    )
+    wp = W.partitionBy("event_type")
+    cum = filled.select(
+        "event_type",
+        "day",
+        F.sum("n")
+        .over(wp.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("s1"),
+        F.row_number().over(wp.orderBy("day")).cast("long").alias("k"),
+        F.sum("n").over(wp).cast("long").alias("s"),
+        F.count("*").over(wp).cast("long").alias("nt"),
+    ).filter(F.col("k") < F.col("nt"))
+    num = (F.col("s1") * F.col("nt") - F.col("s") * F.col("k"))
+    bss = (num * num).cast("double") / (
+        F.col("k").cast("double")
+        * (F.col("nt") - F.col("k"))
+        * F.col("nt")
+        * F.col("nt")
+    )
+    scored = cum.withColumn("bss", bss).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.col("bss").desc(), "day")
+        ),
+    )
+    return (
+        scored.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format(
+                F.col("day") + F.expr("interval 1 day"), "yyyy-MM-dd"
+            ).alias("shift_day"),
+            F.col("nt").cast("int").alias("n_days"),
+            F.round(F.col("s1").cast("double") / F.col("k"), 6).alias(
+                "mean_before"
+            ),
+            F.round(
+                (F.col("s") - F.col("s1")).cast("double")
+                / (F.col("nt") - F.col("k")),
+                6,
+            ).alias("mean_after"),
+            F.round(
+                (F.col("s") - F.col("s1")).cast("double")
+                / (F.col("nt") - F.col("k"))
+                - F.col("s1").cast("double") / F.col("k"),
+                6,
+            ).alias("level_shift"),
+            F.round("bss", 6).alias("bss_score"),
+        )
+        .orderBy("event_type")
+    )
