@@ -18257,3 +18257,153 @@ def q253_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q254 — bot heuristics: users flagged by the composite every abuse
+# team starts from — extreme volume (MAD fence over per-user counts),
+# collapsed behavioral diversity (q219's Gini-Simpson), and
+# machine-regular inter-arrival gaps (MAD-to-median ratio of the
+# user's own gap series). Exact integer/rational signals throughout
+# ---------------------------------------------------------------------------
+@register(
+    "q254_bot_heuristics",
+    """
+    WITH ue AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+             1e0 - CAST(SUM(c * c) AS DOUBLE)
+                   / (CAST(SUM(c) AS DOUBLE) * SUM(c)) AS diversity
+      FROM ue GROUP BY 1
+    ),
+    vol AS (
+      SELECT CAST(median(n_events) AS DOUBLE) AS med FROM u
+    ),
+    volmad AS (
+      SELECT CAST(median(ABS(u.n_events - v.med)) AS DOUBLE) AS mad,
+             MAX(v.med) AS med
+      FROM u CROSS JOIN vol v GROUP BY ()
+    ),
+    gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) // 60000000 AS g
+      FROM events
+    ),
+    greg AS (
+      SELECT user_id,
+             CAST(median(g) AS DOUBLE) AS med_gap,
+             CAST(median(ABS(g - (SELECT median(g2.g) FROM gaps g2
+                                  WHERE g2.user_id = gaps.user_id
+                                    AND g2.g IS NOT NULL))) AS DOUBLE)
+               AS mad_gap,
+             CAST(COUNT(g) AS BIGINT) AS n_gaps
+      FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+    )
+    SELECT u.user_id, u.n_events,
+           ROUND(u.diversity, 6) AS diversity,
+           ROUND(g.med_gap, 4) AS median_gap_min,
+           ROUND(g.mad_gap, 4) AS gap_mad,
+           CAST(u.n_events > v.med + 5e0 * v.mad AS INT) AS volume_flag,
+           CAST(u.diversity < 0.2e0 AND u.n_events >= 10 AS INT)
+             AS monotony_flag,
+           CAST(g.n_gaps >= 10 AND g.med_gap > 0
+                AND g.mad_gap / g.med_gap < 0.1e0 AS INT) AS regularity_flag,
+           CAST(u.n_events > v.med + 5e0 * v.mad AS INT)
+             + CAST(u.diversity < 0.2e0 AND u.n_events >= 10 AS INT)
+             + CAST(g.n_gaps >= 10 AND g.med_gap > 0
+                    AND g.mad_gap / g.med_gap < 0.1e0 AS INT) AS bot_score
+    FROM u
+    JOIN greg g ON g.user_id = u.user_id
+    CROSS JOIN volmad v
+    WHERE CAST(u.n_events > v.med + 5e0 * v.mad AS INT)
+        + CAST(u.diversity < 0.2e0 AND u.n_events >= 10 AS INT)
+        + CAST(g.n_gaps >= 10 AND g.med_gap > 0
+               AND g.mad_gap / g.med_gap < 0.1e0 AS INT) >= 1
+    ORDER BY u.user_id
+    """,
+    doc="composite bot screen: per-user event volume against the "
+    "population MAD fence, Gini-Simpson behavioral diversity under "
+    "0.2 (single-minded automation), and inter-arrival regularity "
+    "(per-user gap MAD under 10% of the median gap — humans are "
+    "bursty, schedulers are not), emitted as three flags plus their "
+    "sum for users tripping any. Medians over integers interpolate "
+    "one exact midpoint; everything else is integer ratios. One "
+    "(user, type) aggregate + one user-keyed gap window + tiny "
+    "broadcast fences",
+)
+def q254_bot_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    ue = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    u = ue.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        (
+            1.0
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c").cast("double") * F.sum("c"))
+        ).alias("diversity"),
+    )
+    vol = u.agg(F.median("n_events").cast("double").alias("med"))
+    volmad = (
+        u.crossJoin(F.broadcast(vol))
+        .agg(
+            F.median(F.abs(F.col("n_events") - F.col("med")))
+            .cast("double")
+            .alias("mad"),
+            F.max("med").alias("med"),
+        )
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", us.alias("us"), F.lag(us).over(ow).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("user_id", F.expr("(us - p) div 60000000").alias("g"))
+    )
+    greg = gaps.groupBy("user_id").agg(
+        F.median("g").cast("double").alias("med_gap"),
+        F.count("*").cast("long").alias("n_gaps"),
+    )
+    gmad = (
+        gaps.join(greg.select("user_id", "med_gap"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.median(F.abs(F.col("g") - F.col("med_gap")))
+            .cast("double")
+            .alias("mad_gap")
+        )
+    )
+    j = (
+        u.join(greg, "user_id")
+        .join(gmad, "user_id")
+        .crossJoin(F.broadcast(volmad))
+    )
+    vflag = (F.col("n_events") > F.col("med") + 5.0 * F.col("mad")).cast("int")
+    mflag = ((F.col("diversity") < 0.2) & (F.col("n_events") >= 10)).cast("int")
+    rflag = (
+        (F.col("n_gaps") >= 10)
+        & (F.col("med_gap") > 0)
+        & (F.col("mad_gap") / F.col("med_gap") < 0.1)
+    ).cast("int")
+    return (
+        j.filter(vflag + mflag + rflag >= 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("diversity", 6).alias("diversity"),
+            F.round("med_gap", 4).alias("median_gap_min"),
+            F.round("mad_gap", 4).alias("gap_mad"),
+            vflag.alias("volume_flag"),
+            mflag.alias("monotony_flag"),
+            rflag.alias("regularity_flag"),
+            (vflag + mflag + rflag).alias("bot_score"),
+        )
+        .orderBy("user_id")
+    )
