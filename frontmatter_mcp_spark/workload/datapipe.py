@@ -18407,3 +18407,173 @@ def q254_bot_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — absorbing-chain conversion analysis: from each event type,
+# the probability of reaching 'purchase' within T steps and the
+# expected number of steps conditional on arriving — q193's transition
+# matrix treated as an absorbing Markov chain (purchase absorbs), the
+# truncated Neumann recursion replayed per step in oracle CTEs with
+# the same 2^30 fixed-point floor arithmetic
+# ---------------------------------------------------------------------------
+_ABS_STEPS = 8
+
+
+def _absorption_sql(T: int = _ABS_STEPS, s: int = _MKV_SCALE) -> str:
+    ctes = [
+        """pairs AS (
+      SELECT user_id, event_type AS dst,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src
+      FROM events
+    )""",
+        """trans AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2
+    )""",
+        "rowtot AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM trans GROUP BY 1)",
+        f"""tfx AS (
+      SELECT t.src, t.dst, (t.cnt * {s}) // r.tot AS p_fx
+      FROM trans t JOIN rowtot r USING (src)
+    )""",
+        "types AS (SELECT DISTINCT event_type FROM events)",
+        # a0: probability of being absorbed in exactly 0 further steps
+        f"""a0 AS (
+      SELECT event_type,
+             CAST(0 AS BIGINT) AS p_abs, CAST(0 AS BIGINT) AS e_steps
+      FROM types
+    )""",
+    ]
+    for t in range(1, T + 1):
+        # p_abs{t}[i] = P(absorbed within t steps from i)
+        #            = p(i->purchase) + sum_{j transient} p(i->j) * p_abs{t-1}[j]
+        # e_steps accumulates sum over step index k of k * P(absorb at k)
+        ctes.append(
+            f"""a{t} AS (
+      SELECT ty.event_type,
+             COALESCE(d.direct, CAST(0 AS BIGINT))
+               + COALESCE(c.carry, CAST(0 AS BIGINT)) AS p_abs,
+             COALESCE(d.direct, CAST(0 AS BIGINT))
+               + COALESCE(c.ecarry, CAST(0 AS BIGINT)) AS e_steps
+      FROM types ty
+      LEFT JOIN (
+        SELECT src AS event_type, p_fx AS direct FROM tfx
+        WHERE dst = 'purchase' AND src <> 'purchase'
+      ) d ON d.event_type = ty.event_type
+      LEFT JOIN (
+        SELECT t.src AS event_type,
+               CAST(SUM(t.p_fx * a.p_abs // {s}) AS BIGINT) AS carry,
+               CAST(SUM(t.p_fx * (a.p_abs + a.e_steps) // {s}) AS BIGINT)
+                 AS ecarry
+        FROM tfx t JOIN a{t - 1} a ON a.event_type = t.dst
+        WHERE t.dst <> 'purchase' AND t.src <> 'purchase'
+        GROUP BY t.src
+      ) c ON c.event_type = ty.event_type
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT a.event_type,
+           CAST(a.p_abs AS BIGINT) AS p_absorb_fx,
+           ROUND(CAST(a.p_abs AS DOUBLE) / {s}, 6) AS p_absorb,
+           CASE WHEN a.p_abs > 0
+                THEN ROUND(CAST(a.e_steps AS DOUBLE) / a.p_abs, 4) END
+             AS mean_steps_given_absorbed
+    FROM a{_ABS_STEPS} a
+    WHERE a.event_type <> 'purchase'
+    ORDER BY a.event_type
+    """
+
+
+@register(
+    "q255_absorption_analysis",
+    _absorption_sql(),
+    doc=f"absorbing-chain funnel analysis: with 'purchase' absorbing, "
+    f"the {_ABS_STEPS}-step truncated recursion p_t(i) = p(i->abs) + "
+    "sum_j p(i->j) p_(t-1)(j) over q193's fixed-point transition "
+    "matrix, carrying alongside the step-weighted mass that yields "
+    "E[steps | absorbed] — every iteration replayed verbatim as an "
+    "oracle CTE in the same floor-division arithmetic. 'How far is "
+    "each behavior from the money' — the summary a growth team draws "
+    "the funnel around. One window pass + one pair aggregate over "
+    "events; the recursion runs on the |types|^2 matrix",
+)
+def q255_absorption_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    s = _MKV_SCALE
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    trans = pairs.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
+    rowtot = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("tot"))
+    tfx = pin(
+        trans.join(rowtot, "src").select(
+            "src", "dst", F.expr(f"(cnt * {s}) div tot").alias("p_fx")
+        )
+    )
+    types = e.select("event_type").distinct()
+    direct = tfx.filter(
+        (F.col("dst") == "purchase") & (F.col("src") != "purchase")
+    ).select(F.col("src").alias("event_type"), F.col("p_fx").alias("direct"))
+    a = types.select(
+        "event_type",
+        F.lit(0).cast("long").alias("p_abs"),
+        F.lit(0).cast("long").alias("e_steps"),
+    )
+    for _ in range(_ABS_STEPS):
+        carry = (
+            tfx.filter((F.col("dst") != "purchase") & (F.col("src") != "purchase"))
+            .join(
+                a.select(
+                    F.col("event_type").alias("jt"),
+                    F.col("p_abs").alias("pa"),
+                    F.col("e_steps").alias("es"),
+                ),
+                F.col("dst") == F.col("jt"),
+            )
+            .groupBy("src")
+            .agg(
+                F.sum(F.expr(f"(p_fx * pa) div {s}")).cast("long").alias("carry"),
+                F.sum(F.expr(f"(p_fx * (pa + es)) div {s}"))
+                .cast("long")
+                .alias("ecarry"),
+            )
+        )
+        a = (
+            types.join(F.broadcast(direct), "event_type", "left")
+            .join(
+                F.broadcast(carry.withColumnRenamed("src", "event_type")),
+                "event_type",
+                "left",
+            )
+            .select(
+                "event_type",
+                (
+                    F.coalesce("direct", F.lit(0).cast("long"))
+                    + F.coalesce("carry", F.lit(0).cast("long"))
+                ).alias("p_abs"),
+                (
+                    F.coalesce("direct", F.lit(0).cast("long"))
+                    + F.coalesce("ecarry", F.lit(0).cast("long"))
+                ).alias("e_steps"),
+            )
+        )
+    return (
+        a.filter(F.col("event_type") != "purchase")
+        .select(
+            "event_type",
+            F.col("p_abs").alias("p_absorb_fx"),
+            F.round(F.col("p_abs").cast("double") / s, 6).alias("p_absorb"),
+            F.when(
+                F.col("p_abs") > 0,
+                F.round(F.col("e_steps").cast("double") / F.col("p_abs"), 4),
+            ).alias("mean_steps_given_absorbed"),
+        )
+        .orderBy("event_type")
+    )
