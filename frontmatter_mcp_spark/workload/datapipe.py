@@ -18577,3 +18577,87 @@ def q255_absorption_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q256 — diminishing-novelty curve: simulate ingesting the corpus in
+# ten deterministic waves and measure, per wave, how many documents
+# are content-NOVEL vs already seen in earlier waves — the marginal
+# value-of-more-data curve that decides when another crawl batch
+# stops paying (doc-level complement of q175's n-gram novelty)
+# ---------------------------------------------------------------------------
+def _novelty_curve_sql() -> str:
+    b = _hash_bucket_duck("doc_id", 10)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS fp, {b} AS wave FROM documents
+    ),
+    firsts AS (
+      SELECT fp, MIN(wave * 10000000000 + doc_id) AS fk FROM t GROUP BY fp
+    ),
+    marked AS (
+      SELECT t.wave,
+             CASE WHEN t.wave * 10000000000 + t.doc_id = f.fk
+                  THEN 1 ELSE 0 END AS novel
+      FROM t JOIN firsts f ON f.fp = t.fp
+    ),
+    per AS (
+      SELECT wave, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(novel) AS BIGINT) AS n_novel
+      FROM marked GROUP BY 1
+    )
+    SELECT CAST(wave AS INT) AS wave, n_docs, n_novel,
+           ROUND(1e0 - CAST(n_novel AS DOUBLE) / n_docs, 6) AS dup_rate,
+           CAST(SUM(n_novel) OVER (ORDER BY wave
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_unique
+    FROM per ORDER BY wave
+    """
+
+
+@register(
+    "q256_novelty_curve",
+    _novelty_curve_sql(),
+    doc="ingestion-wave novelty curve: documents assigned to ten "
+    "deterministic md5 waves, each content fingerprint credited as "
+    "novel exactly once — at its first (wave, doc_id) occurrence "
+    "(one integer composite key, collision-free since doc_id < 1e10) "
+    "— yielding per-wave dup rates and the cumulative unique count. "
+    "A flattening cum_unique curve is the 'more crawl buys less' "
+    "signal that caps acquisition spend. One fingerprint aggregate + "
+    "one join; the curve is 10 rows",
+)
+def q256_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        hash_bucket(F.col("doc_id"), 10).alias("wave"),
+    )
+    key = F.col("wave").cast("long") * 10_000_000_000 + F.col("doc_id")
+    firsts = t.select("fp", key.alias("k")).groupBy("fp").agg(
+        F.min("k").alias("fk")
+    )
+    marked = t.join(firsts, "fp").select(
+        "wave", (key == F.col("fk")).cast("int").alias("novel")
+    )
+    per = marked.groupBy("wave").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("novel").cast("long").alias("n_novel"),
+    )
+    return per.select(
+        F.col("wave").cast("int").alias("wave"),
+        "n_docs",
+        "n_novel",
+        F.round(1.0 - F.col("n_novel").cast("double") / F.col("n_docs"), 6).alias(
+            "dup_rate"
+        ),
+        F.sum("n_novel")
+        .over(W.orderBy("wave").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_unique"),
+    ).orderBy("wave")
