@@ -14815,9 +14815,9 @@ def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the independence baseline. First-occurrence times make it one
 # bounded comparison per (session, pair), never a pair scan of events
 # ---------------------------------------------------------------------------
-@register(
-    "q225_precedence_matrix",
-    """
+# Shared with q258 (the streaming twin): the batch fixpoint both the
+# q225 plan and the streaming session-window pipeline must reproduce.
+PRECEDENCE_ORACLE_SQL = """
     WITH g AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
@@ -14865,7 +14865,12 @@ def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN occ ob ON ob.event_type = p.after_type
     CROSS JOIN nsess t
     ORDER BY p.before_type, p.after_type
-    """,
+    """
+
+
+@register(
+    "q225_precedence_matrix",
+    PRECEDENCE_ORACLE_SQL,
     doc="session precedence matrix: per (session, type) FIRST "
     "occurrence under the (ts, event_id) total order, then one |types|^2-bounded self-join per session "
     "counting strict a-before-b precedences, with lift = P(a<b) / "
@@ -18661,3 +18666,147 @@ def q256_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_unique"),
     ).orderBy("wave")
+
+
+# ---------------------------------------------------------------------------
+# q257 — Holt-Winters MULTIPLICATIVE seasonality: the variant q201's
+# additive model cannot express — seasonal swings that scale with the
+# level (a type that doubles its volume doubles its weekend dip).
+# Same fold discipline as q201: dyadic constants, strictly sequential
+# day-ordered recursion, every arithmetic op IEEE (+ * / abs — division
+# is correctly rounded, unlike pow), so both engines produce
+# bit-identical doubles without a single libm call.
+# ---------------------------------------------------------------------------
+@register(
+    "q257_holt_winters_multiplicative",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+      FROM daily GROUP BY event_type
+      HAVING COUNT(*) >= 8
+    ),
+    init AS (
+      SELECT event_type, xs,
+             ((((((xs[1] + xs[2]) + xs[3]) + xs[4]) + xs[5]) + xs[6]) + xs[7])
+               / 7e0 AS lvl0
+      FROM series
+    ),
+    hw AS (
+      SELECT event_type, xs, 7 AS i, lvl0 AS level, 0e0 AS trend, 0e0 AS err,
+             [xs[j] / lvl0 FOR j IN generate_series(1, 7)] AS seas
+      FROM init
+      UNION ALL
+      SELECT event_type, xs, i + 1,
+             0.25e0 * (xs[i+1] / seas[(i % 7) + 1])
+               + 0.75e0 * (level + trend),
+             0.125e0 * ((0.25e0 * (xs[i+1] / seas[(i % 7) + 1])
+                         + 0.75e0 * (level + trend)) - level)
+               + 0.875e0 * trend,
+             err + abs(xs[i+1] - (level + trend) * seas[(i % 7) + 1]),
+             list_transform(seas, (s, j) -> CASE WHEN j = (i % 7) + 1
+               THEN 0.25e0 * (xs[i+1]
+                              / (0.25e0 * (xs[i+1] / seas[(i % 7) + 1])
+                                 + 0.75e0 * (level + trend)))
+                    + 0.75e0 * s
+               ELSE s END)
+      FROM hw WHERE i < len(xs)
+    )
+    SELECT event_type, CAST(len(xs) AS INT) AS n_days,
+           ROUND(level, 6) AS level,
+           ROUND(trend, 6) AS trend,
+           ROUND((level + trend) * seas[(len(xs) % 7) + 1], 6) AS forecast_next,
+           ROUND(list_aggregate(seas, 'max') / list_aggregate(seas, 'min'), 6)
+             AS season_ratio,
+           ROUND(err / (len(xs) - 7), 6) AS mae_1step
+    FROM hw WHERE i = len(xs)
+    ORDER BY event_type
+    """,
+    doc="Holt-Winters multiplicative smoothing with weekly seasonality "
+    "over per-type daily counts — seasonal factors are RATIOS to the "
+    "level (initialized as first-week xs/level ratios), so the model "
+    "fits series whose weekly swing grows with volume, where q201's "
+    "additive offsets lag. Updates: level = a*(x/seas) + "
+    "(1-a)*(level+trend), seas = g*(x/new_level) + (1-g)*seas, with "
+    "dyadic a=g=1/4, b=1/8; one-step errors scored against "
+    "(level+trend)*seas along the fold; season_ratio = max/min factor "
+    "(peak-to-trough multiplier). Daily counts are >= 1 so every "
+    "divisor stays positive. Corpus work is one day aggregate; the "
+    "fold is O(days) per type — identical shuffle profile to q201",
+)
+def q257_holt_winters_multiplicative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "n"))),
+                lambda s: s["n"].cast("double"),
+            ).alias("xs")
+        )
+        .filter(F.size("xs") >= 8)
+    )
+    x = [F.element_at("xs", j) for j in range(1, 8)]
+    lvl0 = ((((((x[0] + x[1]) + x[2]) + x[3]) + x[4]) + x[5]) + x[6]) / 7.0
+    seas0 = F.transform(F.slice("xs", 1, 7), lambda s: s / lvl0)
+    init = F.struct(
+        lvl0.alias("level"),
+        F.lit(0.0).alias("trend"),
+        F.lit(0.0).alias("err"),
+        seas0.alias("seas"),
+    )
+    days = F.transform(
+        F.sequence(F.lit(8), F.size("xs")),
+        lambda i: F.struct(
+            i.alias("i"), F.element_at(F.col("xs"), i.cast("int")).alias("x")
+        ),
+    )
+
+    def step(a, b):
+        slot1 = ((b["i"] - 1) % 7 + 1).cast("int")  # 1-based seasonal slot
+        sv = F.element_at(a["seas"], slot1)
+        new_level = 0.25 * (b["x"] / sv) + 0.75 * (a["level"] + a["trend"])
+        new_trend = 0.125 * (new_level - a["level"]) + 0.875 * a["trend"]
+        new_err = a["err"] + F.abs(b["x"] - (a["level"] + a["trend"]) * sv)
+        new_seas = F.transform(
+            a["seas"],
+            lambda s, j: F.when(
+                j == (b["i"] - 1) % 7,  # Spark transform index is 0-based
+                0.25 * (b["x"] / new_level) + 0.75 * s,
+            ).otherwise(s),
+        )
+        return F.struct(
+            new_level.alias("level"),
+            new_trend.alias("trend"),
+            new_err.alias("err"),
+            new_seas.alias("seas"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("int").alias("n_days"),
+        F.aggregate(days, init, step).alias("r"),
+    )
+    r = F.col("r")
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(r["level"], 6).alias("level"),
+        F.round(r["trend"], 6).alias("trend"),
+        F.round(
+            (r["level"] + r["trend"])
+            * F.element_at(r["seas"], (F.col("n_days") % 7 + 1).cast("int")),
+            6,
+        ).alias("forecast_next"),
+        F.round(F.array_max(r["seas"]) / F.array_min(r["seas"]), 6).alias(
+            "season_ratio"
+        ),
+        F.round(r["err"] / (F.col("n_days") - 7), 6).alias("mae_1step"),
+    ).orderBy("event_type")

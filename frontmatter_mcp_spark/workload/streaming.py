@@ -761,3 +761,116 @@ def q222_stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r")["first_alarm"].alias("first_alarm_day"),
         F.col("r")["n_alarms"].cast("int").alias("n_alarms"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q258 — streaming twin of q225's precedence matrix: session assembly
+# is the stateful streaming stage (session_window + collect_list,
+# state bounded per open session by the gap/watermark), and the
+# |types|^2-bounded precedence/lift math runs on the EMITTED sessions
+# per trigger — the q112/q191 foreachBatch discipline. The oracle is
+# byte-identical to q225's batch SQL: streaming session assembly must
+# reproduce the batch sessionization fixpoint exactly.
+# ---------------------------------------------------------------------------
+def _precedence_oracle() -> str:
+    from frontmatter_mcp_spark.workload.datapipe import PRECEDENCE_ORACLE_SQL
+
+    return PRECEDENCE_ORACLE_SQL
+
+
+@register(
+    "q258_stream_precedence_matrix",
+    _precedence_oracle(),
+    doc="streaming precedence matrix: the stateful stage is session "
+    "assembly — session_window(30m) + collect_list, state bounded per "
+    "OPEN session (a closed session's rows leave state at emission) — "
+    "and the precedence/lift computation runs on the emitted sessions: "
+    "per-session FIRST occurrence per type under the (ts, event_id) "
+    "total order, one |types|-per-session self-join, lift vs "
+    "session-level independence. Oracle = q225's batch SQL verbatim, "
+    "so the driver's hash gate proves streaming session assembly "
+    "reproduces the batch sessionization fixpoint — the q52 "
+    "equivalence promise extended to a downstream analytic",
+)
+def q258_stream_precedence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.collect_list(F.struct("ts", "event_id", "event_type")).alias("evs")
+        )
+    )
+    out = ev.run_stream_to_batch(sessions, "stream_precedence_out")
+    # per-trigger (foreachBatch) analytics on the emitted sessions: the
+    # event stream never re-enters a shuffle — only session rows do
+    exploded = out.select(
+        F.col("session_window.start").alias("sess_start"),
+        "user_id",
+        F.explode("evs").alias("e"),
+    )
+    firsts = exploded.groupBy(
+        "user_id", "sess_start", F.col("e.event_type").alias("event_type")
+    ).agg(F.min(F.struct(F.col("e.ts"), F.col("e.event_id"))).alias("first"))
+    nsess = (
+        firsts.select("user_id", "sess_start")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("ns"))
+    )
+    occ = firsts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    a = firsts.select(
+        "user_id",
+        "sess_start",
+        F.col("event_type").alias("before_type"),
+        F.col("first.ts").alias("ta"),
+        F.col("first.event_id").alias("ia"),
+    )
+    b = firsts.select(
+        F.col("user_id").alias("u2"),
+        F.col("sess_start").alias("s2"),
+        F.col("event_type").alias("after_type"),
+        F.col("first.ts").alias("tb"),
+        F.col("first.event_id").alias("ib"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("sess_start") == F.col("s2"))
+            & (F.col("before_type") != F.col("after_type"))
+            & (
+                (F.col("ta") < F.col("tb"))
+                | ((F.col("ta") == F.col("tb")) & (F.col("ia") < F.col("ib")))
+            ),
+        )
+        .groupBy("before_type", "after_type")
+        .agg(F.count("*").cast("long").alias("n_precede"))
+    )
+    oa = occ.select(
+        F.col("event_type").alias("before_type"),
+        F.col("n_sessions").alias("n_before"),
+    )
+    ob = occ.select(
+        F.col("event_type").alias("after_type"),
+        F.col("n_sessions").alias("n_after"),
+    )
+    return (
+        pairs.join(F.broadcast(oa), "before_type")
+        .join(F.broadcast(ob), "after_type")
+        .crossJoin(F.broadcast(nsess))
+        .select(
+            "before_type",
+            "after_type",
+            "n_precede",
+            "n_before",
+            "n_after",
+            F.round(
+                F.col("n_precede").cast("double") * F.col("ns")
+                / (F.col("n_before").cast("double") * F.col("n_after")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("before_type", "after_type")
+    )
