@@ -18810,3 +18810,602 @@ def q257_holt_winters_multiplicative(spark: SparkSession, sf_dir: str) -> DataFr
         ),
         F.round(r["err"] / (F.col("n_days") - 7), 6).alias("mae_1step"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q259 — Misra-Gries frequent-items summaries, the FOURTH sketch family
+# (beside CMS q132, HLL q136, KMV q166) — and the one whose summary
+# CONTENTS depend on processing order, which is why it was deferred:
+# the cross-engine answer is to PIN the order. Per doc-hash bucket
+# (the map-side substream), a weighted MG fold over that bucket's
+# token-bigram histogram in bigram order; then one merge fold over the
+# per-bucket summaries in (bucket, bigram) order. Every step is the
+# classic insert: bump on match, append under capacity, else subtract
+# the (k+1)-entry minimum from all and drop zeros — identical branch
+# logic on both engines, so the summaries are bit-identical. Merging
+# valid sub-summaries preserves the MG guarantee with the error budget
+# doubled: est <= true <= est + 2N/(k+1) (Agarwal et al., Mergeable
+# Summaries) — both bounds ride along as hash-checked booleans against
+# the exact counts.
+# ---------------------------------------------------------------------------
+_MG_K = 16  # summary capacity
+_MG_BUCKETS = 16  # map-side substreams
+
+
+def _mg_insert_duck(S: str, xt: str, xc: str) -> str:
+    ap = f"list_append({S}, struct_pack(t := {xt}, c := {xc}))"
+    delta = f"list_aggregate(list_transform({ap}, z -> z.c), 'min')"
+    return f"""CASE
+      WHEN len(list_filter({S}, e -> e.t = {xt})) > 0
+      THEN list_transform({S}, e -> CASE WHEN e.t = {xt}
+             THEN struct_pack(t := e.t, c := e.c + {xc}) ELSE e END)
+      WHEN len({S}) < {_MG_K} THEN {ap}
+      ELSE list_filter(list_transform({ap},
+             e -> struct_pack(t := e.t, c := e.c - {delta})), e -> e.c > 0)
+    END"""
+
+
+def _mg_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("doc_id", _MG_BUCKETS)
+    empty = "CAST([] AS STRUCT(t VARCHAR, c BIGINT)[])"
+    kp1 = _MG_K + 1
+    return f"""
+    WITH RECURSIVE toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT {bucket} AS bucket, w[i] || ' ' || w[i+1] AS t
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+      WHERE len(w) >= 2
+    ),
+    hist AS MATERIALIZED (SELECT bucket, t, CAST(COUNT(*) AS BIGINT) AS c
+             FROM grams GROUP BY 1, 2),
+    items AS MATERIALIZED (
+      SELECT bucket, t, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY t) AS INT)
+               AS idx
+      FROM hist
+    ),
+    fold AS (
+      SELECT DISTINCT bucket, 0 AS i, {empty} AS S FROM items
+      UNION ALL
+      SELECT f.bucket, f.i + 1, {_mg_insert_duck("f.S", "x.t", "x.c")}
+      FROM fold f JOIN items x ON x.bucket = f.bucket AND x.idx = f.i + 1
+    ),
+    bsum AS (
+      SELECT f.bucket, f.S
+      FROM fold f
+      JOIN (SELECT bucket, MAX(idx) AS mx FROM items GROUP BY 1) m
+        ON m.bucket = f.bucket AND f.i = m.mx
+    ),
+    entries AS (
+      SELECT bucket, unnest(S) AS e FROM bsum
+    ),
+    mitems AS MATERIALIZED (
+      SELECT e.t AS t, e.c AS c,
+             CAST(ROW_NUMBER() OVER (ORDER BY bucket, e.t) AS INT) AS idx
+      FROM entries
+    ),
+    mfold AS (
+      SELECT 0 AS i, {empty} AS S
+      UNION ALL
+      SELECT f.i + 1, {_mg_insert_duck("f.S", "x.t", "x.c")}
+      FROM mfold f JOIN mitems x ON x.idx = f.i + 1
+    ),
+    final AS (
+      SELECT S FROM mfold WHERE i = (SELECT MAX(idx) FROM mitems)
+    ),
+    summ AS (SELECT unnest(S) AS e FROM final),
+    truth AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS true_c
+              FROM grams GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM grams)
+    SELECT s.e.t AS gram, s.e.c AS est_c, tr.true_c,
+           CAST((2 * tot.n) // {kp1} AS BIGINT) AS err_bound,
+           CAST(s.e.c <= tr.true_c AS INT) AS lower_ok,
+           CAST(tr.true_c - s.e.c <= (2 * tot.n) // {kp1} AS INT) AS upper_ok,
+           CAST(s.e.c > tot.n // {kp1} AS INT) AS guaranteed_frequent,
+           CAST(ROW_NUMBER() OVER (ORDER BY s.e.c DESC, s.e.t) AS INT) AS rank
+    FROM summ s JOIN truth tr ON tr.t = s.e.t CROSS JOIN tot
+    ORDER BY rank
+    """
+
+
+@register(
+    "q259_misra_gries",
+    _mg_sql(),
+    doc="mergeable Misra-Gries frequent-bigram summaries with a PINNED "
+    "merge order: per doc-hash bucket a weighted MG(k=16) fold over the "
+    "bucket's bigram histogram in bigram order (the map-side summary an "
+    "executor computes per partition at 100 TB without holding the "
+    "vocabulary), then one merge fold over the 16 bucket summaries in "
+    "(bucket, bigram) order — contents of an MG summary depend on "
+    "processing order, so pinning both folds makes the whole sketch "
+    "bit-identical across engines, which HLL/CMS/KMV got for free from "
+    "order-independence. Two-level merging doubles the error budget: "
+    "est <= true <= est + 2N/(k+1), both asserted as hash-checked "
+    "booleans against the exact histogram (q166's calibration "
+    "discipline). On this deliberately flat synthetic corpus nothing "
+    "clears the N/(k+1) guaranteed-frequent bar — the flag column "
+    "shows it honestly; on a Zipfian stream the same plan surfaces the "
+    "head. Corpus work: one explode + one (bucket, bigram) aggregate; "
+    "each fold is O(distinct items) with a <=k-entry accumulator",
+)
+def q259_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    k = _MG_K
+
+    def insert(S, x):
+        matched = F.exists(S, lambda e: e["t"] == x["t"])
+        bumped = F.transform(
+            S,
+            lambda e: F.when(
+                e["t"] == x["t"],
+                F.struct(e["t"].alias("t"), (e["c"] + x["c"]).alias("c")),
+            ).otherwise(e),
+        )
+        ap = F.concat(
+            S, F.array(F.struct(x["t"].alias("t"), x["c"].alias("c")))
+        )
+        delta = F.array_min(F.transform(ap, lambda z: z["c"]))
+        dec = F.filter(
+            F.transform(
+                ap,
+                lambda e: F.struct(
+                    e["t"].alias("t"), (e["c"] - delta).alias("c")
+                ),
+            ),
+            lambda e: e["c"] > 0,
+        )
+        return F.when(matched, bumped).when(F.size(S) < k, ap).otherwise(dec)
+
+    empty = F.array().cast("array<struct<t:string,c:bigint>>")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    toks = d.select(
+        hash_bucket(F.col("doc_id"), _MG_BUCKETS).alias("bucket"), w.alias("w")
+    ).filter(F.size("w") >= 2)
+    grams = pin(
+        toks.select(
+            "bucket",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.concat(
+                        F.element_at(F.col("w"), i.cast("int")),
+                        F.lit(" "),
+                        F.element_at(F.col("w"), (i + 1).cast("int")),
+                    ),
+                )
+            ).alias("t"),
+        )
+    )
+    hist = grams.groupBy("bucket", "t").agg(F.count("*").cast("long").alias("c"))
+    per_bucket = hist.groupBy("bucket").agg(
+        F.sort_array(F.collect_list(F.struct("t", "c"))).alias("items")
+    )
+    bsum = per_bucket.select(
+        "bucket", F.aggregate("items", empty, insert).alias("S")
+    )
+    entries = bsum.select("bucket", F.explode("S").alias("e")).select(
+        "bucket", F.col("e.t").alias("t"), F.col("e.c").alias("c")
+    )
+    merged = entries.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("bucket", "t", "c"))),
+            lambda s: F.struct(s["t"].alias("t"), s["c"].alias("c")),
+        ).alias("mitems")
+    ).select(F.aggregate("mitems", empty, insert).alias("S"))
+    summ = merged.select(F.explode("S").alias("e")).select(
+        F.col("e.t").alias("gram"), F.col("e.c").alias("est_c")
+    )
+    truth = grams.groupBy("t").agg(F.count("*").cast("long").alias("true_c"))
+    tot = grams.agg(F.count("*").cast("long").alias("n"))
+    kp1 = k + 1
+    return (
+        truth.join(F.broadcast(summ), truth["t"] == summ["gram"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gram",
+            "est_c",
+            "true_c",
+            F.expr(f"cast((2 * n) div {kp1} as bigint)").alias("err_bound"),
+            (F.col("est_c") <= F.col("true_c")).cast("int").alias("lower_ok"),
+            (
+                F.col("true_c") - F.col("est_c")
+                <= F.expr(f"(2 * n) div {kp1}")
+            )
+            .cast("int")
+            .alias("upper_ok"),
+            (F.col("est_c") > F.expr(f"n div {kp1}"))
+            .cast("int")
+            .alias("guaranteed_frequent"),
+            F.row_number()
+            .over(W.orderBy(F.col("est_c").desc(), "gram"))
+            .cast("int")
+            .alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260 — MMR lambda sweep: the calibration query q224 needs before
+# anyone picks its 0.7 — the greedy selection re-run under four
+# relevance/diversity trade-offs on the SAME pinned candidate and
+# pair-similarity tables, reporting each lambda's mean relevance,
+# mean intra-list similarity (redundancy), and the selected set
+# itself. The q82/q91/q178 sweep discipline applied to reranking.
+# ---------------------------------------------------------------------------
+_MMR_LAMBDAS = [("0.3", "0.7"), ("0.5", "0.5"), ("0.7", "0.3"), ("0.9", "0.1")]
+
+
+def _mmr_sweep_sql() -> str:
+    cos_qc = _duck_cos("q.qv", "e.embedding")
+    cos_ab = _duck_cos("ea.embedding", "eb.embedding")
+    ctes = [
+        f"q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv "
+        f"FROM embeddings WHERE vec_id < {_MMR_NQ})",
+        f"""c AS MATERIALIZED (
+      SELECT qid, cid, r FROM (
+        SELECT q.qid, e.vec_id AS cid, {cos_qc} AS r,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_qc} DESC, e.vec_id) AS rn
+        FROM q JOIN embeddings e ON e.vec_id >= {_MMR_NQ}
+      ) WHERE rn <= {_MMR_TOPC}
+    )""",
+        f"""ps AS MATERIALIZED (
+      SELECT a.qid, a.cid AS ca, b.cid AS cb, {cos_ab} AS s
+      FROM c a JOIN c b ON a.qid = b.qid AND a.cid <> b.cid
+      JOIN embeddings ea ON ea.vec_id = a.cid
+      JOIN embeddings eb ON eb.vec_id = b.cid
+    )""",
+    ]
+    outs = []
+    for li, (lam, lam2) in enumerate(_MMR_LAMBDAS):
+        ctes.append(
+            f"""sel_{li}_1 AS (
+      SELECT qid, cid, 1 AS step FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY r DESC, cid) AS rn
+        FROM c
+      ) WHERE rn = 1
+    )"""
+        )
+        for t in range(2, _MMR_K + 1):
+            ctes.append(
+                f"""sel_{li}_{t} AS (
+      SELECT qid, cid, step FROM sel_{li}_{t - 1}
+      UNION ALL
+      SELECT qid, cid, {t} AS step FROM (
+        SELECT c.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.qid
+                 ORDER BY {lam}e0 * c.r - {lam2}e0 * m.ms DESC, c.cid) AS rn
+        FROM c
+        JOIN (
+          SELECT p.qid, p.ca AS cid, MAX(p.s) AS ms
+          FROM ps p JOIN sel_{li}_{t - 1} s ON s.qid = p.qid AND s.cid = p.cb
+          GROUP BY 1, 2
+        ) m ON m.qid = c.qid AND m.cid = c.cid
+        WHERE NOT EXISTS (SELECT 1 FROM sel_{li}_{t - 1} s2
+                          WHERE s2.qid = c.qid AND s2.cid = c.cid)
+      ) WHERE rn = 1
+    )"""
+            )
+        k = _MMR_K
+        ctes.append(
+            f"""rels_{li} AS (
+      SELECT s.qid,
+             ROUND(CAST(SUM(CAST(c.r AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_relevance,
+             string_agg(CAST(s.cid AS VARCHAR), '|' ORDER BY s.step)
+               AS selection
+      FROM sel_{li}_{k} s JOIN c ON c.qid = s.qid AND c.cid = s.cid
+      GROUP BY s.qid
+    )"""
+        )
+        ctes.append(
+            f"""sims_{li} AS (
+      SELECT p.qid,
+             ROUND(CAST(SUM(CAST(p.s AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_intra_sim
+      FROM ps p
+      JOIN sel_{li}_{k} sa ON sa.qid = p.qid AND sa.cid = p.ca
+      JOIN sel_{li}_{k} sb ON sb.qid = p.qid AND sb.cid = p.cb
+      GROUP BY p.qid
+    )"""
+        )
+        outs.append(
+            f"SELECT CAST({lam}e0 AS DOUBLE) AS lam, r.qid, r.mean_relevance, "
+            f"s.mean_intra_sim, r.selection "
+            f"FROM rels_{li} r JOIN sims_{li} s ON s.qid = r.qid"
+        )
+    joined = ",\n    ".join(ctes)
+    union = "\n    UNION ALL\n    ".join(outs)
+    return f"""
+    WITH {joined}
+    SELECT * FROM ({union})
+    ORDER BY lam, qid
+    """
+
+
+@register(
+    "q260_mmr_lambda_sweep",
+    _mmr_sweep_sql(),
+    doc="MMR trade-off sweep: q224's greedy diversified selection re-run "
+    "at lambda in {0.3, 0.5, 0.7, 0.9} over ONE shared pinned candidate "
+    "table and ONE pinned pair-similarity table — per (lambda, query): "
+    "mean relevance of the selected 5, mean pairwise intra-list cosine "
+    "(the redundancy a bigger lambda buys), and the selection itself in "
+    "pick order. Falling redundancy vs sagging relevance across the "
+    "rows IS the calibration curve that justifies a production lambda. "
+    "Sums are DECIMAL-quantized (order-independent); every argmax uses "
+    "the (score, cid) total order. The sweep multiplies only the "
+    "k^2-bounded greedy state — the corpus-facing candidate fetch runs "
+    "once, exactly how a 100 TB calibration should",
+)
+def q260_mmr_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    base = e.filter(F.col("vec_id") >= _MMR_NQ).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    r = vector.cosine_similarity(F.col("qv"), F.col("embedding"))
+    scored = F.broadcast(q).crossJoin(base).select(
+        "qid", "cid", r.alias("r"), "embedding"
+    )
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("r").desc(), "cid")
+    )
+    c = pin(
+        scored.withColumn("rn", rn).filter(F.col("rn") <= _MMR_TOPC).select(
+            "qid", "cid", "r", "embedding"
+        )
+    )
+    a = c.select("qid", F.col("cid").alias("ca"), F.col("embedding").alias("ea"))
+    b = c.select(
+        F.col("qid").alias("qid2"),
+        F.col("cid").alias("cb"),
+        F.col("embedding").alias("eb"),
+    )
+    ps = pin(
+        a.join(b, (F.col("qid") == F.col("qid2")) & (F.col("ca") != F.col("cb")))
+        .select(
+            "qid",
+            "ca",
+            "cb",
+            vector.cosine_similarity(F.col("ea"), F.col("eb")).alias("s"),
+        )
+    )
+
+    def greedy(lam: float, lam2: float):
+        sel = (
+            c.withColumn(
+                "rn2",
+                F.row_number().over(
+                    W.partitionBy("qid").orderBy(F.col("r").desc(), "cid")
+                ),
+            )
+            .filter(F.col("rn2") == 1)
+            .select("qid", "cid", F.lit(1).alias("step"))
+        )
+        for t in range(2, _MMR_K + 1):
+            ms = (
+                ps.join(
+                    sel.select(F.col("qid").alias("q3"), F.col("cid").alias("c3")),
+                    (F.col("qid") == F.col("q3")) & (F.col("cb") == F.col("c3")),
+                )
+                .groupBy("qid", "ca")
+                .agg(F.max("s").alias("ms"))
+            )
+            remaining = c.join(sel.select("qid", "cid"), ["qid", "cid"], "left_anti")
+            picked = (
+                remaining.join(
+                    ms,
+                    (remaining["qid"] == ms["qid"]) & (remaining["cid"] == ms["ca"]),
+                )
+                .drop(ms["qid"])
+                .select(
+                    "qid",
+                    "cid",
+                    (F.lit(lam) * F.col("r") - F.lit(lam2) * F.col("ms")).alias(
+                        "score"
+                    ),
+                )
+                .withColumn(
+                    "rn3",
+                    F.row_number().over(
+                        W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+                    ),
+                )
+                .filter(F.col("rn3") == 1)
+                .select("qid", "cid", F.lit(t).alias("step"))
+            )
+            # localCheckpoint bounds the PLAN of the iterative chain
+            # (the q135/q165 lesson): each step otherwise nests the
+            # previous selection on three sides of its joins, and with
+            # four lambda chains the analyzer cost dwarfs the <=15-row
+            # data. Eager checkpoint of a 15-row frame is ~free.
+            sel = sel.unionAll(picked).localCheckpoint()
+        return sel
+
+    out = None
+    for lam_s, lam2_s in _MMR_LAMBDAS:
+        lam, lam2 = float(lam_s), float(lam2_s)
+        sel = greedy(lam, lam2)
+        rels = (
+            sel.join(c.select("qid", "cid", "r"), ["qid", "cid"])
+            .groupBy("qid")
+            .agg(
+                F.round(
+                    F.sum(F.col("r").cast("decimal(28,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("mean_relevance"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("step", "cid"))),
+                        lambda s: s["cid"].cast("string"),
+                    ),
+                    "|",
+                ).alias("selection"),
+            )
+        )
+        sa = sel.select(F.col("qid").alias("qa"), F.col("cid").alias("ca2"))
+        sb = sel.select(F.col("qid").alias("qb"), F.col("cid").alias("cb2"))
+        sims = (
+            ps.join(sa, (F.col("qid") == F.col("qa")) & (F.col("ca") == F.col("ca2")))
+            .join(sb, (F.col("qid") == F.col("qb")) & (F.col("cb") == F.col("cb2")))
+            .groupBy("qid")
+            .agg(
+                F.round(
+                    F.sum(F.col("s").cast("decimal(28,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("mean_intra_sim")
+            )
+        )
+        row = rels.join(sims, "qid").select(
+            F.lit(lam).alias("lam"),
+            "qid",
+            "mean_relevance",
+            "mean_intra_sim",
+            "selection",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("lam", "qid")
+
+
+# ---------------------------------------------------------------------------
+# q261 — 3D skyline: q236's sort+running-max rewrite is 2D-only (a
+# running max is a total order; three criteria are a partial order),
+# so the 3D frontier uses the block-nested-loop shape — a LOCAL
+# skyline per doc-hash bucket (each bucket a O(|bucket|^2) dominance
+# anti-join — the per-partition prune an executor runs map-side),
+# then the exact global frontier over the surviving candidates
+# (skylines are distributive: the global skyline is a subset of the
+# union of local skylines). Pure set semantics — no processing order
+# anywhere, unlike q259's MG folds.
+# ---------------------------------------------------------------------------
+def _skyline3_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("doc_id", 16)
+    dom = (
+        "b.d1 >= a.d1 AND b.d2 >= a.d2 AND b.d3 >= a.d3 "
+        "AND (b.d1 > a.d1 OR b.d2 > a.d2 OR b.d3 > a.d3)"
+    )
+    return f"""
+    WITH m AS MATERIALIZED (
+      SELECT doc_id, {bucket} AS bucket,
+             n_chars AS d1,
+             CAST(len(list_distinct(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')))
+               AS BIGINT) AS d2,
+             CAST(list_aggregate(list_transform(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''),
+               x -> length(x)), 'max') AS BIGINT) AS d3
+      FROM documents
+    ),
+    local AS MATERIALIZED (
+      SELECT a.* FROM m a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM m b WHERE b.bucket = a.bucket AND {dom}
+      )
+    )
+    SELECT a.doc_id, a.d1 AS n_chars, a.d2 AS n_distinct_terms,
+           a.d3 AS max_token_len
+    FROM local a
+    WHERE NOT EXISTS (SELECT 1 FROM local b WHERE {dom})
+    ORDER BY a.d1 DESC, a.d2 DESC, a.d3 DESC, a.doc_id
+    """
+
+
+@register(
+    "q261_skyline_3d",
+    _skyline3_sql(),
+    doc="3D Pareto frontier over (length, lexical diversity, longest "
+    "token): the documents no other document weakly dominates on all "
+    "three with at least one strict — q236's 2D running-max rewrite "
+    "cannot express a 3-criteria partial order, so this is the "
+    "distributed block-nested-loop skyline: per-bucket local frontier "
+    "(each bucket one bounded O(b^2) dominance anti-join, the map-side "
+    "prune), then the exact global anti-join over the tiny candidate "
+    "union — sound because any global-skyline point is also a local-"
+    "skyline point in its own bucket. All-integer criteria, set "
+    "semantics (no order dependence). Corpus pays one narrow "
+    "projection + one bucket-keyed self-join; the global pass runs on "
+    "candidates only",
+)
+def q261_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    m = pin(
+        d.select(
+            "doc_id",
+            hash_bucket(F.col("doc_id"), 16).alias("bucket"),
+            F.col("n_chars").alias("d1"),
+            F.size(F.array_distinct(w)).cast("long").alias("d2"),
+            F.array_max(F.transform(w, lambda x: F.length(x)))
+            .cast("long")
+            .alias("d3"),
+        )
+    )
+
+    def dominated_by(a, b):
+        return (
+            (b["d1"] >= a["d1"])
+            & (b["d2"] >= a["d2"])
+            & (b["d3"] >= a["d3"])
+            & ((b["d1"] > a["d1"]) | (b["d2"] > a["d2"]) | (b["d3"] > a["d3"]))
+        )
+
+    mb = m.select(
+        F.col("bucket").alias("bb"),
+        F.col("d1").alias("bd1"),
+        F.col("d2").alias("bd2"),
+        F.col("d3").alias("bd3"),
+    )
+    b = F.struct(
+        F.col("bd1").alias("d1"), F.col("bd2").alias("d2"), F.col("bd3").alias("d3")
+    )
+    a = F.struct(F.col("d1"), F.col("d2"), F.col("d3"))
+    local = m.join(
+        mb,
+        (F.col("bucket") == F.col("bb")) & dominated_by(a, b),
+        "left_anti",
+    )
+    lb = local.select(
+        F.col("d1").alias("bd1"), F.col("d2").alias("bd2"), F.col("d3").alias("bd3")
+    )
+    sky = local.join(F.broadcast(lb), dominated_by(a, b), "left_anti")
+    return sky.select(
+        "doc_id",
+        F.col("d1").alias("n_chars"),
+        F.col("d2").alias("n_distinct_terms"),
+        F.col("d3").alias("max_token_len"),
+    ).orderBy(
+        F.col("n_chars").desc(),
+        F.col("n_distinct_terms").desc(),
+        F.col("max_token_len").desc(),
+        "doc_id",
+    )
