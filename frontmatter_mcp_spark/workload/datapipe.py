@@ -19409,3 +19409,127 @@ def q261_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_token_len").desc(),
         "doc_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# q262 — BM25F fielded ranking: the structured-document upgrade of
+# q134 — a match in the title field (first 6 tokens, the markdown
+# heading analogue) is worth more than one in the body, and each
+# field carries its OWN length normalization before saturation
+# (Robertson/Zaragoza "simple BM25F": saturate the weighted
+# field-normalized tf once, NOT per field — the property plain
+# per-field BM25 summing gets wrong). One SQL template, two dialects
+# (the q127/q134 discipline); per-term scores floored into 2^30 fixed
+# point so per-pair sums are exact BIGINTs.
+# ---------------------------------------------------------------------------
+_BM25F_TITLE_LEN = 6  # leading tokens designated the "title" field
+_BM25F_WEIGHTS = "CASE WHEN tf.field = 'title' THEN 2e0 ELSE 1e0 END"
+_BM25F_B = "CASE WHEN tf.field = 'title' THEN 0.5e0 ELSE 0.75e0 END"
+
+
+def _bm25f_sql(dialect: str, table: str = "documents") -> str:
+    k1, s, tl = _BM25_K1, _BM25_SCALE, _BM25F_TITLE_LEN
+    if dialect == "duckdb":
+        tokenize = (
+            "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+        )
+        field_rows = (
+            f"SELECT doc_id, 'title' AS field, w[1:{tl}] AS fw FROM toks "
+            f"UNION ALL SELECT doc_id, 'body' AS field, w[{tl + 1}:] AS fw FROM toks"
+        )
+        explode_f = "SELECT doc_id, field, unnest(fw) AS t FROM fields"
+        explode_q = (
+            f"SELECT DISTINCT doc_id AS qid, unnest(w[1:{_BM25_QUERY_TERMS}]) AS t "
+            f"FROM toks WHERE doc_id % {_BM25_QUERY_MOD} = 0"
+        )
+        flen = "len(fw)"
+    else:
+        tokenize = r"filter(split(trim(lower(text)), '\\s+'), x -> x <> '')"
+        field_rows = (
+            f"SELECT doc_id, 'title' AS field, slice(w, 1, {tl}) AS fw FROM toks "
+            f"UNION ALL SELECT doc_id, 'body' AS field, "
+            f"slice(w, {tl + 1}, greatest(size(w) - {tl}, 0)) AS fw FROM toks"
+        )
+        explode_f = "SELECT doc_id, field, explode(fw) AS t FROM fields"
+        explode_q = (
+            f"SELECT DISTINCT doc_id AS qid, "
+            f"explode(slice(w, 1, {_BM25_QUERY_TERMS})) AS t "
+            f"FROM toks WHERE doc_id % {_BM25_QUERY_MOD} = 0"
+        )
+        flen = "size(fw)"
+    # shared scoring fragments — identical text in both dialects
+    wn = (
+        f"({_BM25F_WEIGHTS}) * tf.tf / "
+        f"(1e0 - ({_BM25F_B}) + ({_BM25F_B}) * dl.dl "
+        f"/ (CAST(st.tt AS DOUBLE) / st.nd))"
+    )
+    term = (
+        f"ln(1 + (d2.nd - df.df + 0.5) / (df.df + 0.5)) * "
+        f"((w.ptf * ({k1} + 1)) / ({k1} + w.ptf))"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {tokenize} AS w FROM {table}),
+    fields AS ({field_rows}),
+    flens AS (SELECT doc_id, field, CAST({flen} AS BIGINT) AS dl FROM fields),
+    fstats AS (SELECT field, CAST(SUM(dl) AS BIGINT) AS tt,
+                      CAST(COUNT(*) AS BIGINT) AS nd
+               FROM flens GROUP BY field),
+    ft AS ({explode_f}),
+    ftf AS (SELECT doc_id, field, t, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM ft GROUP BY 1, 2, 3),
+    docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM toks),
+    df AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM ft GROUP BY 1),
+    qt AS ({explode_q}),
+    wtf AS (
+      SELECT qt.qid, tf.doc_id, qt.t, SUM({wn}) AS ptf
+      FROM qt
+      JOIN df ON df.t = qt.t AND df.df <= {_BM25_MAX_DF}
+      JOIN ftf tf ON tf.t = qt.t
+      JOIN flens dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+      JOIN fstats st ON st.field = tf.field
+      WHERE tf.doc_id <> qt.qid
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT w.qid, w.doc_id,
+             CAST(SUM(CAST(FLOOR(({term}) * {s}) AS BIGINT)) AS BIGINT)
+               AS score_fx,
+             CAST(COUNT(*) AS INT) AS n_terms
+      FROM wtf w JOIN df ON df.t = w.t CROSS JOIN docs d2
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid, doc_id, score_fx, n_terms,
+             ROUND(CAST(score_fx AS DOUBLE) / {s}, 4) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY ROUND(CAST(score_fx AS DOUBLE) / {s}, 4) DESC, doc_id
+             ) AS rnk
+      FROM scored
+    )
+    SELECT qid AS query_id, doc_id AS hit_id, n_terms, score, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_BM25_TOPK}
+    """
+
+
+@register(
+    "q262_bm25f_topk",
+    _bm25f_sql("duckdb"),
+    doc="BM25F fielded top-k retrieval over structured documents: the "
+    "first 6 tokens act as a 2x-weighted 'title' field with its own "
+    "gentler length normalization (b=0.5) beside the body (b=0.75); "
+    "field-normalized weighted tfs are summed into one pseudo-tf and "
+    "saturated ONCE (simple BM25F — per-field saturation would let a "
+    "term max out twice). Same df-capped posting-join shape, fixed-"
+    "point exact score sums, and (score, doc_id) ranking as q134; the "
+    "field dimension multiplies the posting join by |fields|=2, never "
+    "corpus x corpus. Summed addends per (query, doc, term) are at "
+    "most two doubles — IEEE addition is commutative, so the "
+    "group-order-free SUM is still deterministic",
+)
+def q262_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_q262"
+    )
+    return spark.sql(_bm25f_sql("spark", "documents_q262"))
