@@ -911,3 +911,35 @@ def test_q221_sweep_no_stabbing_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q259_misra_gries_jvm_side_single_corpus_explode(spark):
+    plan = formatted_plan(spark, "q259_misra_gries")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the corpus-facing work is one bigram explode feeding the
+    # (bucket, gram) aggregate; the folds run on aggregated state.
+    # Formatted mode prints each node twice (tree + details): 4 nodes.
+    assert plan.count("Generate") <= 8  # bigram explode + summary explodes
+    assert "CartesianProduct" not in plan
+
+
+def test_q260_mmr_sweep_no_cartesian_beyond_broadcast(spark):
+    plan = formatted_plan(spark, "q260_mmr_lambda_sweep")
+    # candidate fetch is the only corpus-facing stage: query side
+    # broadcast (BroadcastNestedLoopJoin), never CartesianProduct
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q261_skyline_local_prune_then_broadcast_global(spark):
+    plan = formatted_plan(spark, "q261_skyline_3d")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # global pass runs on the tiny candidate union — broadcast side
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q262_bm25f_posting_joins_no_python(spark):
+    plan = formatted_plan(spark, "q262_bm25f_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
