@@ -19533,3 +19533,529 @@ def q262_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents_q262"
     )
     return spark.sql(_bm25f_sql("spark", "documents_q262"))
+
+
+# ---------------------------------------------------------------------------
+# q263 — per-document token-entropy quality signal: the Shannon
+# entropy of a document's own token distribution, the "word soup vs
+# template loop" separator — q61 counts literal repetition and q94
+# scores against the CORPUS LM; entropy is the self-contained third
+# axis (a doc of 50 distinct tokens used once each maxes it; a doc
+# repeating one phrase collapses it regardless of which phrase).
+# H = ln(n) - (sum c*ln c)/n with DECIMAL-quantized terms (the q94
+# ln discipline: term sums exact/order-free, final rounded to 6).
+# ---------------------------------------------------------------------------
+@register(
+    "q263_token_entropy",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+      GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS clnc
+      FROM tf GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND(ln(CAST(n_tokens AS DOUBLE)) - clnc / n_tokens, 6) AS entropy,
+           CASE WHEN n_distinct = 1 THEN 0e0
+                ELSE ROUND((ln(CAST(n_tokens AS DOUBLE)) - clnc / n_tokens)
+                           / ln(CAST(n_distinct AS DOUBLE)), 6) END
+             AS norm_entropy
+    FROM h
+    ORDER BY doc_id
+    """,
+    doc="per-document Shannon token entropy: H = ln(n) - (sum of "
+    "c*ln(c))/n over the doc's own term frequencies, plus the "
+    "0-1-normalized H/ln(distinct) templatedness score (1 = every "
+    "distinct token equally used, ->0 = one token dominates; the "
+    "single-distinct-token doc pins to 0 by convention). Complements "
+    "q61 (literal repetition) and q94 (corpus-LM surprisal) as the "
+    "self-contained quality axis. c*ln(c) terms are DECIMAL-quantized "
+    "so the per-doc sum is order-independent; the final value rounds "
+    "to 6 (ln's 1-ulp cross-engine wobble, q94 discipline). One token "
+    "explode + one (doc, term) aggregate + one doc aggregate — all "
+    "partial-aggregated, no joins",
+)
+def q263_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    tf = (
+        d.select("doc_id", F.explode(w).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    h = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(
+            (F.col("c") * F.log(F.col("c").cast("double"))).cast(
+                "decimal(28,12)"
+            )
+        )
+        .cast("double")
+        .alias("clnc"),
+    )
+    ent = F.log(F.col("n_tokens").cast("double")) - F.col("clnc") / F.col(
+        "n_tokens"
+    )
+    return h.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(ent, 6).alias("entropy"),
+        F.when(F.col("n_distinct") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(ent / F.log(F.col("n_distinct").cast("double")), 6)
+        )
+        .alias("norm_entropy"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q264 — winnowing fingerprint selection (Schleimer et al. 2003, the
+# MOSS algorithm): from every window of W consecutive k-gram hashes
+# keep the RIGHTMOST minimum — the position-robust fingerprint scheme
+# whose guarantee (every window contributes, so no gap between chosen
+# positions exceeds W) is what q41's fixed-stride fingerprints lack.
+# The rightmost-argmin is one integer MIN: key = h*256 + (window_end
+# - j), so smaller hash wins and ties fall to the larger position —
+# no argmax_by/min_by portability surface at all.
+# ---------------------------------------------------------------------------
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 4  # k-grams per window
+
+
+def _hex48_duck(expr: str) -> str:
+    v = "CAST(0 AS BIGINT)"
+    for i in range(1, 13):
+        v = (
+            f"({v}) * 16 + (strpos('0123456789abcdef', "
+            f"substr(md5({expr}), {i}, 1)) - 1)"
+        )
+    return f"({v})"
+
+
+def _winnow_sql() -> str:
+    k, w = _WIN_K, _WIN_W
+    kgram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k)).replace(
+        "w[i+0]", "w[i]"
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    kg AS MATERIALIZED (
+      SELECT doc_id, len(w) - {k} + 1 AS m, i,
+             {_hex48_duck(kgram)} AS h
+      FROM toks, UNNEST(generate_series(1, len(w) - {k} + 1)) AS g(i)
+      WHERE len(w) >= {k + w - 1}
+    ),
+    wins AS (
+      SELECT doc_id, p, i AS j, h
+      FROM kg, UNNEST(generate_series(GREATEST(1, i - {w} + 1),
+                                      LEAST(i, m - {w} + 1))) AS gp(p)
+    ),
+    sel AS (
+      SELECT doc_id, p,
+             MIN(h * 256 + (p + {w} - 1 - j)) AS key
+      FROM wins GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, p + {w} - 1 - (key % 256) AS j, key // 256 AS h
+      FROM sel
+    ),
+    g AS (
+      SELECT doc_id, j,
+             j - LAG(j) OVER (PARTITION BY doc_id ORDER BY j) AS gap
+      FROM fp
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+             CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap,
+             CAST(MIN(j) AS BIGINT) AS first_j,
+             CAST(MAX(j) AS BIGINT) AS last_j
+      FROM g GROUP BY 1
+    ),
+    md AS (SELECT DISTINCT doc_id, m FROM kg)
+    SELECT a.doc_id, CAST(md.m AS BIGINT) AS n_kgrams, a.n_fingerprints,
+           ROUND(CAST(a.n_fingerprints AS DOUBLE) / (md.m - {w} + 1), 6)
+             AS density,
+           a.max_gap,
+           CAST(a.max_gap <= {w} AND a.first_j <= {w}
+                AND a.last_j >= md.m - {w} + 1 AS INT) AS guarantee_ok
+    FROM agg a JOIN md ON md.doc_id = a.doc_id
+    ORDER BY a.doc_id
+    """
+
+
+@register(
+    "q264_winnowing_fingerprints",
+    _winnow_sql(),
+    doc="winnowing fingerprint selection over token 4-gram hashes "
+    "(48-bit md5-derived), window W=4, rightmost-min tie-break encoded "
+    "as MIN(h*256 + distance-from-window-end) — pure integer math both "
+    "engines evaluate identically. Per doc: fingerprint count, density "
+    "(the paper's expected 2/(W+1) reference point), the max gap "
+    "between chosen positions, and the winnowing GUARANTEE as a "
+    "hash-checked boolean (no uncovered window: max_gap <= W and both "
+    "boundary windows covered). Docs shorter than K+W-1 tokens have no "
+    "full window and drop. The fingerprints are what a plagiarism/"
+    "near-dup index stores at 64x compression vs all k-grams; corpus "
+    "work is one explode to W rows per k-gram + two aggregates — "
+    "no joins until the doc-level report",
+)
+def q264_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    k, w = _WIN_K, _WIN_W
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    wcol = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    toks = d.select("doc_id", wcol.alias("w")).filter(F.size("w") >= k + w - 1)
+    kgram_parts = lambda i: F.concat_ws(
+        " ", *[F.element_at(F.col("w"), (i + j).cast("int")) for j in range(k)]
+    )
+    kg = pin(
+        toks.select(
+            "doc_id",
+            (F.size("w") - k + 1).cast("long").alias("m"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - k + 1),
+                    lambda i: F.struct(
+                        i.cast("long").alias("i"),
+                        F.conv(F.substring(F.md5(kgram_parts(i)), 1, 12), 16, 10)
+                        .cast("long")
+                        .alias("h"),
+                    ),
+                )
+            ).alias("e"),
+        ).select("doc_id", "m", F.col("e.i").alias("i"), F.col("e.h").alias("h"))
+    )
+    wins = kg.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1).cast("long"), F.col("i") - w + 1),
+                F.least(F.col("i"), F.col("m") - w + 1),
+            )
+        ).alias("p"),
+        F.col("i").alias("j"),
+        "h",
+    )
+    sel = wins.groupBy("doc_id", "p").agg(
+        F.min(F.col("h") * 256 + (F.col("p") + w - 1 - F.col("j"))).alias("key")
+    )
+    fp = sel.select(
+        "doc_id",
+        (F.col("p") + w - 1 - F.col("key") % 256).alias("j"),
+        # integer div, not /: key reaches 2^56 and double division
+        # would round above 2^53 (DuckDB's // is exact)
+        F.expr("key div 256").alias("h"),
+    ).distinct()
+    g = fp.select(
+        "doc_id",
+        "j",
+        (
+            F.col("j")
+            - F.lag("j").over(W.partitionBy("doc_id").orderBy("j"))
+        ).alias("gap"),
+    )
+    agg = g.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap"),
+        F.min("j").cast("long").alias("first_j"),
+        F.max("j").cast("long").alias("last_j"),
+    )
+    md = kg.select("doc_id", "m").distinct()
+    return (
+        agg.join(md, "doc_id")
+        .select(
+            "doc_id",
+            F.col("m").cast("long").alias("n_kgrams"),
+            "n_fingerprints",
+            F.round(
+                F.col("n_fingerprints").cast("double") / (F.col("m") - w + 1), 6
+            ).alias("density"),
+            "max_gap",
+            (
+                (F.col("max_gap") <= w)
+                & (F.col("first_j") <= w)
+                & (F.col("last_j") >= F.col("m") - w + 1)
+            )
+            .cast("int")
+            .alias("guarantee_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q265 — Local Outlier Factor over the embedding space: the
+# density-RATIO outlier score (Breunig et al. 2000) that catches what
+# q155's global MAD and q244's norm QC cannot — a point that is
+# normal globally but isolated relative to ITS OWN neighborhood's
+# density. kNN restricted to the point's k-means cell (q48's
+# quantizer — the same blocking every dense-pair operator here uses),
+# so the pair join is O(n^2/k) not O(n^2); the oracle replays the
+# Lloyd iterations and the full reach-distance chain.
+# ---------------------------------------------------------------------------
+_LOF_K = 5
+_LOF_THRESHOLD = "1.5e0"
+
+
+def _lof_sql() -> str:
+    cosd = f"(1e0 - {_duck_cos('a.embedding', 'b.embedding')})"
+    return f"""
+    WITH {_kmeans_ctes()},
+    assign AS (SELECT vec_id, CAST(cid AS INT) AS cluster FROM a{_KMEANS_ITERS}),
+    cl AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, a.cluster
+      FROM embeddings e JOIN assign a USING (vec_id)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS ida, b.vec_id AS idb, {cosd} AS d
+      FROM cl a JOIN cl b
+        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT ida, idb, d,
+             ROW_NUMBER() OVER (PARTITION BY ida ORDER BY d, idb) AS rn
+      FROM pairs
+    ),
+    knn AS MATERIALIZED (SELECT ida, idb, d FROM ranked WHERE rn <= {_LOF_K}),
+    kd AS MATERIALIZED (SELECT ida AS v, MAX(d) AS kdist FROM knn GROUP BY 1),
+    reach AS (
+      SELECT k.ida, k.idb, GREATEST(kd.kdist, k.d) AS rd
+      FROM knn k JOIN kd ON kd.v = k.idb
+    ),
+    lrd AS MATERIALIZED (
+      SELECT ida AS v,
+             COUNT(*) / CAST(SUM(CAST(rd AS DECIMAL(28,12))) AS DOUBLE)
+               AS lrd
+      FROM reach GROUP BY 1
+    ),
+    lof AS (
+      SELECT k.ida AS vec_id,
+             CAST(SUM(CAST(lb.lrd AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) / la.lrd AS lof
+      FROM knn k
+      JOIN lrd lb ON lb.v = k.idb
+      JOIN lrd la ON la.v = k.ida
+      GROUP BY k.ida, la.lrd
+    )
+    SELECT l.vec_id, c.cluster, ROUND(kd.kdist, 6) AS kdist,
+           ROUND(la.lrd, 6) AS lrd, ROUND(l.lof, 6) AS lof,
+           CAST(l.lof > {_LOF_THRESHOLD} AS INT) AS is_outlier
+    FROM lof l
+    JOIN cl c ON c.vec_id = l.vec_id
+    JOIN kd ON kd.v = l.vec_id
+    JOIN lrd la ON la.v = l.vec_id
+    ORDER BY l.vec_id
+    """
+
+
+@register(
+    "q265_lof_outliers",
+    _lof_sql(),
+    doc="Local Outlier Factor (k=5) over cosine distance within "
+    "k-means cells: k-distance, reachability distance "
+    "max(kdist(neighbor), d), local reachability density, and the "
+    "LOF density ratio with a 1.5 outlier flag — the embedding-QC "
+    "signal that scores isolation RELATIVE to local density, not "
+    "global spread. Blocked kNN makes the pair join O(n^2/k) with the "
+    "same approximation posture as q109/q148; reach/lrd sums are "
+    "DECIMAL-quantized, all ranks on the (d, id) total order. At "
+    "100 TB the cell pair join shards by cluster key and the three "
+    "per-point tables are map-side aggregates",
+)
+def q265_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    cl = pin(e.join(assign, "vec_id").select("vec_id", "embedding", "cluster"))
+    a = cl.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("cluster").alias("ca"),
+    )
+    b = cl.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("cluster").alias("cb"),
+    )
+    d = 1.0 - vector.cosine_similarity(F.col("ea"), F.col("eb"))
+    pairs = a.join(
+        b, (F.col("ca") == F.col("cb")) & (F.col("ida") != F.col("idb"))
+    ).select("ida", "idb", d.alias("d"))
+    knn = pin(
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("ida").orderBy("d", "idb")),
+        )
+        .filter(F.col("rn") <= _LOF_K)
+        .select("ida", "idb", "d")
+    )
+    kd = pin(knn.groupBy(F.col("ida").alias("v")).agg(F.max("d").alias("kdist")))
+    reach = knn.join(kd, knn["idb"] == kd["v"]).select(
+        "ida", "idb", F.greatest(F.col("kdist"), F.col("d")).alias("rd")
+    )
+    lrd = pin(
+        reach.groupBy(F.col("ida").alias("v")).agg(
+            (
+                F.count("*")
+                / F.sum(F.col("rd").cast("decimal(28,12)")).cast("double")
+            ).alias("lrd")
+        )
+    )
+    lb = lrd.select(F.col("v").alias("vb"), F.col("lrd").alias("lrd_b"))
+    la = lrd.select(F.col("v").alias("va"), F.col("lrd").alias("lrd_a"))
+    lof = (
+        knn.join(lb, knn["idb"] == lb["vb"])
+        .join(la, knn["ida"] == la["va"])
+        .groupBy("ida", "lrd_a")
+        .agg(
+            (
+                F.sum(F.col("lrd_b").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+                / F.first("lrd_a")
+            ).alias("lof")
+        )
+    )
+    return (
+        lof.join(cl.select("vec_id", "cluster"), lof["ida"] == F.col("vec_id"))
+        .join(kd, F.col("v") == F.col("vec_id"))
+        .select(
+            "vec_id",
+            "cluster",
+            F.round("kdist", 6).alias("kdist"),
+            F.round("lrd_a", 6).alias("lrd"),
+            F.round("lof", 6).alias("lof"),
+            (F.col("lof") > 1.5).cast("int").alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q266 — BFS hop distance from a trusted seed set over the MinHash-LSH
+# similarity graph: min hops (capped at 4) from any hash-designated
+# trusted document, with deterministic seed attribution (smallest seed
+# among those at the min distance) — the hop-count complement of q186's
+# TrustRank mass (which decays but never says "2 hops away"). Spark
+# runs frontier rounds with per-round localCheckpoint (the q135
+# discipline); the oracle reaches the same unique fixpoint by
+# recursive CTE, so round structure never enters the compare.
+# ---------------------------------------------------------------------------
+_BFS_HOPS = 4
+_BFS_SEED_MOD = 50
+
+
+def _bfs_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    bb AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    bi AS MATERIALIZED (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+    reach(node, hop, seed) AS (
+      SELECT doc_id, 0, doc_id FROM documents
+      WHERE doc_id % {_BFS_SEED_MOD} = 0
+      UNION
+      SELECT bi.b, reach.hop + 1, reach.seed
+      FROM reach JOIN bi ON bi.a = reach.node
+      WHERE reach.hop < {_BFS_HOPS}
+    ),
+    m AS (SELECT node, MIN(hop) AS hops FROM reach GROUP BY 1)
+    SELECT m.node AS doc_id, CAST(m.hops AS INT) AS hops,
+           MIN(r.seed) AS nearest_seed
+    FROM reach r JOIN m ON m.node = r.node AND r.hop = m.hops
+    GROUP BY m.node, m.hops
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q266_trust_bfs_hops",
+    _bfs_sql(),
+    doc="BFS curation distance: min hop count (<= 4) from the trusted "
+    "seed documents (doc_id % 50 = 0) through the LSH candidate graph, "
+    "with the smallest achieving seed as attribution — per-round "
+    "frontier join + MIN(struct(hop, seed)) fold, each round "
+    "localCheckpointed so the plan stays linear in rounds (q135/q165 "
+    "lesson). Shuffle per round is O(edges); unreachable docs drop "
+    "instead of carrying a sentinel. Oracle = the same unique fixpoint "
+    "via recursive CTE with the horizon in the WHERE",
+)
+def q266_trust_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    cand = dd.lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    bi = pin(
+        cand.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).union(
+            cand.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+        )
+    )
+    dist = (
+        d.filter(F.col("doc_id") % _BFS_SEED_MOD == 0)
+        .select(
+            F.col("doc_id").alias("node"),
+            F.lit(0).alias("hop"),
+            F.col("doc_id").alias("seed"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_BFS_HOPS):
+        nxt = dist.join(bi, dist["node"] == bi["a"]).select(
+            F.col("b").alias("node"),
+            (F.col("hop") + 1).alias("hop"),
+            F.col("seed"),
+        )
+        dist = (
+            dist.union(nxt)
+            .groupBy("node")
+            .agg(F.min(F.struct("hop", "seed")).alias("m"))
+            .select("node", F.col("m.hop").alias("hop"), F.col("m.seed").alias("seed"))
+            .localCheckpoint()
+        )
+    return dist.select(
+        F.col("node").alias("doc_id"),
+        F.col("hop").cast("int").alias("hops"),
+        F.col("seed").alias("nearest_seed"),
+    ).orderBy("doc_id")
