@@ -20059,3 +20059,700 @@ def q266_trust_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hop").cast("int").alias("hops"),
         F.col("seed").alias("nearest_seed"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q267 — content-defined chunking (the rsync/LBFS/restic boundary
+# rule): a chunk break falls BEFORE token i wherever the 48-bit hash
+# of the preceding bigram is 0 mod D — boundaries move WITH content,
+# so an insertion re-chunks only its neighborhood, where q79's fixed
+# windows shift every downstream chunk. The storage-dedup view of the
+# corpus: chunk fingerprints shared across documents are bytes a
+# dedup store writes once.
+# ---------------------------------------------------------------------------
+_CDC_D = 32  # expected chunk length in tokens
+
+
+def _cdc_sql() -> str:
+    h = _hex48_duck("w[i-1] || ' ' || w[i]")
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    pos AS MATERIALIZED (
+      SELECT doc_id, i, w[i] AS t,
+             CASE WHEN i >= 2 AND ({h}) % {_CDC_D} = 0
+                  THEN 1 ELSE 0 END AS brk
+      FROM toks, UNNEST(generate_series(1, len(w))) AS g(i)
+    ),
+    ck AS (
+      SELECT doc_id, i, t,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS chunk
+      FROM pos
+    ),
+    chunks AS MATERIALIZED (
+      SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             md5(string_agg(t, ' ' ORDER BY i)) AS fp
+      FROM ck GROUP BY 1, 2
+    ),
+    share AS (SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+              FROM chunks GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(SUM(c.n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(MAX(c.n_toks) AS BIGINT) AS max_chunk_tokens,
+           ROUND(CAST(SUM(c.n_toks) AS DOUBLE) / COUNT(*), 6)
+             AS mean_chunk_tokens,
+           CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_chunks
+    FROM chunks c JOIN share s ON s.fp = c.fp
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """
+
+
+@register(
+    "q267_content_defined_chunking",
+    _cdc_sql(),
+    doc="content-defined chunking over token streams: break before "
+    "token i iff hash48(bigram ending at i) = 0 mod 32 (expected "
+    "32-token chunks, boundaries a local edit cannot shift globally), "
+    "chunk fingerprints via md5 of the joined tokens, and per doc the "
+    "chunk count/size profile plus how many of its chunks appear in "
+    "at least one OTHER document — the dedup-store view (shared "
+    "chunks are stored once). No min/max chunk clamp (stated "
+    "honestly; production CDC adds one against pathological runs). "
+    "One explode + one window + two aggregates; the share join is on "
+    "the chunk-hash key, O(chunks)",
+)
+def q267_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    wcol = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    toks = d.select("doc_id", wcol.alias("w"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.element_at(F.col("w"), (F.col("i") - 1).cast("int")),
+                    F.lit(" "),
+                    F.element_at(F.col("w"), F.col("i").cast("int")),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pos = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w"))).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        "i",
+        F.element_at(F.col("w"), F.col("i").cast("int")).alias("t"),
+        F.when((F.col("i") >= 2) & (h % _CDC_D == 0), 1).otherwise(0).alias("brk"),
+    )
+    ck = pos.withColumn(
+        "chunk",
+        F.sum("brk").over(
+            W.partitionBy("doc_id").orderBy("i").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ),
+    )
+    chunks = pin(
+        ck.groupBy("doc_id", "chunk").agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "t"))),
+                        lambda s: s["t"],
+                    ),
+                    " ",
+                )
+            ).alias("fp"),
+        )
+    )
+    share = chunks.groupBy("fp").agg(
+        F.count_distinct("doc_id").cast("long").alias("nd")
+    )
+    return (
+        chunks.join(share, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.max("n_toks").cast("long").alias("max_chunk_tokens"),
+            F.round(
+                F.sum("n_toks").cast("double") / F.count("*"), 6
+            ).alias("mean_chunk_tokens"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("shared_chunks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q268 — Markov removal-effect attribution (Anderl et al.): each
+# channel's value is how much total conversion DROPS when the channel
+# is deleted from the journey graph (paths through it fail) — the
+# counterfactual attribution that first/last/linear (q194) cannot
+# express (a middle channel that never touches the conversion edge
+# still carries mass). Start distribution = each user's first event;
+# the q255 truncated absorption recursion runs once on the full chain
+# and once per removed channel on the filtered matrix, all in the
+# same 2^30 fixed-point floor arithmetic. Channels are enumerated
+# statically (the fixture's event universe is stable across SFs, the
+# 'purchase' convention used since q74).
+# ---------------------------------------------------------------------------
+_RE_CHANNELS = ["click", "error", "signup", "view"]  # transient states
+
+
+def _removal_sql(T: int = _ABS_STEPS, s: int = _MKV_SCALE) -> str:
+    ctes = [
+        """pairs AS MATERIALIZED (
+      SELECT user_id, ts, event_id, event_type AS dst,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src
+      FROM events
+    )""",
+        """trans AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2
+    )""",
+        "rowtot AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM trans GROUP BY 1)",
+        f"""tfx AS MATERIALIZED (
+      SELECT t.src, t.dst, (t.cnt * {s}) // r.tot AS p_fx
+      FROM trans t JOIN rowtot r USING (src)
+    )""",
+        """firsts AS (
+      SELECT event_type FROM (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )""",
+        f"""pi0 AS MATERIALIZED (
+      SELECT event_type,
+             (CAST(COUNT(*) AS BIGINT) * {s})
+               // (SELECT COUNT(*) FROM firsts) AS w_fx
+      FROM firsts GROUP BY 1
+    )""",
+        "types AS MATERIALIZED (SELECT DISTINCT event_type FROM events)",
+    ]
+    variants = [("full", None)] + [(f"rm_{c}", c) for c in _RE_CHANNELS]
+    for vname, rm in variants:
+        drop = "" if rm is None else f" AND src <> '{rm}' AND dst <> '{rm}'"
+        tyf = "" if rm is None else f" WHERE event_type <> '{rm}'"
+        ctes.append(
+            f"""a_{vname}_0 AS (
+      SELECT event_type, CAST(0 AS BIGINT) AS p_abs FROM types{tyf}
+    )"""
+        )
+        for t in range(1, T + 1):
+            ctes.append(
+                f"""a_{vname}_{t} AS (
+      SELECT ty.event_type,
+             COALESCE(d.direct, CAST(0 AS BIGINT))
+               + COALESCE(c.carry, CAST(0 AS BIGINT)) AS p_abs
+      FROM (SELECT event_type FROM types{tyf}) ty
+      LEFT JOIN (
+        SELECT src AS event_type, p_fx AS direct FROM tfx
+        WHERE dst = 'purchase' AND src <> 'purchase'{drop}
+      ) d ON d.event_type = ty.event_type
+      LEFT JOIN (
+        SELECT t.src AS event_type,
+               CAST(SUM(t.p_fx * a.p_abs // {s}) AS BIGINT) AS carry
+        FROM tfx t JOIN a_{vname}_{t - 1} a ON a.event_type = t.dst
+        WHERE t.dst <> 'purchase' AND t.src <> 'purchase'{drop}
+        GROUP BY t.src
+      ) c ON c.event_type = ty.event_type
+    )"""
+            )
+        start_drop = "" if rm is None else f" AND p.event_type <> '{rm}'"
+        ctes.append(
+            f"""conv_{vname} AS (
+      SELECT (SELECT COALESCE(MAX(w_fx), 0) FROM pi0
+              WHERE event_type = 'purchase')
+             + COALESCE(CAST(SUM(p.w_fx * a.p_abs // {s}) AS BIGINT), 0)
+               AS conv_fx
+      FROM pi0 p JOIN a_{vname}_{T} a ON a.event_type = p.event_type
+      WHERE p.event_type <> 'purchase'{start_drop}
+    )"""
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT '{c}' AS channel, (SELECT conv_fx FROM conv_rm_{c}) AS conv_removed_fx"
+        for c in _RE_CHANNELS
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    rem AS ({union})
+    SELECT r.channel,
+           COALESCE(p.w_fx, 0) AS start_share_fx,
+           f.conv_fx AS conv_full_fx,
+           r.conv_removed_fx,
+           ROUND(1e0 - CAST(r.conv_removed_fx AS DOUBLE) / f.conv_fx, 6)
+             AS removal_effect,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY f.conv_fx - r.conv_removed_fx DESC, r.channel) AS INT)
+             AS rank
+    FROM rem r
+    CROSS JOIN conv_full f
+    LEFT JOIN pi0 p ON p.event_type = r.channel
+    ORDER BY rank
+    """
+
+
+@register(
+    "q268_markov_removal_attribution",
+    _removal_sql(),
+    doc="Markov removal-effect attribution: conversion mass = sum over "
+    "start states (each user's first event) of the 8-step truncated "
+    "absorption probability into 'purchase'; each channel's effect = "
+    "1 - conv(without the channel)/conv(full), where removal deletes "
+    "the state (transitions into it are lost paths, starts at it are "
+    "lost users) — the counterfactual credit q194's positional rules "
+    "cannot see. One window pass + one pair aggregate over events; "
+    "five |types|^2 fixed-point recursions (full + one per removed "
+    "channel), every iteration replayed as an oracle CTE in identical "
+    "floor arithmetic. Ranked by absolute conversion drop",
+)
+def q268_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    s = _MKV_SCALE
+    T = _ABS_STEPS
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    trans = pairs.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
+    rowtot = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("tot"))
+    tfx = pin(
+        trans.join(rowtot, "src").select(
+            "src", "dst", F.expr(f"(cnt * {s}) div tot").alias("p_fx")
+        )
+    )
+    firsts = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    nuser = firsts.count()
+    pi0 = pin(
+        firsts.groupBy("event_type").agg(
+            F.expr(f"(cast(count(*) as bigint) * {s}) div {nuser}").alias("w_fx")
+        )
+    )
+    types = e.select("event_type").distinct()
+
+    def absorb(rm: str | None):
+        tfx_v = tfx if rm is None else tfx.filter(
+            (F.col("src") != rm) & (F.col("dst") != rm)
+        )
+        types_v = types if rm is None else types.filter(F.col("event_type") != rm)
+        direct = tfx_v.filter(
+            (F.col("dst") == "purchase") & (F.col("src") != "purchase")
+        ).select(F.col("src").alias("event_type"), F.col("p_fx").alias("direct"))
+        a = types_v.select(
+            "event_type", F.lit(0).cast("long").alias("p_abs")
+        )
+        for _ in range(T):
+            carry = (
+                tfx_v.filter(
+                    (F.col("dst") != "purchase") & (F.col("src") != "purchase")
+                )
+                .join(
+                    a.select(
+                        F.col("event_type").alias("jt"), F.col("p_abs").alias("pa")
+                    ),
+                    F.col("dst") == F.col("jt"),
+                )
+                .groupBy("src")
+                .agg(
+                    F.sum(F.expr(f"(p_fx * pa) div {s}"))
+                    .cast("long")
+                    .alias("carry")
+                )
+            )
+            a = (
+                types_v.join(F.broadcast(direct), "event_type", "left")
+                .join(
+                    F.broadcast(carry.withColumnRenamed("src", "event_type")),
+                    "event_type",
+                    "left",
+                )
+                .select(
+                    "event_type",
+                    (
+                        F.coalesce("direct", F.lit(0).cast("long"))
+                        + F.coalesce("carry", F.lit(0).cast("long"))
+                    ).alias("p_abs"),
+                )
+            )
+        # conv = pi0(purchase) + sum_i pi0(i) * p_abs(i) // s
+        start_purchase = pi0.filter(F.col("event_type") == "purchase").select(
+            F.coalesce(F.max("w_fx"), F.lit(0).cast("long")).alias("sp")
+        )
+        joined = pi0.filter(F.col("event_type") != "purchase")
+        if rm is not None:
+            joined = joined.filter(F.col("event_type") != rm)
+        conv = (
+            joined.join(a, "event_type")
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr(f"(w_fx * p_abs) div {s}")).cast("long"),
+                    F.lit(0).cast("long"),
+                ).alias("carrysum")
+            )
+            .crossJoin(F.broadcast(start_purchase))
+            .select((F.col("sp") + F.col("carrysum")).alias("conv_fx"))
+            .localCheckpoint()
+        )
+        return conv
+
+    conv_full = absorb(None)
+    out = None
+    for c in _RE_CHANNELS:
+        row = absorb(c).select(
+            F.lit(c).alias("channel"),
+            F.col("conv_fx").alias("conv_removed_fx"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return (
+        out.crossJoin(
+            F.broadcast(conv_full.select(F.col("conv_fx").alias("conv_full_fx")))
+        )
+        .join(
+            F.broadcast(
+                pi0.select(
+                    F.col("event_type").alias("channel"),
+                    F.col("w_fx").alias("start_share_fx"),
+                )
+            ),
+            "channel",
+            "left",
+        )
+        .select(
+            "channel",
+            F.coalesce("start_share_fx", F.lit(0).cast("long")).alias(
+                "start_share_fx"
+            ),
+            "conv_full_fx",
+            "conv_removed_fx",
+            F.round(
+                1.0
+                - F.col("conv_removed_fx").cast("double")
+                / F.col("conv_full_fx"),
+                6,
+            ).alias("removal_effect"),
+            F.row_number()
+            .over(
+                W.orderBy(
+                    (F.col("conv_full_fx") - F.col("conv_removed_fx")).desc(),
+                    "channel",
+                )
+            )
+            .cast("int")
+            .alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q269 — Bloom-filter false-positive calibration: build the md5-derived
+# bloom filter q86's prefilter relies on (m bits, k=3 positions per
+# key) over the "existing corpus" fingerprints, probe it with the
+# truly-novel fingerprints, and compare the REALIZED false-positive
+# rate against the textbook (1 - e^(-kn/m))^k — the q185/q152
+# estimate-vs-truth audit family applied to the filter that gates
+# incremental dedup. The whole filter (set-bit census), both rates,
+# and the sizing verdict hash-verify.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def _bloom_fpr_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    wave = hash_bucket_sql("doc_id", 10)
+    keys = [hash_bucket_sql(f"fp || '|{i}'", _BLOOM_M) for i in range(_BLOOM_K)]
+    pos_rows = " UNION ALL ".join(
+        f"SELECT {kexpr} AS pos FROM members" for kexpr in keys
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT fp, {kexpr} AS pos FROM probes" for kexpr in keys
+    )
+    m, k = _BLOOM_M, _BLOOM_K
+    return f"""
+    WITH fps AS MATERIALIZED (
+      SELECT md5(text) AS fp, {wave} AS wave FROM documents
+    ),
+    members AS MATERIALIZED (SELECT DISTINCT fp FROM fps WHERE wave < 8),
+    probes AS MATERIALIZED (
+      SELECT DISTINCT fp FROM fps p WHERE wave >= 8
+        AND NOT EXISTS (SELECT 1 FROM members m WHERE m.fp = p.fp)
+    ),
+    bits AS MATERIALIZED (SELECT DISTINCT pos FROM ({pos_rows})),
+    pp AS (SELECT DISTINCT fp, pos FROM ({probe_pos})),
+    hits AS (
+      SELECT pp.fp, CAST(COUNT(b.pos) AS BIGINT) AS nhit,
+             CAST(COUNT(*) AS BIGINT) AS npos
+      FROM pp LEFT JOIN bits b ON b.pos = pp.pos
+      GROUP BY pp.fp
+    ),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+             CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(SUM(CASE WHEN nhit = npos THEN 1 ELSE 0 END) AS BIGINT)
+               AS false_positives
+      FROM hits
+    )
+    SELECT n_members, bits_set, n_probes, false_positives,
+           ROUND(CAST(bits_set AS DOUBLE) / {m}, 6) AS fill_ratio,
+           ROUND(CAST(false_positives AS DOUBLE) / n_probes, 6)
+             AS realized_fpr,
+           ROUND(CAST(bits_set AS DOUBLE) / {m}
+                 * (CAST(bits_set AS DOUBLE) / {m})
+                 * (CAST(bits_set AS DOUBLE) / {m}), 6) AS fill_fpr,
+           ROUND((1e0 - exp(-({k}e0 * n_members) / {m}e0))
+                 * (1e0 - exp(-({k}e0 * n_members) / {m}e0))
+                 * (1e0 - exp(-({k}e0 * n_members) / {m}e0)), 6)
+             AS theoretical_fpr
+    FROM agg
+    """
+
+
+@register(
+    "q269_bloom_fpr_calibration",
+    _bloom_fpr_sql(),
+    doc="Bloom false-positive audit: an m=4096-bit, k=3 filter built "
+    "from md5-derived positions over the existing-corpus fingerprints "
+    "(waves 0-7), probed with the genuinely novel wave-8/9 "
+    "fingerprints (anti-joined so every probe is a true non-member). "
+    "Outputs the set-bit census, realized FPR, the fill-ratio^k exact "
+    "upper view, and the textbook (1 - e^(-kn/m))^k — cubes by "
+    "multiplication, never pow(); exp's 1-ulp class is absorbed by "
+    "the 6-decimal round (q94 discipline). The calibration that sizes "
+    "q86's prefilter before anyone trusts its shuffle savings. One "
+    "fingerprint scan; every join is on bit positions or fingerprints",
+)
+def q269_bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    m, k = _BLOOM_M, _BLOOM_K
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    fps = d.select(
+        F.md5("text").alias("fp"), hash_bucket(F.col("doc_id"), 10).alias("wave")
+    )
+    members = pin(fps.filter(F.col("wave") < 8).select("fp").distinct())
+    probes = (
+        fps.filter(F.col("wave") >= 8)
+        .select("fp")
+        .distinct()
+        .join(members, "fp", "left_anti")
+    )
+    pos_of = lambda i: hash_bucket(
+        F.concat(F.col("fp"), F.lit(f"|{i}")), m
+    ).alias("pos")
+    bits = None
+    for i in range(k):
+        part = members.select(pos_of(i))
+        bits = part if bits is None else bits.union(part)
+    bits = pin(bits.distinct())
+    pp = None
+    for i in range(k):
+        part = probes.select("fp", pos_of(i))
+        pp = part if pp is None else pp.union(part)
+    pp = pp.distinct()
+    hits = (
+        pp.join(
+            F.broadcast(bits.withColumnRenamed("pos", "bpos")),
+            F.col("pos") == F.col("bpos"),
+            "left",
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("bpos").cast("long").alias("nhit"),
+            F.count("*").cast("long").alias("npos"),
+        )
+    )
+    nm = members.agg(F.count("*").cast("long").alias("n_members"))
+    nb = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    agg = (
+        hits.agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum(F.when(F.col("nhit") == F.col("npos"), 1).otherwise(0))
+            .cast("long")
+            .alias("false_positives"),
+        )
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nb))
+    )
+    fill = F.col("bits_set").cast("double") / m
+    t = 1.0 - F.exp(-(F.lit(float(k)) * F.col("n_members")) / float(m))
+    return agg.select(
+        "n_members",
+        "bits_set",
+        "n_probes",
+        "false_positives",
+        F.round(fill, 6).alias("fill_ratio"),
+        F.round(F.col("false_positives").cast("double") / F.col("n_probes"), 6)
+        .alias("realized_fpr"),
+        F.round(fill * fill * fill, 6).alias("fill_fpr"),
+        F.round(t * t * t, 6).alias("theoretical_fpr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q270 — single-link dendrogram cut sweep: exact connected components
+# of the Jaccard similarity graph at four thresholds — single-link
+# agglomerative clustering IS "components at cut tau", so one sweep
+# shows the clustering granularity curve (how fast near-dup islands
+# merge into continents as the bar drops) without ever building a
+# dendrogram. Pairs computed once (q33's df-capped machinery, pinned);
+# each cut reruns only the star-contraction on its edge subset.
+# ---------------------------------------------------------------------------
+_SL_TAUS = ["0.03", "0.05", "0.5", "0.9"]
+_SL_PREFILTER = 0.029  # unrounded guard below the lowest cut
+
+
+def _singlelink_sql() -> str:
+    ctes = [
+        _SHINGLES_CTE.strip(),
+        "sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1)",
+        "dfreq AS (SELECT shingle, COUNT(*) AS df_count FROM sh GROUP BY 1)",
+        f"""f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+          WHERE dfreq.df_count <= {_MAX_DF})""",
+        """inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )""",
+        f"""jac AS MATERIALIZED (
+      SELECT id_a, id_b,
+             ROUND(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6)
+               AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common)
+            >= {_SL_PREFILTER}
+    )""",
+    ]
+    outs = []
+    for i, tau in enumerate(_SL_TAUS):
+        ctes.append(
+            f"""bi_{i} AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM jac WHERE j >= {tau}e0
+      UNION SELECT id_b, id_a FROM jac WHERE j >= {tau}e0
+    )"""
+        )
+        ctes.append(
+            f"""reach_{i}(node, lbl) AS (
+      SELECT DISTINCT a, a FROM bi_{i}
+      UNION
+      SELECT bi_{i}.a, reach_{i}.lbl FROM reach_{i}
+      JOIN bi_{i} ON bi_{i}.b = reach_{i}.node
+    )"""
+        )
+        ctes.append(
+            f"""comp_{i} AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT node, MIN(lbl) AS component FROM reach_{i} GROUP BY 1
+      ) GROUP BY 1
+    )"""
+        )
+        outs.append(
+            f"""SELECT CAST({tau}e0 AS DOUBLE) AS tau,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM jac WHERE j >= {tau}e0)
+             AS n_edges,
+           CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS max_comp_size
+    FROM comp_{i}"""
+        )
+    joined = ",\n    ".join(ctes)
+    union = "\n    UNION ALL\n    ".join(outs)
+    return f"""
+    WITH RECURSIVE {joined}
+    SELECT * FROM ({union})
+    ORDER BY tau
+    """
+
+
+@register(
+    "q270_singlelink_cut_sweep",
+    _singlelink_sql(),
+    doc="single-link clustering granularity sweep: exact components of "
+    "the df-capped Jaccard graph at cuts 0.03/0.05/0.5/0.9 — per cut "
+    "the edge count, clustered-node count, component count, and "
+    "largest-island size; reading the rows top-down is walking the "
+    "dendrogram from near-identical copies to loose topical puddles, "
+    "the calibration for choosing q56/q135's operating threshold. "
+    "Pair computation runs ONCE (pinned); each cut pays only star "
+    "contraction on its own edge subset (O(edges) shuffles, O(log n) "
+    "rounds, per-round localCheckpoint). Cuts filter on the 6-decimal "
+    "ROUNDED similarity on both engines; the operator prefilter sits "
+    "at 0.029 unrounded so no boundary pair can straddle the lowest "
+    "cut differently",
+)
+def q270_singlelink_cut_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    jac = pin(
+        dd.ngram_jaccard_pairs(
+            d, "doc_id", "text", threshold=_SL_PREFILTER, max_df=_MAX_DF
+        )
+    )
+    out = None
+    for tau in _SL_TAUS:
+        t = float(tau)
+        edges = jac.filter(F.col("jaccard") >= t).select("id_a", "id_b")
+        comp = dd.connected_components_star(edges, persist_fn=pin)
+        csz = comp.groupBy("component").agg(F.count("*").cast("long").alias("cnt"))
+        ne = edges.agg(F.count("*").cast("long").alias("n_edges"))
+        row = (
+            csz.agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_nodes"),
+                F.count("*").cast("long").alias("n_components"),
+                F.coalesce(F.max("cnt"), F.lit(0))
+                .cast("long")
+                .alias("max_comp_size"),
+            )
+            .crossJoin(F.broadcast(ne))
+            .select(
+                F.lit(t).alias("tau"),
+                "n_edges",
+                "n_nodes",
+                "n_components",
+                "max_comp_size",
+            )
+            .localCheckpoint()
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("tau")
