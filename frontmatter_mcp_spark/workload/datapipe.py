@@ -20350,136 +20350,80 @@ def q268_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     ).filter(F.col("src").isNotNull())
     trans = pairs.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
     rowtot = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("tot"))
-    tfx = pin(
-        trans.join(rowtot, "src").select(
-            "src", "dst", F.expr(f"(cnt * {s}) div tot").alias("p_fx")
-        )
+    tfx_rows = (
+        trans.join(rowtot, "src")
+        .select("src", "dst", F.expr(f"(cnt * {s}) div tot").alias("p_fx"))
+        .collect()
     )
     firsts = (
         e.select("user_id", "ts", "event_id", "event_type")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
-    nuser = firsts.count()
-    pi0 = pin(
-        firsts.groupBy("event_type").agg(
-            F.expr(f"(cast(count(*) as bigint) * {s}) div {nuser}").alias("w_fx")
-        )
-    )
-    types = e.select("event_type").distinct()
+    pi0_rows = firsts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("cnt")
+    ).collect()
+    types = sorted({r.src for r in tfx_rows} | {r.dst for r in tfx_rows}
+                   | {r.event_type for r in pi0_rows})
+    # the recursion runs on the |types|^2 matrix — driver state, exact
+    # integers (Python // == SQL // on the nonnegative fixed points)
+    nuser = sum(r.cnt for r in pi0_rows)
+    pi0 = {r.event_type: (r.cnt * s) // nuser for r in pi0_rows}
+    tfx = {(r.src, r.dst): r.p_fx for r in tfx_rows}
 
-    def absorb(rm: str | None):
-        tfx_v = tfx if rm is None else tfx.filter(
-            (F.col("src") != rm) & (F.col("dst") != rm)
-        )
-        types_v = types if rm is None else types.filter(F.col("event_type") != rm)
-        direct = tfx_v.filter(
-            (F.col("dst") == "purchase") & (F.col("src") != "purchase")
-        ).select(F.col("src").alias("event_type"), F.col("p_fx").alias("direct"))
-        a = types_v.select(
-            "event_type", F.lit(0).cast("long").alias("p_abs")
-        )
+    def conv(rm: str | None) -> int:
+        keep = [t for t in types if t != rm]
+        p_abs = {t: 0 for t in keep}
         for _ in range(T):
-            carry = (
-                tfx_v.filter(
-                    (F.col("dst") != "purchase") & (F.col("src") != "purchase")
+            nxt = {}
+            for i in keep:
+                if i == "purchase":
+                    nxt[i] = 0
+                    continue
+                direct = tfx.get((i, "purchase"), 0)
+                carry = sum(
+                    (tfx[(i, j)] * p_abs[j]) // s
+                    for j in keep
+                    if j != "purchase" and (i, j) in tfx
                 )
-                .join(
-                    a.select(
-                        F.col("event_type").alias("jt"), F.col("p_abs").alias("pa")
-                    ),
-                    F.col("dst") == F.col("jt"),
-                )
-                .groupBy("src")
-                .agg(
-                    F.sum(F.expr(f"(p_fx * pa) div {s}"))
-                    .cast("long")
-                    .alias("carry")
-                )
-            )
-            a = (
-                types_v.join(F.broadcast(direct), "event_type", "left")
-                .join(
-                    F.broadcast(carry.withColumnRenamed("src", "event_type")),
-                    "event_type",
-                    "left",
-                )
-                .select(
-                    "event_type",
-                    (
-                        F.coalesce("direct", F.lit(0).cast("long"))
-                        + F.coalesce("carry", F.lit(0).cast("long"))
-                    ).alias("p_abs"),
-                )
-            )
-        # conv = pi0(purchase) + sum_i pi0(i) * p_abs(i) // s
-        start_purchase = pi0.filter(F.col("event_type") == "purchase").select(
-            F.coalesce(F.max("w_fx"), F.lit(0).cast("long")).alias("sp")
+                nxt[i] = direct + carry
+            p_abs = nxt
+        total = pi0.get("purchase", 0)
+        total += sum(
+            (pi0[i] * p_abs[i]) // s
+            for i in keep
+            if i != "purchase" and i in pi0
         )
-        joined = pi0.filter(F.col("event_type") != "purchase")
-        if rm is not None:
-            joined = joined.filter(F.col("event_type") != rm)
-        conv = (
-            joined.join(a, "event_type")
-            .agg(
-                F.coalesce(
-                    F.sum(F.expr(f"(w_fx * p_abs) div {s}")).cast("long"),
-                    F.lit(0).cast("long"),
-                ).alias("carrysum")
-            )
-            .crossJoin(F.broadcast(start_purchase))
-            .select((F.col("sp") + F.col("carrysum")).alias("conv_fx"))
-            .localCheckpoint()
-        )
-        return conv
+        return total
 
-    conv_full = absorb(None)
-    out = None
+    full = conv(None)
+    rows = []
     for c in _RE_CHANNELS:
-        row = absorb(c).select(
-            F.lit(c).alias("channel"),
-            F.col("conv_fx").alias("conv_removed_fx"),
+        removed = conv(c)
+        rows.append((c, pi0.get(c, 0), full, removed))
+    rows.sort(key=lambda r: (-(r[2] - r[3]), r[0]))
+    import math
+
+    def round6(v: float) -> float:
+        # SQL ROUND is half-UP; Python round() is half-even
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    out = [
+        (
+            c,
+            share,
+            f_,
+            r_,
+            round6(1.0 - float(r_) / f_),
+            rank + 1,
         )
-        out = row if out is None else out.unionAll(row)
-    return (
-        out.crossJoin(
-            F.broadcast(conv_full.select(F.col("conv_fx").alias("conv_full_fx")))
-        )
-        .join(
-            F.broadcast(
-                pi0.select(
-                    F.col("event_type").alias("channel"),
-                    F.col("w_fx").alias("start_share_fx"),
-                )
-            ),
-            "channel",
-            "left",
-        )
-        .select(
-            "channel",
-            F.coalesce("start_share_fx", F.lit(0).cast("long")).alias(
-                "start_share_fx"
-            ),
-            "conv_full_fx",
-            "conv_removed_fx",
-            F.round(
-                1.0
-                - F.col("conv_removed_fx").cast("double")
-                / F.col("conv_full_fx"),
-                6,
-            ).alias("removal_effect"),
-            F.row_number()
-            .over(
-                W.orderBy(
-                    (F.col("conv_full_fx") - F.col("conv_removed_fx")).desc(),
-                    "channel",
-                )
-            )
-            .cast("int")
-            .alias("rank"),
-        )
-        .orderBy("rank")
-    )
+        for rank, (c, share, f_, r_) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, start_share_fx long, conv_full_fx long, "
+        "conv_removed_fx long, removal_effect double, rank int",
+    ).orderBy("rank")
 
 
 # ---------------------------------------------------------------------------
@@ -20756,3 +20700,453 @@ def q270_singlelink_cut_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("tau")
+
+
+# ---------------------------------------------------------------------------
+# q271 — continuation pairs: document A's token SUFFIX equals document
+# B's PREFIX — the signature of one source text split across crawl
+# records / shard boundaries, which no symmetric dedup op here flags
+# (Jaccard/containment score low for a thin overlap, and q59's spans
+# don't say "B continues A"). Seeded by an equi-join on the 3-token
+# boundary gram, then the maximal overlap measured per candidate pair
+# (capped at 16 tokens) by direct token-slice equality.
+# ---------------------------------------------------------------------------
+_CONT_SEED = 3
+_CONT_MAX = 16
+
+
+def _continuation_sql() -> str:
+    k = _CONT_SEED
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    hb AS MATERIALIZED (
+      SELECT doc_id, w, len(w) AS n,
+             array_to_string(w[1:{k}], ' ') AS head,
+             array_to_string(w[len(w)-{k}+1:], ' ') AS tail
+      FROM toks WHERE len(w) >= {k} * 2
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.w AS wa, a.n AS na, b.w AS wb, b.n AS nb
+      FROM hb a JOIN hb b ON a.tail = b.head AND a.doc_id <> b.doc_id
+    ),
+    ov AS (
+      SELECT id_a, id_b, wb,
+             list_max([CASE WHEN wa[na-m+1:] = wb[1:m] THEN m END
+                       FOR m IN generate_series({k},
+                           LEAST({_CONT_MAX}, LEAST(na, nb)))]) AS overlap
+      FROM cand
+    )
+    SELECT id_a, id_b, CAST(overlap AS BIGINT) AS overlap_tokens,
+           array_to_string(wb[1:overlap], ' ') AS overlap_text
+    FROM ov WHERE overlap IS NOT NULL
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q271_continuation_pairs",
+    _continuation_sql(),
+    doc="shard-boundary continuation detection: pairs where doc A's "
+    "token suffix equals doc B's prefix — seeded by one equi-join on "
+    "the 3-token boundary gram (O(docs) shuffle on a tiny key), then "
+    "the MAXIMAL overlap per candidate measured by token-slice "
+    "equality up to 16 tokens. The asymmetric 'B continues A' signal "
+    "that symmetric Jaccard/containment scores near zero; downstream "
+    "a pipeline stitches such pairs back into one document before "
+    "training (split articles otherwise truncate context mid-"
+    "sentence). Candidate volume is collision-bounded; full token "
+    "arrays ride only on candidate rows",
+)
+def q271_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _CONT_SEED
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    wcol = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    hb = (
+        d.select("doc_id", wcol.alias("w"))
+        .filter(F.size("w") >= k * 2)
+        .select(
+            "doc_id",
+            "w",
+            F.size("w").alias("n"),
+            F.array_join(F.slice("w", 1, k), " ").alias("head"),
+            F.array_join(
+                F.slice(F.col("w"), F.size("w") - k + 1, k), " "
+            ).alias("tail"),
+        )
+    )
+    a = hb.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("w").alias("wa"),
+        F.col("n").alias("na"),
+        "tail",
+    )
+    b = hb.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("w").alias("wb"),
+        F.col("n").alias("nb"),
+        F.col("head").alias("headb"),
+    )
+    cand = a.join(
+        b, (F.col("tail") == F.col("headb")) & (F.col("id_a") != F.col("id_b"))
+    )
+    overlap = F.array_max(
+        F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(k), F.least(F.lit(_CONT_MAX), F.least("na", "nb"))
+                ),
+                lambda m: F.when(
+                    F.slice(F.col("wa"), F.col("na") - m + 1, m)
+                    == F.slice(F.col("wb"), F.lit(1), m),
+                    m,
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return (
+        cand.select("id_a", "id_b", "wb", overlap.alias("overlap"))
+        .filter(F.col("overlap").isNotNull())
+        .select(
+            "id_a",
+            "id_b",
+            F.col("overlap").cast("long").alias("overlap_tokens"),
+            F.array_join(
+                F.slice(F.col("wb"), F.lit(1), F.col("overlap")), " "
+            ).alias("overlap_text"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q272 — Self-BLEU corpus diversity (Zhu et al., the Texygen metric):
+# each sampled document scored as a "hypothesis" against every OTHER
+# sampled document as references — high Self-BLEU means the corpus
+# says the same things the same way (mode collapse in synthetic data,
+# template farms in crawls). Runs on the deterministic 5% md5 sample
+# (q170 discipline — sampling IS the 100 TB plan), with the exclude-
+# self reference max done by (max1, count-at-max, max2) statistics so
+# no per-pair join ever forms. No brevity penalty (it needs exp; the
+# clipped-precision core is the diversity signal), stated honestly.
+# ---------------------------------------------------------------------------
+_SB_SAMPLE = 50  # of 1000 md5 buckets -> 5%
+
+
+def _selfbleu_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id", 1000)
+    return f"""
+    WITH sample AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE {b} < {_SB_SAMPLE}
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, 1 AS n, unnest(w) AS g FROM sample
+      UNION ALL
+      SELECT doc_id, 2 AS n, w[i] || ' ' || w[i+1] AS g
+      FROM sample, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    stats AS MATERIALIZED (
+      SELECT n, g, MAX(c) AS max1,
+             CAST(COUNT(*) FILTER (WHERE c = mx) AS BIGINT) AS n_at_max,
+             MAX(c) FILTER (WHERE c < mx) AS max2
+      FROM (SELECT n, g, c, MAX(c) OVER (PARTITION BY n, g) AS mx FROM tf)
+      GROUP BY n, g
+    ),
+    clipped AS (
+      SELECT t.doc_id, t.n,
+             CAST(SUM(LEAST(t.c,
+               CASE WHEN t.c = s.max1 AND s.n_at_max = 1
+                    THEN COALESCE(s.max2, 0) ELSE s.max1 END)) AS BIGINT)
+               AS match_c,
+             CAST(SUM(t.c) AS BIGINT) AS tot_c
+      FROM tf t JOIN stats s ON s.n = t.n AND s.g = t.g
+      GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 1 THEN match_c END) AS m1,
+             MAX(CASE WHEN n = 1 THEN tot_c END) AS t1,
+             MAX(CASE WHEN n = 2 THEN match_c END) AS m2,
+             MAX(CASE WHEN n = 2 THEN tot_c END) AS t2
+      FROM clipped GROUP BY 1
+    )
+    SELECT doc_id, t1 AS n_tokens,
+           ROUND(CAST(m1 AS DOUBLE) / t1, 6) AS p1,
+           ROUND(CAST(COALESCE(m2, 0) AS DOUBLE) / COALESCE(t2, 1), 6) AS p2,
+           ROUND(sqrt((CAST(m1 AS DOUBLE) / t1)
+                      * (CAST(COALESCE(m2, 0) AS DOUBLE) / COALESCE(t2, 1))), 6)
+             AS self_bleu2
+    FROM piv
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q272_self_bleu_diversity",
+    _selfbleu_sql(),
+    doc="Self-BLEU-2 over the deterministic 5% sample: per sampled doc "
+    "the clipped unigram/bigram precisions against all other sampled "
+    "docs and their geometric mean (sqrt is correctly rounded IEEE — "
+    "the one BLEU aggregation that needs no exp). Exclude-self clip "
+    "via per-gram (max1, count-at-max, max2): if the hypothesis "
+    "itself holds the unique max, the reference ceiling is max2 — so "
+    "the metric needs one gram aggregate, never a doc x doc join. "
+    "High values = corpus redundancy/mode collapse; the generated-"
+    "data QC gate. Integer clipped sums, ratios rounded to 6",
+)
+def q272_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    wcol = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    sample = d.filter(hash_bucket(F.col("doc_id"), 1000) < _SB_SAMPLE).select(
+        "doc_id", wcol.alias("w")
+    )
+    uni = sample.select("doc_id", F.lit(1).alias("n"), F.explode("w").alias("g"))
+    bi = sample.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat(
+                    F.element_at(F.col("w"), i.cast("int")),
+                    F.lit(" "),
+                    F.element_at(F.col("w"), (i + 1).cast("int")),
+                ),
+            )
+        ).alias("g"),
+    )
+    tf = pin(
+        uni.union(bi)
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    mw = W.partitionBy("n", "g")
+    stats = (
+        tf.withColumn("mx", F.max("c").over(mw))
+        .groupBy("n", "g")
+        .agg(
+            F.max("c").alias("max1"),
+            F.sum(F.when(F.col("c") == F.col("mx"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_at_max"),
+            F.max(F.when(F.col("c") < F.col("mx"), F.col("c"))).alias("max2"),
+        )
+    )
+    ceiling = F.when(
+        (F.col("c") == F.col("max1")) & (F.col("n_at_max") == 1),
+        F.coalesce(F.col("max2"), F.lit(0)),
+    ).otherwise(F.col("max1"))
+    clipped = (
+        tf.join(stats, ["n", "g"])
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum(F.least(F.col("c"), ceiling)).cast("long").alias("match_c"),
+            F.sum("c").cast("long").alias("tot_c"),
+        )
+    )
+    piv = clipped.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("match_c"))).alias("m1"),
+        F.max(F.when(F.col("n") == 1, F.col("tot_c"))).alias("t1"),
+        F.max(F.when(F.col("n") == 2, F.col("match_c"))).alias("m2"),
+        F.max(F.when(F.col("n") == 2, F.col("tot_c"))).alias("t2"),
+    )
+    p1 = F.col("m1").cast("double") / F.col("t1")
+    p2 = F.coalesce(F.col("m2"), F.lit(0)).cast("double") / F.coalesce(
+        F.col("t2"), F.lit(1)
+    )
+    return piv.select(
+        "doc_id",
+        F.col("t1").alias("n_tokens"),
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(F.sqrt(p1 * p2), 6).alias("self_bleu2"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q273 — always-valid sequential A/B test (mSPRT, Johari et al. —
+# the "peeking problem" fix): q157's fixed-horizon z-test is only
+# valid if you look once; a live dashboard looks every day, so this
+# computes the mixture likelihood ratio per day over the cumulative
+# two-proportion stream and the always-valid p-value = running min of
+# 1/Lambda — valid at EVERY stopping time. Users hash-assigned to
+# arms; trials are user-days, success = a purchase that day.
+# ---------------------------------------------------------------------------
+_MSPRT_TAU2 = "0.01e0"  # mixture variance
+
+
+def _msprt_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    arm = f"CASE WHEN {hash_bucket_sql('user_id', 2)} = 0 THEN 'A' ELSE 'B' END"
+    t2 = _MSPRT_TAU2
+    return f"""
+    WITH ud AS (
+      SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS day,
+             {arm} AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT day, arm, CAST(COUNT(*) AS BIGINT) AS t_cnt,
+             CAST(SUM(conv) AS BIGINT) AS s_cnt
+      FROM ud GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT day, arm,
+             SUM(t_cnt) OVER (PARTITION BY arm ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+             SUM(s_cnt) OVER (PARTITION BY arm ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM daily
+    ),
+    wide AS (
+      SELECT a.day, a.n AS n_a, a.s AS s_a, b.n AS n_b, b.s AS s_b
+      FROM cum a JOIN cum b ON a.day = b.day AND a.arm = 'A' AND b.arm = 'B'
+    ),
+    stat AS (
+      SELECT day, n_a, s_a, n_b, s_b,
+             CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS theta,
+             (CAST(s_a + s_b AS DOUBLE) / (n_a + n_b))
+               * (1e0 - CAST(s_a + s_b AS DOUBLE) / (n_a + n_b))
+               * (1e0 / n_a + 1e0 / n_b) AS v
+      FROM wide
+    ),
+    lam AS (
+      SELECT day, n_a, s_a, n_b, s_b, theta, v,
+             sqrt(v / (v + {t2}))
+               * exp((theta * theta) * {t2} / (2e0 * v * (v + {t2}))) AS lambda
+      FROM stat WHERE v > 0e0
+    ),
+    pv AS (
+      SELECT day, n_a, s_a, n_b, s_b, theta, lambda,
+             LEAST(1e0, MIN(1e0 / lambda) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_always
+      FROM lam
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_a, s_a, n_b, s_b,
+           ROUND(theta, 6) AS theta,
+           ROUND(lambda, 6) AS lambda,
+           ROUND(p_always, 6) AS p_always,
+           CAST(p_always < 0.05e0 AS INT) AS reject_05
+    FROM pv ORDER BY day
+    """
+
+
+@register(
+    "q273_msprt_sequential_ab",
+    _msprt_sql(),
+    doc="mixture SPRT always-valid A/B readout: per day, the "
+    "cumulative two-proportion stream (users md5-split into arms, "
+    "trials = user-days, success = purchase), the mixture likelihood "
+    "ratio Lambda = sqrt(V/(V+tau^2)) * exp(theta^2 tau^2 / "
+    "(2V(V+tau^2))), and the always-valid p = min(1, running min of "
+    "1/Lambda) with the 0.05 rejection flag — the dashboard that a "
+    "team may peek at daily without inflating false positives, which "
+    "q157's fixed-horizon z-test forbids. Zero-variance warmup days "
+    "drop. sqrt is correctly rounded; exp's 1-ulp class is absorbed "
+    "by the 6-decimal round (q269 discipline). One user-day "
+    "aggregate + one |days|-sized window chain",
+)
+def q273_msprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(hash_bucket(F.col("user_id"), 2) == 0, "A").otherwise("B")
+    ud = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        )
+    ).select("user_id", "day", arm.alias("arm"), "conv")
+    daily = ud.groupBy("day", "arm").agg(
+        F.count("*").cast("long").alias("t_cnt"),
+        F.sum("conv").cast("long").alias("s_cnt"),
+    )
+    cw = W.partitionBy("arm").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        "arm",
+        F.sum("t_cnt").over(cw).alias("n"),
+        F.sum("s_cnt").over(cw).alias("s"),
+    )
+    a = cum.filter(F.col("arm") == "A").select(
+        "day", F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    b = cum.filter(F.col("arm") == "B").select(
+        F.col("day").alias("day_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+    )
+    wide = a.join(b, F.col("day") == F.col("day_b")).drop("day_b")
+    theta = F.col("s_a").cast("double") / F.col("n_a") - F.col("s_b").cast(
+        "double"
+    ) / F.col("n_b")
+    pooled = (F.col("s_a") + F.col("s_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    v = pooled * (1.0 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    t2 = 0.01
+    stat = wide.select(
+        "day", "n_a", "s_a", "n_b", "s_b", theta.alias("theta"), v.alias("v")
+    ).filter(F.col("v") > 0.0)
+    lam = stat.select(
+        "day",
+        "n_a",
+        "s_a",
+        "n_b",
+        "s_b",
+        "theta",
+        (
+            F.sqrt(F.col("v") / (F.col("v") + t2))
+            * F.exp(
+                (F.col("theta") * F.col("theta"))
+                * t2
+                / (2.0 * F.col("v") * (F.col("v") + t2))
+            )
+        ).alias("lambda"),
+    )
+    pw = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    pv = lam.withColumn(
+        "p_always", F.least(F.lit(1.0), F.min(1.0 / F.col("lambda")).over(pw))
+    )
+    return pv.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_a",
+        "s_a",
+        "n_b",
+        "s_b",
+        F.round("theta", 6).alias("theta"),
+        F.round("lambda", 6).alias("lambda"),
+        F.round("p_always", 6).alias("p_always"),
+        (F.col("p_always") < 0.05).cast("int").alias("reject_05"),
+    ).orderBy("day")
