@@ -19650,13 +19650,14 @@ def _hex48_duck(expr: str) -> str:
     return f"({v})"
 
 
-def _winnow_sql() -> str:
+def _winnow_fp_ctes() -> str:
+    """CTE chain toks..fp shared by q264 (per-doc report) and q276
+    (cross-doc candidate pairs)."""
     k, w = _WIN_K, _WIN_W
     kgram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k)).replace(
         "w[i+0]", "w[i]"
     )
-    return f"""
-    WITH toks AS MATERIALIZED (
+    return f"""toks AS MATERIALIZED (
       SELECT doc_id,
              list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                          x -> x <> '') AS w
@@ -19681,7 +19682,13 @@ def _winnow_sql() -> str:
     fp AS (
       SELECT DISTINCT doc_id, p + {w} - 1 - (key % 256) AS j, key // 256 AS h
       FROM sel
-    ),
+    )"""
+
+
+def _winnow_sql() -> str:
+    w = _WIN_W
+    return f"""
+    WITH {_winnow_fp_ctes()},
     g AS (
       SELECT doc_id, j,
              j - LAG(j) OVER (PARTITION BY doc_id ORDER BY j) AS gap
@@ -21150,3 +21157,558 @@ def q273_msprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_always", 6).alias("p_always"),
         (F.col("p_always") < 0.05).cast("int").alias("reject_05"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q274 — Heaps-law fit + crawl extrapolation: q256 measured the
+# novelty curve; this PRICES the next crawl — fit unique(n) = K*n^b
+# by log-log OLS over the ten cumulative wave points (the q196 OLS
+# discipline), then extrapolate to a 10x crawl and report the
+# predicted unique yield and marginal novelty rate. The quantified
+# "more crawl buys less" answer an acquisition budget actually needs.
+# ---------------------------------------------------------------------------
+def _heaps_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    wave = hash_bucket_sql("doc_id", 10)
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, md5(text) AS fp, {wave} AS wave FROM documents
+    ),
+    firsts AS (
+      SELECT fp, MIN(CAST(wave AS BIGINT) * 10000000000 + doc_id) AS fk
+      FROM t GROUP BY 1
+    ),
+    marked AS (
+      SELECT t.wave,
+             CASE WHEN CAST(t.wave AS BIGINT) * 10000000000 + t.doc_id = f.fk
+                  THEN 1 ELSE 0 END AS novel
+      FROM t JOIN firsts f ON f.fp = t.fp
+    ),
+    per AS (
+      SELECT wave, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(novel) AS BIGINT) AS n_novel
+      FROM marked GROUP BY 1
+    ),
+    curve AS MATERIALIZED (
+      SELECT wave,
+             CAST(SUM(n_docs) OVER (ORDER BY wave
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_docs,
+             CAST(SUM(n_novel) OVER (ORDER BY wave
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_unique
+      FROM per
+    ),
+    pts AS (
+      SELECT CAST(ln(CAST(cum_docs AS DOUBLE)) AS DECIMAL(28,12)) AS x,
+             CAST(ln(CAST(cum_unique AS DOUBLE)) AS DECIMAL(28,12)) AS y,
+             CAST(ln(CAST(cum_docs AS DOUBLE)) * ln(CAST(cum_unique AS DOUBLE))
+                  AS DECIMAL(28,12)) AS xy,
+             CAST(ln(CAST(cum_docs AS DOUBLE)) * ln(CAST(cum_docs AS DOUBLE))
+                  AS DECIMAL(28,12)) AS xx
+      FROM curve
+    ),
+    fit AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+      FROM pts
+    ),
+    co AS MATERIALIZED (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+             (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS lnk
+      FROM fit
+    ),
+    tot AS (SELECT MAX(cum_docs) AS nd, MAX(cum_unique) AS nu FROM curve)
+    SELECT c.wave AS point, c.cum_docs, c.cum_unique,
+           ROUND(exp(co.lnk + co.beta * ln(CAST(c.cum_docs AS DOUBLE))), 4)
+             AS fitted_unique,
+           ROUND(co.beta, 6) AS heaps_beta
+    FROM curve c CROSS JOIN co
+    UNION ALL
+    SELECT 99 AS point, t.nd * 10 AS cum_docs, NULL AS cum_unique,
+           ROUND(exp(co.lnk + co.beta * ln(CAST(t.nd AS DOUBLE) * 10e0)), 4)
+             AS fitted_unique,
+           ROUND(co.beta, 6) AS heaps_beta
+    FROM tot t CROSS JOIN co
+    ORDER BY point
+    """
+
+
+@register(
+    "q274_heaps_extrapolation",
+    _heaps_sql(),
+    doc="Heaps-law crawl pricing: the q256 cumulative (docs, unique "
+    "fingerprints) curve fitted as unique = K * n^beta by log-log OLS "
+    "(DECIMAL-quantized ln terms, q196 discipline), each wave point "
+    "reported observed-vs-fitted, plus the point=99 extrapolation row "
+    "predicting unique yield at a 10x crawl — beta near 1 means crawl "
+    "more, beta near 0 means the well is dry. exp/ln wobble absorbed "
+    "by rounding (4 decimals on the fitted counts). One fingerprint "
+    "aggregate; the fit runs on ten points",
+)
+def q274_heaps_extrapolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        hash_bucket(F.col("doc_id"), 10).alias("wave"),
+    )
+    key = F.col("wave").cast("long") * 10_000_000_000 + F.col("doc_id")
+    firsts = t.select("fp", key.alias("k")).groupBy("fp").agg(
+        F.min("k").alias("fk")
+    )
+    marked = t.join(firsts, "fp").select(
+        "wave", (key == F.col("fk")).cast("int").alias("novel")
+    )
+    per = marked.groupBy("wave").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("novel").cast("long").alias("n_novel"),
+    )
+    cw = W.orderBy("wave").rowsBetween(W.unboundedPreceding, 0)
+    curve = pin(
+        per.select(
+            "wave",
+            F.sum("n_docs").over(cw).cast("long").alias("cum_docs"),
+            F.sum("n_novel").over(cw).cast("long").alias("cum_unique"),
+        )
+    )
+    x = F.log(F.col("cum_docs").cast("double"))
+    y = F.log(F.col("cum_unique").cast("double"))
+    fit = curve.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x.cast("decimal(28,12)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(28,12)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,12)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(28,12)")).cast("double").alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    co = F.broadcast(
+        fit.select(
+            beta.alias("beta"),
+            ((F.col("sy") - beta * F.col("sx")) / F.col("n")).alias("lnk"),
+        )
+    )
+    obs = curve.crossJoin(co).select(
+        F.col("wave").cast("int").alias("point"),
+        "cum_docs",
+        "cum_unique",
+        F.round(
+            F.exp(F.col("lnk") + F.col("beta") * F.log(F.col("cum_docs").cast("double"))),
+            4,
+        ).alias("fitted_unique"),
+        F.round("beta", 6).alias("heaps_beta"),
+    )
+    tot = curve.agg(
+        F.max("cum_docs").alias("nd"), F.max("cum_unique").alias("nu")
+    )
+    ext = tot.crossJoin(co).select(
+        F.lit(99).alias("point"),
+        (F.col("nd") * 10).cast("long").alias("cum_docs"),
+        F.lit(None).cast("long").alias("cum_unique"),
+        F.round(
+            F.exp(
+                F.col("lnk")
+                + F.col("beta") * F.log(F.col("nd").cast("double") * 10.0)
+            ),
+            4,
+        ).alias("fitted_unique"),
+        F.round("beta", 6).alias("heaps_beta"),
+    )
+    return obs.unionAll(ext).orderBy("point")
+
+
+# ---------------------------------------------------------------------------
+# q275 — inter-rater agreement (Cohen's kappa) between two quality
+# raters: the length-window heuristic (q88's family) and a lexical-
+# diversity rater (q263's family, in 2^30 fixed point so the cut is
+# an integer compare). Kappa corrects raw agreement for chance — the
+# number that says whether two cheap gates are redundant or
+# complementary BEFORE anyone stacks them into a pipeline. The whole
+# 2x2 table is exact integers; kappa is one double division.
+# ---------------------------------------------------------------------------
+@register(
+    "q275_rater_kappa",
+    r"""
+    WITH m AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x <> '')) AS n_tok,
+             len(list_distinct(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x <> ''))) AS n_dis
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+             CAST(COUNT(*) AS BIGINT) AS n FROM m
+    ),
+    rated AS (
+      SELECT doc_id,
+             CASE WHEN m.n_chars * s.n * 2 >= s.tot_chars
+                   AND m.n_chars * s.n <= s.tot_chars * 2
+                  THEN 1 ELSE 0 END AS rater_len,
+             CASE WHEN (CAST(m.n_dis AS BIGINT) << 30) // m.n_tok
+                       >= 633318697
+                  THEN 1 ELSE 0 END AS rater_div
+      FROM m CROSS JOIN stats s
+      WHERE m.n_tok > 0
+    ),
+    tab AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rater_len) AS BIGINT) AS a_pass,
+             CAST(SUM(rater_div) AS BIGINT) AS b_pass,
+             CAST(SUM(rater_len * rater_div) AS BIGINT) AS both_pass,
+             CAST(SUM((1 - rater_len) * (1 - rater_div)) AS BIGINT)
+               AS both_fail
+      FROM rated
+    )
+    SELECT n, a_pass, b_pass, both_pass, both_fail,
+           ROUND(CAST(both_pass + both_fail AS DOUBLE) / n, 6) AS po,
+           ROUND((CAST(a_pass AS DOUBLE) * b_pass
+                  + CAST(n - a_pass AS DOUBLE) * (n - b_pass))
+                 / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           ROUND((CAST(both_pass + both_fail AS DOUBLE) / n
+                  - (CAST(a_pass AS DOUBLE) * b_pass
+                     + CAST(n - a_pass AS DOUBLE) * (n - b_pass))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1e0 - (CAST(a_pass AS DOUBLE) * b_pass
+                           + CAST(n - a_pass AS DOUBLE) * (n - b_pass))
+                          / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+    FROM tab
+    """,
+    doc="Cohen's kappa between the length-window rater (n_chars within "
+    "[mean/2, 2*mean], exact cross-multiplied integers — no division) "
+    "and the lexical-diversity rater (distinct/total tokens >= ~0.59 "
+    "as a 2^30 fixed-point compare): observed agreement po, chance "
+    "agreement pe from the marginals, kappa = (po-pe)/(1-pe). Near-1 "
+    "kappa means the second gate adds nothing; near-0 means they "
+    "screen different failures. 2x2 table exact; one corpus scan + "
+    "a one-row broadcast of the mean",
+)
+def q275_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(w).alias("n_tok"),
+        F.size(F.array_distinct(w)).alias("n_dis"),
+    )
+    stats = m.agg(
+        F.sum("n_chars").cast("long").alias("tot_chars"),
+        F.count("*").cast("long").alias("n"),
+    )
+    rated = (
+        m.filter(F.col("n_tok") > 0)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            (
+                (F.col("n_chars") * F.col("n") * 2 >= F.col("tot_chars"))
+                & (F.col("n_chars") * F.col("n") <= F.col("tot_chars") * 2)
+            )
+            .cast("int")
+            .alias("rater_len"),
+            (
+                F.expr("(cast(n_dis as bigint) * 1073741824) div n_tok")
+                >= F.lit(633318697)
+            )
+            .cast("int")
+            .alias("rater_div"),
+        )
+    )
+    tab = rated.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rater_len").cast("long").alias("a_pass"),
+        F.sum("rater_div").cast("long").alias("b_pass"),
+        F.sum(F.col("rater_len") * F.col("rater_div"))
+        .cast("long")
+        .alias("both_pass"),
+        F.sum((1 - F.col("rater_len")) * (1 - F.col("rater_div")))
+        .cast("long")
+        .alias("both_fail"),
+    )
+    po = (F.col("both_pass") + F.col("both_fail")).cast("double") / F.col("n")
+    pe = (
+        F.col("a_pass").cast("double") * F.col("b_pass")
+        + (F.col("n") - F.col("a_pass")).cast("double")
+        * (F.col("n") - F.col("b_pass"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return tab.select(
+        "n",
+        "a_pass",
+        "b_pass",
+        "both_pass",
+        "both_fail",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q277 — Jensen-Shannon divergence matrix between source unigram
+# distributions: the symmetric, bounded (0..ln2) "how alike are these
+# corpora" number that q179's PSI (binned, reference-vs-batch) and
+# q205's cross-entropy (asymmetric) don't give — the input a mixture
+# designer clusters sources by before setting q103/q106 weights.
+# Zero-probability terms contribute zero to their own side's sum, so
+# the full outer vocabulary union is handled by a conditional term.
+# ---------------------------------------------------------------------------
+@register(
+    "q277_source_jsd_matrix",
+    r"""
+    WITH words AS (
+      SELECT source, unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ),
+    v AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+          FROM words GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM v GROUP BY 1),
+    srcs AS (SELECT DISTINCT source FROM v),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    terms AS (
+      SELECT p.src_a, p.src_b, v.term,
+             CAST(SUM(CASE WHEN v.source = p.src_a THEN v.c ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN v.source = p.src_b THEN v.c ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM pairs p JOIN v ON v.source IN (p.src_a, p.src_b)
+      GROUP BY 1, 2, 3
+    ),
+    contrib AS (
+      SELECT t.src_a, t.src_b,
+             CAST(CASE WHEN t.ca > 0 THEN
+               0.5e0 * (CAST(t.ca AS DOUBLE) / na.n)
+               * ln((CAST(t.ca AS DOUBLE) / na.n)
+                    / ((CAST(t.ca AS DOUBLE) / na.n
+                        + CAST(t.cb AS DOUBLE) / nb.n) / 2e0))
+               ELSE 0e0 END AS DECIMAL(28,12)) AS ja,
+             CAST(CASE WHEN t.cb > 0 THEN
+               0.5e0 * (CAST(t.cb AS DOUBLE) / nb.n)
+               * ln((CAST(t.cb AS DOUBLE) / nb.n)
+                    / ((CAST(t.ca AS DOUBLE) / na.n
+                        + CAST(t.cb AS DOUBLE) / nb.n) / 2e0))
+               ELSE 0e0 END AS DECIMAL(28,12)) AS jb
+      FROM terms t
+      JOIN tot na ON na.source = t.src_a
+      JOIN tot nb ON nb.source = t.src_b
+    )
+    SELECT src_a, src_b,
+           ROUND(CAST(SUM(ja) + SUM(jb) AS DOUBLE), 6) AS jsd_nats,
+           ROUND(CAST(SUM(ja) + SUM(jb) AS DOUBLE) / ln(2e0), 6) AS jsd_bits
+    FROM contrib GROUP BY 1, 2
+    ORDER BY src_a, src_b
+    """,
+    doc="pairwise Jensen-Shannon divergence between source unigram "
+    "distributions: JSD = 0.5*KL(P||M) + 0.5*KL(Q||M) with M the "
+    "average — symmetric and bounded by ln 2, reported in nats and "
+    "bits. Per-term contributions are DECIMAL-quantized before the "
+    "order-free sum; zero-count terms contribute zero on their side "
+    "(the full-vocabulary union via conditional terms, no outer "
+    "join). One vocab aggregate; the pair work is |sources|^2 x "
+    "|vocab| rows",
+)
+def q277_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    v = pin(
+        d.select("source", F.explode(w).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = v.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    srcs = v.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("src_a")).join(
+        srcs.select(F.col("source").alias("src_b")),
+        F.col("src_a") < F.col("src_b"),
+    )
+    terms = (
+        F.broadcast(pairs)
+        .join(
+            v,
+            (v["source"] == F.col("src_a")) | (v["source"] == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "term")
+        .agg(
+            F.sum(F.when(F.col("source") == F.col("src_a"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("source") == F.col("src_b"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    na = tot.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    j = terms.join(F.broadcast(na), "src_a").join(F.broadcast(nb), "src_b")
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    m = (pa + pb) / 2.0
+    ja = F.when(F.col("ca") > 0, 0.5 * pa * F.log(pa / m)).otherwise(
+        F.lit(0.0)
+    ).cast("decimal(28,12)")
+    jb = F.when(F.col("cb") > 0, 0.5 * pb * F.log(pb / m)).otherwise(
+        F.lit(0.0)
+    ).cast("decimal(28,12)")
+    return (
+        j.select("src_a", "src_b", ja.alias("ja"), jb.alias("jb"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.round((F.sum("ja") + F.sum("jb")).cast("double"), 6).alias(
+                "jsd_nats"
+            ),
+            F.round(
+                (F.sum("ja") + F.sum("jb")).cast("double") / F.log(F.lit(2.0)),
+                6,
+            ).alias("jsd_bits"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q276 — winnowing candidate pairs: documents sharing >= 2 selected
+# fingerprints (distinct hashes, hub hashes df-capped) — MOSS's
+# actual matching step on top of q264's selection, and the third
+# blocking family beside MinHash-LSH (q32) and SimHash bands (q96):
+# winnowing candidates carry POSITIONS, so a hit localizes the
+# shared passage instead of just naming the pair.
+# ---------------------------------------------------------------------------
+_WIN_PAIR_MAXDF = 50
+_WIN_PAIR_MIN = 2
+
+
+def _winnow_pairs_sql() -> str:
+    return f"""
+    WITH {_winnow_fp_ctes()},
+    fph AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM fp),
+    hdf AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM fph GROUP BY 1),
+    keep AS (SELECT f.doc_id, f.h FROM fph f JOIN hdf USING (h)
+             WHERE hdf.df <= {_WIN_PAIR_MAXDF}),
+    nfp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+            FROM fph GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b, s.n_shared, na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+           ROUND(CAST(s.n_shared AS DOUBLE) / LEAST(na.n_fp, nb.n_fp), 6)
+             AS score
+    FROM shared s
+    JOIN nfp na ON na.doc_id = s.id_a
+    JOIN nfp nb ON nb.doc_id = s.id_b
+    WHERE s.n_shared >= {_WIN_PAIR_MIN}
+    ORDER BY s.id_a, s.id_b
+    """
+
+
+@register(
+    "q276_winnowing_pairs",
+    _winnow_pairs_sql(),
+    doc="winnowing-fingerprint candidate pairs (the MOSS matching "
+    "step): distinct selected hashes per doc, hub hashes dropped at "
+    "df>50 (the q33 stop-shingle discipline applied to fingerprints), "
+    "pairs sharing >= 2 fingerprints scored by shared/min(doc "
+    "fingerprints) — a containment-flavored score on the 64x-"
+    "compressed index, never the raw k-gram sets. The join shuffles "
+    "O(selected fingerprints), bounded per hash by the df-cap",
+)
+def q276_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    k, w = _WIN_K, _WIN_W
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    wcol = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    toks = d.select("doc_id", wcol.alias("w")).filter(F.size("w") >= k + w - 1)
+    kgram_parts = lambda i: F.concat_ws(
+        " ", *[F.element_at(F.col("w"), (i + j).cast("int")) for j in range(k)]
+    )
+    kg = toks.select(
+        "doc_id",
+        (F.size("w") - k + 1).cast("long").alias("m"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - k + 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("i"),
+                    F.conv(F.substring(F.md5(kgram_parts(i)), 1, 12), 16, 10)
+                    .cast("long")
+                    .alias("h"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "m", F.col("e.i").alias("i"), F.col("e.h").alias("h"))
+    wins = kg.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1).cast("long"), F.col("i") - w + 1),
+                F.least(F.col("i"), F.col("m") - w + 1),
+            )
+        ).alias("p"),
+        F.col("i").alias("j"),
+        "h",
+    )
+    sel = wins.groupBy("doc_id", "p").agg(
+        F.min(F.col("h") * 256 + (F.col("p") + w - 1 - F.col("j"))).alias("key")
+    )
+    fph = pin(
+        sel.select("doc_id", F.expr("key div 256").alias("h")).distinct()
+    )
+    hdf = fph.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    keep = fph.join(hdf.filter(F.col("df") <= _WIN_PAIR_MAXDF), "h").select(
+        "doc_id", "h"
+    )
+    nfp = fph.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
+    a = keep.select(F.col("doc_id").alias("id_a"), "h")
+    b = keep.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb"))
+    shared = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_PAIR_MIN)
+    )
+    na = nfp.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_fp_a"))
+    nb = nfp.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least(F.col("n_fp_a"), F.col("n_fp_b")),
+                6,
+            ).alias("score"),
+        )
+        .orderBy("id_a", "id_b")
+    )
