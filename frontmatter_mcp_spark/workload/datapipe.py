@@ -19568,7 +19568,8 @@ def q262_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tf GROUP BY 1
     )
     SELECT doc_id, n_tokens, n_distinct,
-           ROUND(ln(CAST(n_tokens AS DOUBLE)) - clnc / n_tokens, 6) AS entropy,
+           ROUND(ln(CAST(n_tokens AS DOUBLE)) - clnc / n_tokens, 6) + 0e0
+             AS entropy,
            CASE WHEN n_distinct = 1 THEN 0e0
                 ELSE ROUND((ln(CAST(n_tokens AS DOUBLE)) - clnc / n_tokens)
                            / ln(CAST(n_distinct AS DOUBLE)), 6) END
@@ -19617,7 +19618,7 @@ def q263_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_distinct",
-        F.round(ent, 6).alias("entropy"),
+        (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
         F.when(F.col("n_distinct") == 1, F.lit(0.0))
         .otherwise(
             F.round(ent / F.log(F.col("n_distinct").cast("double")), 6)
@@ -21712,3 +21713,180 @@ def q276_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q279 — V-optimal histogram of the daily event series (B=4 bins):
+# the bin layout minimizing total within-bin variance — what q184's
+# equi-depth rule ignores (equi-depth balances mass, V-optimal
+# balances ERROR, the difference every query optimizer's selectivity
+# estimate inherits). Segment cost is the exact integer
+# SS*len... - floor((S^2)/len) form, so the argmin is a pure integer
+# comparison; both engines search the identical (j1<j2<j3) cut space
+# with the identical (cost, cuts) lexicographic tie-break. The day
+# axis is bounded (a daily rollup), so exhaustive search is the
+# honest plan; a DP drops in at B or N beyond dashboard scale.
+# ---------------------------------------------------------------------------
+_VOPT_B = 4
+
+
+def _vopt_sql() -> str:
+    return """
+    WITH daily AS MATERIALIZED (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    idx AS MATERIALIZED (
+      SELECT day, n, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    pre AS MATERIALIZED (
+      SELECT i, day, n,
+             SUM(n) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS s,
+             SUM(n * n) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS ss
+      FROM idx
+    ),
+    nn AS (SELECT MAX(i) AS n_days FROM pre),
+    cuts AS (
+      SELECT a.i AS j1, b.i AS j2, c.i AS j3, t.n_days
+      FROM pre a, pre b, pre c, nn t
+      WHERE a.i < b.i AND b.i < c.i AND c.i < t.n_days
+    ),
+    seg AS (
+      SELECT j1, j2, j3, n_days,
+             ((SELECT ss FROM pre WHERE i = j1)
+              - ((SELECT s FROM pre WHERE i = j1)
+                 * (SELECT s FROM pre WHERE i = j1)) // j1)
+             + ((SELECT ss FROM pre WHERE i = j2)
+                - (SELECT ss FROM pre WHERE i = j1)
+                - (((SELECT s FROM pre WHERE i = j2)
+                    - (SELECT s FROM pre WHERE i = j1))
+                   * ((SELECT s FROM pre WHERE i = j2)
+                      - (SELECT s FROM pre WHERE i = j1))) // (j2 - j1))
+             + ((SELECT ss FROM pre WHERE i = j3)
+                - (SELECT ss FROM pre WHERE i = j2)
+                - (((SELECT s FROM pre WHERE i = j3)
+                    - (SELECT s FROM pre WHERE i = j2))
+                   * ((SELECT s FROM pre WHERE i = j3)
+                      - (SELECT s FROM pre WHERE i = j2))) // (j3 - j2))
+             + ((SELECT ss FROM pre WHERE i = n_days)
+                - (SELECT ss FROM pre WHERE i = j3)
+                - (((SELECT s FROM pre WHERE i = n_days)
+                    - (SELECT s FROM pre WHERE i = j3))
+                   * ((SELECT s FROM pre WHERE i = n_days)
+                      - (SELECT s FROM pre WHERE i = j3))) // (n_days - j3))
+               AS cost
+      FROM cuts
+    ),
+    best AS MATERIALIZED (
+      SELECT j1, j2, j3, n_days, cost
+      FROM seg ORDER BY cost, j1, j2, j3 LIMIT 1
+    ),
+    bounds AS (
+      SELECT 1 AS bin, 1 AS lo, j1 AS hi, cost, n_days FROM best
+      UNION ALL SELECT 2, j1 + 1, j2, cost, n_days FROM best
+      UNION ALL SELECT 3, j2 + 1, j3, cost, n_days FROM best
+      UNION ALL SELECT 4, j3 + 1, n_days, cost, n_days FROM best
+    ),
+    ew AS (
+      SELECT CAST(SUM(sse) AS BIGINT) AS ew_cost FROM (
+        SELECT SUM(b.n * b.n) - (SUM(b.n) * SUM(b.n)) // COUNT(*) AS sse
+        FROM pre b CROSS JOIN nn t
+        GROUP BY (((b.i - 1) * 4) // t.n_days)
+      )
+    )
+    SELECT bo.bin,
+           strftime((SELECT day FROM pre WHERE i = bo.lo),
+                    '%Y-%m-%d') AS day_start,
+           strftime((SELECT day FROM pre WHERE i = bo.hi),
+                    '%Y-%m-%d') AS day_end,
+           CAST(bo.hi - bo.lo + 1 AS BIGINT) AS n_days,
+           (SELECT s FROM pre WHERE i = bo.hi)
+             - COALESCE((SELECT s FROM pre WHERE i = bo.lo - 1), 0)
+             AS total_events,
+           bo.cost AS vopt_cost_fx,
+           e.ew_cost AS equiwidth_cost_fx,
+           ROUND(1e0 - CAST(bo.cost AS DOUBLE) / e.ew_cost, 6)
+             AS error_reduction
+    FROM bounds bo CROSS JOIN ew e
+    ORDER BY bo.bin
+    """
+
+
+@register(
+    "q279_voptimal_histogram",
+    _vopt_sql(),
+    doc="V-optimal histogram (B=4) of the daily event-volume series: "
+    "exhaustive search over (j1<j2<j3) cuts minimizing the exact "
+    "integer sum of within-bin SSE terms SS - floor(S^2/len), with "
+    "the (cost, cuts) lexicographic tie-break identical on both "
+    "engines; reports each optimal bin's span/mass/cost beside the "
+    "equi-width layout's cost and the error reduction bought. The "
+    "corpus pays one day aggregate; the O(days^3) search runs on the "
+    "bounded day axis (driver-side in Spark, the q268 pattern)",
+)
+def q279_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("day")
+        .collect()
+    )
+    days = [r.day for r in daily]
+    xs = [r.n for r in daily]
+    N = len(xs)
+    s = [0] * (N + 1)
+    ss = [0] * (N + 1)
+    for i in range(1, N + 1):
+        s[i] = s[i - 1] + xs[i - 1]
+        ss[i] = ss[i - 1] + xs[i - 1] * xs[i - 1]
+
+    def sse(lo: int, hi: int) -> int:  # 1-based inclusive
+        ln = hi - lo + 1
+        sg = s[hi] - s[lo - 1]
+        return (ss[hi] - ss[lo - 1]) - (sg * sg) // ln
+
+    best = None
+    for j1 in range(1, N - 2):
+        c1 = sse(1, j1)
+        for j2 in range(j1 + 1, N - 1):
+            c2 = c1 + sse(j1 + 1, j2)
+            for j3 in range(j2 + 1, N):
+                cost = c2 + sse(j2 + 1, j3) + sse(j3 + 1, N)
+                key = (cost, j1, j2, j3)
+                if best is None or key < best:
+                    best = key
+    cost, j1, j2, j3 = best
+    # equi-width layout on the day index: bin_no = ((i-1)*4)//N
+    ew_cost = 0
+    groups: dict[int, list[int]] = {}
+    for i in range(1, N + 1):
+        groups.setdefault(((i - 1) * 4) // N, []).append(i)
+    for g in groups.values():
+        ew_cost += sse(g[0], g[-1])
+    bounds = [(1, 1, j1), (2, j1 + 1, j2), (3, j2 + 1, j3), (4, j3 + 1, N)]
+    import math
+
+    rows = [
+        (
+            b,
+            days[lo - 1].strftime("%Y-%m-%d"),
+            days[hi - 1].strftime("%Y-%m-%d"),
+            hi - lo + 1,
+            s[hi] - s[lo - 1],
+            cost,
+            ew_cost,
+            math.floor((1.0 - float(cost) / ew_cost) * 1e6 + 0.5) / 1e6,
+        )
+        for b, lo, hi in bounds
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bin int, day_start string, day_end string, n_days long, "
+        "total_events long, vopt_cost_fx long, equiwidth_cost_fx long, "
+        "error_reduction double",
+    ).orderBy("bin")

@@ -874,3 +874,82 @@ def q258_stream_precedence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("before_type", "after_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q278 — streaming audience-entropy monitor: per (1-day window, type),
+# the Shannon entropy of the USER activity distribution and its
+# exp(H) "effective audience" — the concentration dashboard dual to
+# q191's Gini/top-share (entropy reads evenness, Gini reads
+# inequality; an incident that swaps the whole audience for three
+# bots moves both, a slow consolidation moves entropy first). Same
+# state discipline: the watermarked (window, type, user) count is the
+# only stateful stage; the entropy runs per trigger on the aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q278_stream_audience_entropy",
+    """
+    WITH uc AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS w, event_type, user_id,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    h AS (
+      SELECT w, event_type,
+             CAST(SUM(cnt) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(cnt * ln(CAST(cnt AS DOUBLE)) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS clnc
+      FROM uc GROUP BY 1, 2
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           n_events, n_users,
+           ROUND(ln(CAST(n_events AS DOUBLE)) - clnc / n_events, 6) + 0e0
+             AS entropy,
+           ROUND(exp(ln(CAST(n_events AS DOUBLE)) - clnc / n_events), 4)
+             AS effective_users
+    FROM h ORDER BY window_start, event_type
+    """,
+    doc="streaming audience-concentration monitor: watermarked 1-day "
+    "tumbling (window, type, user) counts — the only stateful stage, "
+    "bounded by the watermark — then per trigger the Shannon entropy "
+    "of the activity distribution (DECIMAL-quantized c*ln c terms, "
+    "q263 discipline) and exp(H) as the effective audience size. "
+    "effective_users collapsing toward 1 while n_events holds is the "
+    "bot-concentration alarm q254 screens for in batch. == batch "
+    "time_bucket + the same aggregate entropy",
+)
+def q278_stream_audience_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    per_user = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type", "user_id")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    uc = ev.run_stream_to_batch(per_user, "stream_entropy_out").select(
+        F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+        "event_type",
+        "cnt",
+    )
+    h = uc.groupBy("window_start", "event_type").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(
+            (F.col("cnt") * F.log(F.col("cnt").cast("double"))).cast(
+                "decimal(28,12)"
+            )
+        )
+        .cast("double")
+        .alias("clnc"),
+    )
+    ent = F.log(F.col("n_events").cast("double")) - F.col("clnc") / F.col(
+        "n_events"
+    )
+    return h.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        "n_users",
+        (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
+        F.round(F.exp(ent), 4).alias("effective_users"),
+    ).orderBy("window_start", "event_type")

@@ -943,3 +943,47 @@ def test_q262_bm25f_posting_joins_no_python(spark):
     plan = formatted_plan(spark, "q262_bm25f_topk")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE's OptimizeSkewedJoin: a sort-merge join with one hot key gets
+    its oversized shuffle partition split into parallel subtasks at
+    runtime — the engine-native answer to the skew q78 handles by
+    hand-salting aggregations. Thresholds default to 256MB because the
+    split only pays at scale; dropped here to pin the mechanism (a
+    100 TB hot key trips the defaults naturally). Results must be
+    identical with and without the rewrite. NOTE the rule pattern-matches
+    SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) only — an aggregate
+    between the sort and the stage (e.g. a distinct-built dim) defeats
+    it, which is itself worth pinning as documentation."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "100",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "800",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "800",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    hot = F.when(F.col("id") < 250, 249)
+    d1 = spark.range(0, 1000, 1, 10).select(
+        hot.when(F.col("id") >= 750, 1000).otherwise(F.col("id")).alias("key1"),
+        F.col("id").alias("value1"),
+    )
+    d2 = spark.range(0, 1000, 1, 10).select(
+        hot.otherwise(F.col("id")).alias("key2"), F.col("id").alias("value2")
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        j = d1.join(d2, F.col("key1") == F.col("key2"))
+        n_skew = j.count()
+        jj = d1.join(d2, F.col("key1") == F.col("key2"))
+        jj.collect()
+        plan = jj._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert n_skew == d1.join(d2, F.col("key1") == F.col("key2")).count()
