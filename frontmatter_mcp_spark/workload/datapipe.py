@@ -21890,3 +21890,360 @@ def q279_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_events long, vopt_cost_fx long, equiwidth_cost_fx long, "
         "error_reduction double",
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# q280 — edit-distance verification of LSH candidates: the third
+# verification metric for near-dup candidates after Jaccard (q33,
+# order-free) and containment (q87, length-free) — LEVENSHTEIN keeps
+# order AND position, so a doc with the same vocabulary reshuffled
+# scores high Jaccard but low edit similarity. Both engines ship an
+# exact integer levenshtein; it is O(len^2) per pair, which is
+# precisely why it only ever runs on the LSH-bounded candidate set,
+# never the corpus.
+# ---------------------------------------------------------------------------
+def _edit_verify_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    bb AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    txt AS (SELECT doc_id, trim(lower(text)) AS t,
+                   length(trim(lower(text))) AS n
+            FROM documents),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS edit_dist,
+             CAST(GREATEST(ta.n, tb.n) AS BIGINT) AS max_len
+      FROM cand c
+      JOIN txt ta ON ta.doc_id = c.id_a
+      JOIN txt tb ON tb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, edit_dist, max_len,
+           ROUND(1e0 - CAST(edit_dist AS DOUBLE) / max_len, 6)
+             AS edit_similarity,
+           CAST(edit_dist * 10 <= max_len AS INT) AS verified_90
+    FROM scored
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q280_edit_distance_verify",
+    _edit_verify_sql(),
+    doc="Levenshtein verification of the MinHash-LSH candidate pairs: "
+    "exact character edit distance (both engines' built-in integer "
+    "DP), similarity 1 - dist/max_len, and a 90%-similarity verdict "
+    "as the exact integer cross-multiplication dist*10 <= max_len. "
+    "Order- and position-sensitive where Jaccard (q33) is order-free "
+    "and containment (q87) is length-free — shuffled-vocabulary fakes "
+    "fail here. O(len^2) per pair is affordable ONLY on the "
+    "LSH-bounded candidate set; the plan touches the corpus once for "
+    "signatures and once for the two text lookups",
+)
+def q280_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    cand = dd.lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    txt = d.select(
+        "doc_id",
+        F.trim(F.lower(F.col("text"))).alias("t"),
+        F.length(F.trim(F.lower(F.col("text")))).alias("n"),
+    )
+    ta = txt.select(
+        F.col("doc_id").alias("id_a"), F.col("t").alias("tA"), F.col("n").alias("nA")
+    )
+    tb = txt.select(
+        F.col("doc_id").alias("id_b"), F.col("t").alias("tB"), F.col("n").alias("nB")
+    )
+    scored = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("tA", "tB").cast("long").alias("edit_dist"),
+            F.greatest("nA", "nB").cast("long").alias("max_len"),
+        )
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "edit_dist",
+        "max_len",
+        F.round(
+            1.0 - F.col("edit_dist").cast("double") / F.col("max_len"), 6
+        ).alias("edit_similarity"),
+        (F.col("edit_dist") * 10 <= F.col("max_len")).cast("int").alias(
+            "verified_90"
+        ),
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q281 — digit-normalized (template) dedup: documents identical up to
+# NUMBERS — timestamps, IDs, counters — are one template stamped many
+# times; exact dedup (q30) misses them because every stamp hashes
+# differently. Fingerprint md5(text with digit runs collapsed to #),
+# group, and report the template families exact dedup could not see.
+# ---------------------------------------------------------------------------
+@register(
+    "q281_digit_normalized_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id, md5(text) AS raw_fp,
+             md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS norm_fp
+      FROM documents
+    ),
+    fam AS (
+      SELECT norm_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_raw_variants,
+             MIN(doc_id) AS keeper_id
+      FROM fp GROUP BY 1
+    )
+    SELECT keeper_id, n_docs, n_raw_variants,
+           CAST(n_docs - 1 AS BIGINT) AS n_removable,
+           CAST(n_raw_variants > 1 AS INT) AS template_family
+    FROM fam
+    WHERE n_docs > 1
+    ORDER BY n_docs DESC, keeper_id
+    """,
+    doc="template dedup by digit normalization: collapse every digit "
+    "run to '#', fingerprint, group — families with n_raw_variants > 1 "
+    "are templates stamped with different numbers, invisible to q30's "
+    "exact hash and cheap enough to run before any MinHash machinery "
+    "(one narrow map + one fingerprint aggregate, the q30 shuffle "
+    "profile exactly). keeper = min doc_id, the q56 convention",
+)
+def q281_digit_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    fp = d.select(
+        "doc_id",
+        F.md5("text").alias("raw_fp"),
+        F.md5(F.regexp_replace("text", "[0-9]+", "#")).alias("norm_fp"),
+    )
+    fam = fp.groupBy("norm_fp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("raw_fp").cast("long").alias("n_raw_variants"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+    return (
+        fam.filter(F.col("n_docs") > 1)
+        .select(
+            "keeper_id",
+            "n_docs",
+            "n_raw_variants",
+            (F.col("n_docs") - 1).cast("long").alias("n_removable"),
+            (F.col("n_raw_variants") > 1).cast("int").alias("template_family"),
+        )
+        .orderBy(F.col("n_docs").desc(), "keeper_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q282 — sample-size adequacy audit (Wilson intervals): per source,
+# the observed quality-pass rate, its Wilson 95% CI half-width at the
+# current n, and the n required to measure the rate to +/-2% — the
+# pre-registration check that q157/q273's tests and q150's data card
+# quietly assume but never verify. Everything is sqrt/divide chains
+# (no exp, no pow); the pass rule is q275's integer fixed-point cut.
+# ---------------------------------------------------------------------------
+@register(
+    "q282_sample_adequacy",
+    r"""
+    WITH m AS (
+      SELECT source,
+             CASE WHEN (CAST(len(list_distinct(list_filter(
+                        string_split_regex(trim(lower(text)), '\s+'),
+                        x -> x <> ''))) AS BIGINT) << 30)
+                       // len(list_filter(
+                          string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '')) >= 633318697
+                  THEN 1 ELSE 0 END AS pass
+      FROM documents
+      WHERE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                x -> x <> '')) > 0
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pass) AS BIGINT) AS n_pass
+      FROM m GROUP BY 1
+    )
+    SELECT source, n, n_pass,
+           ROUND(CAST(n_pass AS DOUBLE) / n, 6) AS pass_rate,
+           ROUND(1.96e0 * sqrt((CAST(n_pass AS DOUBLE) / n)
+                               * (1e0 - CAST(n_pass AS DOUBLE) / n) / n
+                               + 1.96e0 * 1.96e0 / (4e0 * n * n))
+                 / (1e0 + 1.96e0 * 1.96e0 / n), 6) AS wilson_halfwidth,
+           CAST(CEIL(1.96e0 * 1.96e0 * (CAST(n_pass AS DOUBLE) / n)
+                     * (1e0 - CAST(n_pass AS DOUBLE) / n)
+                     / (0.02e0 * 0.02e0)) AS BIGINT) AS n_required_2pct,
+           CAST(1.96e0 * sqrt((CAST(n_pass AS DOUBLE) / n)
+                              * (1e0 - CAST(n_pass AS DOUBLE) / n) / n
+                              + 1.96e0 * 1.96e0 / (4e0 * n * n))
+                / (1e0 + 1.96e0 * 1.96e0 / n) <= 0.02e0 AS INT) AS adequate
+    FROM agg ORDER BY source
+    """,
+    doc="per-source measurement adequacy: observed pass rate of the "
+    "q275 lexical-diversity gate, its Wilson 95% half-width at the "
+    "current sample, the n needed for a +/-2% readout at that rate, "
+    "and the adequate verdict — the audit that says which per-source "
+    "numbers on the q150 data card are real and which are noise. "
+    "sqrt/divide only (both correctly rounded IEEE); the verdict "
+    "compares the unrounded half-width on both engines identically. "
+    "One scan + one aggregate",
+)
+def q282_sample_adequacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    m = d.select(
+        "source", F.size(w).alias("n_tok"), F.size(F.array_distinct(w)).alias("n_dis")
+    ).filter(F.col("n_tok") > 0)
+    agg = m.select(
+        "source",
+        (
+            F.expr("(cast(n_dis as bigint) * 1073741824) div n_tok")
+            >= F.lit(633318697)
+        )
+        .cast("int")
+        .alias("pass"),
+    ).groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pass").cast("long").alias("n_pass"),
+    )
+    p = F.col("n_pass").cast("double") / F.col("n")
+    z = 1.96
+    hw = (
+        z
+        * F.sqrt(p * (1.0 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n")))
+        / (1.0 + z * z / F.col("n"))
+    )
+    return agg.select(
+        "source",
+        "n",
+        "n_pass",
+        F.round(p, 6).alias("pass_rate"),
+        F.round(hw, 6).alias("wilson_halfwidth"),
+        F.ceil(z * z * p * (1.0 - p) / (0.02 * 0.02))
+        .cast("long")
+        .alias("n_required_2pct"),
+        (hw <= 0.02).cast("int").alias("adequate"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q283 — scalar calibration metrics (ECE / MCE / Brier) for the q111
+# trained filter: q117 prints the reliability TABLE; this is the
+# number a model card quotes. With fixed-point probabilities the ECE
+# collapses to an exact integer: sum over bins of |n_pos*S - sum p_fx|
+# all over N*S — no per-bin float means at all; Brier's numerator is
+# the exact BIGINT sum of (p_fx - y*S)^2.
+# ---------------------------------------------------------------------------
+def _ece_sql() -> str:
+    from frontmatter_mcp_spark.operators.classifier import SCALE
+
+    return f"""
+    WITH scored AS ({_classifier_sql()}),
+    fx AS (
+      SELECT CAST(LEAST(9, FLOOR(prob * 10)) AS INT) AS bucket,
+             CAST(prob * {SCALE} AS BIGINT) AS pfx,
+             CAST(label AS BIGINT) AS y
+      FROM scored
+    ),
+    bins AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(ABS(SUM(y) * {SCALE} - SUM(pfx)) AS BIGINT) AS diff_fx
+      FROM fx GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((pfx - y * {SCALE}) * (pfx - y * {SCALE})) AS BIGINT)
+               AS brier_fx
+      FROM fx
+    )
+    SELECT t.n, CAST(COUNT(*) AS INT) AS n_bins,
+           ROUND(CAST(SUM(b.diff_fx) AS DOUBLE) / (t.n * {SCALE}), 6) AS ece,
+           ROUND(MAX(CAST(b.diff_fx AS DOUBLE) / b.nb) / {SCALE}, 6) AS mce,
+           ROUND(CAST(t.brier_fx AS DOUBLE)
+                 / (t.n * CAST({SCALE} AS DOUBLE) * {SCALE}), 6) AS brier
+    FROM bins b CROSS JOIN tot t
+    GROUP BY t.n, t.brier_fx
+    """
+
+
+@register(
+    "q283_calibration_scalars",
+    _ece_sql(),
+    doc="expected / maximum calibration error and Brier score for the "
+    "q111 classifier over the q117 bins: ECE = sum_b |n_pos_b*S - "
+    "sum p_fx_b| / (N*S) — an exact integer numerator because the "
+    "probabilities are already fixed-point; MCE takes the worst bin "
+    "(max of per-bin rationals as IEEE doubles); Brier = exact "
+    "sum (p_fx - y*S)^2 over N*S^2. One scoring pass + a 10-row "
+    "bin aggregate; the scalars a model card quotes beside q117's "
+    "table and q149's confusion matrix",
+)
+def q283_calibration_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.classifier import SCALE, hashed_linear_scores
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    scored = hashed_linear_scores(
+        d,
+        "doc_id",
+        "text",
+        label=(F.col("lang") == "en").cast("int"),
+        buckets=_CLF_BUCKETS,
+        iters=_CLF_ITERS,
+        persist_fn=pin,
+    )
+    fx = scored.select(
+        F.least(F.lit(9), F.floor(F.col("prob") * 10)).cast("int").alias("bucket"),
+        (F.col("prob") * SCALE).cast("long").alias("pfx"),
+        F.col("label").cast("long").alias("y"),
+    )
+    bins = fx.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("nb"),
+        F.abs(F.sum("y") * SCALE - F.sum("pfx")).cast("long").alias("diff_fx"),
+    )
+    tot = fx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("pfx") - F.col("y") * SCALE) * (F.col("pfx") - F.col("y") * SCALE))
+        .cast("long")
+        .alias("brier_fx"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("n", "brier_fx")
+        .agg(
+            F.count("*").cast("int").alias("n_bins"),
+            F.round(
+                F.sum("diff_fx").cast("double") / (F.col("n") * F.lit(SCALE)), 6
+            ).alias("ece"),
+            F.round(
+                F.max(F.col("diff_fx").cast("double") / F.col("nb")) / SCALE, 6
+            ).alias("mce"),
+            F.round(
+                F.col("brier_fx").cast("double")
+                / (F.col("n") * float(SCALE) * SCALE),
+                6,
+            ).alias("brier"),
+        )
+        .select("n", "n_bins", "ece", "mce", "brier")
+    )
