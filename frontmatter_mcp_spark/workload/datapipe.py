@@ -22247,3 +22247,344 @@ def q283_calibration_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n", "n_bins", "ece", "mce", "brier")
     )
+
+
+# ---------------------------------------------------------------------------
+# q284 — difference-in-differences: the causal-inference workhorse —
+# treatment series vs control series, before vs after an intervention
+# day, the DiD estimate = (T_post - T_pre) - (C_post - C_pre) in
+# DAILY MEANS, with the parallel-trends diagnostic (pre-period slope
+# gap) that decides whether the design is believable. Means are
+# exact-integer cross-multiplications until one final double cast.
+# The intervention day is the series midpoint (deterministic).
+# ---------------------------------------------------------------------------
+@register(
+    "q284_diff_in_diff",
+    """
+    WITH daily AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2
+    ),
+    axis AS (
+      SELECT day, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             (SELECT COUNT(DISTINCT day) FROM daily) AS nd
+      FROM (SELECT DISTINCT day FROM daily)
+    ),
+    cells AS (
+      SELECT CASE WHEN d.event_type = 'click' THEN 1 ELSE 0 END AS treated,
+             CASE WHEN a.i * 2 > a.nd THEN 1 ELSE 0 END AS post,
+             CAST(SUM(d.n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily d JOIN axis a USING (day)
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN total END) AS t1,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN n_days END) AS t1n,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN total END) AS t0,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN n_days END) AS t0n,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN total END) AS c1,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN n_days END) AS c1n,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN total END) AS c0,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN n_days END) AS c0n
+      FROM cells
+    ),
+    pre AS (
+      SELECT CASE WHEN d.event_type = 'click' THEN 1 ELSE 0 END AS treated,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.i) AS BIGINT) AS sx, CAST(SUM(d.n) AS BIGINT) AS sy,
+             CAST(SUM(a.i * d.n) AS BIGINT) AS sxy,
+             CAST(SUM(a.i * a.i) AS BIGINT) AS sxx
+      FROM daily d JOIN axis a USING (day)
+      WHERE a.i * 2 <= a.nd
+      GROUP BY 1
+    ),
+    slopes AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 THEN
+          CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) END)
+          AS slope_t,
+        MAX(CASE WHEN treated = 0 THEN
+          CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) END)
+          AS slope_c
+      FROM pre
+    )
+    SELECT
+      ROUND(CAST(w.t0 AS DOUBLE) / w.t0n, 6) AS treated_pre_mean,
+      ROUND(CAST(w.t1 AS DOUBLE) / w.t1n, 6) AS treated_post_mean,
+      ROUND(CAST(w.c0 AS DOUBLE) / w.c0n, 6) AS control_pre_mean,
+      ROUND(CAST(w.c1 AS DOUBLE) / w.c1n, 6) AS control_post_mean,
+      ROUND((CAST(w.t1 AS DOUBLE) / w.t1n - CAST(w.t0 AS DOUBLE) / w.t0n)
+            - (CAST(w.c1 AS DOUBLE) / w.c1n - CAST(w.c0 AS DOUBLE) / w.c0n), 6)
+        AS did_estimate,
+      ROUND(s.slope_t - s.slope_c, 6) AS pretrend_slope_gap
+    FROM w CROSS JOIN slopes s
+    """,
+    doc="difference-in-differences on daily volumes: 'click' treated vs "
+    "'view' control, intervention at the day-axis midpoint; DiD = "
+    "(post-pre) mean change in treatment minus the same in control, "
+    "plus the pre-period OLS slope GAP between arms — the parallel-"
+    "trends check that makes or breaks the design (exact-integer "
+    "moment sums, one double division each, q196 discipline). One day "
+    "aggregate + 4-cell algebra",
+)
+def q284_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    days = daily.select("day").distinct()
+    nd = days.count()
+    axis = days.select(
+        "day", F.row_number().over(W.orderBy("day")).cast("long").alias("i")
+    )
+    j = daily.join(F.broadcast(axis), "day").select(
+        (F.col("event_type") == "click").cast("int").alias("treated"),
+        (F.col("i") * 2 > nd).cast("int").alias("post"),
+        "i",
+        "n",
+    )
+    cells = j.groupBy("treated", "post").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    w = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p), F.col(c)
+                )
+            ).alias(f"{name}{suffix}")
+            for t, p, name in [(1, 1, "t1"), (1, 0, "t0"), (0, 1, "c1"), (0, 0, "c0")]
+            for c, suffix in [("total", ""), ("n_days", "n")]
+        ]
+    )
+    pre = (
+        j.filter(F.col("i") * 2 <= nd)
+        .groupBy("treated")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("i").cast("long").alias("sx"),
+            F.sum("n").cast("long").alias("sy"),
+            F.sum(F.col("i") * F.col("n")).cast("long").alias("sxy"),
+            F.sum(F.col("i") * F.col("i")).cast("long").alias("sxx"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    slopes = pre.agg(
+        F.max(F.when(F.col("treated") == 1, slope)).alias("slope_t"),
+        F.max(F.when(F.col("treated") == 0, slope)).alias("slope_c"),
+    )
+    tpre = F.col("t0").cast("double") / F.col("t0n")
+    tpost = F.col("t1").cast("double") / F.col("t1n")
+    cpre = F.col("c0").cast("double") / F.col("c0n")
+    cpost = F.col("c1").cast("double") / F.col("c1n")
+    return (
+        w.crossJoin(F.broadcast(slopes))
+        .select(
+            F.round(tpre, 6).alias("treated_pre_mean"),
+            F.round(tpost, 6).alias("treated_post_mean"),
+            F.round(cpre, 6).alias("control_pre_mean"),
+            F.round(cpost, 6).alias("control_post_mean"),
+            F.round((tpost - tpre) - (cpost - cpre), 6).alias("did_estimate"),
+            F.round(F.col("slope_t") - F.col("slope_c"), 6).alias(
+                "pretrend_slope_gap"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q285 — capture-recapture corpus-size estimation (Lincoln-Petersen
+# with the Chapman correction): two INDEPENDENT deterministic md5
+# samples of document fingerprints; the overlap rate estimates the
+# total DISTINCT content population — the survey-statistics answer to
+# "how big is the deduplicated web" that needs two cheap samples
+# instead of a full q30 pass, with the exact answer riding along as
+# calibration (q166 discipline).
+# ---------------------------------------------------------------------------
+def _caprecap_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    b1 = hash_bucket_sql("fp || '|s1'", 1000)
+    b2 = hash_bucket_sql("fp || '|s2'", 1000)
+    return f"""
+    WITH fps AS MATERIALIZED (
+      SELECT DISTINCT md5(text) AS fp FROM documents
+    ),
+    marks AS (
+      SELECT fp, CAST({b1} < 200 AS INT) AS in1, CAST({b2} < 200 AS INT) AS in2
+      FROM fps
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+             CAST(SUM(in1) AS BIGINT) AS n1,
+             CAST(SUM(in2) AS BIGINT) AS n2,
+             CAST(SUM(in1 * in2) AS BIGINT) AS m
+      FROM marks
+    )
+    SELECT n_true, n1, n2, m,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman_est,
+           ROUND(CAST(n1 AS DOUBLE) * n2 / m, 4) AS lincoln_petersen_est,
+           ROUND(ABS(CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS DOUBLE)
+                     - n_true) / n_true, 6) AS chapman_rel_err,
+           CAST(ABS(CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS DOUBLE)
+                    - n_true) / n_true <= 0.15e0 AS INT) AS within_15pct
+    FROM agg
+    """
+
+
+@register(
+    "q285_capture_recapture",
+    _caprecap_sql(),
+    doc="capture-recapture estimate of the distinct-content population: "
+    "two independent 20% md5 samples of document fingerprints (keyed "
+    "with different salts, so membership is independent), overlap m, "
+    "Chapman estimator (n1+1)(n2+1)/(m+1) - 1 in exact integer floor "
+    "division beside the raw Lincoln-Petersen ratio — the two-cheap-"
+    "passes population estimate, with the exact distinct count and "
+    "relative error as hash-checked calibration columns. One "
+    "fingerprint scan, one aggregate, no joins",
+)
+def q285_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select(F.md5("text").alias("fp")).distinct()
+    marks = fps.select(
+        (hash_bucket(F.concat(F.col("fp"), F.lit("|s1")), 1000) < 200)
+        .cast("int")
+        .alias("in1"),
+        (hash_bucket(F.concat(F.col("fp"), F.lit("|s2")), 1000) < 200)
+        .cast("int")
+        .alias("in2"),
+    )
+    agg = marks.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("m"),
+    )
+    chapman = F.expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1")
+    rel_err = F.abs(chapman.cast("double") - F.col("n_true")) / F.col("n_true")
+    return agg.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        chapman.cast("long").alias("chapman_est"),
+        F.round(F.col("n1").cast("double") * F.col("n2") / F.col("m"), 4).alias(
+            "lincoln_petersen_est"
+        ),
+        F.round(rel_err, 6).alias("chapman_rel_err"),
+        (rel_err <= 0.15).cast("int").alias("within_15pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q286 — rarity-weighted Jaccard: plain Jaccard (q33) lets fifty
+# shared boilerplate shingles outvote one shared rare passage; here
+# every kept shingle carries an integer rarity weight (N*16)//df —
+# monotone in inverse document frequency with NO ln, so the weighted
+# intersection and union are exact BIGINTs and the score is one final
+# division. Stop-shingles (df > cap) are excluded from numerator AND
+# denominator — standard stopword semantics, stated in the contract.
+# ---------------------------------------------------------------------------
+_WJ_THRESHOLD = "0.25e0"
+
+
+def _weighted_jaccard_sql() -> str:
+    return f"""
+    WITH {_SHINGLES_CTE},
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM sh),
+    dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+              FROM sh GROUP BY 1),
+    wsh AS (
+      SELECT sh.doc_id, sh.shingle, (nd.n * 16) // dfreq.df AS w
+      FROM sh JOIN dfreq USING (shingle) CROSS JOIN nd
+      WHERE dfreq.df <= {_MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS tw
+              FROM wsh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(a.w) AS BIGINT) AS iw,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM wsh a JOIN wsh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, iw,
+           sa.tw + sb.tw - iw AS uw,
+           ROUND(CAST(iw AS DOUBLE) / (sa.tw + sb.tw - iw), 6)
+             AS weighted_jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(iw AS DOUBLE) / (sa.tw + sb.tw - iw) >= {_WJ_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q286_weighted_jaccard_pairs",
+    _weighted_jaccard_sql(),
+    doc="rarity-weighted Jaccard pairs >= 0.25 over the df-capped "
+    "shingle space: weight (N*16)//df is an exact integer IDF "
+    "surrogate (no ln, so weights can never flip on a 1-ulp "
+    "boundary); weighted intersection / weighted union with both "
+    "sums BIGINT-exact, one double division at the end. A pair "
+    "sharing one rare passage now outranks a pair sharing generic "
+    "glue — the ranking plain q33 inverts on boilerplate-heavy "
+    "corpora. Same O(n) df-capped self-join shuffle profile as q33",
+)
+def q286_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = d.select(
+        "doc_id", F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    nd = sh.select("doc_id").distinct().count()
+    dfreq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    wsh = pin(
+        sh.join(dfreq.filter(F.col("df") <= _MAX_DF), "shingle").select(
+            "doc_id", "shingle", F.expr(f"({nd} * 16) div df").alias("w")
+        )
+    )
+    sizes = wsh.groupBy("doc_id").agg(F.sum("w").cast("long").alias("tw"))
+    a = wsh.select(F.col("doc_id").alias("id_a"), "shingle", F.col("w").alias("wa"))
+    b = wsh.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh2"))
+    inter = (
+        a.join(b, (F.col("shingle") == F.col("sh2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum("wa").cast("long").alias("iw"),
+            F.count("*").cast("long").alias("n_common"),
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("tw").alias("twa"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("tw").alias("twb"))
+    uw = F.col("twa") + F.col("twb") - F.col("iw")
+    wj = F.col("iw").cast("double") / uw
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(wj >= 0.25)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "iw",
+            uw.cast("long").alias("uw"),
+            F.round(wj, 6).alias("weighted_jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
