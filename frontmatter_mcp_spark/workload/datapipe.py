@@ -22588,3 +22588,55 @@ def q286_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q287 — path census by NATIVE recursive CTE: Spark 4.1 executes
+# WITH RECURSIVE, so for the first time a recursion runs as the SAME
+# VERBATIM SQL text on both engines — no oracle-side replay, no
+# Python loop, the engine's own iterative execution on each side.
+# The recursion enumerates walks (UNION ALL path semantics — Spark
+# does not yet support the deduplicating UNION in recursion, which is
+# exactly why this counts PATHS, a quantity where multiplicity is the
+# point) of length <= 4 from 'signup' through the observed
+# event-transition graph.
+# ---------------------------------------------------------------------------
+_PATH_CENSUS_SQL = """
+    WITH RECURSIVE pairs AS (
+      SELECT user_id, event_type AS dst,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src
+      FROM events
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM pairs WHERE src IS NOT NULL),
+    walk AS (
+      SELECT 0 AS step, 'signup' AS node
+      UNION ALL
+      SELECT w.step + 1 AS step, e.dst AS node
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.step < 4
+    )
+    SELECT step, node, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM walk GROUP BY step, node
+    ORDER BY step, node
+    """
+
+
+@register(
+    "q287_recursive_path_census",
+    _PATH_CENSUS_SQL,
+    doc="walk census of the behavior graph from 'signup': number of "
+    "distinct edge-paths of each length <= 4 ending at each type, "
+    "over the DISTINCT observed transition edges — computed by ONE "
+    "verbatim WITH RECURSIVE text that Spark 4.1 and DuckDB both "
+    "execute natively (the first query here where neither side "
+    "replays the other's iteration; Spark's recursion supports UNION "
+    "ALL only, so the path-multiplicity semantics is the honest "
+    "choice). The corpus pays one window pass; the recursion runs on "
+    "the |types|^2 edge set. Path counts growing super-linearly in "
+    "step = a densely connected behavior graph (users can reach "
+    "anything from anywhere — no funnel discipline)",
+)
+def q287_recursive_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_PATH_CENSUS_SQL)

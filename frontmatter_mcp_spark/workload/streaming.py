@@ -953,3 +953,64 @@ def q278_stream_audience_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
         F.round(F.exp(ent), 4).alias("effective_users"),
     ).orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q288 — streaming TEMPLATE gate: q281's digit-normalized dedup as an
+# ingestion operator — the stream is deduped on (source, md5(text
+# with digit runs collapsed)), so the thousandth stamp of a template
+# never reaches downstream state; per source the surviving template
+# count and how many templates carry digit slots. Bounded state via
+# dropDuplicatesWithinWatermark (q92's discipline); the digit-slot
+# flag is a pure function of the NORMALIZED text, identical for every
+# variant of a family, so the output is deterministic even though the
+# surviving row is not.
+# ---------------------------------------------------------------------------
+@register(
+    "q288_stream_template_gate",
+    """
+    WITH t AS (
+      SELECT DISTINCT source,
+             md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS nfp,
+             CASE WHEN regexp_replace(text, '[0-9]+', '#', 'g') LIKE '%#%'
+                  THEN 1 ELSE 0 END AS has_digits
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS INT) AS n_templates,
+           CAST(SUM(has_digits) AS INT) AS n_digit_templates
+    FROM t GROUP BY source
+    """,
+    doc="streaming template-dedup gate: documents deduped on (source, "
+    "digit-normalized fingerprint) under a 24h watermark "
+    "(dropDuplicatesWithinWatermark — state bounded by retention, the "
+    "q92 discipline), then per-source counts of surviving templates "
+    "and of templates containing digit slots — the stream-side "
+    "version of q281 that stops template storms AT INGESTION instead "
+    "of in a batch sweep. == batch DISTINCT on the normalized key",
+)
+def q288_stream_template_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.streaming import ingest
+
+    stream = ingest.read_documents_stream(spark, sf_dir)
+    stream = stream.withColumn(
+        "arrival_ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 3600),
+    )
+    norm = F.regexp_replace("text", "[0-9]+", "#")
+    u = (
+        stream.select(
+            "source",
+            F.md5(norm).alias("nfp"),
+            norm.contains("#").cast("int").alias("has_digits"),
+            "arrival_ts",
+        )
+        .withWatermark("arrival_ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["source", "nfp"])
+    )
+    stats = u.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_templates"),
+        F.sum("has_digits").cast("int").alias("n_digit_templates"),
+    )
+    return ev.run_stream_to_batch(stats, "stream_template_gate_out").select(
+        "source", "n_templates", "n_digit_templates"
+    )
