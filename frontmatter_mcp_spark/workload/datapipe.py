@@ -22640,3 +22640,219 @@ _PATH_CENSUS_SQL = """
 def q287_recursive_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_PATH_CENSUS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q289 — the Gopher rule panel (Rae et al. 2021, Table A1): every
+# applicable Gopher quality rule as its own hash-checked pass flag
+# plus the conjunctive verdict — the named filter set people actually
+# cite, assembled in one narrow scan. Line-based rules (bullet/
+# ellipsis line fractions) need newline structure the synthetic
+# corpus lacks and are excluded BY NAME in the contract. All ratios
+# are exact integer cross-multiplications — no divisions anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "q289_gopher_panel",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+               AS sum_wlen,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(w,
+                  x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have',
+                             'with'))) AS BIGINT) AS n_stop,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               AS n_hash,
+             CAST((length(text)
+                   - length(replace(text, '...', ''))) // 3 AS BIGINT)
+               AS n_ellipsis,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM m JOIN documents USING (doc_id)
+    ),
+    flags AS (
+      SELECT doc_id, n_words,
+             CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS word_count_ok,
+             CAST(sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words AS INT)
+               AS mean_word_len_ok,
+             CAST(n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words AS INT)
+               AS symbol_ratio_ok,
+             CAST(n_alpha * 10 >= n_words * 8 AS INT) AS alpha_fraction_ok,
+             CAST(n_stop >= 2 AS INT) AS stopword_ok
+      FROM f
+    )
+    SELECT doc_id, n_words, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+           alpha_fraction_ok, stopword_ok,
+           CAST(word_count_ok * mean_word_len_ok * symbol_ratio_ok
+                * alpha_fraction_ok * stopword_ok AS INT) AS gopher_pass
+    FROM flags
+    ORDER BY doc_id
+    """,
+    doc="the Gopher quality rules as a per-document panel: word count "
+    "in [50, 100k], mean word length in [3, 10] (as the exact "
+    "cross-multiplication 3n <= sum_len <= 10n), hash and ellipsis "
+    "symbol ratios <= 0.1, >= 80% purely-alphabetic words, >= 2 of "
+    "the paper's required stopwords — each rule its own flag, the "
+    "verdict their product. Line-fraction rules (bullets/ellipsis "
+    "line starts) are excluded by name: the synthetic corpus has no "
+    "newline structure to judge. No divisions — every ratio is an "
+    "integer comparison. One narrow scan",
+)
+def q289_gopher_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    f = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("sum_wlen"),
+        F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))).cast("long").alias(
+            "n_alpha"
+        ),
+        F.size(F.filter(w, lambda x: x.isin(stop))).cast("long").alias("n_stop"),
+        (F.length("text") - F.length(F.replace("text", F.lit("#"), F.lit(""))))
+        .cast("long")
+        .alias("n_hash"),
+        F.expr(
+            "cast((length(text) - length(replace(text, '...', ''))) div 3"
+            " as bigint)"
+        ).alias("n_ellipsis"),
+    )
+    word_count_ok = ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)).cast("int")
+    mwl_ok = (
+        (F.col("sum_wlen") >= 3 * F.col("n_words"))
+        & (F.col("sum_wlen") <= 10 * F.col("n_words"))
+    ).cast("int")
+    sym_ok = (
+        (F.col("n_hash") * 10 <= F.col("n_words"))
+        & (F.col("n_ellipsis") * 10 <= F.col("n_words"))
+    ).cast("int")
+    alpha_ok = (F.col("n_alpha") * 10 >= F.col("n_words") * 8).cast("int")
+    stop_ok = (F.col("n_stop") >= 2).cast("int")
+    return f.select(
+        "doc_id",
+        "n_words",
+        word_count_ok.alias("word_count_ok"),
+        mwl_ok.alias("mean_word_len_ok"),
+        sym_ok.alias("symbol_ratio_ok"),
+        alpha_ok.alias("alpha_fraction_ok"),
+        stop_ok.alias("stopword_ok"),
+        (word_count_ok * mwl_ok * sym_ok * alpha_ok * stop_ok)
+        .cast("int")
+        .alias("gopher_pass"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q290 — jackknife source influence: for each source, how much the
+# CORPUS-LEVEL quality metrics move when that source is left out —
+# the governance number that turns "source X looks odd" into "source
+# X moves the corpus mean token count by -4.2%". Leave-one-out means
+# come free from global and per-source integer sums (no second pass),
+# which is exactly why the jackknife is the right tool at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "q290_source_jackknife",
+    r"""
+    WITH m AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok,
+             CAST(n_chars AS BIGINT) AS nc
+      FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_tok) AS BIGINT) AS st,
+             CAST(SUM(nc) AS BIGINT) AS sc
+      FROM m GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+             CAST(SUM(st) AS BIGINT) AS st_all,
+             CAST(SUM(sc) AS BIGINT) AS sc_all
+      FROM per
+    )
+    SELECT p.source, p.n AS n_docs,
+           ROUND(CAST(t.st_all AS DOUBLE) / t.n_all, 6) AS mean_tokens_all,
+           ROUND(CAST(t.st_all - p.st AS DOUBLE) / (t.n_all - p.n), 6)
+             AS mean_tokens_loo,
+           ROUND(CAST(t.st_all - p.st AS DOUBLE) / (t.n_all - p.n)
+                 - CAST(t.st_all AS DOUBLE) / t.n_all, 6)
+             AS token_influence,
+           ROUND(CAST(t.sc_all - p.sc AS DOUBLE) / (t.n_all - p.n)
+                 - CAST(t.sc_all AS DOUBLE) / t.n_all, 6)
+             AS chars_influence,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY ABS((CAST(t.st_all - p.st AS DOUBLE) / (t.n_all - p.n))
+                          - CAST(t.st_all AS DOUBLE) / t.n_all) DESC,
+                      p.source) AS INT) AS influence_rank
+    FROM per p CROSS JOIN tot t
+    ORDER BY influence_rank
+    """,
+    doc="leave-one-source-out influence on corpus means: per source, "
+    "the corpus mean tokens/doc with and without it and the deltas "
+    "(token and char axes), ranked by absolute influence — computed "
+    "entirely from per-source integer sums subtracted from global "
+    "sums, so the whole jackknife costs ONE aggregate regardless of "
+    "source count. The number that justifies dropping or capping a "
+    "source in the q83/q103 mixture",
+)
+def q290_source_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    per = (
+        d.select("source", F.size(w).cast("long").alias("n_tok"), F.col("n_chars"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_tok").cast("long").alias("st"),
+            F.sum("n_chars").cast("long").alias("sc"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("st").cast("long").alias("st_all"),
+        F.sum("sc").cast("long").alias("sc_all"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    mean_all = F.col("st_all").cast("double") / F.col("n_all")
+    mean_loo = (F.col("st_all") - F.col("st")).cast("double") / (
+        F.col("n_all") - F.col("n")
+    )
+    chars_loo = (F.col("sc_all") - F.col("sc")).cast("double") / (
+        F.col("n_all") - F.col("n")
+    )
+    chars_all = F.col("sc_all").cast("double") / F.col("n_all")
+    return j.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(mean_all, 6).alias("mean_tokens_all"),
+        F.round(mean_loo, 6).alias("mean_tokens_loo"),
+        F.round(mean_loo - mean_all, 6).alias("token_influence"),
+        F.round(chars_loo - chars_all, 6).alias("chars_influence"),
+        F.row_number()
+        .over(W.orderBy(F.abs(mean_loo - mean_all).desc(), "source"))
+        .cast("int")
+        .alias("influence_rank"),
+    ).orderBy("influence_rank")
