@@ -22856,3 +22856,207 @@ def q290_source_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("influence_rank"),
     ).orderBy("influence_rank")
+
+
+# ---------------------------------------------------------------------------
+# q291 — padding-waste audit: what fraction of a training batch is
+# pad tokens under three batching strategies — one global bucket
+# (pad everything to the corpus max), power-of-two length buckets,
+# and exact 64-token bins — the throughput number that decides
+# whether a loader needs q80's sequence packing at all. Pure integer
+# accounting: waste = sum(bucket_ceiling - len).
+# ---------------------------------------------------------------------------
+@register(
+    "q291_padding_waste",
+    r"""
+    WITH lens AS (
+      SELECT CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                   x -> x <> '')) AS BIGINT) AS n
+      FROM documents
+    ),
+    nz AS (SELECT n FROM lens WHERE n > 0),
+    mx AS (SELECT MAX(n) AS gmax, CAST(SUM(n) AS BIGINT) AS total,
+                  CAST(COUNT(*) AS BIGINT) AS nd FROM nz),
+    pow2 AS (
+      SELECT n, CASE WHEN n = 1 THEN 1
+                     ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END AS cap
+      FROM nz
+    ),
+    bin64 AS (
+      SELECT n, ((n + 63) // 64) * 64 AS cap FROM nz
+    ),
+    s AS (
+      SELECT 'global_max' AS strategy,
+             (SELECT CAST(SUM(m.gmax - z.n) AS BIGINT)
+              FROM nz z CROSS JOIN mx m) AS pad_tokens
+      UNION ALL
+      SELECT 'pow2_buckets', CAST(SUM(cap - n) AS BIGINT) FROM pow2
+      UNION ALL
+      SELECT 'bin64', CAST(SUM(cap - n) AS BIGINT) FROM bin64
+    )
+    SELECT s.strategy, m.nd AS n_docs, m.total AS real_tokens, s.pad_tokens,
+           ROUND(CAST(s.pad_tokens AS DOUBLE)
+                 / (m.total + s.pad_tokens), 6) AS waste_fraction
+    FROM s CROSS JOIN mx m
+    ORDER BY s.strategy
+    """,
+    doc="padding-waste comparison across batching strategies: pad-to-"
+    "corpus-max vs power-of-two length buckets vs exact 64-token "
+    "bins — pad tokens and the wasted fraction of every compute "
+    "batch, the number that justifies (or spares) q80's packing "
+    "machinery. pow2 ceilings via 2^ceil(log2 n): exact powers of "
+    "two are exact in doubles and ceil snaps to the integer exponent, "
+    "so the BIGINT cast is stable on both engines; 64-bins are pure "
+    "integer arithmetic. One scan, three cheap aggregates",
+)
+def q291_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    nz = pin(d.select(F.size(w).cast("long").alias("n")).filter(F.col("n") > 0))
+    mx = nz.agg(
+        F.max("n").alias("gmax"),
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("nd"),
+    )
+    g = (
+        nz.crossJoin(F.broadcast(mx))
+        .agg(F.sum(F.col("gmax") - F.col("n")).cast("long").alias("pad_tokens"))
+        .select(F.lit("global_max").alias("strategy"), "pad_tokens")
+    )
+    p2 = nz.select(
+        "n",
+        # exact integer ceiling power of two: 1 << bitlength(n-1);
+        # the ln/log2 route can flip ceil() across engines by 1 ulp
+        # at exact powers of two
+        F.when(F.col("n") == 1, F.lit(1).cast("long"))
+        .otherwise(
+            F.expr("shiftleft(cast(1 as bigint), length(bin(n - 1)))")
+        )
+        .alias("cap"),
+    ).agg(F.sum(F.col("cap") - F.col("n")).cast("long").alias("pad_tokens")).select(
+        F.lit("pow2_buckets").alias("strategy"), "pad_tokens"
+    )
+    b64 = nz.select(
+        "n", (F.expr("((n + 63) div 64) * 64")).alias("cap")
+    ).agg(F.sum(F.col("cap") - F.col("n")).cast("long").alias("pad_tokens")).select(
+        F.lit("bin64").alias("strategy"), "pad_tokens"
+    )
+    s = g.unionAll(p2).unionAll(b64)
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .select(
+            "strategy",
+            F.col("nd").alias("n_docs"),
+            F.col("total").alias("real_tokens"),
+            "pad_tokens",
+            F.round(
+                F.col("pad_tokens").cast("double")
+                / (F.col("total") + F.col("pad_tokens")),
+                6,
+            ).alias("waste_fraction"),
+        )
+        .orderBy("strategy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q292 — dedup ROI: near-dup clusters ranked by the TOKENS a dedup
+# pass would free (non-keeper members' token mass) — the number that
+# turns q56's group labels into a prioritized work queue and a
+# storage/compute forecast. Keeper = min doc id (the group label
+# itself, q56's convention), so freed = cluster total minus keeper.
+# ---------------------------------------------------------------------------
+def _dedup_roi_sql() -> str:
+    return f"""
+    WITH grp AS MATERIALIZED ({_neardup_groups_sql()}),
+    toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cl AS (
+      SELECT g.group_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t.n_tok) AS BIGINT) AS tokens_total,
+             CAST(SUM(CASE WHEN g.doc_id <> g.group_id THEN t.n_tok
+                           ELSE 0 END) AS BIGINT) AS tokens_freed
+      FROM grp g JOIN toks t USING (doc_id)
+      GROUP BY 1 HAVING COUNT(*) > 1
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(tokens_freed), 0) AS BIGINT) AS freed_all,
+             (SELECT CAST(SUM(n_tok) AS BIGINT) FROM toks) AS corpus_tokens
+      FROM cl
+    )
+    SELECT c.group_id AS keeper_id, c.n_docs, c.tokens_total, c.tokens_freed,
+           t.freed_all, ROUND(CAST(t.freed_all AS DOUBLE)
+                              / t.corpus_tokens, 6) AS corpus_freed_frac
+    FROM cl c CROSS JOIN tot t
+    ORDER BY c.tokens_freed DESC, c.group_id
+    LIMIT 20
+    """
+
+
+@register(
+    "q292_dedup_roi",
+    _dedup_roi_sql(),
+    doc="dedup return-on-investment: the q56 near-dup clusters ranked "
+    "by tokens freed if only the keeper (min doc id) survives — "
+    "top-20 work queue plus the corpus-level freed fraction riding "
+    "on every row. The triage view that decides whether a dedup pass "
+    "pays for its shuffle at all. Adds one token scan + one "
+    "group-keyed aggregate on top of the q56 propagation plan",
+)
+def q292_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    grp = dd.neardup_groups(
+        d, "doc_id", "text",
+        threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
+        persist_fn=pin,
+    )
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    toks = pin(d.select("doc_id", F.size(w).cast("long").alias("n_tok")))
+    cl = (
+        grp.join(toks, "doc_id")
+        .groupBy("group_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("group_id"), F.col("n_tok"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_freed"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    tot = cl.agg(
+        F.coalesce(F.sum("tokens_freed"), F.lit(0)).cast("long").alias("freed_all")
+    ).crossJoin(
+        F.broadcast(toks.agg(F.sum("n_tok").cast("long").alias("corpus_tokens")))
+    )
+    return (
+        cl.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("group_id").alias("keeper_id"),
+            "n_docs",
+            "tokens_total",
+            "tokens_freed",
+            "freed_all",
+            F.round(
+                F.col("freed_all").cast("double") / F.col("corpus_tokens"), 6
+            ).alias("corpus_freed_frac"),
+        )
+        .orderBy(F.col("tokens_freed").desc(), "keeper_id")
+        .limit(20)
+    )
