@@ -23060,3 +23060,239 @@ def q292_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tokens_freed").desc(), "keeper_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q293 — Chow structural-break test: the FORMAL version of what q192
+# (CUSUM) detects and q253 (binseg) localizes — fit OLS trends to the
+# two halves of each type's daily series and to the pooled series,
+# and report the F-statistic for "did the trend break at the
+# midpoint". RSS values come from exact integer moment sums (q196
+# discipline), so the only doubles are the final divisions.
+# ---------------------------------------------------------------------------
+@register(
+    "q293_chow_break_test",
+    """
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+      FROM daily
+    ),
+    seg AS (
+      SELECT event_type,
+             CASE WHEN x * 2 <= nd THEN 1 ELSE 2 END AS half,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM idx GROUP BY 1, 2
+    ),
+    rss AS (
+      SELECT event_type, half, n,
+             (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / n
+             - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * sxx
+                                       - CAST(sx AS DOUBLE) * sx)) AS ss
+      FROM seg
+    ),
+    pooled AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM idx GROUP BY 1
+    ),
+    prss AS (
+      SELECT event_type, n,
+             (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / n
+             - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * sxx
+                                       - CAST(sx AS DOUBLE) * sx)) AS ss
+      FROM pooled
+    ),
+    halves AS (
+      SELECT event_type,
+             SUM(CASE WHEN half = 1 THEN ss END) AS ss1,
+             SUM(CASE WHEN half = 2 THEN ss END) AS ss2
+      FROM rss GROUP BY 1
+    )
+    SELECT p.event_type, CAST(p.n AS INT) AS n_days,
+           ROUND(p.ss, 4) AS rss_pooled,
+           ROUND(h.ss1 + h.ss2, 4) AS rss_split,
+           ROUND(((p.ss - h.ss1 - h.ss2) / 2e0)
+                 / ((h.ss1 + h.ss2) / (p.n - 4e0)), 6) AS chow_f,
+           CAST(p.n - 4 AS INT) AS df2
+    FROM prss p JOIN halves h USING (event_type)
+    ORDER BY p.event_type
+    """,
+    doc="Chow test for a trend break at each type's series midpoint: "
+    "per-half and pooled OLS residual sums of squares from exact "
+    "BIGINT moments (RSS = (n*Syy - Sy^2)/n - (n*Sxy - Sx*Sy)^2 / "
+    "(n*(n*Sxx - Sx^2)) — one algebraic form, both engines), then "
+    "F = ((RSSp - RSS1 - RSS2)/2) / ((RSS1+RSS2)/(n-4)) with df2 "
+    "reported so a reader applies their own critical value — the "
+    "formal complement of q192's CUSUM alarm and q253's binseg "
+    "localization. One day aggregate + two moment aggregates",
+)
+def q293_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("x"),
+        F.count("*").over(W.partitionBy("event_type")).cast("long").alias("nd"),
+    )
+
+    def moments(df, extra):
+        return df.groupBy("event_type", *extra).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+
+    def ss():
+        n = F.col("n").cast("double")
+        return (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")) / n - (
+            (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            * (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        ) / (n * (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")))
+
+    seg = moments(
+        idx.withColumn(
+            "half", F.when(F.col("x") * 2 <= F.col("nd"), 1).otherwise(2)
+        ),
+        ["half"],
+    ).withColumn("ss", ss())
+    halves = seg.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 1, F.col("ss"))).alias("ss1"),
+        F.sum(F.when(F.col("half") == 2, F.col("ss"))).alias("ss2"),
+    )
+    pooled = moments(idx, []).withColumn("ss", ss())
+    return (
+        pooled.join(halves, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("int").alias("n_days"),
+            F.round("ss", 4).alias("rss_pooled"),
+            F.round(F.col("ss1") + F.col("ss2"), 4).alias("rss_split"),
+            F.round(
+                ((F.col("ss") - F.col("ss1") - F.col("ss2")) / 2.0)
+                / ((F.col("ss1") + F.col("ss2")) / (F.col("n") - 4.0)),
+                6,
+            ).alias("chow_f"),
+            (F.col("n") - 4).cast("int").alias("df2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q294 — seasonality strength (eta-squared): what fraction of each
+# type's daily-volume variance the day-of-week explains — the scalar
+# that says whether q158's dow means matter and whether q201/q257's
+# seasonal machinery is warranted, computed as a pure variance
+# decomposition in exact integer moments (between-group SS over
+# total SS, both as n-scaled integers so no float mean ever exists).
+# ---------------------------------------------------------------------------
+@register(
+    "q294_seasonality_strength",
+    """
+    WITH daily AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(dayofweek(time_bucket(INTERVAL '1 day', ts)) + 1 AS INT)
+               AS dow,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(y) AS BIGINT) AS sg
+      FROM daily GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s, CAST(SUM(y * y) AS BIGINT) AS ss
+      FROM daily GROUP BY 1
+    ),
+    bg AS (
+      SELECT g.event_type,
+             CAST(SUM((g.sg * g.sg) // g.ng) AS BIGINT) AS sum_sq_over_n
+      FROM g GROUP BY 1
+    )
+    SELECT t.event_type, CAST(t.n AS INT) AS n_days,
+           ROUND((CAST(bg.sum_sq_over_n AS DOUBLE)
+                  - CAST(t.s AS DOUBLE) * t.s / t.n)
+                 / (t.ss - CAST(t.s AS DOUBLE) * t.s / t.n), 6)
+             AS eta_squared,
+           CAST((CAST(bg.sum_sq_over_n AS DOUBLE)
+                 - CAST(t.s AS DOUBLE) * t.s / t.n)
+                / (t.ss - CAST(t.s AS DOUBLE) * t.s / t.n) >= 0.2e0 AS INT)
+             AS seasonal
+    FROM t JOIN bg USING (event_type)
+    ORDER BY t.event_type
+    """,
+    doc="day-of-week seasonality strength per type: eta^2 = "
+    "between-dow sum of squares over total sum of squares on daily "
+    "volumes — between-SS via the exact integer sum of floor(Sg^2/ng) "
+    "(one floor per dow group, identical both engines), total-SS from "
+    "BIGINT moments; one final double chain. eta^2 >= 0.2 flags types "
+    "where the q201/q257 seasonal models earn their complexity; near "
+    "zero says a flat q176 trend suffices. The dow label uses "
+    "DuckDB's dayofweek+1 == Spark's dayofweek convention (the "
+    "established shim) and is a GROUP KEY only",
+)
+def q294_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("y")).withColumn(
+        "dow", F.dayofweek("day").cast("int")
+    )
+    g = daily.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("y").cast("long").alias("sg"),
+    )
+    t = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    bg = g.groupBy("event_type").agg(
+        F.sum(F.expr("(sg * sg) div ng")).cast("long").alias("sum_sq_over_n")
+    )
+    num = F.col("sum_sq_over_n").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ) / F.col("n")
+    den = F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return (
+        t.join(bg, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("int").alias("n_days"),
+            F.round(num / den, 6).alias("eta_squared"),
+            (num / den >= 0.2).cast("int").alias("seasonal"),
+        )
+        .orderBy("event_type")
+    )
