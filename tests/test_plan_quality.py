@@ -987,3 +987,39 @@ def test_aqe_skew_join_split(spark):
         for k, v in old.items():
             spark.conf.set(k, v)
     assert n_skew == d1.join(d2, F.col("key1") == F.col("key2")).count()
+
+
+def test_q263_entropy_partial_aggregated_no_joins(spark):
+    plan = formatted_plan(spark, "q263_token_entropy")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q281_template_dedup_is_q30_shaped(spark):
+    plan = formatted_plan(spark, "q281_digit_normalized_dedup")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial agg on the fp key
+    assert "Join" not in plan, plan
+
+
+def test_q289_gopher_panel_is_narrow(spark):
+    # one narrow scan: no joins (the final orderBy's range partitioning
+    # is the only exchange allowed)
+    plan = formatted_plan(spark, "q289_gopher_panel")
+    assert "Join" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q291_padding_waste_no_python_no_cartesian_blowup(spark):
+    plan = formatted_plan(spark, "q291_padding_waste")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only cross joins carry one-row aggregates
+    assert "CartesianProduct" not in plan
+
+
+def test_q284_did_single_day_aggregate(spark):
+    plan = formatted_plan(spark, "q284_diff_in_diff")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
