@@ -1004,11 +1004,12 @@ def test_q281_template_dedup_is_q30_shaped(spark):
 
 
 def test_q289_gopher_panel_is_narrow(spark):
-    # one narrow scan: no joins (the final orderBy's range partitioning
-    # is the only exchange allowed)
+    # one narrow scan: no joins, no aggregation shuffle (the exchanges
+    # present are ensure_parallelism's repartition and the final
+    # orderBy's range partitioning)
     plan = formatted_plan(spark, "q289_gopher_panel")
     assert "Join" not in plan, plan
-    assert "hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
