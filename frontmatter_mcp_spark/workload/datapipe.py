@@ -23296,3 +23296,159 @@ def q294_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q295 — blocking-method agreement: MinHash-LSH (q32) and SimHash
+# banding (q96) hunt the same near-dup pairs with different hash
+# geometry — this scores BOTH candidate sets against the exact-
+# Jaccard truth (q33's >= 0.4 pairs) and against each other, the
+# audit that says whether running two blockers buys recall or only
+# compute. Per method: candidates, hits, precision, recall; plus the
+# candidate-set Jaccard between the methods on every row.
+# ---------------------------------------------------------------------------
+def _blocking_agreement_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM msigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    msigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    mbb AS ({band_rows}),
+    mh AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mbb a JOIN mbb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sh2 AS MATERIALIZED (
+      SELECT DISTINCT id_a, id_b FROM ({_simhash_pairs_sql()})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    dfreq AS (SELECT shingle, COUNT(*) AS df_count FROM sh GROUP BY 1),
+    fkeep AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+              WHERE dfreq.df_count <= {_MAX_DF}),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM fkeep a JOIN fkeep b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common)
+            >= {_JACCARD_THRESHOLD}
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    ov AS (
+      SELECT CAST((SELECT COUNT(*) FROM mh JOIN sh2 USING (id_a, id_b))
+                  AS BIGINT) AS n_both,
+             CAST((SELECT COUNT(*) FROM mh) AS BIGINT) AS n_mh,
+             CAST((SELECT COUNT(*) FROM sh2) AS BIGINT) AS n_sh
+    ),
+    rowsq AS (
+      SELECT 'minhash_lsh' AS method,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM mh) AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM mh JOIN truth USING (id_a, id_b)) AS n_hits
+      UNION ALL
+      SELECT 'simhash_bands',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sh2),
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM sh2 JOIN truth USING (id_a, id_b))
+    )
+    SELECT r.method, r.n_candidates, t.n_truth, r.n_hits,
+           ROUND(CAST(r.n_hits AS DOUBLE) / r.n_candidates, 6) AS precision,
+           ROUND(CAST(r.n_hits AS DOUBLE) / t.n_truth, 6) AS recall,
+           ROUND(CAST(o.n_both AS DOUBLE)
+                 / (o.n_mh + o.n_sh - o.n_both), 6) AS method_overlap
+    FROM rowsq r CROSS JOIN nt t CROSS JOIN ov o
+    ORDER BY r.method
+    """
+
+
+@register(
+    "q295_blocking_agreement",
+    _blocking_agreement_sql(),
+    doc="cross-method blocking audit: MinHash-LSH vs SimHash-band "
+    "candidate pairs scored against exact-Jaccard truth (precision / "
+    "recall per method) and against each other (candidate-set "
+    "Jaccard) — low overlap with comparable recall means the two "
+    "geometries catch DIFFERENT pairs and an ensemble pays; high "
+    "overlap means the second blocker is pure cost. All set algebra "
+    "on bounded candidate tables; the corpus pays the q32 + q96 + "
+    "q33 plans it already runs",
+)
+def q295_blocking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    mh = pin(
+        dd.lsh_candidate_pairs(
+            d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+        ).select("id_a", "id_b").distinct()
+    )
+    sh2 = pin(
+        dd.simhash_candidate_pairs(
+            d,
+            "doc_id",
+            "text",
+            bits=_SIMHASH_BITS,
+            bands=_SIMHASH_BANDS,
+            max_hamming=_SIMHASH_MAX_HAMMING,
+            max_bucket=_SIMHASH_MAX_BUCKET,
+            persist_fn=pin,
+        ).select("id_a", "id_b").distinct()
+    )
+    truth = pin(
+        dd.ngram_jaccard_pairs(
+            d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
+        ).select("id_a", "id_b")
+    )
+    nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_both = mh.join(sh2, ["id_a", "id_b"]).agg(
+        F.count("*").cast("long").alias("n_both")
+    )
+    n_mh = mh.agg(F.count("*").cast("long").alias("n_mh"))
+    n_sh = sh2.agg(F.count("*").cast("long").alias("n_sh"))
+    ov = (
+        n_both.crossJoin(F.broadcast(n_mh)).crossJoin(F.broadcast(n_sh))
+    )
+    r1 = (
+        mh.join(truth, ["id_a", "id_b"])
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .crossJoin(F.broadcast(n_mh.withColumnRenamed("n_mh", "n_candidates")))
+        .select(F.lit("minhash_lsh").alias("method"), "n_candidates", "n_hits")
+    )
+    r2 = (
+        sh2.join(truth, ["id_a", "id_b"])
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .crossJoin(F.broadcast(n_sh.withColumnRenamed("n_sh", "n_candidates")))
+        .select(F.lit("simhash_bands").alias("method"), "n_candidates", "n_hits")
+    )
+    return (
+        r1.unionAll(r2)
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ov))
+        .select(
+            "method",
+            "n_candidates",
+            "n_truth",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_candidates"), 6
+            ).alias("precision"),
+            F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 6).alias(
+                "recall"
+            ),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_mh") + F.col("n_sh") - F.col("n_both")),
+                6,
+            ).alias("method_overlap"),
+        )
+        .orderBy("method")
+    )
