@@ -23452,3 +23452,164 @@ def q295_blocking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# q296 — Markov entropy rate of the behavior stream: H = sum_i pi_i *
+# H_i with H_i the conditional entropy of state i's transition row
+# and pi the stationary distribution (q193's fixed-point power
+# iteration, replayed as CTEs) — the bits-per-event predictability
+# number: low = rigid funnels, high = anything-follows-anything.
+# Transition/stationary masses stay in 2^30 fixed point; ln enters
+# once per term, DECIMAL-quantized (q94 discipline).
+# ---------------------------------------------------------------------------
+_ME_ITERS = 6
+
+
+def _markov_entropy_sql(iters: int = _ME_ITERS, s: int = _MKV_SCALE) -> str:
+    ctes = [
+        """pairs AS (
+      SELECT user_id, event_type AS dst,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src
+      FROM events
+    )""",
+        """trans AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2
+    )""",
+        "rowtot AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM trans GROUP BY 1)",
+        f"""tfx AS MATERIALIZED (
+      SELECT t.src, t.dst, (t.cnt * {s}) // r.tot AS p_fx
+      FROM trans t JOIN rowtot r USING (src)
+    )""",
+        "types AS MATERIALIZED (SELECT DISTINCT event_type FROM events)",
+        f"""pi0 AS (
+      SELECT event_type,
+             CAST({s} // (SELECT COUNT(*) FROM types) AS BIGINT) AS w
+      FROM types
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""pi{t} AS (
+      SELECT ty.event_type,
+             COALESCE(CAST(SUM((p.w * tf.p_fx) // {s}) AS BIGINT), 0) AS w
+      FROM types ty
+      LEFT JOIN tfx tf ON tf.dst = ty.event_type
+      LEFT JOIN pi{t - 1} p ON p.event_type = tf.src
+      GROUP BY ty.event_type
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    cond AS MATERIALIZED (
+      SELECT src,
+             CAST(SUM(CAST(CASE WHEN p_fx > 0 THEN
+               -(CAST(p_fx AS DOUBLE) / {s}) * ln(CAST(p_fx AS DOUBLE) / {s})
+               ELSE 0e0 END AS DECIMAL(28,12))) AS DOUBLE) AS h
+      FROM tfx GROUP BY 1
+    ),
+    rate AS (
+      SELECT CAST(SUM(CAST((CAST(p.w AS DOUBLE) / {s}) * c.h
+                           AS DECIMAL(28,12))) AS DOUBLE) AS hr
+      FROM cond c JOIN pi{iters} p ON p.event_type = c.src
+    )
+    SELECT c.src AS event_type, p.w AS stationary_fx,
+           ROUND(CAST(p.w AS DOUBLE) / {s}, 6) AS stationary_p,
+           ROUND(c.h, 6) AS conditional_entropy,
+           ROUND(r.hr, 6) AS entropy_rate
+    FROM cond c
+    JOIN pi{iters} p ON p.event_type = c.src
+    CROSS JOIN rate r
+    ORDER BY event_type
+    """
+
+
+@register(
+    "q296_markov_entropy_rate",
+    _markov_entropy_sql(),
+    doc="behavior-stream predictability: per-state conditional entropy "
+    "of the transition row (DECIMAL-quantized -p ln p terms over the "
+    "2^30 fixed-point probabilities) and the chain's entropy rate "
+    "sum_i pi_i H_i under the 6-step power-iteration stationary "
+    "distribution (q193's exact floor arithmetic, every iteration an "
+    "oracle CTE). Per-state rows carry the corpus-level rate so one "
+    "table answers both 'which state is chaotic' and 'how predictable "
+    "is the stream'. One window pass + |types|^2 algebra",
+)
+def q296_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    s = _MKV_SCALE
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    trans = pairs.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
+    rowtot = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("tot"))
+    tfx = pin(
+        trans.join(rowtot, "src").select(
+            "src", "dst", F.expr(f"(cnt * {s}) div tot").alias("p_fx")
+        )
+    )
+    types = e.select("event_type").distinct()
+    ntypes = types.count()
+    pi = types.select(
+        "event_type", F.lit(s // ntypes).cast("long").alias("w")
+    )
+    for _ in range(_ME_ITERS):
+        pi = (
+            types.join(
+                tfx.withColumnRenamed("dst", "event_type"), "event_type", "left"
+            )
+            .join(
+                F.broadcast(
+                    pi.select(F.col("event_type").alias("src2"), F.col("w").alias("pw"))
+                ),
+                F.col("src") == F.col("src2"),
+                "left",
+            )
+            .groupBy("event_type")
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr(f"(pw * p_fx) div {s}")).cast("long"), F.lit(0)
+                ).alias("w")
+            )
+        )
+    p = F.col("p_fx").cast("double") / s
+    cond = pin(
+        tfx.groupBy("src").agg(
+            F.sum(
+                F.when(F.col("p_fx") > 0, -p * F.log(p))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("h")
+        )
+    )
+    rate = cond.join(
+        F.broadcast(pi.select(F.col("event_type").alias("src"), "w")), "src"
+    ).agg(
+        F.sum(((F.col("w").cast("double") / s) * F.col("h")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("hr")
+    )
+    return (
+        cond.join(
+            F.broadcast(pi.select(F.col("event_type").alias("src"), "w")), "src"
+        )
+        .crossJoin(F.broadcast(rate))
+        .select(
+            F.col("src").alias("event_type"),
+            F.col("w").alias("stationary_fx"),
+            F.round(F.col("w").cast("double") / s, 6).alias("stationary_p"),
+            F.round("h", 6).alias("conditional_entropy"),
+            F.round("hr", 6).alias("entropy_rate"),
+        )
+        .orderBy("event_type")
+    )
