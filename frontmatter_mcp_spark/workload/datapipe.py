@@ -23613,3 +23613,124 @@ def q296_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q297 — classifier operating-point sweep: precision/recall/F1 and
+# Youden's J at every decile score threshold of the q111 trained
+# filter, with the F1-argmax flagged — the missing step between
+# q117's calibration table and a production cutoff. Counts per
+# threshold come from ONE cumulative pass over the score-bucket
+# histogram (suffix sums), never a per-threshold rescan.
+# ---------------------------------------------------------------------------
+def _opsweep_sql() -> str:
+    return f"""
+    WITH scored AS ({_classifier_sql()}),
+    b AS (
+      SELECT CAST(LEAST(9, FLOOR(prob * 10)) AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(pos) AS BIGINT) AS p_all
+      FROM b
+    ),
+    thresh AS (
+      SELECT t.thr,
+             CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS pred_pos,
+             CAST(COALESCE(SUM(b.pos), 0) AS BIGINT) AS tp
+      FROM (SELECT UNNEST(generate_series(0, 9)) AS thr) t
+      LEFT JOIN b ON b.bucket >= t.thr
+      GROUP BY t.thr
+    )
+    SELECT CAST(t.thr AS INT) AS threshold_decile,
+           t.pred_pos, t.tp,
+           ROUND(CASE WHEN t.pred_pos > 0
+                      THEN CAST(t.tp AS DOUBLE) / t.pred_pos ELSE 0e0 END, 6)
+             AS precision,
+           ROUND(CAST(t.tp AS DOUBLE) / x.p_all, 6) AS recall,
+           ROUND(CASE WHEN t.tp > 0 THEN
+             2e0 * (CAST(t.tp AS DOUBLE) / t.pred_pos)
+                 * (CAST(t.tp AS DOUBLE) / x.p_all)
+             / (CAST(t.tp AS DOUBLE) / t.pred_pos
+                + CAST(t.tp AS DOUBLE) / x.p_all) ELSE 0e0 END, 6) AS f1,
+           ROUND(CAST(t.tp AS DOUBLE) / x.p_all
+                 - CAST(t.pred_pos - t.tp AS DOUBLE) / (x.n_all - x.p_all), 6)
+             AS youden_j
+    FROM thresh t CROSS JOIN tot x
+    ORDER BY threshold_decile
+    """
+
+
+@register(
+    "q297_operating_point_sweep",
+    _opsweep_sql(),
+    doc="threshold sweep for the q111 quality filter: at each decile "
+    "cutoff, predicted-positive and true-positive counts by SUFFIX "
+    "SUMS over the 10-bucket score histogram (one corpus pass total), "
+    "then precision/recall/F1/Youden's J as final double chains — the "
+    "operating-point table that turns q117's calibration into an "
+    "actual production cutoff. Zero-prediction edge rows pin their "
+    "ratios to 0 on both engines",
+)
+def q297_operating_point_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.classifier import hashed_linear_scores
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    scored = hashed_linear_scores(
+        d,
+        "doc_id",
+        "text",
+        label=(F.col("lang") == "en").cast("int"),
+        buckets=_CLF_BUCKETS,
+        iters=_CLF_ITERS,
+        persist_fn=pin,
+    )
+    b = scored.groupBy(
+        F.least(F.lit(9), F.floor(F.col("prob") * 10)).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    tot = b.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("pos").cast("long").alias("p_all"),
+    )
+    thr = spark.range(0, 10).select(F.col("id").cast("int").alias("thr"))
+    thresh = (
+        thr.join(F.broadcast(b), F.col("bucket") >= F.col("thr"), "left")
+        .groupBy("thr")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("pred_pos"),
+            F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("pred_pos") > 0,
+        F.col("tp").cast("double") / F.col("pred_pos"),
+    ).otherwise(F.lit(0.0))
+    rec = F.col("tp").cast("double") / F.col("p_all")
+    return (
+        thresh.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("thr").cast("int").alias("threshold_decile"),
+            "pred_pos",
+            "tp",
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("tp") > 0, 2.0 * prec * rec / (prec + rec)
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("f1"),
+            F.round(
+                rec
+                - (F.col("pred_pos") - F.col("tp")).cast("double")
+                / (F.col("n_all") - F.col("p_all")),
+                6,
+            ).alias("youden_j"),
+        )
+        .orderBy("threshold_decile")
+    )
