@@ -23734,3 +23734,89 @@ def q297_operating_point_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q298 — exact AUC by rank statistics (Mann-Whitney U): the
+# threshold-free companion to q297's operating points — computed on
+# the fixed-point scores with AVERAGE ranks for ties, so U and
+# AUC*2*n1*n0 are exact integers (ties come in integer multiples of
+# 1/2, absorbed by doubling) and the only double is the final ratio.
+# ---------------------------------------------------------------------------
+def _auc_sql() -> str:
+    return f"""
+    WITH scored AS ({_classifier_sql()}),
+    r AS (
+      SELECT label, score_fx,
+             RANK() OVER (ORDER BY score_fx) AS rk,
+             COUNT(*) OVER (PARTITION BY score_fx) AS nt
+      FROM scored
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN label = 1
+                           THEN 2 * rk + nt - 1 ELSE 0 END) AS BIGINT)
+               AS rank2_pos,
+             CAST(SUM(label) AS BIGINT) AS n1,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM r
+    )
+    SELECT n1, n - n1 AS n0,
+           CAST(rank2_pos - n1 * (n1 + 1) AS BIGINT) AS u2,
+           ROUND(CAST(rank2_pos - n1 * (n1 + 1) AS DOUBLE)
+                 / (2e0 * n1 * (n - n1)), 6) AS auc
+    FROM s
+    """
+
+
+@register(
+    "q298_exact_auc",
+    _auc_sql(),
+    doc="exact ROC AUC for the q111 filter via the Mann-Whitney rank "
+    "sum: average ranks under ties expressed as the integer "
+    "2*rank + ties - 1 (doubled midrank), so the U statistic is an "
+    "exact BIGINT — U2 = 2*sum(midranks of positives) - 2*n1(n1+1)/2 "
+    "— and AUC = U2 / (2 n1 n0) is one double division. The "
+    "threshold-free number beside q297's per-cutoff table; one global "
+    "sort-rank window over the scored corpus (at 100 TB: the q83 "
+    "two-phase rank)",
+)
+def q298_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.classifier import hashed_linear_scores
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    scored = hashed_linear_scores(
+        d,
+        "doc_id",
+        "text",
+        label=(F.col("lang") == "en").cast("int"),
+        buckets=_CLF_BUCKETS,
+        iters=_CLF_ITERS,
+        persist_fn=pin,
+    )
+    r = scored.select(
+        "label",
+        F.rank().over(W.orderBy("score_fx")).alias("rk"),
+        F.count("*").over(W.partitionBy("score_fx")).alias("nt"),
+    )
+    s = r.agg(
+        F.sum(
+            F.when(F.col("label") == 1, 2 * F.col("rk") + F.col("nt") - 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("rank2_pos"),
+        F.sum("label").cast("long").alias("n1"),
+        F.count("*").cast("long").alias("n"),
+    )
+    u2 = F.col("rank2_pos") - F.col("n1") * (F.col("n1") + 1)
+    return s.select(
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n0"),
+        u2.cast("long").alias("u2"),
+        F.round(
+            u2.cast("double") / (2.0 * F.col("n1") * (F.col("n") - F.col("n1"))),
+            6,
+        ).alias("auc"),
+    )
