@@ -23820,3 +23820,103 @@ def q298_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q299 — annotation-batch builder: a deterministic, stratified sample
+# of near-dup candidate pairs for HUMAN labeling — two pairs per
+# similarity decile chosen by md5 order, so every labeling round
+# regenerates the identical batch (the reproducibility property
+# labeling pipelines lose first), with strata that force coverage of
+# the decision boundary instead of the easy extremes.
+# ---------------------------------------------------------------------------
+_ANNOT_PER_STRATUM = 2
+
+
+def _annot_sql() -> str:
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    dfreq AS (SELECT shingle, COUNT(*) AS df_count FROM sh GROUP BY 1),
+    f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+          WHERE dfreq.df_count <= {_MAX_DF}),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             ROUND(n_common * 1.0
+                   / (sa.set_size + sb.set_size - n_common), 6) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    strat AS (
+      SELECT id_a, id_b, j,
+             CAST(LEAST(9, FLOOR(j * 10)) AS INT) AS stratum,
+             md5(CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR))
+               AS pick_key
+      FROM jac
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum
+                                   ORDER BY pick_key, id_a, id_b) AS rn
+      FROM strat
+    )
+    SELECT stratum, CAST(rn AS INT) AS slot, id_a, id_b, j AS jaccard
+    FROM ranked WHERE rn <= {_ANNOT_PER_STRATUM}
+    ORDER BY stratum, slot
+    """
+
+
+@register(
+    "q299_annotation_batch",
+    _annot_sql(),
+    doc="stratified labeling batch over the exact-Jaccard pair space: "
+    "two pairs per similarity decile, picked by md5(id_a:id_b) order "
+    "— deterministic (reruns regenerate byte-identical batches), "
+    "boundary-covering (every decile contributes, not just the "
+    "near-0 mass), and total-ordered under ties. The pair scan is "
+    "q33's df-capped machinery; selection is one bounded window. The "
+    "labeled output is what trains/validates q111-style filters and "
+    "calibrates q91's thresholds",
+)
+def q299_annotation_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    jac = dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.0, max_df=_MAX_DF
+    ).select("id_a", "id_b", F.col("jaccard").alias("j"))
+    strat = jac.select(
+        "id_a",
+        "id_b",
+        "j",
+        F.least(F.lit(9), F.floor(F.col("j") * 10)).cast("int").alias("stratum"),
+        F.md5(
+            F.concat(
+                F.col("id_a").cast("string"),
+                F.lit(":"),
+                F.col("id_b").cast("string"),
+            )
+        ).alias("pick_key"),
+    )
+    ranked = strat.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("stratum").orderBy("pick_key", "id_a", "id_b")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") <= _ANNOT_PER_STRATUM)
+        .select(
+            "stratum",
+            F.col("rn").cast("int").alias("slot"),
+            "id_a",
+            "id_b",
+            F.col("j").alias("jaccard"),
+        )
+        .orderBy("stratum", "slot")
+    )
