@@ -23920,3 +23920,157 @@ def q299_annotation_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum", "slot")
     )
+
+
+# ---------------------------------------------------------------------------
+# q300 — corpus scorecard: the round-300 composition row — this
+# session's new audit signals (template families, token entropy,
+# Gopher pass rate) beside the classic identity counts, every number
+# from a certified sibling query's exact arithmetic, assembled in one
+# plan the way q150's data card and q250's readiness gate compose
+# their generations' signals.
+# ---------------------------------------------------------------------------
+@register(
+    "q300_corpus_scorecard",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text, md5(text) AS fp,
+             md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS nfp,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    ident AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_content,
+             CAST(COUNT(DISTINCT nfp) AS BIGINT) AS distinct_templates
+      FROM base
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(w) AS t FROM base)
+      GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_dis,
+             CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS clnc
+      FROM tf GROUP BY 1
+    ),
+    ment AS (
+      SELECT CAST(SUM(CAST(CASE WHEN n_dis = 1 THEN 0e0
+               ELSE (ln(CAST(n_tok AS DOUBLE)) - clnc / n_tok)
+                    / ln(CAST(n_dis AS DOUBLE)) END AS DECIMAL(28,12)))
+               AS DOUBLE) AS s_ent,
+             CAST(COUNT(*) AS BIGINT) AS n_ent
+      FROM ent
+    ),
+    gopher AS (
+      SELECT CAST(SUM(CASE WHEN len(w) >= 50 AND len(w) <= 100000
+                            AND list_sum(list_transform(w, x -> length(x)))
+                                BETWEEN 3 * len(w) AND 10 * len(w)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM base
+    )
+    SELECT i.n_docs, i.distinct_content,
+           ROUND(1e0 - CAST(i.distinct_content AS DOUBLE) / i.n_docs, 6)
+             AS exact_dup_rate,
+           CAST(i.distinct_content - i.distinct_templates AS BIGINT)
+             AS template_collapse,
+           ROUND(CAST(g.n_pass AS DOUBLE) / g.n, 6) AS gopher_core_rate,
+           ROUND(m.s_ent / m.n_ent, 6) AS mean_norm_entropy
+    FROM ident i CROSS JOIN ment m CROSS JOIN gopher g
+    """,
+    doc="one-row corpus scorecard composing this round's audit "
+    "signals: exact identity counts (docs, distinct content, dup "
+    "rate), the TEMPLATE COLLAPSE (distinct raw contents minus "
+    "distinct digit-normalized templates — how much of the 'unique' "
+    "corpus is numeric stamping, q281's signal as a scalar), the "
+    "core Gopher length/word-length pass rate, and the corpus mean "
+    "normalized token entropy (q263's signal, DECIMAL-quantized "
+    "sum). One scan feeding four aggregates — the health row a "
+    "nightly pipeline alerts on",
+)
+def q300_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    base = pin(
+        d.select(
+            "doc_id",
+            F.md5("text").alias("fp"),
+            F.md5(F.regexp_replace("text", "[0-9]+", "#")).alias("nfp"),
+            w.alias("w"),
+        )
+    )
+    ident = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("fp").cast("long").alias("distinct_content"),
+        F.count_distinct("nfp").cast("long").alias("distinct_templates"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("w").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ent = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count("*").cast("long").alias("n_dis"),
+        F.sum(
+            (F.col("c") * F.log(F.col("c").cast("double"))).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("clnc"),
+    )
+    norm = F.when(F.col("n_dis") == 1, F.lit(0.0)).otherwise(
+        (F.log(F.col("n_tok").cast("double")) - F.col("clnc") / F.col("n_tok"))
+        / F.log(F.col("n_dis").cast("double"))
+    )
+    ment = ent.agg(
+        F.sum(norm.cast("decimal(28,12)")).cast("double").alias("s_ent"),
+        F.count("*").cast("long").alias("n_ent"),
+    )
+    sum_wlen = F.aggregate(
+        F.transform(F.col("w"), lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    gopher = base.agg(
+        F.sum(
+            F.when(
+                (F.size("w") >= 50)
+                & (F.size("w") <= 100000)
+                & (sum_wlen >= 3 * F.size("w"))
+                & (sum_wlen <= 10 * F.size("w")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pass"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        ident.crossJoin(F.broadcast(ment))
+        .crossJoin(F.broadcast(gopher))
+        .select(
+            "n_docs",
+            "distinct_content",
+            F.round(
+                1.0 - F.col("distinct_content").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("exact_dup_rate"),
+            (F.col("distinct_content") - F.col("distinct_templates"))
+            .cast("long")
+            .alias("template_collapse"),
+            F.round(F.col("n_pass").cast("double") / F.col("n"), 6).alias(
+                "gopher_core_rate"
+            ),
+            F.round(F.col("s_ent") / F.col("n_ent"), 6).alias(
+                "mean_norm_entropy"
+            ),
+        )
+    )
