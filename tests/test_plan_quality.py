@@ -1024,3 +1024,13 @@ def test_q284_did_single_day_aggregate(spark):
     plan = formatted_plan(spark, "q284_diff_in_diff")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q287_executes_native_recursion(spark):
+    """Spark 4.1's recursive CTE support: the path census must run
+    through the engine's UnionLoop iterative execution — not a
+    hand-unrolled chain — so recursion depth is a runtime property,
+    bounded by spark.sql.cteRecursionLevelLimit."""
+    df = QUERIES["q287_recursive_path_census"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan, plan[:2000]
