@@ -1014,3 +1014,112 @@ def q288_stream_template_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.run_stream_to_batch(stats, "stream_template_gate_out").select(
         "source", "n_templates", "n_digit_templates"
     )
+
+
+# ---------------------------------------------------------------------------
+# q301 — streaming session funnel: per session_window, did the user
+# progress signup -> click -> purchase in ORDER (first occurrences
+# strictly increasing under the (ts, event_id) total order) — the
+# real-time stage-reach dashboard of q74's batch funnel, on the q258
+# session-assembly machinery (collect_list is the only stateful
+# stage; step logic runs per trigger on emitted sessions).
+# ---------------------------------------------------------------------------
+@register(
+    "q301_stream_session_funnel",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM g
+    ),
+    firsts AS (
+      SELECT user_id, sess, event_type,
+             MIN(ROW(ts, event_id)) AS fk
+      FROM s WHERE event_type IN ('signup', 'click', 'purchase')
+      GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT user_id, sess,
+             MAX(CASE WHEN event_type = 'signup' THEN fk END) AS f1,
+             MAX(CASE WHEN event_type = 'click' THEN fk END) AS f2,
+             MAX(CASE WHEN event_type = 'purchase' THEN fk END) AS f3
+      FROM firsts GROUP BY 1, 2
+    ),
+    staged AS (
+      SELECT CASE
+               WHEN f1 IS NOT NULL AND f2 IS NOT NULL AND f3 IS NOT NULL
+                    AND f1 < f2 AND f2 < f3 THEN 3
+               WHEN f1 IS NOT NULL AND f2 IS NOT NULL AND f1 < f2 THEN 2
+               WHEN f1 IS NOT NULL THEN 1
+               ELSE 0 END AS stage
+      FROM w
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM staged GROUP BY 1 ORDER BY stage
+    """,
+    doc="streaming ordered funnel per session: stage = how far the "
+    "signup -> click -> purchase chain progressed with first "
+    "occurrences strictly increasing under the (ts, event_id) total "
+    "order (stage 0 = no signup at all). Session assembly is the only "
+    "stateful streaming stage (session_window + collect_list, q258's "
+    "machinery); the step logic runs on emitted sessions per trigger. "
+    "Oracle = batch sessionization computing the same fixpoint",
+)
+def q301_stream_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.collect_list(F.struct("ts", "event_id", "event_type")).alias("evs")
+        )
+    )
+    out = ev.run_stream_to_batch(sessions, "stream_funnel_out")
+    exploded = out.select(
+        F.col("session_window.start").alias("sess_start"),
+        "user_id",
+        F.explode("evs").alias("e"),
+    ).filter(F.col("e.event_type").isin("signup", "click", "purchase"))
+    firsts = exploded.groupBy(
+        "user_id", "sess_start", F.col("e.event_type").alias("event_type")
+    ).agg(F.min(F.struct(F.col("e.ts"), F.col("e.event_id"))).alias("fk"))
+    w = firsts.groupBy("user_id", "sess_start").agg(
+        F.max(F.when(F.col("event_type") == "signup", F.col("fk"))).alias("f1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("fk"))).alias("f2"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("fk"))).alias("f3"),
+    )
+    stage = (
+        F.when(
+            F.col("f1").isNotNull()
+            & F.col("f2").isNotNull()
+            & F.col("f3").isNotNull()
+            & (F.col("f1") < F.col("f2"))
+            & (F.col("f2") < F.col("f3")),
+            3,
+        )
+        .when(
+            F.col("f1").isNotNull()
+            & F.col("f2").isNotNull()
+            & (F.col("f1") < F.col("f2")),
+            2,
+        )
+        .when(F.col("f1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        w.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy("stage")
+    )
