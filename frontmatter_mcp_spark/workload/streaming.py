@@ -1123,3 +1123,133 @@ def q301_stream_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_sessions"))
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# q302 — streaming type-mix drift: Jensen-Shannon divergence between
+# each day's event-type distribution and the PREVIOUS day's — the
+# "did traffic change shape overnight" monitor (volume can hold
+# steady while composition flips; q222's CUSUM sees only totals).
+# The stateful stage is the watermarked (window, type) count (q191
+# discipline); the JSD between consecutive windows runs per trigger
+# on the |days| x |types| aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q302_stream_typemix_drift",
+    """
+    WITH uc AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS w, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT w FROM uc),
+    pairs AS (
+      SELECT d.w, u.event_type,
+             COALESCE(cur.n, 0) AS n_cur, COALESCE(prv.n, 0) AS n_prv
+      FROM days d
+      CROSS JOIN (SELECT DISTINCT event_type FROM uc) u
+      LEFT JOIN uc cur ON cur.w = d.w AND cur.event_type = u.event_type
+      LEFT JOIN uc prv ON prv.w = d.w - INTERVAL '1 day'
+                      AND prv.event_type = u.event_type
+    ),
+    tot AS (
+      SELECT w, CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+             CAST(SUM(n_prv) AS BIGINT) AS t_prv
+      FROM pairs GROUP BY 1
+    ),
+    contrib AS (
+      SELECT p.w,
+             CAST(CASE WHEN p.n_cur > 0 THEN
+               0.5e0 * (CAST(p.n_cur AS DOUBLE) / t.t_cur)
+               * ln((CAST(p.n_cur AS DOUBLE) / t.t_cur)
+                    / ((CAST(p.n_cur AS DOUBLE) / t.t_cur
+                        + CAST(p.n_prv AS DOUBLE) / t.t_prv) / 2e0))
+               ELSE 0e0 END AS DECIMAL(28,12)) AS ja,
+             CAST(CASE WHEN p.n_prv > 0 THEN
+               0.5e0 * (CAST(p.n_prv AS DOUBLE) / t.t_prv)
+               * ln((CAST(p.n_prv AS DOUBLE) / t.t_prv)
+                    / ((CAST(p.n_cur AS DOUBLE) / t.t_cur
+                        + CAST(p.n_prv AS DOUBLE) / t.t_prv) / 2e0))
+               ELSE 0e0 END AS DECIMAL(28,12)) AS jb
+      FROM pairs p JOIN tot t USING (w)
+      WHERE t.t_prv > 0
+    )
+    SELECT strftime(w, '%Y-%m-%d') AS day,
+           ROUND(CAST(SUM(ja) + SUM(jb) AS DOUBLE), 6) AS jsd_nats,
+           CAST(CAST(SUM(ja) + SUM(jb) AS DOUBLE) > 0.05e0 AS INT)
+             AS drift_alarm
+    FROM contrib GROUP BY w
+    ORDER BY day
+    """,
+    doc="streaming composition-drift monitor: per day-window, the "
+    "Jensen-Shannon divergence between that window's event-type mix "
+    "and the previous window's (q277's term discipline — DECIMAL-"
+    "quantized conditional contributions, zero-probability sides "
+    "contribute zero), with a 0.05-nat alarm — catches shape changes "
+    "total-volume monitors miss. Streaming state is the watermarked "
+    "1-day (window, type) count only; the consecutive-window compare "
+    "runs per trigger on the aggregate (q191/q112 discipline). First "
+    "day has no predecessor and drops",
+)
+def q302_stream_typemix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    per = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    uc = ev.run_stream_to_batch(per, "stream_typemix_out").select(
+        F.col("window.start").alias("w"), "event_type", "n"
+    )
+    days = uc.select("w").distinct()
+    types = uc.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    cur = uc.select(
+        F.col("w").alias("wc"), F.col("event_type").alias("tc"), F.col("n").alias("n_cur")
+    )
+    prv = uc.select(
+        F.col("w").alias("wp"), F.col("event_type").alias("tp"), F.col("n").alias("n_prv")
+    )
+    pairs = (
+        grid.join(
+            cur,
+            (F.col("w") == F.col("wc")) & (F.col("event_type") == F.col("tc")),
+            "left",
+        )
+        .join(
+            prv,
+            (F.col("w") == F.col("wp") + F.expr("interval 1 day"))
+            & (F.col("event_type") == F.col("tp")),
+            "left",
+        )
+        .select(
+            "w",
+            "event_type",
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.coalesce("n_prv", F.lit(0)).alias("n_prv"),
+        )
+    )
+    tot = pairs.groupBy("w").agg(
+        F.sum("n_cur").cast("long").alias("t_cur"),
+        F.sum("n_prv").cast("long").alias("t_prv"),
+    )
+    j = pairs.join(tot, "w").filter(F.col("t_prv") > 0)
+    pc = F.col("n_cur").cast("double") / F.col("t_cur")
+    pp = F.col("n_prv").cast("double") / F.col("t_prv")
+    m = (pc + pp) / 2.0
+    ja = F.when(F.col("n_cur") > 0, 0.5 * pc * F.log(pc / m)).otherwise(
+        F.lit(0.0)
+    ).cast("decimal(28,12)")
+    jb = F.when(F.col("n_prv") > 0, 0.5 * pp * F.log(pp / m)).otherwise(
+        F.lit(0.0)
+    ).cast("decimal(28,12)")
+    out = (
+        j.select("w", ja.alias("ja"), jb.alias("jb"))
+        .groupBy("w")
+        .agg((F.sum("ja") + F.sum("jb")).cast("double").alias("jsd"))
+    )
+    return out.select(
+        F.date_format("w", "yyyy-MM-dd").alias("day"),
+        F.round("jsd", 6).alias("jsd_nats"),
+        (F.col("jsd") > 0.05).cast("int").alias("drift_alarm"),
+    ).orderBy("day")
