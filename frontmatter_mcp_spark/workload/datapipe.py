@@ -24074,3 +24074,129 @@ def q300_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q303 — graph diameter estimate by double BFS sweep: BFS from a
+# deterministic seed to its farthest node u, then BFS from u — the
+# classic 2-sweep lower bound on the diameter of each near-dup
+# component, the "how chain-like are my duplicate clusters" number
+# that decides between q56's fixed-iteration propagation (needs
+# O(diameter) rounds) and q135's star contraction (O(log n) always).
+# Both sweeps reuse the q266 bounded-hop machinery.
+# ---------------------------------------------------------------------------
+_DIAM_HOPS = 6
+
+
+def _diameter_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    bb AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    bi AS MATERIALIZED (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+    seed AS (SELECT MIN(a) AS s FROM bi),
+    r1(node, hop) AS (
+      SELECT s, 0 FROM seed
+      UNION
+      SELECT bi.b, r1.hop + 1 FROM r1 JOIN bi ON bi.a = r1.node
+      WHERE r1.hop < {_DIAM_HOPS}
+    ),
+    d1 AS (SELECT node, MIN(hop) AS hop FROM r1 GROUP BY 1),
+    far1 AS (
+      SELECT node AS u, hop AS ecc1 FROM d1
+      ORDER BY hop DESC, node LIMIT 1
+    ),
+    r2(node, hop) AS (
+      SELECT u, 0 FROM far1
+      UNION
+      SELECT bi.b, r2.hop + 1 FROM r2 JOIN bi ON bi.a = r2.node
+      WHERE r2.hop < {_DIAM_HOPS}
+    ),
+    d2 AS (SELECT node, MIN(hop) AS hop FROM r2 GROUP BY 1),
+    far2 AS (
+      SELECT node AS v, hop AS diameter_lb FROM d2
+      ORDER BY hop DESC, node LIMIT 1
+    )
+    SELECT f1.u AS sweep1_end, f1.ecc1 AS sweep1_ecc,
+           f2.v AS sweep2_end, f2.diameter_lb,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d1) AS component_nodes,
+           CAST(f2.diameter_lb >= 3 AS INT) AS chainlike
+    FROM far1 f1 CROSS JOIN far2 f2
+    """
+
+
+@register(
+    "q303_graph_diameter_sweep",
+    _diameter_sql(),
+    doc="2-sweep diameter lower bound of the seed's near-dup "
+    "component: BFS (hop-capped at 6) from the smallest edge-endpoint "
+    "to its farthest node u — ties broken by node id — then BFS from "
+    "u; the second eccentricity lower-bounds the diameter. "
+    "diameter_lb >= 3 flags chain-like duplicate topology where "
+    "fixed-iteration label propagation (q56) under-merges and star "
+    "contraction (q135) is mandatory. Each sweep is the q266 frontier "
+    "shape; the oracle replays both as recursive CTEs",
+)
+def q303_graph_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    cand = dd.lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    bi = pin(
+        cand.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).union(
+            cand.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+        )
+    )
+    seed_row = bi.agg(F.min("a").alias("s")).collect()[0]
+    seed = seed_row.s
+
+    def bfs(start: int):
+        dist = (
+            bi.sparkSession.createDataFrame(
+                [(start, 0)], "node long, hop int"
+            ).localCheckpoint()
+        )
+        for _ in range(_DIAM_HOPS):
+            nxt = dist.join(bi, dist["node"] == bi["a"]).select(
+                F.col("b").alias("node"), (F.col("hop") + 1).alias("hop")
+            )
+            dist = (
+                dist.union(nxt)
+                .groupBy("node")
+                .agg(F.min("hop").alias("hop"))
+                .localCheckpoint()
+            )
+        return dist
+
+    d1 = bfs(seed)
+    far1 = d1.orderBy(F.col("hop").desc(), "node").limit(1).collect()[0]
+    d2 = bfs(far1.node)
+    far2 = d2.orderBy(F.col("hop").desc(), "node").limit(1).collect()[0]
+    n_comp = d1.count()
+    return d.sparkSession.createDataFrame(
+        [
+            (
+                far1.node,
+                int(far1.hop),
+                far2.node,
+                int(far2.hop),
+                n_comp,
+                1 if far2.hop >= 3 else 0,
+            )
+        ],
+        "sweep1_end long, sweep1_ecc int, sweep2_end long, diameter_lb int, "
+        "component_nodes long, chainlike int",
+    )
