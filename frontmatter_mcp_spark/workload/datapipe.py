@@ -24200,3 +24200,118 @@ def q303_graph_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sweep1_end long, sweep1_ecc int, sweep2_end long, diameter_lb int, "
         "component_nodes long, chainlike int",
     )
+
+
+# ---------------------------------------------------------------------------
+# q304 — near-dup cluster language purity: do q56's duplicate
+# clusters stay inside one language, or do they straddle (template
+# farms stamped per-locale, or machine translation)? Per multi-member
+# cluster: language count and majority share; corpus-level, the
+# fraction of clusters and of member documents that cross languages —
+# the audit that decides whether dedup may run per-language shards
+# (a 100 TB partitioning win) or must stay global.
+# ---------------------------------------------------------------------------
+@register(
+    "q304_cluster_lang_purity",
+    f"""
+    WITH grp AS MATERIALIZED ({_neardup_groups_sql()}),
+    mem AS (
+      SELECT g.group_id, g.doc_id, d.lang
+      FROM grp g JOIN documents d USING (doc_id)
+    ),
+    multi AS (
+      SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(MAX(cnt) AS BIGINT) AS majority
+      FROM (
+        SELECT group_id, doc_id, lang,
+               COUNT(*) OVER (PARTITION BY group_id, lang) AS cnt
+        FROM mem
+      )
+      GROUP BY group_id HAVING COUNT(*) > 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(COALESCE(SUM(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_cross,
+             CAST(COALESCE(SUM(CASE WHEN n_langs > 1 THEN n_docs ELSE 0 END), 0)
+                  AS BIGINT) AS docs_cross,
+             CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS docs_all
+      FROM multi
+    )
+    SELECT m.group_id AS keeper_id, m.n_docs, m.n_langs,
+           ROUND(CAST(m.majority AS DOUBLE) / m.n_docs, 6) AS majority_share,
+           CAST(m.n_langs > 1 AS INT) AS cross_lang,
+           ROUND(CAST(t.n_cross AS DOUBLE) / t.n_clusters, 6)
+             AS cross_cluster_rate,
+           ROUND(CAST(t.docs_cross AS DOUBLE) / t.docs_all, 6)
+             AS cross_doc_rate
+    FROM multi m CROSS JOIN tot t
+    ORDER BY m.n_docs DESC, m.group_id
+    """,
+    doc="language purity of near-dup clusters: per multi-member q56 "
+    "cluster the distinct-language count and majority-language share, "
+    "plus corpus rates of cross-language clusters and member docs "
+    "riding on every row — near-zero rates license per-language "
+    "dedup sharding (the easiest 100 TB partition win); high rates "
+    "mean templates/translations straddle locales and dedup must "
+    "stay global. One lang join + one group aggregate on top of the "
+    "q56 propagation plan",
+)
+def q304_cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    grp = dd.neardup_groups(
+        d, "doc_id", "text",
+        threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
+        persist_fn=pin,
+    )
+    mem = grp.join(d.select("doc_id", "lang"), "doc_id")
+    multi = (
+        mem.withColumn(
+            "cnt", F.count("*").over(W.partitionBy("group_id", "lang"))
+        )
+        .groupBy("group_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+            F.max("cnt").cast("long").alias("majority"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    multi = pin(multi)
+    tot = multi.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_langs") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_cross"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_langs") > 1, F.col("n_docs")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("docs_cross"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("docs_all"),
+    )
+    return (
+        multi.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("group_id").alias("keeper_id"),
+            "n_docs",
+            "n_langs",
+            F.round(F.col("majority").cast("double") / F.col("n_docs"), 6).alias(
+                "majority_share"
+            ),
+            (F.col("n_langs") > 1).cast("int").alias("cross_lang"),
+            F.round(
+                F.col("n_cross").cast("double") / F.col("n_clusters"), 6
+            ).alias("cross_cluster_rate"),
+            F.round(
+                F.col("docs_cross").cast("double") / F.col("docs_all"), 6
+            ).alias("cross_doc_rate"),
+        )
+        .orderBy(F.col("n_docs").desc(), "keeper_id")
+    )
