@@ -21625,20 +21625,7 @@ def _winnow_pairs_sql() -> str:
     """
 
 
-@register(
-    "q276_winnowing_pairs",
-    _winnow_pairs_sql(),
-    doc="winnowing-fingerprint candidate pairs (the MOSS matching "
-    "step): distinct selected hashes per doc, hub hashes dropped at "
-    "df>50 (the q33 stop-shingle discipline applied to fingerprints), "
-    "pairs sharing >= 2 fingerprints scored by shared/min(doc "
-    "fingerprints) — a containment-flavored score on the 64x-"
-    "compressed index, never the raw k-gram sets. The join shuffles "
-    "O(selected fingerprints), bounded per hash by the df-cap",
-)
-def q276_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
+def _winnow_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, w = _WIN_K, _WIN_W
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     wcol = F.filter(
@@ -21713,6 +21700,21 @@ def q276_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "q276_winnowing_pairs",
+    _winnow_pairs_sql(),
+    doc="winnowing-fingerprint candidate pairs (the MOSS matching "
+    "step): distinct selected hashes per doc, hub hashes dropped at "
+    "df>50 (the q33 stop-shingle discipline applied to fingerprints), "
+    "pairs sharing >= 2 fingerprints scored by shared/min(doc "
+    "fingerprints) — a containment-flavored score on the 64x-"
+    "compressed index, never the raw k-gram sets. The join shuffles "
+    "O(selected fingerprints), bounded per hash by the df-cap",
+)
+def q276_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _winnow_pairs_df(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -24315,3 +24317,172 @@ def q304_cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_docs").desc(), "keeper_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q305 — dedup funnel ledger: one row per stage of the dedup
+# pipeline — exact-hash dups, digit-template families, MinHash-LSH
+# candidates, SimHash candidates, winnowing candidates, exact-Jaccard
+# verified pairs — each with its pair/group count and the survivor
+# ratio against the all-pairs ceiling n(n-1)/2. The funnel view that
+# shows WHERE candidate mass dies, stitched from six certified
+# machineries in one plan.
+# ---------------------------------------------------------------------------
+def _dedup_funnel_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM msigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    exact AS (
+      SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS cnt
+      FROM (SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1) WHERE c > 1
+    ),
+    tmpl AS (
+      SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS cnt
+      FROM (SELECT md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS nfp,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1) WHERE c > 1
+    ),
+    msigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    mbb AS ({band_rows}),
+    mh AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT DISTINCT a.doc_id, b.doc_id
+        FROM mbb a JOIN mbb b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id
+      )
+    ),
+    sh_cnt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT DISTINCT id_a, id_b FROM ({_simhash_pairs_sql()})
+      )
+    ),
+    wn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM ({_winnow_pairs_sql()})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    dfreq AS (SELECT shingle, COUNT(*) AS df_count FROM sh GROUP BY 1),
+    fk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+           WHERE dfreq.df_count <= {_MAX_DF}),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM fk a JOIN fk b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common)
+            >= {_JACCARD_THRESHOLD}
+    ),
+    stages AS (
+      SELECT 1 AS stage, 'exact_hash_pairs' AS name,
+             (SELECT cnt FROM exact) AS n_pairs
+      UNION ALL SELECT 2, 'template_pairs', (SELECT cnt FROM tmpl)
+      UNION ALL SELECT 3, 'minhash_lsh_candidates', (SELECT cnt FROM mh)
+      UNION ALL SELECT 4, 'simhash_candidates', (SELECT cnt FROM sh_cnt)
+      UNION ALL SELECT 5, 'winnowing_candidates', (SELECT cnt FROM wn)
+      UNION ALL SELECT 6, 'jaccard_verified', (SELECT cnt FROM verified)
+    )
+    SELECT s.stage, s.name, s.n_pairs,
+           ROUND(CAST(s.n_pairs AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * (t.n - 1) / 2e0), 9)
+             AS all_pairs_fraction
+    FROM stages s CROSS JOIN nd t
+    ORDER BY s.stage
+    """
+
+
+@register(
+    "q305_dedup_funnel",
+    _dedup_funnel_sql(),
+    doc="the dedup candidate funnel in one table: exact-hash duplicate "
+    "pairs, digit-template pairs, MinHash-LSH candidates, SimHash "
+    "candidates, winnowing candidates, and exact-Jaccard verified "
+    "pairs — each as a count and as a fraction of the n(n-1)/2 "
+    "all-pairs ceiling, the single view that shows where candidate "
+    "mass dies and which blocker over- or under-generates. Six "
+    "certified machineries composed; every stage keeps its own "
+    "bounded shuffle profile",
+)
+def q305_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    nd = d.count()
+    ceiling = float(nd) * (nd - 1) / 2.0
+
+    def pair_count_from_groups(col):
+        fam = d.select(col.alias("k")).groupBy("k").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        return (
+            fam.filter(F.col("c") > 1)
+            .agg(
+                F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0))
+                .cast("long")
+                .alias("cnt")
+            )
+            .collect()[0]
+            .cnt
+        )
+
+    n_exact = pair_count_from_groups(F.md5("text"))
+    n_tmpl = pair_count_from_groups(
+        F.md5(F.regexp_replace("text", "[0-9]+", "#"))
+    )
+    n_mh = (
+        dd.lsh_candidate_pairs(
+            d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    n_sh = (
+        dd.simhash_candidate_pairs(
+            d,
+            "doc_id",
+            "text",
+            bits=_SIMHASH_BITS,
+            bands=_SIMHASH_BANDS,
+            max_hamming=_SIMHASH_MAX_HAMMING,
+            max_bucket=_SIMHASH_MAX_BUCKET,
+            persist_fn=pin,
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    # the plain helper, NOT the registered wrapper: invoking a registry
+    # entry mid-query would release_pinned() this query's own pins
+    n_wn = _winnow_pairs_df(spark, sf_dir).count()
+    n_ver = (
+        dd.ngram_jaccard_pairs(
+            d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
+        ).count()
+    )
+    rows = [
+        (1, "exact_hash_pairs", n_exact),
+        (2, "template_pairs", n_tmpl),
+        (3, "minhash_lsh_candidates", n_mh),
+        (4, "simhash_candidates", n_sh),
+        (5, "winnowing_candidates", n_wn),
+        (6, "jaccard_verified", n_ver),
+    ]
+    import math
+
+    out = [
+        (s, name, int(c), math.floor(c / ceiling * 1e9 + 0.5) / 1e9)
+        for s, name, c in rows
+    ]
+    return spark.createDataFrame(
+        out, "stage int, name string, n_pairs long, all_pairs_fraction double"
+    ).orderBy("stage")
