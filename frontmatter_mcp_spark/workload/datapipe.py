@@ -24486,3 +24486,108 @@ def q305_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "stage int, name string, n_pairs long, all_pairs_fraction double"
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# q306 — sampling-scheme bias audit: the same 10% sampling rate drawn
+# three ways — md5 hash buckets (the house scheme), systematic
+# doc_id % 10, and a doc_id range prefix — each scored against the
+# exact corpus mean of n_chars. Hash sampling should sit closest;
+# systematic inherits any id-correlated drift and the prefix inherits
+# ingestion order — the audit that justifies the md5 discipline every
+# sampled query here (q170/q272) leans on. Exact integer sums, one
+# double division per row.
+# ---------------------------------------------------------------------------
+def _sampling_bias_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id", 1000)
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS v, {b} AS hb,
+             (SELECT MAX(doc_id) FROM documents) AS mx
+      FROM documents
+    ),
+    truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+      FROM base
+    ),
+    schemes AS (
+      SELECT 'md5_bucket' AS scheme, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s
+      FROM base WHERE hb < 100
+      UNION ALL
+      SELECT 'systematic_mod10', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(v) AS BIGINT)
+      FROM base WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT 'id_prefix', CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT)
+      FROM base WHERE doc_id * 10 <= mx
+    )
+    SELECT sc.scheme, sc.n AS n_sampled,
+           ROUND(CAST(sc.s AS DOUBLE) / sc.n, 6) AS sample_mean,
+           ROUND(CAST(t.s AS DOUBLE) / t.n, 6) AS true_mean,
+           ROUND(CAST(sc.s AS DOUBLE) / sc.n
+                 - CAST(t.s AS DOUBLE) / t.n, 6) AS bias,
+           ROUND(ABS(CAST(sc.s AS DOUBLE) / sc.n
+                     - CAST(t.s AS DOUBLE) / t.n)
+                 / (CAST(t.s AS DOUBLE) / t.n), 6) AS abs_rel_err
+    FROM schemes sc CROSS JOIN truth t
+    ORDER BY sc.scheme
+    """
+
+
+@register(
+    "q306_sampling_bias_audit",
+    _sampling_bias_sql(),
+    doc="three 10% sampling schemes scored against the exact corpus "
+    "mean: md5 hash buckets vs systematic doc_id % 10 vs an id-prefix "
+    "slice — bias and absolute relative error per scheme, the "
+    "methodological receipt behind the md5-sample discipline that "
+    "q170's quantiles and q272's Self-BLEU stand on (prefix sampling "
+    "inherits ingestion order, systematic inherits any id-periodic "
+    "structure; hash sampling inherits nothing). One scan, four "
+    "aggregates, exact integer sums",
+)
+def q306_sampling_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    mx = d.agg(F.max("doc_id").alias("mx")).collect()[0].mx
+    base = pin(
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("v"),
+            hash_bucket(F.col("doc_id"), 1000).alias("hb"),
+        )
+    )
+    truth = base.agg(
+        F.count("*").cast("long").alias("tn"),
+        F.sum("v").cast("long").alias("ts"),
+    )
+
+    def scheme(name, cond):
+        return base.filter(cond).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+        ).select(F.lit(name).alias("scheme"), "n", "s")
+
+    schemes = (
+        scheme("md5_bucket", F.col("hb") < 100)
+        .unionAll(scheme("systematic_mod10", F.col("doc_id") % 10 == 0))
+        .unionAll(scheme("id_prefix", F.col("doc_id") * 10 <= mx))
+    )
+    sm = F.col("s").cast("double") / F.col("n")
+    tm = F.col("ts").cast("double") / F.col("tn")
+    return (
+        schemes.crossJoin(F.broadcast(truth))
+        .select(
+            "scheme",
+            F.col("n").alias("n_sampled"),
+            F.round(sm, 6).alias("sample_mean"),
+            F.round(tm, 6).alias("true_mean"),
+            F.round(sm - tm, 6).alias("bias"),
+            F.round(F.abs(sm - tm) / tm, 6).alias("abs_rel_err"),
+        )
+        .orderBy("scheme")
+    )
