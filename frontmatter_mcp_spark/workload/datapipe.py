@@ -24591,3 +24591,107 @@ def q306_sampling_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scheme")
     )
+
+
+# ---------------------------------------------------------------------------
+# q307 — coverage vocabulary budget: the smallest top-K vocabulary
+# covering 95% / 99% of corpus token mass, per language — the inverse
+# of q63's fixed-K coverage and the number a tokenizer budget (q113/
+# q163 vocab sizes, q211 context planning) is actually set from.
+# Rank by (count desc, term) total order; the cut is the first rank
+# whose running mass crosses the integer threshold mass*p (exact
+# cross-multiplication, no percent floats).
+# ---------------------------------------------------------------------------
+@register(
+    "q307_vocab_coverage_budget",
+    r"""
+    WITH words AS (
+      SELECT lang, unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS t
+      FROM documents
+    ),
+    v AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM words GROUP BY 1, 2),
+    r AS (
+      SELECT lang, c,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY c DESC, t) AS rk,
+             SUM(c) OVER (PARTITION BY lang
+                          ORDER BY c DESC, t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS total,
+             COUNT(*) OVER (PARTITION BY lang) AS vocab
+      FROM v
+    )
+    SELECT lang,
+           CAST(MAX(vocab) AS BIGINT) AS vocab_size,
+           CAST(MAX(total) AS BIGINT) AS n_tokens,
+           CAST(MIN(CASE WHEN cum * 100 >= total * 95 THEN rk END) AS BIGINT)
+             AS k_for_95pct,
+           CAST(MIN(CASE WHEN cum * 100 >= total * 99 THEN rk END) AS BIGINT)
+             AS k_for_99pct,
+           ROUND(CAST(MIN(CASE WHEN cum * 100 >= total * 95 THEN rk END)
+                      AS DOUBLE) / MAX(vocab), 6) AS frac_95
+    FROM r GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="per-language vocabulary budget: the smallest top-K (by count, "
+    "term tie-break) covering 95% and 99% of token mass — thresholds "
+    "as exact integer cross-multiplications cum*100 >= total*p, so no "
+    "float percent ever exists. frac_95 near 1 means a flat "
+    "distribution where truncated vocabularies hemorrhage coverage; "
+    "near 0 means a tiny head suffices. One vocab aggregate + one "
+    "per-language window",
+)
+def q307_vocab_coverage_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    wcol = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    v = (
+        d.select("lang", F.explode(wcol).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ow = W.partitionBy("lang").orderBy(F.col("c").desc(), "t")
+    r = v.select(
+        "lang",
+        "c",
+        F.row_number().over(ow).alias("rk"),
+        F.sum("c").over(ow.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(W.partitionBy("lang")).alias("total"),
+        F.count("*").over(W.partitionBy("lang")).alias("vocab"),
+    )
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.max("vocab").cast("long").alias("vocab_size"),
+            F.max("total").cast("long").alias("n_tokens"),
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("total") * 95, F.col("rk"))
+            )
+            .cast("long")
+            .alias("k_for_95pct"),
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("total") * 99, F.col("rk"))
+            )
+            .cast("long")
+            .alias("k_for_99pct"),
+        )
+        .select(
+            "lang",
+            "vocab_size",
+            "n_tokens",
+            "k_for_95pct",
+            "k_for_99pct",
+            F.round(
+                F.col("k_for_95pct").cast("double") / F.col("vocab_size"), 6
+            ).alias("frac_95"),
+        )
+        .orderBy("lang")
+    )
