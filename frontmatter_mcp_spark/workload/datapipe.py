@@ -24695,3 +24695,107 @@ def q307_vocab_coverage_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q308 — language homophily of the similarity graph: the fraction of
+# LSH candidate edges joining same-language documents vs the expected
+# fraction under random wiring (sum of squared language shares) — the
+# one-number version of q304's cluster purity, computed on EDGES
+# before any component resolution. Homophily >> 1 licenses
+# per-language sharding of the whole candidate machinery.
+# ---------------------------------------------------------------------------
+def _homophily_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    bb AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    lab AS (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END AS same
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.id_a
+      JOIN documents db ON db.doc_id = c.id_b
+    ),
+    e AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(SUM(same) AS BIGINT) AS n_same
+      FROM lab
+    ),
+    shares AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS ss, CAST(SUM(c) AS BIGINT) AS n
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY lang)
+    )
+    SELECT e.n_edges, e.n_same,
+           ROUND(CAST(e.n_same AS DOUBLE) / e.n_edges, 6) AS same_lang_frac,
+           ROUND(CAST(s.ss AS DOUBLE) / (CAST(s.n AS DOUBLE) * s.n), 6)
+             AS expected_frac,
+           ROUND((CAST(e.n_same AS DOUBLE) / e.n_edges)
+                 / (CAST(s.ss AS DOUBLE) / (CAST(s.n AS DOUBLE) * s.n)), 6)
+             AS homophily_ratio
+    FROM e CROSS JOIN shares s
+    """
+
+
+@register(
+    "q308_lang_homophily",
+    _homophily_sql(),
+    doc="edge-level language homophily of the MinHash-LSH candidate "
+    "graph: observed same-language edge fraction over the random-"
+    "wiring expectation sum(share_l^2) — the ratio version of q304's "
+    "cluster purity, available BEFORE component resolution. Ratio "
+    "near 1/expected ceiling means near-dups respect language "
+    "boundaries and the entire dedup machinery can shard by lang "
+    "(shuffles shrink by the share-squared factor). Edge labeling is "
+    "two id joins; everything else is one-row algebra",
+)
+def q308_lang_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    cand = dd.lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    la = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"))
+    lb = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"))
+    e = (
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum((F.col("lang_a") == F.col("lang_b")).cast("int"))
+            .cast("long")
+            .alias("n_same"),
+        )
+    )
+    shares = (
+        d.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+            F.sum("c").cast("long").alias("n"),
+        )
+    )
+    obs = F.col("n_same").cast("double") / F.col("n_edges")
+    exp = F.col("ss").cast("double") / (F.col("n").cast("double") * F.col("n"))
+    return (
+        e.crossJoin(F.broadcast(shares))
+        .select(
+            "n_edges",
+            "n_same",
+            F.round(obs, 6).alias("same_lang_frac"),
+            F.round(exp, 6).alias("expected_frac"),
+            F.round(obs / exp, 6).alias("homophily_ratio"),
+        )
+    )
