@@ -24799,3 +24799,86 @@ def q308_lang_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(obs / exp, 6).alias("homophily_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q309 — stop-shingle census: the receipt for the df-cap discipline
+# every pair operator here relies on — the shingles the cap drops,
+# and the pair mass df*(df-1)/2 each WOULD have pushed through the
+# self-join. The top offenders plus, on every row, the total pairs
+# avoided and the all-pairs ceiling fraction: the difference between
+# the O(n) pipeline that runs and the O(n^2) one that doesn't.
+# ---------------------------------------------------------------------------
+@register(
+    "q309_stop_shingle_census",
+    f"""
+    WITH {_SHINGLES_CTE},
+    dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+              FROM sh GROUP BY 1),
+    dropped AS (SELECT shingle, df, df * (df - 1) // 2 AS pairs_avoided
+                FROM dfreq WHERE df > {_MAX_DF}),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(pairs_avoided), 0) AS BIGINT) AS avoided_all,
+             CAST(COUNT(*) AS BIGINT) AS n_dropped,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM dfreq) AS vocab,
+             (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM sh) AS nd
+      FROM dropped
+    )
+    SELECT d.shingle, d.df, CAST(d.pairs_avoided AS BIGINT) AS pairs_avoided,
+           t.n_dropped, t.avoided_all,
+           ROUND(CAST(t.avoided_all AS DOUBLE)
+                 / (CAST(t.nd AS DOUBLE) * (t.nd - 1) / 2e0), 6)
+             AS ceiling_fraction,
+           ROUND(CAST(t.n_dropped AS DOUBLE) / t.vocab, 6)
+             AS dropped_vocab_frac
+    FROM dropped d CROSS JOIN tot t
+    ORDER BY d.df DESC, d.shingle
+    LIMIT 20
+    """,
+    doc="stop-shingle census: the shingles the df-cap (>{cap}) drops "
+    "before the pair self-join, each with the df*(df-1)/2 pair mass "
+    "it would have generated — top-20 offenders with the corpus-level "
+    "pairs-avoided total and its fraction of the all-pairs ceiling on "
+    "every row. This table IS the scalability argument for q33/q87/"
+    "q286: the cap converts a quadratic blowup into bounded work, and "
+    "here is exactly how much. One shingle aggregate".format(
+        cap=_MAX_DF
+    ),
+)
+def q309_stop_shingle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = d.select(
+        "doc_id", F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    sh = pin(sh)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    dropped = dfreq.filter(F.col("df") > _MAX_DF).select(
+        "shingle", "df", F.expr("df * (df - 1) div 2").alias("pairs_avoided")
+    )
+    nd = sh.select("doc_id").distinct().count()
+    vocab = dfreq.count()
+    tot = dropped.agg(
+        F.coalesce(F.sum("pairs_avoided"), F.lit(0))
+        .cast("long")
+        .alias("avoided_all"),
+        F.count("*").cast("long").alias("n_dropped"),
+    )
+    ceiling = float(nd) * (nd - 1) / 2.0
+    return (
+        dropped.crossJoin(F.broadcast(tot))
+        .select(
+            "shingle",
+            "df",
+            F.col("pairs_avoided").cast("long").alias("pairs_avoided"),
+            "n_dropped",
+            "avoided_all",
+            F.round(F.col("avoided_all").cast("double") / ceiling, 6).alias(
+                "ceiling_fraction"
+            ),
+            F.round(F.col("n_dropped").cast("double") / vocab, 6).alias(
+                "dropped_vocab_frac"
+            ),
+        )
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(20)
+    )
