@@ -24882,3 +24882,148 @@ def q309_stop_shingle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "shingle")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q310 — ensemble verified near-dup pairs: candidates from ANY of the
+# three blockers (MinHash-LSH, SimHash bands, winnowing), verified
+# ONCE by exact Jaccard — the production composition q295's agreement
+# audit argues for, with per-pair provenance flags showing which
+# blocker(s) found it and the ensemble recall against the full
+# verified truth on every row.
+# ---------------------------------------------------------------------------
+def _ensemble_pairs_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM msigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    msigs AS (SELECT doc_id, {_sig_exprs()} FROM sh GROUP BY doc_id),
+    mbb AS ({band_rows}),
+    mh AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mbb a JOIN mbb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sh2 AS MATERIALIZED (
+      SELECT DISTINCT id_a, id_b FROM ({_simhash_pairs_sql()})
+    ),
+    wn AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({_winnow_pairs_sql()})
+    ),
+    cand AS MATERIALIZED (
+      SELECT id_a, id_b FROM mh
+      UNION SELECT id_a, id_b FROM sh2
+      UNION SELECT id_a, id_b FROM wn
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    dfreq AS (SELECT shingle, COUNT(*) AS df_count FROM sh GROUP BY 1),
+    fk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+           WHERE dfreq.df_count <= {_MAX_DF}),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM fk a JOIN fk b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common)
+            >= {_JACCARD_THRESHOLD}
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b FROM cand c JOIN truth t USING (id_a, id_b)
+    ),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM verified) AS n_verified,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth
+    )
+    SELECT v.id_a, v.id_b,
+           CAST(EXISTS (SELECT 1 FROM mh m
+                        WHERE m.id_a = v.id_a AND m.id_b = v.id_b) AS INT)
+             AS via_minhash,
+           CAST(EXISTS (SELECT 1 FROM sh2 s
+                        WHERE s.id_a = v.id_a AND s.id_b = v.id_b) AS INT)
+             AS via_simhash,
+           CAST(EXISTS (SELECT 1 FROM wn w
+                        WHERE w.id_a = v.id_a AND w.id_b = v.id_b) AS INT)
+             AS via_winnowing,
+           ROUND(CAST(st.n_verified AS DOUBLE) / st.n_truth, 6)
+             AS ensemble_recall
+    FROM verified v CROSS JOIN stats st
+    ORDER BY v.id_a, v.id_b
+    """
+
+
+@register(
+    "q310_ensemble_verified_pairs",
+    _ensemble_pairs_sql(),
+    doc="the production near-dup pipeline: union of MinHash-LSH, "
+    "SimHash-band, and winnowing candidates, verified ONCE by exact "
+    "Jaccard >= 0.4 — each surviving pair carries provenance flags "
+    "(which blockers found it) and the ensemble's recall against the "
+    "full verified truth. The composition q295's agreement numbers "
+    "justify; verification cost is paid on the union, not per "
+    "blocker. Every stage keeps its own bounded shuffle",
+)
+def q310_ensemble_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    mh = pin(
+        dd.lsh_candidate_pairs(
+            d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+        ).select("id_a", "id_b").distinct()
+    )
+    sh2 = pin(
+        dd.simhash_candidate_pairs(
+            d,
+            "doc_id",
+            "text",
+            bits=_SIMHASH_BITS,
+            bands=_SIMHASH_BANDS,
+            max_hamming=_SIMHASH_MAX_HAMMING,
+            max_bucket=_SIMHASH_MAX_BUCKET,
+            persist_fn=pin,
+        ).select("id_a", "id_b").distinct()
+    )
+    wn = pin(_winnow_pairs_df(spark, sf_dir).select("id_a", "id_b"))
+    cand = mh.union(sh2).union(wn).distinct()
+    truth = pin(
+        dd.ngram_jaccard_pairs(
+            d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
+        ).select("id_a", "id_b")
+    )
+    verified = cand.join(truth, ["id_a", "id_b"])
+    stats = (
+        verified.agg(F.count("*").cast("long").alias("n_verified"))
+        .crossJoin(
+            F.broadcast(truth.agg(F.count("*").cast("long").alias("n_truth")))
+        )
+    )
+    flag = lambda df, name: df.select(
+        "id_a", "id_b", F.lit(1).alias(name)
+    )
+    return (
+        verified.join(F.broadcast(flag(mh, "via_minhash")), ["id_a", "id_b"], "left")
+        .join(F.broadcast(flag(sh2, "via_simhash")), ["id_a", "id_b"], "left")
+        .join(F.broadcast(flag(wn, "via_winnowing")), ["id_a", "id_b"], "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("via_minhash", F.lit(0)).cast("int").alias("via_minhash"),
+            F.coalesce("via_simhash", F.lit(0)).cast("int").alias("via_simhash"),
+            F.coalesce("via_winnowing", F.lit(0))
+            .cast("int")
+            .alias("via_winnowing"),
+            F.round(
+                F.col("n_verified").cast("double") / F.col("n_truth"), 6
+            ).alias("ensemble_recall"),
+        )
+        .orderBy("id_a", "id_b")
+    )
