@@ -25027,3 +25027,109 @@ def q310_ensemble_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q311 — word-length shape anomaly: chi-square distance between each
+# source's word-LENGTH histogram and the corpus's — the cheap
+# "mojibake / structured garbage / wrong-parser" detector (broken
+# decoding shifts length mass long before any LM notices). 2^30
+# fixed-point expected counts (q151's chi2 discipline), lengths
+# clamped into a 1..15+ histogram so the statistic is dimension-fixed.
+# ---------------------------------------------------------------------------
+@register(
+    "q311_wordlen_shape_anomaly",
+    r"""
+    WITH words AS (
+      SELECT source, LEAST(15, length(unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')))) AS wl
+      FROM documents
+    ),
+    obs AS (SELECT source, wl, CAST(COUNT(*) AS BIGINT) AS o
+            FROM words GROUP BY 1, 2),
+    stot AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n FROM obs GROUP BY 1),
+    corp AS (SELECT wl, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    ctot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM corp),
+    grid AS (
+      SELECT s.source, w.wl, s.n, w.c, t.n_all,
+             COALESCE(o.o, 0) AS o
+      FROM stot s
+      CROSS JOIN corp w
+      CROSS JOIN ctot t
+      LEFT JOIN obs o ON o.source = s.source AND o.wl = w.wl
+    ),
+    terms AS (
+      SELECT source,
+             CAST(SUM(CAST(CASE WHEN c > 0 THEN
+               ((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * c / n_all)
+                * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * c / n_all))
+               / (CAST(n AS DOUBLE) * c / n_all)
+               ELSE 0e0 END AS DECIMAL(28,12))) AS DOUBLE) AS chi2
+      FROM grid GROUP BY 1
+    )
+    SELECT t.source, s.n AS n_words,
+           ROUND(t.chi2, 6) AS chi2,
+           ROUND(t.chi2 / s.n, 9) AS chi2_per_word,
+           CAST(t.chi2 / s.n > 0.001e0 AS INT) AS shape_anomaly
+    FROM terms t JOIN stot s USING (source)
+    ORDER BY t.source
+    """,
+    doc="per-source word-length histogram vs the corpus shape: "
+    "chi-square with expected counts n_source * corpus_share (lengths "
+    "clamped at 15 so the histogram is dimension-fixed), normalized "
+    "per word and flagged at 0.001 — the decoding/parser-failure "
+    "smoke alarm that fires on length-mass shifts. Per-cell terms "
+    "are DECIMAL-quantized before the sum (order-independent, the "
+    "q94 discipline). One explode + two aggregates",
+)
+def q311_wordlen_shape_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    words = d.select(
+        "source",
+        F.explode(F.transform(w, lambda x: F.least(F.lit(15), F.length(x)))).alias(
+            "wl"
+        ),
+    )
+    obs = words.groupBy("source", "wl").agg(F.count("*").cast("long").alias("o"))
+    stot = obs.groupBy("source").agg(F.sum("o").cast("long").alias("n"))
+    corp = obs.groupBy("wl").agg(F.sum("o").cast("long").alias("c"))
+    ctot = corp.agg(F.sum("c").cast("long").alias("n_all"))
+    grid = (
+        stot.crossJoin(F.broadcast(corp))
+        .crossJoin(F.broadcast(ctot))
+        .join(obs, ["source", "wl"], "left")
+        .select(
+            "source",
+            "wl",
+            "n",
+            "c",
+            "n_all",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    e = F.col("n").cast("double") * F.col("c") / F.col("n_all")
+    term = F.when(
+        F.col("c") > 0,
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e,
+    ).otherwise(F.lit(0.0))
+    terms = grid.groupBy("source").agg(
+        F.sum(term.cast("decimal(28,12)")).cast("double").alias("chi2")
+    )
+    return (
+        terms.join(stot, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_words"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(F.col("chi2") / F.col("n"), 9).alias("chi2_per_word"),
+            (F.col("chi2") / F.col("n") > 0.001).cast("int").alias(
+                "shape_anomaly"
+            ),
+        )
+        .orderBy("source")
+    )
