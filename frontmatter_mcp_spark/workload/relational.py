@@ -1569,3 +1569,120 @@ def q78_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pmin").alias("first_id"),
         F.max("pmax").alias("last_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q312 — TPC-H Q9 flavor (product-type profit by nation and year):
+# the fixture has no partsupp, so unit cost is proxied by
+# 0.8 * p_retailprice — the SHAPE is Q9's: a part-name filter fanned
+# through lineitem, joined to supplier -> nation, profit aggregated
+# per (nation, year). Money stays DECIMAL end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "q312_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                    - CAST(p.p_retailprice AS DECIMAL(18,4))
+                      * CAST(0.8 AS DECIMAL(8,4))
+                      * CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%green%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 flavor: profit on 'green' parts per supplier nation "
+    "and ship year — part-name filter pushed to the part scan, part/"
+    "supplier/nation all broadcastable dims around the lineitem fact, "
+    "money arithmetic fully DECIMAL (exact, order-free) with one "
+    "final double cast; unit cost proxied at 0.8*retailprice since "
+    "the fixture carries no partsupp (stated). The many-dim star "
+    "shape Q3/Q5 (q03/q05) don't exercise with an expression filter",
+)
+def q312_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (1 - F.col("l_discount").cast("decimal(18,4)"))
+        - F.col("p_retailprice").cast("decimal(18,4)")
+        * F.lit(0.8).cast("decimal(8,4)")
+        * F.col("l_quantity").cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q313 — TPC-H Q11 flavor (important stock): part types whose total
+# lineitem value exceeds a fixed fraction of the GLOBAL total — the
+# group-vs-global-threshold shape (a correlated HAVING against a
+# one-row aggregate) that Q11 exercises and no other flavor here does.
+# ---------------------------------------------------------------------------
+@register(
+    "q313_important_part_types",
+    """
+    WITH v AS (
+      SELECT p.p_type,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,4))
+               AS value
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(value) AS DECIMAL(28,4)) AS total FROM v)
+    SELECT v.p_type, CAST(v.value AS DOUBLE) AS value,
+           ROUND(CAST(v.value AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+             AS share
+    FROM v CROSS JOIN t
+    WHERE v.value * 50 > t.total
+    ORDER BY v.value DESC, v.p_type
+    """,
+    doc="TPC-H Q11 flavor: part types holding more than 1/50 of total "
+    "lineitem value — per-type DECIMAL-exact value sums filtered "
+    "against a one-row broadcast global total via the exact integer-"
+    "scaled comparison value*50 > total (no float threshold). The "
+    "group-vs-global-threshold shape; one fact scan + broadcast dim + "
+    "one-row crossjoin",
+)
+def q313_important_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    v = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("decimal(28,4)")
+            .alias("value")
+        )
+    )
+    t = v.agg(F.sum("value").cast("decimal(28,4)").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("value") * 50 > F.col("total"))
+        .select(
+            "p_type",
+            F.col("value").cast("double").alias("value"),
+            F.round(
+                F.col("value").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.col("value").desc(), "p_type")
+    )
