@@ -336,3 +336,111 @@ def _interval_ms(spark: SparkSession, interval: str) -> int:
         f"+ INTERVAL '{interval}') AS us"
     ).collect()
     return int(row[0].us // 1000)
+
+
+def misra_gries_summaries(
+    docs: DataFrame,
+    k: int = 16,
+    shards: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming Misra-Gries frequent-bigram summaries: per gram-hash
+    shard, a bounded (<= k entries) MG summary maintained in
+    ``applyInPandasWithState`` — the streaming twin of the batch q259
+    operator, and the one sketch family whose summary CONTENTS depend
+    on processing order (HLL/CMS/KMV merge order-independently).
+
+    The determinism discipline q259 established for batch extends to
+    the stream: within every micro-batch the shard's rows are first
+    aggregated to a (gram -> count) histogram and folded into the
+    carried summary in GRAM ORDER with the exact weighted insert the
+    batch operator and the DuckDB oracle use (bump on match, append
+    under capacity, else subtract the (k+1)-entry minimum and drop
+    zeros). With a deterministic arrival schedule the whole fold
+    sequence — and therefore the summary — is bit-identical across
+    engines; under arbitrary re-batching the summary contents may
+    differ but the MG guarantee (est <= true <= est + N_shard/(k+1)
+    per level) holds for ANY fold sequence, which the q314 bound
+    booleans check (and a multi-batch pytest exercises).
+
+    State is bounded BY CONSTRUCTION: <= k (term, count) entries per
+    shard regardless of stream length — no watermark needed; this is
+    the entire point of a mergeable summary at 100 TB (the shard count
+    spreads the per-key Python state overhead exactly like
+    :func:`neardup_band_hits`' super-buckets).
+
+    Emits the full post-fold summary per (shard, micro-batch) tagged
+    with the fold ordinal; the caller keeps each shard's max-ordinal
+    rows and merges them in (shard, gram) order — the same two-level
+    merge as q259, so the merged error budget doubles to 2N/(k+1)
+    (Agarwal et al., Mergeable Summaries).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    grams = (
+        docs.select(w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.concat(
+                        F.element_at(F.col("w"), i.cast("int")),
+                        F.lit(" "),
+                        F.element_at(F.col("w"), (i + 1).cast("int")),
+                    ),
+                )
+            ).alias("t")
+        )
+        .withColumn("shard", hash_bucket(F.col("t"), shards))
+    )
+
+    def update(key, pdfs, state: GroupState):
+        from collections import Counter
+
+        if state.exists:
+            terms, counts, n_folds = state.get
+            S = list(zip(terms, counts))
+        else:
+            S, n_folds = [], 0
+        hist: Counter = Counter()
+        for pdf in pdfs:
+            hist.update(pdf["t"])
+        for t in sorted(hist):  # pinned fold order inside the batch
+            c = int(hist[t])
+            for i, (st, sc) in enumerate(S):
+                if st == t:
+                    S[i] = (st, sc + c)
+                    break
+            else:
+                S.append((t, c))
+                if len(S) > k:
+                    delta = min(sc for _, sc in S)
+                    S = [(st, sc - delta) for st, sc in S if sc - delta > 0]
+        n_folds += 1
+        state.update(
+            ([t for t, _ in S], [int(c) for _, c in S], n_folds)
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(S),
+                "n_folds": [n_folds] * len(S),
+                "t": [t for t, _ in S],
+                "c": [int(c) for _, c in S],
+            }
+        )
+
+    return grams.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType="shard int, n_folds long, t string, c long",
+        stateStructType="terms array<string>, counts array<long>, n_folds long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1253,3 +1253,205 @@ def q302_stream_typemix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jsd", 6).alias("jsd_nats"),
         (F.col("jsd") > 0.05).cast("int").alias("drift_alarm"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q314 — STREAMING Misra-Gries: the deferred fourth-sketch-family
+# streaming twin. Per gram-hash shard a bounded (<=k) MG summary lives
+# in applyInPandasWithState — state is O(k * shards) BY CONSTRUCTION,
+# no watermark needed, which is the entire point of a mergeable
+# summary on an unbounded stream. The order blocker q259 solved for
+# batch is solved the same way here: each micro-batch's shard rows are
+# histogram-aggregated and folded in GRAM ORDER with the identical
+# weighted insert, and the local harness's arrival is deterministic
+# (one file -> one micro-batch), so the fold sequence — hence the
+# summary — is bit-identical to the oracle's replay; under arbitrary
+# re-batching the contents may shift but the hash-checked MG bounds
+# hold for ANY fold sequence (a multi-batch pytest exercises that).
+# ---------------------------------------------------------------------------
+_MG_SHARDS = 8
+
+
+def _mg_stream_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+    from frontmatter_mcp_spark.workload.datapipe import _MG_K, _mg_insert_duck
+
+    shard = hash_bucket_sql("t", _MG_SHARDS)
+    empty = "CAST([] AS STRUCT(t VARCHAR, c BIGINT)[])"
+    kp1 = _MG_K + 1
+    return f"""
+    WITH RECURSIVE toks AS MATERIALIZED (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT w[i] || ' ' || w[i+1] AS t
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+      WHERE len(w) >= 2
+    ),
+    hist AS MATERIALIZED (
+      SELECT {shard} AS shard, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2
+    ),
+    items AS MATERIALIZED (
+      SELECT shard, t, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY t) AS INT)
+               AS idx
+      FROM hist
+    ),
+    fold AS (
+      SELECT DISTINCT shard, 0 AS i, {empty} AS S FROM items
+      UNION ALL
+      SELECT f.shard, f.i + 1, {_mg_insert_duck("f.S", "x.t", "x.c")}
+      FROM fold f JOIN items x ON x.shard = f.shard AND x.idx = f.i + 1
+    ),
+    ssum AS (
+      SELECT f.shard, f.S
+      FROM fold f
+      JOIN (SELECT shard, MAX(idx) AS mx FROM items GROUP BY 1) m
+        ON m.shard = f.shard AND f.i = m.mx
+    ),
+    entries AS (SELECT shard, unnest(S) AS e FROM ssum),
+    mitems AS MATERIALIZED (
+      SELECT e.t AS t, e.c AS c,
+             CAST(ROW_NUMBER() OVER (ORDER BY shard, e.t) AS INT) AS idx
+      FROM entries
+    ),
+    mfold AS (
+      SELECT 0 AS i, {empty} AS S
+      UNION ALL
+      SELECT f.i + 1, {_mg_insert_duck("f.S", "x.t", "x.c")}
+      FROM mfold f JOIN mitems x ON x.idx = f.i + 1
+    ),
+    final AS (SELECT S FROM mfold WHERE i = (SELECT MAX(idx) FROM mitems)),
+    summ AS (SELECT unnest(S) AS e FROM final),
+    truth AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS true_c
+              FROM grams GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM grams)
+    SELECT s.e.t AS gram, s.e.c AS est_c, tr.true_c,
+           CAST((2 * tot.n) // {kp1} AS BIGINT) AS err_bound,
+           CAST(s.e.c <= tr.true_c AS INT) AS lower_ok,
+           CAST(tr.true_c - s.e.c <= (2 * tot.n) // {kp1} AS INT) AS upper_ok,
+           CAST(s.e.c > tot.n // {kp1} AS INT) AS guaranteed_frequent,
+           CAST(ROW_NUMBER() OVER (ORDER BY s.e.c DESC, s.e.t) AS INT) AS rank
+    FROM summ s JOIN truth tr ON tr.t = s.e.t CROSS JOIN tot
+    ORDER BY rank
+    """
+
+
+@register(
+    "q314_stream_misra_gries",
+    _mg_stream_sql(),
+    doc="STREAMING Misra-Gries frequent-bigram summaries: per gram-hash "
+    "shard a bounded (<=16 entry) MG summary maintained in "
+    "applyInPandasWithState — state O(k * shards) BY CONSTRUCTION on an "
+    "unbounded stream, no watermark required (the mergeable-summary "
+    "property q259 certified for batch, now as ingestion "
+    "infrastructure). Micro-batch folds are pinned in gram order with "
+    "the identical weighted insert, so under the harness's "
+    "deterministic single-batch arrival the shard summaries are "
+    "bit-identical to the oracle's replayed folds; the final merge "
+    "(shard, gram order, same insert) doubles the error budget to "
+    "2N/(k+1), and both bounds ride along as hash-checked booleans "
+    "against the exact histogram. Under arbitrary re-batching the "
+    "summary contents may shift but the checked bounds hold for ANY "
+    "fold sequence — a multi-batch pytest exercises eviction-and-"
+    "refold. The corpus pays one stateless explode; per shard the "
+    "state op is O(batch distinct grams) with a <=k accumulator",
+)
+def q314_stream_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.streaming import ingest
+    from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+    from frontmatter_mcp_spark.workload.datapipe import _MG_K, _mg_insert_col
+
+    stream = ingest.read_documents_stream(spark, sf_dir)
+    summ_stream = ingest.misra_gries_summaries(
+        stream, k=_MG_K, shards=_MG_SHARDS
+    )
+    with ev._stream_state_partitions(spark):
+        q = (
+            summ_stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_mg_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    raw = spark.table("stream_mg_out")
+    latest = (
+        raw.withColumn("mx", F.max("n_folds").over(W.partitionBy("shard")))
+        .filter(F.col("n_folds") == F.col("mx"))
+        .select("shard", "t", "c")
+    )
+    empty = F.array().cast("array<struct<t:string,c:bigint>>")
+    merged = (
+        latest.agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("shard", "t", "c"))),
+                lambda s: F.struct(s["t"].alias("t"), s["c"].alias("c")),
+            ).alias("mitems")
+        )
+        .select(
+            F.aggregate(
+                "mitems", empty, lambda S, x: _mg_insert_col(S, x, _MG_K)
+            ).alias("S")
+        )
+    )
+    summ = merged.select(F.explode("S").alias("e")).select(
+        F.col("e.t").alias("gram"), F.col("e.c").alias("est_c")
+    )
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    grams = (
+        d.select(w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.concat(
+                        F.element_at(F.col("w"), i.cast("int")),
+                        F.lit(" "),
+                        F.element_at(F.col("w"), (i + 1).cast("int")),
+                    ),
+                )
+            ).alias("t")
+        )
+    )
+    truth = grams.groupBy("t").agg(F.count("*").cast("long").alias("true_c"))
+    tot = grams.agg(F.count("*").cast("long").alias("n"))
+    kp1 = _MG_K + 1
+    return (
+        truth.join(F.broadcast(summ), truth["t"] == summ["gram"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gram",
+            "est_c",
+            "true_c",
+            F.expr(f"cast((2 * n) div {kp1} as bigint)").alias("err_bound"),
+            (F.col("est_c") <= F.col("true_c")).cast("int").alias("lower_ok"),
+            (
+                F.col("true_c") - F.col("est_c")
+                <= F.expr(f"(2 * n) div {kp1}")
+            )
+            .cast("int")
+            .alias("upper_ok"),
+            (F.col("est_c") > F.expr(f"n div {kp1}"))
+            .cast("int")
+            .alias("guaranteed_frequent"),
+            F.row_number()
+            .over(W.orderBy(F.col("est_c").desc(), "gram"))
+            .cast("int")
+            .alias("rank"),
+        )
+        .orderBy("rank")
+    )

@@ -1,0 +1,240 @@
+"""Round-7c operator pins: streaming Misra-Gries under MULTI-batch
+arrival (the order-dependence the single-batch oracle cannot see),
+the V-optimal DP against brute-force enumeration, and the 4D skyline
+against brute-force dominance."""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+import duckdb
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text.strip().lower()) if t]
+
+
+def _bigrams(text: str) -> list[str]:
+    w = _tokens(text)
+    return [f"{a} {b}" for a, b in zip(w, w[1:])] if len(w) >= 2 else []
+
+
+def _mg_insert(S: list, t: str, c: int, k: int) -> list:
+    """Pure-Python replica of the weighted MG insert (same branch logic
+    as operators' _mg_insert_duck / _mg_insert_col / the streaming fold)."""
+    for i, (st, sc) in enumerate(S):
+        if st == t:
+            S[i] = (st, sc + c)
+            return S
+    S.append((t, c))
+    if len(S) > k:
+        delta = min(sc for _, sc in S)
+        S = [(st, sc - delta) for st, sc in S if sc - delta > 0]
+    return S
+
+
+def test_stream_misra_gries_multibatch_bounds(spark, tmp_path):
+    """Three single-file micro-batches force the MG state to FOLD ACROSS
+    batches (the order blocker that deferred this operator): the final
+    per-shard summaries must stay <= k entries, at least one shard must
+    have folded more than once, and the two-level merged summary must
+    satisfy the mergeable-MG guarantee est <= true <= est + 2N/(k+1)
+    plus completeness (every gram with true > 2N/(k+1) present) — the
+    bounds that hold under ANY batching, unlike the summary contents."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+    from frontmatter_mcp_spark.streaming import ingest
+    from frontmatter_mcp_spark.streaming import events as ev
+
+    k, shards = 4, 2
+    heavy = "hot spot " * 12  # dominant bigrams across every batch
+    batches = [
+        [(0, heavy), (1, "aa bb cc dd ee ff gg hh"), (2, "ii jj kk ll mm")],
+        [(3, heavy), (4, "nn oo pp qq rr ss tt uu"), (5, "vv ww xx yy zz")],
+        [(6, heavy), (7, "a1 b1 c1 d1 e1 f1 g1 h1 i1 j1")],
+    ]
+    d = tmp_path / "mgdocs"
+    d.mkdir()
+    for bi, rows in enumerate(batches):
+        tmp = str(tmp_path / "_tmp")
+        (
+            spark.createDataFrame(rows, "doc_id long, text string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        dest = str(d / f"b{bi}.parquet")
+        shutil.move(globmod.glob(tmp + "/part-*.parquet")[0], dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_000 * (bi + 1), 1_000 * (bi + 1)))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    summ = ingest.misra_gries_summaries(stream, k=k, shards=shards)
+    with ev._stream_state_partitions(spark):
+        q = (
+            summ.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("mg_multibatch_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    rows = spark.table("mg_multibatch_out").collect()
+    assert rows, "streaming MG emitted nothing"
+
+    # per (shard, fold) summary size bounded by k
+    sizes: dict[tuple, int] = {}
+    for r in rows:
+        sizes[(r.shard, r.n_folds)] = sizes.get((r.shard, r.n_folds), 0) + 1
+    assert all(v <= k for v in sizes.values()), sizes
+    # the state actually carried across micro-batches
+    max_folds = max(r.n_folds for r in rows)
+    assert max_folds >= 2, "no shard ever folded a second micro-batch"
+
+    # final summaries = rows at each shard's max fold ordinal
+    per_shard_max = {}
+    for r in rows:
+        per_shard_max[r.shard] = max(per_shard_max.get(r.shard, 0), r.n_folds)
+    finals = [r for r in rows if r.n_folds == per_shard_max[r.shard]]
+
+    # two-level merge replica in (shard, gram) order
+    M: list = []
+    for r in sorted(finals, key=lambda r: (r.shard, r.t)):
+        M = _mg_insert(M, r.t, int(r.c), k)
+    est = dict(M)
+
+    truth: dict[str, int] = {}
+    for _, text in itertools.chain.from_iterable(batches):
+        for g in _bigrams(text):
+            truth[g] = truth.get(g, 0) + 1
+    n = sum(truth.values())
+    bound = (2 * n) // (k + 1)
+    for g, e in est.items():
+        assert e <= truth[g], (g, e, truth[g])
+        assert truth[g] - e <= bound, (g, e, truth[g], bound)
+    # completeness: anything truly above the doubled budget must survive
+    for g, tc in truth.items():
+        if tc > bound:
+            assert g in est, (g, tc, bound, est)
+    assert "hot spot" in est  # the designed heavy hitter
+
+    # shard assignment parity with the batch hash (spot-check one gram)
+    some = finals[0]
+    got = (
+        spark.range(1)
+        .select(hash_bucket(F.lit(some.t), shards).alias("b"))
+        .collect()[0]
+        .b
+    )
+    assert got == some.shard
+
+
+def test_voptimal_dp_matches_bruteforce(spark):
+    """q315's distributed DP must find the same optimum as exhaustive
+    enumeration of all B-1 cut combinations over the sf0.001 daily
+    series (exact integer SSE, (cost, cuts) lexicographic tie-break)."""
+    from frontmatter_mcp_spark.workload.datapipe import (
+        _VOPT_DP_B,
+        q315_voptimal_dp,
+    )
+
+    out = q315_voptimal_dp(spark, SF).collect()
+    B = _VOPT_DP_B
+    assert len(out) == B
+    assert all(r.dp_consistent == 1 for r in out)
+    dp_cost = out[0].vopt_cost_fx
+
+    con = duckdb.connect()
+    daily = con.sql(
+        f"""SELECT CAST(COUNT(*) AS BIGINT) FROM '{SF}/events.parquet'
+            GROUP BY time_bucket(INTERVAL '1 day', ts)
+            ORDER BY time_bucket(INTERVAL '1 day', ts)"""
+    ).fetchall()
+    xs = [r[0] for r in daily]
+    N = len(xs)
+    s = [0] * (N + 1)
+    ss = [0] * (N + 1)
+    for i in range(1, N + 1):
+        s[i] = s[i - 1] + xs[i - 1]
+        ss[i] = ss[i - 1] + xs[i - 1] * xs[i - 1]
+
+    def sse(lo: int, hi: int) -> int:
+        ln = hi - lo + 1
+        sg = s[hi] - s[lo - 1]
+        return (ss[hi] - ss[lo - 1]) - (sg * sg) // ln
+
+    best = None
+    for cuts in itertools.combinations(range(1, N), B - 1):
+        bounds = [0, *cuts, N]
+        cost = sum(
+            sse(bounds[i] + 1, bounds[i + 1]) for i in range(B)
+        )
+        key = (cost, *cuts)
+        if best is None or key < best:
+            best = key
+    assert dp_cost == best[0], (dp_cost, best)
+    # the backtracked cut set matches the lexicographic-best enumeration
+    his = [r.n_days for r in sorted(out, key=lambda r: r.bin)]
+    cum, cuts = 0, []
+    for nd in his[:-1]:
+        cum += nd
+        cuts.append(cum)
+    assert tuple(cuts) == best[1:], (cuts, best)
+
+
+def test_skyline_4d_matches_bruteforce(spark):
+    """q316's bucketed two-pass frontier must equal brute-force O(n^2)
+    dominance over the exact same four criteria at sf0.001."""
+    from frontmatter_mcp_spark.workload.datapipe import q316_skyline_4d
+
+    got = sorted(
+        (r.doc_id, r.n_chars, r.n_distinct_terms, r.max_token_len,
+         r.peak_term_count)
+        for r in q316_skyline_4d(spark, SF).collect()
+    )
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        WITH words AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS t
+          FROM '{SF}/documents.parquet'
+        ),
+        tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+               FROM words GROUP BY 1, 2),
+        feat AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS d2,
+                 CAST(MAX(length(t)) AS BIGINT) AS d3,
+                 CAST(MAX(c) AS BIGINT) AS d4
+          FROM tf GROUP BY 1
+        )
+        SELECT d.doc_id, d.n_chars, f.d2, f.d3, f.d4
+        FROM '{SF}/documents.parquet' d JOIN feat f USING (doc_id)
+        """
+    ).fetchall()
+
+    def dominated(a, b):  # b dominates a (ignore doc_id column 0)
+        return all(b[i] >= a[i] for i in (1, 2, 3, 4)) and any(
+            b[i] > a[i] for i in (1, 2, 3, 4)
+        )
+
+    want = sorted(
+        tuple(a) for a in rows if not any(dominated(a, b) for b in rows)
+    )
+    assert got == want
