@@ -565,3 +565,160 @@ def synthetic_jpeg_coeff_fp(df: DataFrame, id_col: str, text_col: str) -> DataFr
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} long, width int, height int, n_nonzero int, coeff_fp string"
     )
+
+
+def wav_pcm16_samples(payload: bytes) -> tuple[int, list[int]]:
+    """REAL PCM decode: walk the RIFF chunks (odd-size padding included)
+    to the data chunk and decode little-endian signed 16-bit mono
+    samples — the sample-level counterpart of :func:`probe_wav_duration`.
+    Pure stdlib."""
+    rate = int.from_bytes(payload[24:28], "little")
+    i = 12
+    while i + 8 <= len(payload):
+        chunk = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if chunk == b"data":
+            data = payload[i + 8 : i + 8 + size]
+            samples = [
+                int.from_bytes(data[j : j + 2], "little", signed=True)
+                for j in range(0, len(data) - 1, 2)
+            ]
+            return rate, samples
+        i += 8 + size + (size & 1)
+    raise ValueError("WAV without a data chunk")
+
+
+def synthetic_wav_frames(
+    df: DataFrame, id_col: str, text_col: str, frame: int = 16
+) -> DataFrame:
+    """REAL-parser audio FRAME features (the q122/q123 discipline taken
+    to the sample level): each document seeds 64 deterministic PCM
+    samples (8 chained md5 digests = 128 bytes = 64 little-endian
+    signed int16s), written as a genuine mono WAV (LIST chunk before
+    data so the chunk walk executes), decoded back with
+    :func:`wav_pcm16_samples`, and reduced to per-frame zero-crossing
+    counts and exact integer energy — the first two features every
+    audio pipeline computes. The oracle recomputes both from the md5
+    recipe alone, so a decode defect (byte order, sign, chunk walk,
+    padding) breaks the hash compare. One Arrow-batched mapInPandas
+    stage, no shuffle."""
+    import pandas as pd
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                hx = "".join(
+                    hashlib.md5(f"{text}|wav{k}".encode()).hexdigest()
+                    for k in range(8)
+                )
+                data = bytes.fromhex(hx)  # 128 bytes = 64 int16 samples
+                rate = 8000
+                lst = bytes(int(doc_id) % 5)
+                chunks = (
+                    b"fmt " + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little")
+                    + (1).to_bytes(2, "little")
+                    + rate.to_bytes(4, "little")
+                    + (rate * 2).to_bytes(4, "little")
+                    + (2).to_bytes(2, "little")
+                    + (16).to_bytes(2, "little")
+                    + b"LIST" + len(lst).to_bytes(4, "little") + lst
+                    + (b"\x00" if len(lst) % 2 else b"")
+                    + b"data" + len(data).to_bytes(4, "little") + data
+                )
+                payload = (
+                    b"RIFF"
+                    + (4 + len(chunks)).to_bytes(4, "little")
+                    + b"WAVE"
+                    + chunks
+                )
+                assert _is_wav(payload)
+                _, samples = wav_pcm16_samples(payload)
+                for f in range(len(samples) // frame):
+                    seg = samples[f * frame : (f + 1) * frame]
+                    zcr = sum(
+                        1 for a, b in zip(seg, seg[1:]) if (a < 0) != (b < 0)
+                    )
+                    energy = sum(v * v for v in seg)
+                    rows.append((doc_id, f, zcr, energy))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame", "zcr", "energy"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, frame int, zcr int, energy long"
+    )
+
+
+# Integer 8-point DCT-II basis for the perceptual hash: floor(cos(pi*
+# (2x+1)u/16) * 2^20) for u in 0..3 (the low-frequency rows pHash
+# keeps). Both the worker and the SQL oracle consume these INTEGER
+# literals, so libm cos() portability never enters the compare.
+_PHASH_POW = 1 << 20
+_PHASH_C = [
+    [
+        __import__("math").floor(
+            __import__("math").cos(__import__("math").pi * (2 * x + 1) * u / 16)
+            * _PHASH_POW
+        )
+        for x in range(8)
+    ]
+    for u in range(4)
+]
+
+
+def synthetic_image_phash(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """REAL-codec perceptual hashing (pHash) — q122's aHash sibling
+    that survives brightness shifts: the md5-seeded 8x8 RGB image
+    round-trips through the genuine BMP encoder/decoder, grayscale =
+    channel sum, then a 4x4 low-frequency INTEGER DCT block (basis
+    floored into 2^20 fixed point, products exact BIGINTs), bits =
+    coefficient > median of the 15 non-DC coefficients (8th order
+    statistic — deterministic), packed as a 16-bit hex hash. The
+    oracle recomputes the DCT from the pixel recipe and the same
+    integer basis. One Arrow-batched mapInPandas stage."""
+    import pandas as pd
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+
+        C = np.array(_PHASH_C, dtype=np.int64)  # 4x8
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                hx = "".join(
+                    hashlib.md5(f"{text}|ph|{k}".encode()).hexdigest()
+                    for k in range(12)
+                )
+                img = np.frombuffer(bytes.fromhex(hx), dtype=np.uint8).reshape(
+                    8, 8, 3
+                )
+                payload = encode_bmp(img)
+                dec = decode_bmp(payload)  # the REAL codec round trip
+                g = dec.astype(np.int64).sum(axis=2)  # 8x8 grayscale
+                D = C @ g @ C.T  # 4x4 integer DCT block
+                vals = sorted(
+                    int(D[u, v])
+                    for u in range(4)
+                    for v in range(4)
+                    if not (u == 0 and v == 0)
+                )
+                med = vals[7]
+                hh = 0
+                for u in range(4):
+                    for v in range(4):
+                        if (u, v) != (0, 0) and int(D[u, v]) > med:
+                            hh |= 1 << (15 - (u * 4 + v))
+                rows.append((doc_id, f"{hh:04x}"))
+            yield pd.DataFrame(rows, columns=[id_col, "phash"])
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, phash string"
+    )
