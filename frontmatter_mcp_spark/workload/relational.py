@@ -1686,3 +1686,422 @@ def q313_important_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("value").desc(), "p_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q330 — TPC-H Q10 flavor (returned-item reporting): revenue lost to
+# returns per customer, the fact-fact-dim join with a selective fact
+# filter + top-k that Q3 (q03) runs without the returns dimension.
+# ---------------------------------------------------------------------------
+@register(
+    "q330_returned_item_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 flavor: top-20 customers by revenue on RETURNED "
+    "items (l_returnflag = 'R' pushed to the lineitem scan), "
+    "customer/nation broadcast around the orders-lineitem fact join, "
+    "DECIMAL-exact money, TakeOrderedAndProject top-k under the "
+    "(revenue desc, custkey) total order",
+)
+def q330_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q331 — TPC-H Q12 flavor (shipping-latency priority audit): the
+# fixture has no l_shipmode, so the Q12 GROUP key is the ship LATENCY
+# band (days from order to ship, 30-day buckets) — counting urgent
+# vs non-urgent orders per band, Q12's exact CASE-count shape.
+# ---------------------------------------------------------------------------
+@register(
+    "q331_ship_latency_priority",
+    """
+    SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) // 30 AS INT)
+             AS latency_band,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="TPC-H Q12 flavor: urgent-vs-other order counts per 30-day "
+    "ship-latency band (the fixture carries no shipmode; the latency "
+    "bucket is the operationally equivalent key — is the priority "
+    "class actually shipped faster?). Integer floor-division banding, "
+    "CASE-sum counts, one fact-fact join",
+)
+def q331_ship_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, l["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(
+            F.expr("datediff(day, o_orderdate, l_shipdate) div 30")
+            .cast("int")
+            .alias("latency_band")
+        )
+        .agg(
+            F.sum(hi.cast("int")).cast("long").alias("high_line_count"),
+            F.sum((~hi).cast("int")).cast("long").alias("low_line_count"),
+        )
+        .orderBy("latency_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q332 — TPC-H Q13 flavor (customer order-count distribution): how
+# many customers placed 0, 1, 2, ... orders — the LEFT join + double
+# aggregation whose zero bucket every inner-join formulation silently
+# drops.
+# ---------------------------------------------------------------------------
+@register(
+    "q332_customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 flavor: the customer order-count histogram via LEFT "
+    "join + COUNT(orderkey) (zero-order customers kept — the bucket "
+    "an inner join silently drops) + a second aggregation over the "
+    "counts. Two shuffles, both partial-agg friendly",
+)
+def q332_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q333 — TPC-H Q14 flavor (promo revenue share): the CASE-sum-over-sum
+# percentage per ship month — promo part types' share of revenue,
+# DECIMAL-exact on both legs of the ratio.
+# ---------------------------------------------------------------------------
+@register(
+    "q333_promo_revenue_share",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 month', l.l_shipdate), '%Y-%m')
+             AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS total_revenue,
+           ROUND(100e0 *
+             CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
+                    AS DOUBLE), 6) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="TPC-H Q14 flavor: promo part types' revenue share per ship "
+    "month — the conditional-sum-over-sum percentage with BOTH legs "
+    "DECIMAL-exact before the one double division; part is a "
+    "broadcast dim on the lineitem fact",
+)
+def q333_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                "ship_month"
+            )
+        )
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "ship_month",
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+            ).alias("promo_pct"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q334 — TPC-H Q16 flavor (supplier diversity per part class): the
+# fixture has no partsupp, so the part-supplier relation is DERIVED
+# from lineitem (who actually shipped the part) — distinct supplier
+# counts per (brand, type, size band), one brand excluded, Q16's
+# COUNT(DISTINCT) + NOT-filter shape.
+# ---------------------------------------------------------------------------
+@register(
+    "q334_supplier_part_diversity",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST((p.p_size - 1) // 10 AS INT) AS size_band,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, size_band
+    """,
+    doc="TPC-H Q16 flavor: distinct suppliers per (brand, type, "
+    "size-decade band) with one brand excluded — the part-supplier "
+    "relation derived from lineitem since the fixture has no partsupp "
+    "(stated). COUNT(DISTINCT) expands to the two-phase distinct "
+    "aggregate; the brand filter pushes to the broadcast part dim",
+)
+def q334_supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#45")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            "p_brand",
+            "p_type",
+            F.expr("(p_size - 1) div 10").cast("int").alias("size_band"),
+        )
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "size_band"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q335 — TPC-H Q17 flavor (small-quantity revenue): revenue locked in
+# orders below 20% of a part's average order quantity — the
+# correlated-average filter, exact via the integer cross-
+# multiplication qty * 5 * n_part < sum_qty_part (quantities are
+# integral; no float average ever exists).
+# ---------------------------------------------------------------------------
+@register(
+    "q335_small_quantity_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7
+             AS avg_yearly
+    FROM lineitem l
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * pq.n < pq.sq
+    """,
+    doc="TPC-H Q17 flavor: revenue in lineitems below 20% of their "
+    "part's average order quantity, divided by 7 (the Q17 'yearly "
+    "loss' convention) — the correlated average becomes the exact "
+    "integer cross-multiplication qty*5*n < sum_qty (fixture "
+    "quantities are integral), so no float average exists; the "
+    "per-part stats join back on the part key (partial-agg + one "
+    "shuffle)",
+)
+def q335_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    pq = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sq"),
+        F.count("*").cast("long").alias("n"),
+    )
+    l2 = l.select(
+        F.col("l_partkey").alias("pk"), "l_quantity", "l_extendedprice"
+    )
+    return (
+        l2.join(pq, l2["pk"] == pq["l_partkey"])
+        .filter(
+            F.col("l_quantity").cast("long") * 5 * F.col("n") < F.col("sq")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_small_lines"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / 7
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q336 — TPC-H Q18 flavor (large-volume orders): customers whose
+# orders aggregate more than 250 quantity units — the HAVING-driven
+# semi-join into a second aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q336_large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           b.qty AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 flavor: top-20 large-volume orders (order quantity "
+    "sum > 250 via HAVING on the exact integer sum), joined back "
+    "through orders to customers — the aggregate-then-semi-join shape "
+    "with a TakeOrderedAndProject top-k under (totalprice desc, "
+    "orderkey)",
+)
+def q336_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+        .filter(F.col("qty") > 250)
+    )
+    return (
+        big.join(o, o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("qty").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q337 — TPC-H Q19 flavor (disjunctive predicate revenue): revenue
+# under an OR of three (brand-class, quantity-range, size-range)
+# conjunctions — the predicate shape that exercises CNF conversion /
+# partial pushdown in the optimizer.
+# ---------------------------------------------------------------------------
+@register(
+    "q337_disjunctive_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand LIKE 'Brand#1%' AND l.l_quantity <= 15
+           AND p.p_size <= 10)
+       OR (p.p_brand LIKE 'Brand#2%' AND l.l_quantity BETWEEN 10 AND 25
+           AND p.p_size <= 20)
+       OR (p.p_brand LIKE 'Brand#3%' AND l.l_quantity >= 25
+           AND p.p_size <= 30)
+    """,
+    doc="TPC-H Q19 flavor: revenue under a disjunction of three "
+    "(brand-class, quantity-range, size-range) conjunctions — the OR-"
+    "of-ANDs predicate that exercises CNF conversion and partial "
+    "pushdown (the size/brand legs can reach the part scan, the "
+    "quantity legs the lineitem scan). DECIMAL-exact money, one "
+    "broadcast join",
+)
+def q337_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            F.col("p_brand").like("Brand#1%")
+            & (F.col("l_quantity") <= 15)
+            & (F.col("p_size") <= 10)
+        )
+        | (
+            F.col("p_brand").like("Brand#2%")
+            & F.col("l_quantity").between(10, 25)
+            & (F.col("p_size") <= 20)
+        )
+        | (
+            F.col("p_brand").like("Brand#3%")
+            & (F.col("l_quantity") >= 25)
+            & (F.col("p_size") <= 30)
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
