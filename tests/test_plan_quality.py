@@ -1034,3 +1034,93 @@ def test_q287_executes_native_recursion(spark):
     df = QUERIES["q287_recursive_path_census"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "UnionLoop" in plan, plan[:2000]
+
+
+def test_q315_voptimal_dp_broadcast_levels_no_python(spark):
+    """The DP levels are O(days^2) broadcast range joins — never a
+    shuffled cartesian — and the whole plan stays JVM-side."""
+    plan = formatted_plan(spark, "q315_voptimal_dp")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the p.i < c.i level joins
+
+
+def test_q316_skyline_4d_local_prune_then_broadcast_global(spark):
+    plan = formatted_plan(spark, "q316_skyline_4d")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # global pass on candidates
+
+
+def test_q319_mann_kendall_pairwise_is_day_bounded(spark):
+    """The O(days^2) sign join runs on the pinned gap-filled axis
+    (bounded), not on raw events; no Python, no cartesian."""
+    plan = formatted_plan(spark, "q319_mann_kendall")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # the pinned filled axis
+
+
+def test_q321_permutation_nulls_built_in_one_exploded_pass(spark):
+    """The 32-replicate null distribution is one exploded corpus pass
+    (a single Generate feeding the (b, pseudo-group) aggregate), and
+    the obs x null comparison joins the bounded stats tables only."""
+    import re
+
+    plan = formatted_plan(spark, "q321_permutation_bh_fdr")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly ONE distinct explode node: repeats in the printout are the
+    # pinned null-stats InMemoryRelation's build plan, not extra passes
+    gen_ids = set(re.findall(r"Generate \((\d+)\)", plan))
+    assert len(gen_ids) == 1, gen_ids
+
+
+def test_q323_dirichlet_ql_posting_joins_no_python(spark):
+    plan = formatted_plan(spark, "q323_dirichlet_ql_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q324_isotonic_grid_is_broadcast_only(spark):
+    """The O(bins^3) PAVA grid joins broadcast the bin table — the
+    corpus-facing work is one narrow aggregate."""
+    plan = formatted_plan(spark, "q324_isotonic_calibration")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q326_rake_no_python_no_cartesian(spark):
+    plan = formatted_plan(spark, "q326_rake_keywords")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q329_ffd_single_aggregate_no_joins(spark):
+    """Both packing folds run on the per-source sorted token arrays —
+    one corpus aggregate, zero joins, zero Python."""
+    plan = formatted_plan(spark, "q329_ffd_packing")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    # 3 exchange nodes (tree + details prints each twice):
+    # ensure_parallelism's repartition, the groupBy, the final sort
+    assert plan.count("Exchange") <= 6
+
+
+def test_q330_returned_items_pushdown_and_topk(spark):
+    """The returnflag filter must reach the lineitem scan and the
+    top-20 must be TakeOrderedAndProject, not a global sort."""
+    plan = formatted_plan(spark, "q330_returned_item_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan or (
+        "EqualTo(l_returnflag,R)" in plan
+    )
+
+
+def test_q337_disjunctive_predicate_partial_pushdown(spark):
+    """The OR-of-ANDs predicate: the size/brand legs are part-side, the
+    quantity legs lineitem-side — Catalyst should still push an Or
+    filter to at least one scan rather than evaluating everything
+    post-join."""
+    plan = formatted_plan(spark, "q337_disjunctive_revenue")
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
