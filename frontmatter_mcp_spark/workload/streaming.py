@@ -1455,3 +1455,90 @@ def q314_stream_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q341 — streaming quantile monitor: per 1-day window, p50/p90/p99 of
+# the event value estimated from the md5-designated 5% sample (q170's
+# engine-portable mergeable-quantile discipline, now as a live
+# dashboard feed) — the windowed aggregate carries the FULL count but
+# only the sampled values, so state per window is 5% of the window,
+# and both engines draw the identical sample so the estimates
+# hash-verify exactly.
+# ---------------------------------------------------------------------------
+def _stream_quantiles_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("event_id", 100)
+
+    def q_at(p: int) -> str:
+        return (
+            f"ROUND(sv[GREATEST(1, (len(sv) * {p} + 99) // 100)], 6)"
+        )
+
+    return f"""
+    WITH d AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day, value,
+             CASE WHEN {bucket} < 5 THEN value END AS sval
+      FROM events
+    ),
+    w AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+             list_sort([x FOR x IN list(sval) IF x IS NOT NULL]) AS sv
+      FROM d GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS window_day,
+           n_events, CAST(len(sv) AS BIGINT) AS n_sampled,
+           CASE WHEN len(sv) > 0 THEN {q_at(50)} END AS p50,
+           CASE WHEN len(sv) > 0 THEN {q_at(90)} END AS p90,
+           CASE WHEN len(sv) > 0 THEN {q_at(99)} END AS p99
+    FROM w ORDER BY window_day
+    """
+
+
+@register(
+    "q341_stream_quantile_monitor",
+    _stream_quantiles_sql(),
+    doc="streaming per-day value-quantile monitor: one watermarked "
+    "1-day windowed aggregate carries the full event count plus a "
+    "collect_list of ONLY the md5-designated 5% sample (state per "
+    "window bounded at 5%), and p50/p90/p99 come from the sorted "
+    "sample at the exact integer rank ceil(n*p/100) — q170's "
+    "engine-portable quantile-estimation discipline as live "
+    "monitoring infrastructure: both engines draw the identical "
+    "sample, so the estimates hash-verify (where a t-digest or KLL "
+    "would be engine-private). == batch per-day replay of the same "
+    "sample rule",
+)
+def q341_stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    stream = ev.read_events_stream(spark, sf_dir)
+    sval = F.when(hash_bucket(F.col("event_id"), 100) < 5, F.col("value"))
+    agg = (
+        stream.withColumn("sval", sval)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sort_array(F.collect_list("sval")).alias("sv"),
+        )
+    )
+    out = ev.run_stream_to_batch(agg, "stream_quantile_out")
+
+    def q_at(p: int):
+        idx = F.greatest(
+            F.lit(1), F.expr(f"(size(sv) * {p} + 99) div 100").cast("int")
+        )
+        return F.when(
+            F.size("sv") > 0, F.round(F.element_at("sv", idx), 6)
+        )
+
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("window_day"),
+        "n_events",
+        F.size("sv").cast("long").alias("n_sampled"),
+        q_at(50).alias("p50"),
+        q_at(90).alias("p90"),
+        q_at(99).alias("p99"),
+    ).orderBy("window_day")
