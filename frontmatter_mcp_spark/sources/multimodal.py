@@ -722,3 +722,106 @@ def synthetic_image_phash(
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} long, phash string"
     )
+
+
+def synthetic_video_frame_sample(
+    df: DataFrame, id_col: str, text_col: str, every: int = 2, n_frames: int = 4
+) -> DataFrame:
+    """REAL-container video frame sampling (the q122 discipline for the
+    video modality): each document seeds an n_frames-frame "video" —
+    a genuine length-prefixed container (magic 'VID0', frame count,
+    then [length][24-bit BMP] records) whose frames are md5-seeded 8x8
+    images — and the sampler WALKS THE CONTAINER for real: parse the
+    header, hop the length prefixes, decode every `every`-th frame
+    with the genuine BMP codec, average-hash it. The oracle recomputes
+    each sampled frame's expected aHash from the per-frame md5 recipe,
+    so a container-walk or codec defect breaks the hash. One
+    Arrow-batched mapInPandas stage."""
+    import pandas as pd
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                frames = []
+                for fidx in range(n_frames):
+                    hx = "".join(
+                        hashlib.md5(
+                            f"{text}|vf{fidx}|{k}".encode()
+                        ).hexdigest()
+                        for k in range(12)
+                    )
+                    img = np.frombuffer(
+                        bytes.fromhex(hx), dtype=np.uint8
+                    ).reshape(8, 8, 3)
+                    frames.append(encode_bmp(img))
+                payload = b"VID0" + n_frames.to_bytes(4, "little") + b"".join(
+                    len(f).to_bytes(4, "little") + f for f in frames
+                )
+                # REAL container walk
+                assert payload[:4] == b"VID0"
+                nf = int.from_bytes(payload[4:8], "little")
+                off = 8
+                for fidx in range(nf):
+                    ln = int.from_bytes(payload[off : off + 4], "little")
+                    frame = payload[off + 4 : off + 4 + ln]
+                    off += 4 + ln
+                    if fidx % every != 0:
+                        continue
+                    dec = decode_bmp(frame)  # the REAL codec
+                    gs = dec.astype(np.int64).sum(axis=2).reshape(-1)
+                    bits = (gs * gs.size > gs.sum()).astype(np.uint8)
+                    ahash = np.packbits(bits).tobytes().hex()
+                    rows.append((doc_id, fidx, nf, ahash))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "n_frames", "ahash"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, frame_idx int, n_frames int, ahash string"
+    )
+
+
+def synthetic_image_resize_ahash(
+    df: DataFrame, id_col: str, text_col: str, out_size: int = 4
+) -> DataFrame:
+    """REAL resize certification: the md5-seeded 8x8 BMP goes through
+    :func:`resize_bmp` (decode -> nearest-neighbor index resample ->
+    re-encode) and the RESIZED bytes are decoded and average-hashed.
+    Nearest-neighbor picks rows/cols floor(arange(out)*in/out), so the
+    oracle recomputes the expected hash from the sampled recipe pixels
+    alone — any stride/index/re-encode defect breaks it."""
+    import pandas as pd
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                hx = "".join(
+                    hashlib.md5(f"{text}|rz|{k}".encode()).hexdigest()
+                    for k in range(12)
+                )
+                img = np.frombuffer(bytes.fromhex(hx), dtype=np.uint8).reshape(
+                    8, 8, 3
+                )
+                resized = resize_bmp(encode_bmp(img), out_size, out_size)
+                dec = decode_bmp(resized)
+                gs = dec.astype(np.int64).sum(axis=2).reshape(-1)
+                bits = (gs * gs.size > gs.sum()).astype(np.uint8)
+                ahash = np.packbits(bits).tobytes().hex()
+                rows.append((doc_id, out_size, out_size, ahash))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "ahash"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, width int, height int, ahash string"
+    )
