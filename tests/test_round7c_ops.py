@@ -238,3 +238,216 @@ def test_skyline_4d_matches_bruteforce(spark):
         tuple(a) for a in rows if not any(dominated(a, b) for b in rows)
     )
     assert got == want
+
+
+def test_percolation_monotone_and_cc_bruteforce(spark):
+    """q349 invariants: raising the Jaccard threshold can only remove
+    edges, so edge counts fall and total component counts rise
+    monotonically; and the t=50 component census must match a plain
+    union-find over the same integer-cross-multiplied edge rule."""
+    from frontmatter_mcp_spark.workload.datapipe import (
+        _MAX_DF,
+        q349_threshold_percolation,
+    )
+
+    rows = sorted(
+        q349_threshold_percolation(spark, SF).collect(),
+        key=lambda r: r.threshold_pct,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_edges >= b.n_edges
+        assert a.n_components_total <= b.n_components_total
+        assert a.largest_component >= b.largest_component
+
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""
+        WITH toks AS (SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS w
+             FROM '{SF}/documents.parquet'),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+          WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS ss FROM sh GROUP BY 1),
+        dfreq AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1),
+        f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+              WHERE dfreq.c <= {_MAX_DF}),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
+          FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT ia, ib FROM inter
+        JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+        WHERE nc * 100 >= 50 * (sa.ss + sb.ss - nc)
+        """
+    ).fetchall()
+    ndocs = con.sql(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for nd in parent:
+        comps.setdefault(find(nd), 0)
+        comps[find(nd)] += 1
+    r50 = rows[0]
+    assert r50.n_edges == len(edges)
+    assert r50.n_nodes_in_edges == len(parent)
+    assert r50.n_edge_components == len(comps)
+    assert r50.n_components_total == ndocs - len(parent) + len(comps)
+    want_largest = max(comps.values()) if comps else 0
+    if ndocs > len(parent):
+        want_largest = max(want_largest, 1)
+    assert r50.largest_component == want_largest
+
+
+def test_learned_index_matches_numpy_fit(spark):
+    """q350's per-segment OLS and error columns must match a numpy
+    replica of the same anchored-offset fit and half-up rounding."""
+    import numpy as np
+
+    from frontmatter_mcp_spark.workload.datapipe import (
+        _LIDX_SEGS,
+        q350_learned_index_audit,
+    )
+
+    got = {r.segment: r for r in q350_learned_index_audit(spark, SF).collect()}
+    con = duckdb.connect()
+    keys = [
+        r[0]
+        for r in con.sql(
+            f"SELECT o_orderkey FROM '{SF}/orders.parquet' ORDER BY 1"
+        ).fetchall()
+    ]
+    n = len(keys)
+    for s in range(_LIDX_SEGS):
+        seg = [
+            (k, i + 1)
+            for i, k in enumerate(keys)
+            if (i * _LIDX_SEGS) // n == s
+        ]
+        ks = np.array([k for k, _ in seg], dtype=np.float64)
+        ps = np.array([p for _, p in seg], dtype=np.float64)
+        x = ks - ks.min()
+        if np.allclose(x.var(), 0):
+            slope = 0.0
+        else:
+            slope = ((len(x) * (x * ps).sum() - x.sum() * ps.sum())
+                     / (len(x) * (x * x).sum() - x.sum() ** 2))
+        pred = np.floor(ps.mean() + slope * (x - x.mean()) + 0.5)
+        max_err = int(np.abs(ps - pred).max())
+        assert got[s].n_keys == len(seg)
+        assert got[s].max_err == max_err, (s, got[s].max_err, max_err)
+
+
+def test_hurst_matches_numpy_replica(spark):
+    """q344's per-scale mean R/S and the OLS Hurst slope must match a
+    numpy replica of the same integer-deviation, floored-fixed-point
+    recipe."""
+    import math
+
+    import numpy as np
+
+    from frontmatter_mcp_spark.workload.datapipe import (
+        _HURST_FX,
+        _HURST_LFX,
+        _HURST_SCALES,
+        q344_hurst_exponent,
+    )
+
+    got = {r.scale_days: r for r in q344_hurst_exponent(spark, SF).collect()}
+    con = duckdb.connect()
+    ys = [
+        r[0]
+        for r in con.sql(
+            f"""SELECT CAST(COUNT(*) AS BIGINT) FROM '{SF}/events.parquet'
+                GROUP BY time_bucket(INTERVAL '1 day', ts)
+                ORDER BY time_bucket(INTERVAL '1 day', ts)"""
+        ).fetchall()
+    ]
+    pts = []
+    for s in _HURST_SCALES:
+        nb = len(ys) // s
+        acc = 0
+        used = 0
+        for b in range(nb):
+            blk = ys[b * s : (b + 1) * s]
+            sb = sum(blk)
+            z = [s * y - sb for y in blk]
+            cum = np.cumsum(z)
+            ssz = sum(v * v for v in z)
+            if ssz == 0:
+                continue
+            rs = (cum.max() - cum.min()) * math.sqrt(s) / math.sqrt(ssz)
+            acc += math.floor(rs * _HURST_FX)
+            used += 1
+        mean_rs = acc / used / _HURST_FX
+        assert got[s].n_blocks == used
+        assert abs(got[s].mean_rs - round(mean_rs, 6)) < 1e-9
+        pts.append(
+            (
+                math.floor(math.log(s) * _HURST_LFX),
+                math.floor(math.log(mean_rs) * _HURST_LFX),
+            )
+        )
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    hurst = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(got[_HURST_SCALES[0]].hurst - round(hurst, 6)) < 1e-9
+
+
+def test_ljung_box_matches_numpy_acf(spark):
+    """q343's Q statistic must match numpy autocorrelations composed
+    through the same fixed-point term floor."""
+    import math
+
+    import numpy as np
+
+    from frontmatter_mcp_spark.workload.datapipe import (
+        _ACF_MAX_LAG,
+        _LB_FX,
+        q343_ljung_box,
+    )
+
+    got = {r.event_type: r for r in q343_ljung_box(spark, SF).collect()}
+    con = duckdb.connect()
+    for et in ("click", "error", "purchase", "signup", "view"):
+        days = con.sql(
+            f"""WITH daily AS (
+                  SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM '{SF}/events.parquet'
+                  WHERE event_type = '{et}' GROUP BY 1),
+                axis AS (SELECT unnest(generate_series(
+                    (SELECT MIN(day) FROM daily),
+                    (SELECT MAX(day) FROM daily), INTERVAL '1 day')) AS day)
+                SELECT COALESCE(d.n, 0) FROM axis a
+                LEFT JOIN daily d USING (day) ORDER BY a.day"""
+        ).fetchall()
+        y = np.array([r[0] for r in days], dtype=object)
+        nd = len(y)
+        d = y * nd - sum(y)
+        den = sum(int(v) * int(v) for v in d)
+        t_fx = 0
+        for lag in range(1, _ACF_MAX_LAG + 1):
+            num = sum(int(d[i]) * int(d[i + lag]) for i in range(nd - lag))
+            rho = num / den
+            t_fx += math.floor(rho * rho / (nd - lag) * _LB_FX)
+        q = nd * (nd + 2) * t_fx / _LB_FX
+        assert abs(got[et].q_ljung_box - round(q, 6)) < 1e-9, et
