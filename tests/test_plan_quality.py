@@ -1124,3 +1124,47 @@ def test_q337_disjunctive_predicate_partial_pushdown(spark):
     plan = formatted_plan(spark, "q337_disjunctive_revenue")
     assert "CartesianProduct" not in plan
     assert "PushedFilters" in plan
+
+
+def test_q349_percolation_single_shingle_join(spark):
+    """The percolation sweep must compute ONE df-capped shingle
+    self-join feeding all thresholds (the pinned base), stay JVM-side,
+    and never degrade to a cartesian."""
+    import re
+
+    plan = formatted_plan(spark, "q349_threshold_percolation")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q353_keeper_quality_no_python_no_cartesian(spark):
+    plan = formatted_plan(spark, "q353_keeper_quality_audit")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q356_posting_compression_single_explode(spark):
+    """One distinct (doc, term) explode feeds the gap window and both
+    aggregates — no Python, no joins beyond none at all."""
+    import re
+
+    plan = formatted_plan(spark, "q356_posting_compression")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    gen_ids = set(re.findall(r"Generate \((\d+)\)", plan))
+    assert len(gen_ids) == 1, gen_ids
+    assert "Join" not in plan
+
+
+def test_q358_next_event_model_joins_broadcast(spark):
+    """The learned transition table and the baseline are bounded
+    broadcasts into the test pairs — no shuffle join on the model."""
+    plan = formatted_plan(spark, "q358_next_event_eval")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q360_bbit_no_python_no_cartesian(spark):
+    plan = formatted_plan(spark, "q360_bbit_minhash")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
