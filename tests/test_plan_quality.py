@@ -1168,3 +1168,13 @@ def test_q360_bbit_no_python_no_cartesian(spark):
     plan = formatted_plan(spark, "q360_bbit_minhash")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q362_executes_native_variant(spark):
+    """The VARIANT pin: props must flow through parse_json ->
+    variant_get in the physical plan (the binary VARIANT execution
+    path), not a from_json struct fallback."""
+    plan = formatted_plan(spark, "q362_variant_json_stats")
+    low = plan.lower()
+    assert "variant" in low, plan[:2000]
+    assert "from_json" not in low
