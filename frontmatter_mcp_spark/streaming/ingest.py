@@ -444,3 +444,94 @@ def misra_gries_summaries(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def misra_gries_windowed(
+    df: DataFrame,
+    ts_col: str = "ts",
+    item_col: str = "user_id",
+    k: int = 16,
+    shards: int = 4,
+    retention: str = "1 day",
+) -> DataFrame:
+    """Windowed streaming Misra-Gries: per (event-time DAY, item-hash
+    shard) a bounded (<= k entries) MG summary in
+    ``applyInPandasWithState`` — :func:`misra_gries_summaries` with a
+    time axis, which is what turns the sketch into a live heavy-hitter
+    DASHBOARD (per-day heads, diffable day-over-day at O(k) cost).
+
+    State is <= k entries per open (day, shard) AND bounded in the
+    window dimension: the watermark on the day column arms an
+    event-time timeout at day end + retention, after which a closed
+    window's state row removes itself (its final summary was already
+    emitted with the max fold ordinal). Fold order is pinned in item
+    order per micro-batch (ADR-0004); under the harness's
+    deterministic single-batch arrival each (day, shard) fold equals
+    the batch histogram fold the oracle replays.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    retention_ms = _interval_ms(df.sparkSession, retention)
+    rows = (
+        df.select(
+            F.date_trunc("day", F.col(ts_col).cast("timestamp")).alias("win"),
+            F.col(item_col).cast("string").alias("t"),
+        )
+        .withColumn("shard", hash_bucket(F.col("t"), shards))
+        .withWatermark("win", retention)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        from collections import Counter
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            terms, counts, n_folds = state.get
+            S = list(zip(terms, counts))
+        else:
+            S, n_folds = [], 0
+        hist: Counter = Counter()
+        for pdf in pdfs:
+            hist.update(pdf["t"])
+        for t in sorted(hist):
+            c = int(hist[t])
+            for i, (st, sc) in enumerate(S):
+                if st == t:
+                    S[i] = (st, sc + c)
+                    break
+            else:
+                S.append((t, c))
+                if len(S) > k:
+                    delta = min(sc for _, sc in S)
+                    S = [(st, sc - delta) for st, sc in S if sc - delta > 0]
+        n_folds += 1
+        state.update(([t for t, _ in S], [int(c) for _, c in S], n_folds))
+        win_ms = int(key[0].timestamp() * 1000)
+        wm = state.getCurrentWatermarkMs()
+        # day end + retention, clamped past the watermark (Spark rejects
+        # timers at/behind it)
+        state.setTimeoutTimestamp(
+            max(win_ms + 86_400_000 + retention_ms, wm + 1)
+        )
+        yield pd.DataFrame(
+            {
+                "win": [key[0]] * len(S),
+                "shard": [int(key[1])] * len(S),
+                "n_folds": [n_folds] * len(S),
+                "t": [t for t, _ in S],
+                "c": [int(c) for _, c in S],
+            }
+        )
+
+    return rows.groupBy("win", "shard").applyInPandasWithState(
+        update,
+        outputStructType="win timestamp, shard int, n_folds long, t string, c long",
+        stateStructType="terms array<string>, counts array<long>, n_folds long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1542,3 +1542,204 @@ def q341_stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_at(90).alias("p90"),
         q_at(99).alias("p99"),
     ).orderBy("window_day")
+
+
+# ---------------------------------------------------------------------------
+# q367 — streaming daily heavy-hitter LEDGER: the q314 machinery with
+# a time axis (per (event-time day, user-hash shard) MG(16) state,
+# watermark-timed eviction of closed windows) feeding the q364 head
+# diff day-over-day — who entered each day's heavy-user head, who
+# left, and how estimates moved, at O(k) per day with NO pass over
+# history. The live dashboard the mergeable-sketch family exists for.
+# ---------------------------------------------------------------------------
+_MGW_SHARDS = 4
+
+
+def _mg_daily_sql() -> str:
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
+    from frontmatter_mcp_spark.workload.datapipe import _MG_K, _mg_insert_duck
+
+    bucket = hash_bucket_sql("t", _MGW_SHARDS)
+    empty = "CAST([] AS STRUCT(t VARCHAR, c BIGINT)[])"
+    return f"""
+    WITH RECURSIVE ev AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS win,
+             CAST(user_id AS VARCHAR) AS t
+      FROM events
+    ),
+    hist AS MATERIALIZED (
+      SELECT win, {bucket} AS bucket, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1, 2, 3
+    ),
+    items AS MATERIALIZED (
+      SELECT win, bucket, t, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY win, bucket ORDER BY t)
+                  AS INT) AS idx
+      FROM hist
+    ),
+    fold AS (
+      SELECT DISTINCT win, bucket, 0 AS i, {empty} AS S FROM items
+      UNION ALL
+      SELECT f.win, f.bucket, f.i + 1, {_mg_insert_duck("f.S", "x.t", "x.c")}
+      FROM fold f JOIN items x
+        ON x.win = f.win AND x.bucket = f.bucket AND x.idx = f.i + 1
+    ),
+    bsum AS (
+      SELECT f.win, f.bucket, f.S
+      FROM fold f
+      JOIN (SELECT win, bucket, MAX(idx) AS mx FROM items GROUP BY 1, 2) m
+        ON m.win = f.win AND m.bucket = f.bucket AND f.i = m.mx
+    ),
+    entries AS (SELECT win, bucket, unnest(S) AS e FROM bsum),
+    mitems AS MATERIALIZED (
+      SELECT win, e.t AS t, e.c AS c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY win
+                                     ORDER BY bucket, e.t) AS INT) AS idx
+      FROM entries
+    ),
+    mfold AS (
+      SELECT DISTINCT win, 0 AS i, {empty} AS S FROM mitems
+      UNION ALL
+      SELECT f.win, f.i + 1, {_mg_insert_duck("f.S", "x.t", "x.c")}
+      FROM mfold f JOIN mitems x ON x.win = f.win AND x.idx = f.i + 1
+    ),
+    heads AS (
+      SELECT f.win, e.t AS user_key, e.c AS est
+      FROM (SELECT f.win, unnest(f.S) AS e
+            FROM mfold f
+            JOIN (SELECT win, MAX(idx) AS mx FROM mitems GROUP BY 1) m
+              ON m.win = f.win AND f.i = m.mx) f(win, e)
+    ),
+    days AS (SELECT DISTINCT win FROM heads),
+    cur AS (
+      SELECT h.win, h.user_key, h.est,
+             COALESCE(p.est, 0) AS prev_est
+      FROM heads h
+      LEFT JOIN heads p
+        ON p.win = h.win - INTERVAL '1 day' AND p.user_key = h.user_key
+    ),
+    gone AS (
+      SELECT d.win, p.user_key, CAST(0 AS BIGINT) AS est, p.est AS prev_est
+      FROM heads p
+      JOIN days d ON d.win = p.win + INTERVAL '1 day'
+      WHERE NOT EXISTS (SELECT 1 FROM heads h
+                        WHERE h.win = d.win AND h.user_key = p.user_key)
+    ),
+    u AS (SELECT * FROM cur UNION ALL SELECT * FROM gone)
+    SELECT strftime(win, '%Y-%m-%d') AS day,
+           CAST(user_key AS BIGINT) AS user_id,
+           est, prev_est, est - prev_est AS est_delta,
+           CASE WHEN prev_est = 0 THEN 'entered'
+                WHEN est = 0 THEN 'left'
+                ELSE 'stayed' END AS head_status
+    FROM u
+    ORDER BY day, user_id
+    """
+
+
+@register(
+    "q367_stream_mg_daily_heads",
+    _mg_daily_sql(),
+    doc="streaming daily heavy-hitter ledger: per (event-time day, "
+    "user-hash shard) MG(16) state in applyInPandasWithState (q314's "
+    "pinned folds with a time axis; closed windows evict via "
+    "watermark-armed event-time timers, so state is O(k x shards x "
+    "open windows)), shard summaries merged per day in (shard, user) "
+    "order, and consecutive days' heads diffed — entered/left/stayed "
+    "with estimate deltas, the O(k)-per-day dashboard q364 computes "
+    "as a one-shot batch. == the oracle's replayed per-day folds and "
+    "LAG-style day join",
+)
+def q367_stream_mg_daily_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.streaming import ingest
+    from frontmatter_mcp_spark.workload.datapipe import _MG_K, _mg_insert_col
+
+    stream = ev.read_events_stream(spark, sf_dir)
+    summ = ingest.misra_gries_windowed(
+        stream, ts_col="ts", item_col="user_id", k=_MG_K, shards=_MGW_SHARDS
+    )
+    with ev._stream_state_partitions(spark):
+        q = (
+            summ.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_mg_daily_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    raw = spark.table("stream_mg_daily_out")
+    latest = (
+        raw.withColumn(
+            "mx", F.max("n_folds").over(W.partitionBy("win", "shard"))
+        )
+        .filter(F.col("n_folds") == F.col("mx"))
+        .select("win", "shard", "t", "c")
+    )
+    empty = F.array().cast("array<struct<t:string,c:bigint>>")
+    heads = (
+        latest.groupBy("win")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("shard", "t", "c"))),
+                lambda s: F.struct(s["t"].alias("t"), s["c"].alias("c")),
+            ).alias("mitems")
+        )
+        .select(
+            "win",
+            F.aggregate(
+                "mitems", empty, lambda S, x: _mg_insert_col(S, x, _MG_K)
+            ).alias("S"),
+        )
+        .select("win", F.explode("S").alias("e"))
+        .select("win", F.col("e.t").alias("user_key"), F.col("e.c").alias("est"))
+    )
+    heads = heads.localCheckpoint()
+    prev = heads.select(
+        (F.col("win") + F.expr("interval 1 day")).alias("win"),
+        F.col("user_key").alias("puser"),
+        F.col("est").alias("prev_est"),
+    )
+    cur = heads.join(
+        prev,
+        (heads["win"] == prev["win"]) & (F.col("user_key") == F.col("puser")),
+        "left",
+    ).select(
+        heads["win"],
+        "user_key",
+        "est",
+        F.coalesce("prev_est", F.lit(0)).cast("long").alias("prev_est"),
+    )
+    days = heads.select("win").distinct()
+    gone = (
+        prev.join(days, "win")
+        .join(
+            heads.select(
+                F.col("win").alias("hwin"), F.col("user_key").alias("huser")
+            ),
+            (F.col("hwin") == F.col("win")) & (F.col("huser") == F.col("puser")),
+            "left_anti",
+        )
+        .select(
+            "win",
+            F.col("puser").alias("user_key"),
+            F.lit(0).cast("long").alias("est"),
+            F.col("prev_est").cast("long").alias("prev_est"),
+        )
+    )
+    u = cur.unionByName(gone)
+    return u.select(
+        F.date_format("win", "yyyy-MM-dd").alias("day"),
+        F.col("user_key").cast("long").alias("user_id"),
+        "est",
+        "prev_est",
+        (F.col("est") - F.col("prev_est")).alias("est_delta"),
+        F.when(F.col("prev_est") == 0, "entered")
+        .when(F.col("est") == 0, "left")
+        .otherwise("stayed")
+        .alias("head_status"),
+    ).orderBy("day", "user_id")
