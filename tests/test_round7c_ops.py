@@ -451,3 +451,79 @@ def test_ljung_box_matches_numpy_acf(spark):
             t_fx += math.floor(rho * rho / (nd - lag) * _LB_FX)
         q = nd * (nd + 2) * t_fx / _LB_FX
         assert abs(got[et].q_ljung_box - round(q, 6)) < 1e-9, et
+
+
+def test_mg_windowed_state_evicts_closed_windows(spark, tmp_path):
+    """The windowed MG operator must EVICT state for closed windows:
+    three single-file micro-batches spanning three days (the third 10
+    days out so the watermark passes day-1's timer), then assert the
+    state store reported removed rows and the per-day summaries are
+    still correct (emission happened before eviction)."""
+    import datetime
+    import glob as globmod
+    import os
+    import shutil
+
+    from frontmatter_mcp_spark.streaming import events as ev
+    from frontmatter_mcp_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    batches = [
+        [(i, t0, 7) for i in range(4)],
+        [(i, t0 + datetime.timedelta(days=1), 7) for i in range(4, 7)],
+        [(99, t0 + datetime.timedelta(days=10), 7)],
+    ]
+    d = tmp_path / "mgw"
+    d.mkdir()
+    for bi, rows in enumerate(batches):
+        tmp = str(tmp_path / "_tmp")
+        (
+            spark.createDataFrame(
+                [(eid, ts, u) for eid, ts, u in rows],
+                "event_id long, ts timestamp, user_id long",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        dest = str(d / f"b{bi}.parquet")
+        shutil.move(globmod.glob(tmp + "/part-*.parquet")[0], dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_000 * (bi + 1), 1_000 * (bi + 1)))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    summ = ingest.misra_gries_windowed(
+        stream, ts_col="ts", item_col="user_id", k=4, shards=1,
+        retention="1 hour",
+    )
+    with ev._stream_state_partitions(spark):
+        q = (
+            summ.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("mgw_evict_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            removed = sum(
+                so.get("numRowsRemoved", 0)
+                for p in q.recentProgress
+                for so in p.get("stateOperators", [])
+            )
+        finally:
+            q.stop()
+            q.awaitTermination()
+    rows = spark.table("mgw_evict_out").collect()
+    assert removed >= 1, "closed-window MG state was never evicted"
+    # summaries per day are still the exact per-day histograms (k=4
+    # exceeds the 1 distinct user per day here)
+    per_day = {}
+    for r in rows:
+        per_day.setdefault(r.win.date().isoformat(), {})[r.t] = r.c
+    assert per_day["2024-01-01"]["7"] == 4
+    assert per_day["2024-01-02"]["7"] == 3
+    assert per_day["2024-01-11"]["7"] == 1
