@@ -113,6 +113,36 @@ _LAST_GREEN_ROUND: dict[str, int] = {
         ],
         5,
     ),
+    # green in CORRECTNESS_r07.json (50/50 of the r07 window; round 6
+    # artifacts were never recorded by the driver, so nothing maps to 6)
+    **dict.fromkeys(
+        [
+            "q147_cluster_cv_folds", "q148_knn_classifier_eval",
+            "q149_classifier_confusion", "q150_datacard",
+            "q151_composition_chi2", "q152_join_size_sketch",
+            "q153_corpus_diff", "q154_itemset_pairs", "q155_mad_anomalies",
+            "q156_bootstrap_ci", "q157_ab_test", "q158_dow_seasonality",
+            "q159_triangle_count", "q160_hll_join_overlap",
+            "q161_neyman_allocation", "q162_eb_shrinkage",
+            "q163_unigram_tokenizer", "q164_exact_dup_length",
+            "q165_kcore_peeling", "q166_kmv_setops",
+            "q167_perplexity_buckets", "q168_compaction_plan",
+            "q169_unigram_encode", "q170_hash_sample_quantiles",
+            "q171_curriculum_schedule", "q172_ewma_daily",
+            "q173_skew_profile", "q174_interval_sweep", "q175_novelty_rate",
+            "q176_holt_trend", "q177_ivfpq_topk", "q178_ivfpq_recall",
+            "q179_psi_drift", "q180_embedding_isotropy",
+            "q181_all_but_the_top", "q182_dup_attribution",
+            "q183_referential_integrity", "q184_equidepth_histogram",
+            "q185_join_estimate_audit", "q186_personalized_pagerank",
+            "q312_product_profit", "q313_important_part_types",
+            "q330_returned_item_revenue", "q331_ship_latency_priority",
+            "q332_customer_order_distribution", "q333_promo_revenue_share",
+            "q334_supplier_part_diversity", "q335_small_quantity_revenue",
+            "q336_large_volume_orders", "q337_disjunctive_revenue",
+        ],
+        7,
+    ),
 }
 
 # Queries whose Spark plan or oracle changed since their last green row —
@@ -141,6 +171,20 @@ _MODIFIED_SINCE_GREEN: set[str] = {
 }
 
 
+# Never-verified queries the round-7 judge flagged as flagships that must
+# not wait out the multi-round backlog drain (VERDICT r07 item 6). They
+# jump the within-group registry-index ordering; once green they fall out
+# of this set's effect automatically (the _LAST_GREEN_ROUND key dominates).
+_WINDOW_PRIORITY: set[str] = {
+    "q314_stream_misra_gries",
+    "q327_wav_frame_features",
+    "q341_stream_quantile_monitor",
+    "q346_video_frame_sample",
+    "q347_image_resize_probe",
+    "q367_stream_mg_daily_heads",
+}
+
+
 def driver_window_order() -> list[str]:
     """All registered query names, window-priority first (derived)."""
     reg_index = {n: i for i, n in enumerate(QUERIES)}
@@ -151,6 +195,7 @@ def driver_window_order() -> list[str]:
             name in _LAST_GREEN_ROUND,  # never-verified first
             name not in _MODIFIED_SINCE_GREEN,  # then modified-since-green
             _LAST_GREEN_ROUND.get(name, 0),  # then stalest green first
+            name not in _WINDOW_PRIORITY,  # judge-flagged flagships first
             reg_index[name],  # stable within a group
         )
 
