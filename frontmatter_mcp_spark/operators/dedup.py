@@ -21,7 +21,7 @@ All expressions are built-in Catalyst functions — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -214,12 +214,62 @@ def lsh_band_buckets(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def lsh_oversized_buckets(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 40,
+) -> DataFrame:
+    """Audit companion to candidate_pairs_from_signatures: the (band,
+    bucket, count) rows the skew cap drops. A production dedup job logs
+    ``lsh_oversized_buckets(...).agg(sum(count))`` next to the pair join
+    so capped mass is an observable, never a silent truncation."""
+    return (
+        lsh_band_buckets(signatures, id_col, num_hashes, bands)
+        .groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > max_bucket)
+    )
+
+
 def candidate_pairs_from_signatures(
-    signatures: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 40,
 ) -> DataFrame:
     """LSH candidate pairs from an existing signature DataFrame (see
-    minhash_signatures_from_shingles for why the stages compose)."""
+    minhash_signatures_from_shingles for why the stages compose).
+
+    ``max_bucket`` is the skew guard (the simhash_candidate_pairs
+    discipline applied here): a band bucket holding more than
+    ``max_bucket`` docs is dropped BEFORE the self-join, so candidates
+    are bounded by O(buckets x max_bucket^2) instead of quadratic in the
+    largest duplicate cluster — an exact-dup cluster of m documents
+    collides in EVERY band and would otherwise emit bands * m^2 / 2
+    pairs (m = 10^6 at pretraining scale -> 10^12 rows out of one join).
+    Mega-buckets are exact-duplicate territory the hash dedup (q30)
+    collapses upstream; banding targets the near-miss tail. Pass
+    ``max_bucket=None`` to disable.
+
+    Unlike the SimHash twin, survivors are NOT broadcast: SimHash slices
+    live in a bounded space (2^rpb values per band) while MinHash bucket
+    ids are unbounded md5s, so the survivor set scales with the corpus.
+    The cap is instead a window count over (band, bucket) — the same
+    shuffle key the self-join needs, so the exchange is reused and the
+    cap costs one linear pass, no extra shuffle, no broadcast. Dropped
+    mass is observable via lsh_oversized_buckets (same subplan shape).
+    """
     bb = lsh_band_buckets(signatures, id_col, num_hashes, bands)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        bb = (
+            bb.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a = bb.withColumnRenamed(id_col, "id_a")
     b = bb.withColumnRenamed(id_col, "id_b")
     return (
@@ -237,12 +287,15 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 40,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: distinct (id_a < id_b) pairs that
     collide in at least one band. The join key is (band, bucket) so the
-    shuffle volume is O(corpus), not O(corpus^2)."""
+    shuffle volume is O(corpus), not O(corpus^2); ``max_bucket`` bounds
+    the pair fan-out of skewed buckets (see
+    candidate_pairs_from_signatures)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    return candidate_pairs_from_signatures(sigs, id_col, num_hashes, bands)
+    return candidate_pairs_from_signatures(sigs, id_col, num_hashes, bands, max_bucket)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

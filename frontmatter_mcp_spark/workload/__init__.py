@@ -168,6 +168,17 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # r5b: two-phase scaffolding factored into _two_phase_prefix (results
     # byte-identical by construction; re-verify anyway)
     "q83_mixture_quota",
+    # r8: MinHash-LSH band buckets now skew-capped (max_bucket=40, inert at
+    # test SFs — max observed bucket is 16 at sf0.1 — but the plan changed;
+    # every green consumer of lsh_candidate_pairs re-verifies)
+    "q32_lsh_candidates",
+    "q75_minhash_calibration",
+    "q91_banding_sweep",
+    "q126_similarity_pagerank",
+    "q135_connected_components",
+    "q159_triangle_count",
+    "q165_kcore_peeling",
+    "q186_personalized_pagerank",
 }
 
 
