@@ -1178,3 +1178,18 @@ def test_q362_executes_native_variant(spark):
     low = plan.lower()
     assert "variant" in low, plan[:2000]
     assert "from_json" not in low
+
+
+def test_q339_linear_cka_join_free_gram(spark):
+    """VERDICT r07 #3 gate: the Gram moments must come from the
+    per-vector outer-product map (chained generates + one partial-
+    aggregated groupBy), NOT an exploded-dims self-join — the only
+    joins allowed are the broadcasts of the 64-row marginals and the
+    1-row count; nothing may shuffle n x d join inputs."""
+    plan = formatted_plan(spark, "q339_linear_cka")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # two chained Generate stages (upper triangle) + the marginal explode
+    assert plan.count("Generate") >= 2
