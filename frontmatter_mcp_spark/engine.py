@@ -101,7 +101,13 @@ class FrontmatterEngine:
         self.store: EmbeddingStore | None = None
         if semantic:
             self.model = model or EmbeddingModel()
-            cache = Path(cache_dir) if cache_dir else self.base_dir / ".frontmatter_mcp"
+            from frontmatter_mcp_spark.settings import DEFAULT_CACHE_DIR_NAME
+
+            cache = (
+                Path(cache_dir)
+                if cache_dir
+                else self.base_dir / DEFAULT_CACHE_DIR_NAME
+            )
             self.store = EmbeddingStore(
                 spark, cache, self.model.name, self.model.get_dimension()
             )

