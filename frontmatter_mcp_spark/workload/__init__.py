@@ -197,8 +197,13 @@ _WINDOW_PRIORITY: set[str] = {
 
 
 def driver_window_order() -> list[str]:
-    """All registered query names, window-priority first (derived)."""
-    reg_index = {n: i for i, n in enumerate(QUERIES)}
+    """All registered query names, window-priority first (derived).
+
+    The final tiebreak is the NAME, not registration index: the r8
+    per-family module split means import order is an artifact of module
+    grouping, and coverage policy must not silently shift when a query
+    moves between files.
+    """
 
     def key(name: str):
         return (
@@ -207,7 +212,7 @@ def driver_window_order() -> list[str]:
             name not in _MODIFIED_SINCE_GREEN,  # then modified-since-green
             _LAST_GREEN_ROUND.get(name, 0),  # then stalest green first
             name not in _WINDOW_PRIORITY,  # judge-flagged flagships first
-            reg_index[name],  # stable within a group
+            name,  # deterministic within a group, file-layout-independent
         )
 
     return sorted(QUERIES, key=key)

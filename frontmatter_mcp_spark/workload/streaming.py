@@ -196,7 +196,7 @@ def q55_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ingest_gate_sql() -> str:
-    from frontmatter_mcp_spark.workload.datapipe import _MIN_TOKENS, _PII_PATTERNS
+    from frontmatter_mcp_spark.workload.dp_shared import _MIN_TOKENS, _PII_PATTERNS
 
     pii = (
         f"len(regexp_extract_all(text, '{_PII_PATTERNS['n_emails']}')) * 5"
@@ -227,7 +227,7 @@ def _ingest_gate_sql() -> str:
 )
 def q92_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frontmatter_mcp_spark.streaming import ingest
-    from frontmatter_mcp_spark.workload.datapipe import _MIN_TOKENS, _PII_PATTERNS
+    from frontmatter_mcp_spark.workload.dp_shared import _MIN_TOKENS, _PII_PATTERNS
 
     t = F.col("text")
     risk = (
@@ -336,12 +336,7 @@ def q112_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _neardup_gate_sql() -> str:
-    from frontmatter_mcp_spark.workload.datapipe import (
-        _BANDS,
-        _NUM_HASHES,
-        _SHINGLES_CTE,
-        _sig_exprs,
-    )
+    from frontmatter_mcp_spark.workload.dp_shared import _BANDS, _NUM_HASHES, _SHINGLES_CTE, _sig_exprs
 
     rows = _NUM_HASHES // _BANDS
     band_rows = " UNION ALL ".join(
@@ -411,7 +406,7 @@ def q133_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_scoring_sql() -> str:
-    from frontmatter_mcp_spark.workload.datapipe import _classifier_sql
+    from frontmatter_mcp_spark.workload.dp_eval import _classifier_sql
 
     return f"""
     SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -773,7 +768,7 @@ def q222_stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reproduce the batch sessionization fixpoint exactly.
 # ---------------------------------------------------------------------------
 def _precedence_oracle() -> str:
-    from frontmatter_mcp_spark.workload.datapipe import PRECEDENCE_ORACLE_SQL
+    from frontmatter_mcp_spark.workload.dp_business import PRECEDENCE_ORACLE_SQL
 
     return PRECEDENCE_ORACLE_SQL
 
@@ -1274,7 +1269,7 @@ _MG_SHARDS = 8
 
 def _mg_stream_sql() -> str:
     from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
-    from frontmatter_mcp_spark.workload.datapipe import _MG_K, _mg_insert_duck
+    from frontmatter_mcp_spark.workload.dp_sketch import _MG_K, _mg_insert_duck
 
     shard = hash_bucket_sql("t", _MG_SHARDS)
     empty = "CAST([] AS STRUCT(t VARCHAR, c BIGINT)[])"
@@ -1365,7 +1360,7 @@ def q314_stream_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from frontmatter_mcp_spark.streaming import ingest
     from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
-    from frontmatter_mcp_spark.workload.datapipe import _MG_K, _mg_insert_col
+    from frontmatter_mcp_spark.workload.dp_sketch import _MG_K, _mg_insert_col
 
     stream = ingest.read_documents_stream(spark, sf_dir)
     summ_stream = ingest.misra_gries_summaries(
@@ -1557,7 +1552,7 @@ _MGW_SHARDS = 4
 
 def _mg_daily_sql() -> str:
     from frontmatter_mcp_spark.operators.sampling import hash_bucket_sql
-    from frontmatter_mcp_spark.workload.datapipe import _MG_K, _mg_insert_duck
+    from frontmatter_mcp_spark.workload.dp_sketch import _MG_K, _mg_insert_duck
 
     bucket = hash_bucket_sql("t", _MGW_SHARDS)
     empty = "CAST([] AS STRUCT(t VARCHAR, c BIGINT)[])"
@@ -1654,7 +1649,7 @@ def q367_stream_mg_daily_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from frontmatter_mcp_spark.streaming import ingest
-    from frontmatter_mcp_spark.workload.datapipe import _MG_K, _mg_insert_col
+    from frontmatter_mcp_spark.workload.dp_sketch import _MG_K, _mg_insert_col
 
     stream = ev.read_events_stream(spark, sf_dir)
     summ = ingest.misra_gries_windowed(
