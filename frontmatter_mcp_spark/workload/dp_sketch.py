@@ -2863,3 +2863,165 @@ def q364_mg_head_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (b1 & b2).cast("int").alias("bounds_ok"),
     ).orderBy("user_id")
 
+
+# ---------------------------------------------------------------------------
+# q369 — KLL/MRL mergeable quantile sketch: the fifth mergeable-summary
+# family member (MG q259, HLL q136, KMV q166, CountMin q132 exist).
+# Reference scope: quantile statistics over vault fields; re-expressed
+# as the distributed summary a 100 TB engine actually ships.
+# ---------------------------------------------------------------------------
+_KLL_QK = 32
+_KLL_QBUCKETS = 8
+_KLL_QLEVELS = 8  # supports k * 2**levels = 8192 rows/bucket (65k docs)
+_KLL_QPS = [0.25, 0.5, 0.75, 0.9375]  # binary fractions: exact both engines
+
+
+def _kll_sql() -> str:
+    from frontmatter_mcp_spark.operators.kll import kll_compact_sql
+
+    b = _hash_bucket_duck("doc_id", _KLL_QBUCKETS)
+    phase1 = kll_compact_sql(_KLL_QK, _KLL_QLEVELS, "base", "s", "p1")
+    phase2 = kll_compact_sql(_KLL_QK, _KLL_QLEVELS, "p1g", "g", "merged")
+    ps = ", ".join(f"({p!r})" for p in _KLL_QPS)
+    return f"""
+    WITH base AS (
+      SELECT {b} AS bucket, n_chars AS value, doc_id AS id,
+             0 AS lvl, FALSE AS done
+      FROM documents
+    ),
+    {phase1},
+    p1g AS (SELECT 0 AS bucket, value, id, lvl, FALSE AS done FROM p1),
+    {phase2},
+    summary AS (
+      SELECT value, id, CAST(POW(2, lvl) AS BIGINT) AS w FROM merged
+    ),
+    tot AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS total_weight,
+             CAST(COUNT(*) AS BIGINT) AS summary_items
+      FROM summary
+    ),
+    cum AS (
+      SELECT value, w,
+             SUM(w) OVER (ORDER BY value, id ROWS UNBOUNDED PRECEDING) AS cumw
+      FROM summary
+    ),
+    qs AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES {ps}) AS v(p)),
+    est AS (
+      SELECT q.p, t.total_weight, t.summary_items,
+             CAST(MIN(c.value) AS BIGINT) AS est_value
+      FROM qs q
+      CROSS JOIN tot t
+      JOIN cum c ON c.cumw >= CEIL(q.p * t.total_weight)
+      GROUP BY q.p, t.total_weight, t.summary_items
+    ),
+    exact_rn AS (
+      SELECT n_chars AS value,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    ex AS (
+      SELECT q.p, CAST(MIN(e.value) AS BIGINT) AS exact_value
+      FROM qs q JOIN exact_rn e ON e.rn >= CEIL(q.p * e.n)
+      GROUP BY q.p
+    )
+    SELECT est.p, est.est_value, ex.exact_value,
+           CAST(ABS(est.est_value - ex.exact_value) AS BIGINT) AS abs_err,
+           est.total_weight, est.summary_items
+    FROM est JOIN ex ON est.p = ex.p
+    ORDER BY est.p
+    """
+
+
+@register(
+    "q369_kll_quantiles",
+    _kll_sql(),
+    doc="KLL/MRL mergeable quantile sketch (Karnin-Lang-Liberty FOCS'16 "
+    "compactor hierarchy, derandomized per ADR-0004: the even/odd coin "
+    "is an md5 bit of (bucket, level, count), so DuckDB replays the "
+    "identical sketch bit-for-bit). Phase 1 builds one sketch per md5 "
+    "bucket (the per-executor-partition stand-in); phase 2 unions the "
+    "per-bucket summaries AT THEIR LEVELS and recompacts with one "
+    "global bucket — the merge operation that makes this a summary, "
+    "not a sample (contrast q170: Bernoulli sample; q27: Spark's own "
+    "approx_percentile, rows-only). Quantile estimate = first summary "
+    "value whose cumulative weight reaches ceil(p*W); compaction "
+    "preserves weight exactly, so W equals the input count. Execution "
+    "is kll_compact_grouped: ONE shuffle of the (bucket, value, id) "
+    "triple keyed by content bucket, then the whole hierarchy runs as "
+    "a local numpy loop per bucket (Arrow in, O(k*levels) summary "
+    "out) — at 100 TB the bucket count is sized so a bucket's slice "
+    "fits an executor, and the merge phase touches only "
+    "buckets*k*levels rows; the exact-rank audit columns (one global "
+    "row_number) are the part you drop at scale, exactly as in q170",
+)
+def q369_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from frontmatter_mcp_spark.operators.kll import kll_compact_grouped
+    from frontmatter_mcp_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        hash_bucket(F.col("doc_id"), _KLL_QBUCKETS).alias("bucket"),
+        F.col("n_chars").alias("value"),
+        F.col("doc_id").alias("id"),
+        F.lit(0).alias("lvl"),
+    )
+    p1 = kll_compact_grouped(base, k=_KLL_QK, levels=_KLL_QLEVELS)
+    merged = kll_compact_grouped(
+        p1.select(F.lit(0).alias("bucket"), "value", "id", "lvl"),
+        k=_KLL_QK,
+        levels=_KLL_QLEVELS,
+    )
+    summary = merged.select(
+        "value", "id", F.pow(F.lit(2.0), F.col("lvl")).cast("long").alias("w")
+    )
+    tot = summary.agg(
+        F.sum("w").cast("long").alias("total_weight"),
+        F.count("*").cast("long").alias("summary_items"),
+    )
+    cumw = (
+        Window.orderBy("value", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = summary.select("value", "w", F.sum("w").over(cumw).alias("cumw"))
+    qs = spark.createDataFrame([(p,) for p in _KLL_QPS], "p double")
+    est = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cum),
+            F.col("cumw") >= F.ceil(F.col("p") * F.col("total_weight")),
+        )
+        .groupBy("p", "total_weight", "summary_items")
+        .agg(F.min("value").cast("long").alias("est_value"))
+    )
+    exact_rn = d.select(
+        F.col("n_chars").alias("value"),
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    ex = (
+        qs.join(
+            exact_rn,
+            F.col("rn") >= F.ceil(F.col("p") * F.col("n")),
+        )
+        .groupBy("p")
+        .agg(F.min("value").cast("long").alias("exact_value"))
+    )
+    return (
+        est.join(ex, "p")
+        .select(
+            "p",
+            "est_value",
+            "exact_value",
+            F.abs(F.col("est_value") - F.col("exact_value"))
+            .cast("long")
+            .alias("abs_err"),
+            "total_weight",
+            "summary_items",
+        )
+        .orderBy("p")
+    )
