@@ -634,10 +634,16 @@ def _mmr_sql() -> str:
     "verbatim in the oracle CTEs. Cosines are the sequential-fold "
     "doubles both engines compute bit-identically (q90 discipline). "
     "At scale the candidate fetch is the ANN index probe; the MMR "
-    "loop always runs on k^2-bounded state per query",
+    "loop always runs on k^2-bounded state per query — executed as "
+    "operators.mmr.mmr_greedy: one cogroup shuffle by qid, the greedy "
+    "loop local per group (the oracle unrolls the identical selection "
+    "as CTEs; the loop's arithmetic and (score, cid) argmax order are "
+    "engine-identical by construction, see the operator docstring)",
 )
 def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.mmr import mmr_greedy
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _MMR_NQ).select(
@@ -664,7 +670,7 @@ def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cb"),
         F.col("embedding").alias("eb"),
     )
-    ps = pin(
+    ps = (
         a.join(b, (F.col("qid") == F.col("qid2")) & (F.col("ca") != F.col("cb")))
         .select(
             "qid",
@@ -673,45 +679,7 @@ def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             vector.cosine_similarity(F.col("ea"), F.col("eb")).alias("s"),
         )
     )
-    sel = (
-        c.withColumn(
-            "rn2",
-            F.row_number().over(W.partitionBy("qid").orderBy(F.col("r").desc(), "cid")),
-        )
-        .filter(F.col("rn2") == 1)
-        .select("qid", "cid", F.lit(1).alias("step"))
-    )
-    for t in range(2, _MMR_K + 1):
-        ms = (
-            ps.join(
-                sel.select(F.col("qid").alias("q3"), F.col("cid").alias("c3")),
-                (F.col("qid") == F.col("q3")) & (F.col("cb") == F.col("c3")),
-            )
-            .groupBy("qid", "ca")
-            .agg(F.max("s").alias("ms"))
-        )
-        remaining = c.join(sel.select("qid", "cid"), ["qid", "cid"], "left_anti")
-        picked = (
-            remaining.join(
-                ms,
-                (remaining["qid"] == ms["qid"]) & (remaining["cid"] == ms["ca"]),
-            )
-            .drop(ms["qid"])
-            .select(
-                "qid",
-                "cid",
-                (0.7 * F.col("r") - 0.3 * F.col("ms")).alias("score"),
-            )
-            .withColumn(
-                "rn3",
-                F.row_number().over(
-                    W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
-                ),
-            )
-            .filter(F.col("rn3") == 1)
-            .select("qid", "cid", F.lit(t).alias("step"))
-        )
-        sel = sel.unionAll(picked)
+    sel = mmr_greedy(c, ps, [(0.7, 0.3)], _MMR_K).drop("lam")
     return (
         sel.join(c.select("qid", "cid", "r"), ["qid", "cid"])
         .select(
@@ -1014,6 +982,8 @@ def _mmr_sweep_sql() -> str:
 def q260_mmr_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
+    from frontmatter_mcp_spark.operators.mmr import mmr_greedy
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _MMR_NQ).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
@@ -1049,102 +1019,56 @@ def q260_mmr_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def greedy(lam: float, lam2: float):
-        sel = (
-            c.withColumn(
-                "rn2",
-                F.row_number().over(
-                    W.partitionBy("qid").orderBy(F.col("r").desc(), "cid")
+    # three consumers (rels, sa, sb) — pin so the cogroup job runs once
+    sel_all = pin(
+        mmr_greedy(c, ps, [(float(l), float(l2)) for l, l2 in _MMR_LAMBDAS], _MMR_K)
+    )
+    rels = (
+        sel_all.join(c.select("qid", "cid", "r"), ["qid", "cid"])
+        .groupBy("lam", "qid")
+        .agg(
+            F.round(
+                F.sum(F.col("r").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_relevance"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("step", "cid"))),
+                    lambda s: s["cid"].cast("string"),
                 ),
-            )
-            .filter(F.col("rn2") == 1)
-            .select("qid", "cid", F.lit(1).alias("step"))
+                "|",
+            ).alias("selection"),
         )
-        for t in range(2, _MMR_K + 1):
-            ms = (
-                ps.join(
-                    sel.select(F.col("qid").alias("q3"), F.col("cid").alias("c3")),
-                    (F.col("qid") == F.col("q3")) & (F.col("cb") == F.col("c3")),
-                )
-                .groupBy("qid", "ca")
-                .agg(F.max("s").alias("ms"))
-            )
-            remaining = c.join(sel.select("qid", "cid"), ["qid", "cid"], "left_anti")
-            picked = (
-                remaining.join(
-                    ms,
-                    (remaining["qid"] == ms["qid"]) & (remaining["cid"] == ms["ca"]),
-                )
-                .drop(ms["qid"])
-                .select(
-                    "qid",
-                    "cid",
-                    (F.lit(lam) * F.col("r") - F.lit(lam2) * F.col("ms")).alias(
-                        "score"
-                    ),
-                )
-                .withColumn(
-                    "rn3",
-                    F.row_number().over(
-                        W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
-                    ),
-                )
-                .filter(F.col("rn3") == 1)
-                .select("qid", "cid", F.lit(t).alias("step"))
-            )
-            # localCheckpoint bounds the PLAN of the iterative chain
-            # (the q135/q165 lesson): each step otherwise nests the
-            # previous selection on three sides of its joins, and with
-            # four lambda chains the analyzer cost dwarfs the <=15-row
-            # data. Eager checkpoint of a 15-row frame is ~free.
-            sel = sel.unionAll(picked).localCheckpoint()
-        return sel
-
-    out = None
-    for lam_s, lam2_s in _MMR_LAMBDAS:
-        lam, lam2 = float(lam_s), float(lam2_s)
-        sel = greedy(lam, lam2)
-        rels = (
-            sel.join(c.select("qid", "cid", "r"), ["qid", "cid"])
-            .groupBy("qid")
-            .agg(
-                F.round(
-                    F.sum(F.col("r").cast("decimal(28,12)")).cast("double")
-                    / F.count("*"),
-                    6,
-                ).alias("mean_relevance"),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("step", "cid"))),
-                        lambda s: s["cid"].cast("string"),
-                    ),
-                    "|",
-                ).alias("selection"),
-            )
+    )
+    sa = sel_all.select(
+        F.col("lam").alias("la"), F.col("qid").alias("qa"), F.col("cid").alias("ca2")
+    )
+    sb = sel_all.select(
+        F.col("lam").alias("lb"), F.col("qid").alias("qb"), F.col("cid").alias("cb2")
+    )
+    sims = (
+        ps.join(sa, (F.col("qid") == F.col("qa")) & (F.col("ca") == F.col("ca2")))
+        .join(
+            sb,
+            (F.col("la") == F.col("lb"))
+            & (F.col("qid") == F.col("qb"))
+            & (F.col("cb") == F.col("cb2")),
         )
-        sa = sel.select(F.col("qid").alias("qa"), F.col("cid").alias("ca2"))
-        sb = sel.select(F.col("qid").alias("qb"), F.col("cid").alias("cb2"))
-        sims = (
-            ps.join(sa, (F.col("qid") == F.col("qa")) & (F.col("ca") == F.col("ca2")))
-            .join(sb, (F.col("qid") == F.col("qb")) & (F.col("cb") == F.col("cb2")))
-            .groupBy("qid")
-            .agg(
-                F.round(
-                    F.sum(F.col("s").cast("decimal(28,12)")).cast("double")
-                    / F.count("*"),
-                    6,
-                ).alias("mean_intra_sim")
-            )
+        .groupBy(F.col("la").alias("lam"), F.col("qid"))
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_intra_sim")
         )
-        row = rels.join(sims, "qid").select(
-            F.lit(lam).alias("lam"),
-            "qid",
-            "mean_relevance",
-            "mean_intra_sim",
-            "selection",
-        )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("lam", "qid")
+    )
+    return (
+        rels.join(sims, ["lam", "qid"])
+        .select("lam", "qid", "mean_relevance", "mean_intra_sim", "selection")
+        .orderBy("lam", "qid")
+    )
 
 # ---------------------------------------------------------------------------
 # q262 — BM25F fielded ranking: the structured-document upgrade of
