@@ -777,6 +777,7 @@ def connected_components_star(
     b_col: str = "id_b",
     max_rounds: int = 25,
     persist_fn=None,
+    tag_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact connected components by alternating large-star / small-star
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -814,17 +815,28 @@ def connected_components_star(
     component = the minimum node id in the component. Isolated nodes
     never appear (they are their own component by definition; joining
     them through log-n rounds would shuffle the corpus for nothing).
+
+    ``tag_cols`` runs INDEPENDENT contractions for every tag value in
+    ONE loop — the q270 cut sweep contracts all four thresholded edge
+    sets together, paying max(rounds over tags) driver iterations
+    instead of their sum (every per-round job here is fixed overhead
+    at any scale: scheduling + a tiny-partition shuffle). Output gains
+    the tag columns. All grouping/join keys become (tags..., node),
+    so per-tag graphs never interact.
     """
     del persist_fn  # lineage truncation below supersedes caller caching
+    tags = list(tag_cols)
     e = edges.select(
-        F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
+        *tags,
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
     ).distinct()
 
     def hold(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
 
     def release(df: DataFrame) -> None:
-        # free the checkpointed blocks once the round is superseded
+        # free the checkpointed/persisted blocks once the round is superseded
         try:
             df.rdd.unpersist()
         except Exception:
@@ -835,7 +847,7 @@ def connected_components_star(
             F.count("*").alias("n"),
             # decimal sum: a long sum of 64-bit hashes overflows (ANSI)
             F.coalesce(
-                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+                F.sum(F.xxhash64(*tags, "a", "b").cast("decimal(38,0)")), F.lit(0)
             ).alias("h"),
         ).collect()[0]
         return (row.n, row.h)
@@ -844,33 +856,41 @@ def connected_components_star(
     sig = signature(e)
     for _ in range(max_rounds):
         # large-star over the symmetric neighbor view
-        nbrs = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        mins = nbrs.groupBy("a").agg(F.min("b").alias("mb"))
+        nbrs = e.unionAll(
+            e.select(*tags, F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = nbrs.groupBy(*tags, "a").agg(F.min("b").alias("mb"))
         m = F.least(F.col("mb"), F.col("a"))
         large = (
-            nbrs.join(mins, "a")
+            nbrs.join(mins, tags + ["a"])
             .filter(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("a"), m.alias("b"))
+            .select(*tags, F.col("b").alias("a"), m.alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
-        large = hold(large)
+        # no distinct here: small-star's terminal distinct dedupes, and
+        # duplicate large-star edges only inflate the (tiny) round
+        # intermediate — dropping the exchange saves a stage per round.
+        # persist, not checkpoint: canon feeds two consumers below, but
+        # the round's plan is already shallow (e is checkpointed), so
+        # only EXECUTION needs bounding — saves one eager job per round
+        large = large.persist()
         # small-star over (hi -> lo) canonical edges
         canon = large.select(
-            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            *tags, F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
-        smins = canon.groupBy("a").agg(F.min("b").alias("mb"))
+        smins = canon.groupBy(*tags, "a").agg(F.min("b").alias("mb"))
         small = (
-            canon.join(smins, "a")
+            canon.join(smins, tags + ["a"])
             .select(
+                *tags,
                 F.explode(
                     F.array(
                         F.struct(F.col("b").alias("a"), F.col("mb").alias("b")),
                         F.struct(F.col("a").alias("a"), F.col("mb").alias("b")),
                     )
-                ).alias("s")
+                ).alias("s"),
             )
-            .select(F.col("s.a").alias("a"), F.col("s.b").alias("b"))
+            .select(*tags, F.col("s.a").alias("a"), F.col("s.b").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
@@ -882,12 +902,14 @@ def connected_components_star(
         if new_sig == sig:
             break
         sig = new_sig
-    roots = e.select(F.col("b").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    roots = (
+        e.select(*tags, F.col("b").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
     )
-    members = e.groupBy("a").agg(F.min("b").alias("component")).select(
-        F.col("a").alias("node"), "component"
+    members = e.groupBy(*tags, "a").agg(F.min("b").alias("component")).select(
+        *tags, F.col("a").alias("node"), "component"
     )
-    return members.unionAll(roots).groupBy("node").agg(
+    return members.unionAll(roots).groupBy(*tags, "node").agg(
         F.min("component").alias("component")
     )

@@ -179,6 +179,11 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q159_triangle_count",
     "q165_kcore_peeling",
     "q186_personalized_pagerank",
+    # r8: connected_components_star changed (large-star distinct dropped,
+    # large held by persist not eager checkpoint, tag_cols generalization)
+    # — every green consumer re-verifies (never-green consumers q270/
+    # q349/q353/q187 front-load automatically)
+    "q135_connected_components",
 }
 
 

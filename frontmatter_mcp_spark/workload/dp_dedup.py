@@ -3282,42 +3282,56 @@ def q349_threshold_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ndocs = d.agg(F.count("*").cast("long").alias("nd"))
-    out = None
-    for t in _PERC_THRESHOLDS:
-        edges = base.filter(F.col("n_common") * 100 >= t * F.col("un")).select(
-            "id_a", "id_b"
+    ts = spark.createDataFrame(
+        [(int(t),) for t in _PERC_THRESHOLDS], "threshold_pct int"
+    )
+    # all three thresholded edge sets contract in ONE tagged star loop
+    # (q270 discipline): max(rounds over thresholds) driver iterations
+    tagged = pin(
+        base.crossJoin(F.broadcast(ts))
+        .filter(F.col("n_common") * 100 >= F.col("threshold_pct") * F.col("un"))
+        .select("threshold_pct", "id_a", "id_b")
+    )
+    comp = dd.connected_components_star(tagged, tag_cols=("threshold_pct",))
+    cs = comp.groupBy("threshold_pct", "component").agg(
+        F.count("*").cast("long").alias("cs")
+    )
+    s = cs.groupBy("threshold_pct").agg(
+        F.sum("cs").cast("long").alias("n_nodes_in_edges"),
+        F.count("*").cast("long").alias("n_edge_components"),
+        F.max("cs").cast("long").alias("max_cs"),
+    )
+    ne = tagged.groupBy("threshold_pct").agg(
+        F.count("*").cast("long").alias("n_edges")
+    )
+    # left joins from the threshold list so an edgeless cut still emits
+    return (
+        ts.join(ne, "threshold_pct", "left")
+        .join(s, "threshold_pct", "left")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "threshold_pct",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_nodes_in_edges", F.lit(0))
+            .cast("long")
+            .alias("n_nodes_in_edges"),
+            F.coalesce("n_edge_components", F.lit(0))
+            .cast("long")
+            .alias("n_edge_components"),
+            (
+                F.col("nd")
+                - F.coalesce("n_nodes_in_edges", F.lit(0))
+                + F.coalesce("n_edge_components", F.lit(0))
+            ).alias("n_components_total"),
+            F.greatest(
+                F.coalesce("max_cs", F.lit(0)).cast("long"),
+                (F.col("nd") > F.coalesce("n_nodes_in_edges", F.lit(0))).cast(
+                    "long"
+                ),
+            ).alias("largest_component"),
         )
-        n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
-        comp = dd.connected_components_star(edges)
-        cs = comp.groupBy("component").agg(F.count("*").cast("long").alias("cs"))
-        s = cs.agg(
-            F.coalesce(F.sum("cs"), F.lit(0)).cast("long").alias(
-                "n_nodes_in_edges"
-            ),
-            F.count("*").cast("long").alias("n_edge_components"),
-            F.coalesce(F.max("cs"), F.lit(0)).cast("long").alias("max_cs"),
-        )
-        row = (
-            s.crossJoin(F.broadcast(n_edges))
-            .crossJoin(F.broadcast(ndocs))
-            .select(
-                F.lit(t).alias("threshold_pct"),
-                "n_edges",
-                "n_nodes_in_edges",
-                "n_edge_components",
-                (
-                    F.col("nd")
-                    - F.col("n_nodes_in_edges")
-                    + F.col("n_edge_components")
-                ).alias("n_components_total"),
-                F.greatest(
-                    F.col("max_cs"),
-                    (F.col("nd") > F.col("n_nodes_in_edges")).cast("long"),
-                ).alias("largest_component"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("threshold_pct")
+        .orderBy("threshold_pct")
+    )
 
 # ---------------------------------------------------------------------------
 # q353 — keeper-quality audit of the near-dup clusters: the standard

@@ -2530,33 +2530,38 @@ def q270_singlelink_cut_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             d, "doc_id", "text", threshold=_SL_PREFILTER, max_df=_MAX_DF
         )
     )
-    out = None
-    for tau in _SL_TAUS:
-        t = float(tau)
-        edges = jac.filter(F.col("jaccard") >= t).select("id_a", "id_b")
-        comp = dd.connected_components_star(edges, persist_fn=pin)
-        csz = comp.groupBy("component").agg(F.count("*").cast("long").alias("cnt"))
-        ne = edges.agg(F.count("*").cast("long").alias("n_edges"))
-        row = (
-            csz.agg(
-                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_nodes"),
-                F.count("*").cast("long").alias("n_components"),
-                F.coalesce(F.max("cnt"), F.lit(0))
-                .cast("long")
-                .alias("max_comp_size"),
-            )
-            .crossJoin(F.broadcast(ne))
-            .select(
-                F.lit(t).alias("tau"),
-                "n_edges",
-                "n_nodes",
-                "n_components",
-                "max_comp_size",
-            )
-            .localCheckpoint()
+    taus = spark.createDataFrame([(float(t),) for t in _SL_TAUS], "tau double")
+    # all four thresholded edge sets contract in ONE tagged star loop:
+    # max(rounds over cuts) driver iterations instead of their sum
+    tagged = (
+        jac.crossJoin(F.broadcast(taus))
+        .filter(F.col("jaccard") >= F.col("tau"))
+        .select("tau", "id_a", "id_b")
+    )
+    tagged = pin(tagged)
+    comp = dd.connected_components_star(tagged, tag_cols=("tau",))
+    csz = comp.groupBy("tau", "component").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    stats = csz.groupBy("tau").agg(
+        F.sum("cnt").cast("long").alias("n_nodes"),
+        F.count("*").cast("long").alias("n_components"),
+        F.max("cnt").cast("long").alias("max_comp_size"),
+    )
+    ne = tagged.groupBy("tau").agg(F.count("*").cast("long").alias("n_edges"))
+    # left joins from the tau list so an edgeless cut still emits its row
+    return (
+        taus.join(ne, "tau", "left")
+        .join(stats, "tau", "left")
+        .select(
+            "tau",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_nodes", F.lit(0)).cast("long").alias("n_nodes"),
+            F.coalesce("n_components", F.lit(0)).cast("long").alias("n_components"),
+            F.coalesce("max_comp_size", F.lit(0)).cast("long").alias("max_comp_size"),
         )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("tau")
+        .orderBy("tau")
+    )
 
 # ---------------------------------------------------------------------------
 # q304 — near-dup cluster language purity: do q56's duplicate
