@@ -2367,18 +2367,32 @@ def q265_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     assign = kmeans_assign(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
-    cl = pin(e.join(assign, "vec_id").select("vec_id", "embedding", "cluster"))
+    # norms once per VECTOR, not per pair (q38's discipline): the pair
+    # join then pays ONE fold (the dot) instead of three — same doubles,
+    # same division, bit-identical d
+    cl = pin(
+        e.join(assign, "vec_id").select(
+            "vec_id",
+            "embedding",
+            "cluster",
+            vector.l2_norm(F.col("embedding")).alias("nrm"),
+        )
+    )
     a = cl.select(
         F.col("vec_id").alias("ida"),
         F.col("embedding").alias("ea"),
         F.col("cluster").alias("ca"),
+        F.col("nrm").alias("na"),
     )
     b = cl.select(
         F.col("vec_id").alias("idb"),
         F.col("embedding").alias("eb"),
         F.col("cluster").alias("cb"),
+        F.col("nrm").alias("nb"),
     )
-    d = 1.0 - vector.cosine_similarity(F.col("ea"), F.col("eb"))
+    d = 1.0 - vector.dot_product(F.col("ea"), F.col("eb")) / (
+        F.col("na") * F.col("nb")
+    )
     pairs = a.join(
         b, (F.col("ca") == F.col("cb")) & (F.col("ida") != F.col("idb"))
     ).select("ida", "idb", d.alias("d"))
