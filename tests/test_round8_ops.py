@@ -135,3 +135,73 @@ def test_q369_matches_exact_within_bound(spark):
         assert r.abs_err >= 0
     exact = sorted(r.exact_value for r in rows)
     assert exact == [r.exact_value for r in sorted(rows, key=lambda r: r.p)]
+
+
+def test_mmr_greedy_matches_reference_loop(spark):
+    """mmr_greedy (cogroup + local loop) must reproduce a plain-Python
+    MMR reference on a deterministic candidate set, including the
+    (score DESC, cid ASC) tie-break."""
+    from frontmatter_mcp_spark.operators.mmr import mmr_greedy
+
+    cand = [(1, 10 + i, 1.0 - 0.07 * i) for i in range(6)]
+    cand += [(2, 20 + i, 0.9 - 0.05 * i) for i in range(6)]
+    sims = []
+    for qid in (1, 2):
+        cs = [c for q, c, _ in cand if q == qid]
+        for a in cs:
+            for b in cs:
+                if a != b:
+                    # deterministic asymmetric-free sim in [0, 1)
+                    sims.append((qid, a, b, ((a * 7 + b * 13) % 97) / 97.0))
+    c_df = spark.createDataFrame(cand, "qid long, cid long, r double")
+    s_df = spark.createDataFrame(sims, "qid long, ca long, cb long, s double")
+    out = {
+        (r.lam, r.qid, r.step): r.cid
+        for r in mmr_greedy(c_df, s_df, [(0.7, 0.3), (0.5, 0.5)], 4).collect()
+    }
+
+    sim = {(q, a, b): s for q, a, b, s in sims}
+    for lam, lam2 in [(0.7, 0.3), (0.5, 0.5)]:
+        for qid in (1, 2):
+            rel = {c: r for q, c, r in cand if q == qid}
+            first = min(rel, key=lambda c: (-rel[c], c))
+            selected = [first]
+            for step in range(2, 5):
+                best = min(
+                    (c for c in rel if c not in selected),
+                    key=lambda c: (
+                        -(lam * rel[c] - lam2 * max(sim[(qid, c, s)] for s in selected)),
+                        c,
+                    ),
+                )
+                selected.append(best)
+            for step, cid in enumerate(selected, 1):
+                assert out[(lam, qid, step)] == cid, (lam, qid, step)
+
+
+def test_tagged_star_contraction_is_per_tag_independent(spark):
+    """connected_components_star(tag_cols) must produce, per tag, exactly
+    the components the untagged operator finds on that tag's edges."""
+    from frontmatter_mcp_spark.operators.dedup import connected_components_star
+
+    # tag 1: chain 0-1-2-3 plus island 10-11; tag 2: different topology
+    edges = [
+        (1, 0, 1), (1, 1, 2), (1, 2, 3), (1, 10, 11),
+        (2, 0, 3), (2, 5, 6), (2, 6, 7), (2, 7, 5),
+    ]
+    df = spark.createDataFrame(edges, "tag int, id_a long, id_b long")
+    tagged = {
+        (r.tag, r.node): r.component
+        for r in connected_components_star(df, tag_cols=("tag",)).collect()
+    }
+    for tag in (1, 2):
+        solo = {
+            r.node: r.component
+            for r in connected_components_star(
+                df.filter(F.col("tag") == tag).select("id_a", "id_b")
+            ).collect()
+        }
+        for node, comp in solo.items():
+            assert tagged[(tag, node)] == comp, (tag, node)
+    # tag 1 touches 6 nodes (0-3 chain + 10/11), tag 2 touches 5 (0,3,5,6,7)
+    assert len(tagged) == 6 + 5
