@@ -254,22 +254,29 @@ def candidate_pairs_from_signatures(
     collapses upstream; banding targets the near-miss tail. Pass
     ``max_bucket=None`` to disable.
 
-    Unlike the SimHash twin, survivors are NOT broadcast: SimHash slices
+    Unlike the SimHash twin, SURVIVORS are not broadcast: SimHash slices
     live in a bounded space (2^rpb values per band) while MinHash bucket
     ids are unbounded md5s, so the survivor set scales with the corpus.
-    The cap is instead a window count over (band, bucket) — the same
-    shuffle key the self-join needs, so the exchange is reused and the
-    cap costs one linear pass, no extra shuffle, no broadcast. Dropped
-    mass is observable via lsh_oversized_buckets (same subplan shape).
+    What IS broadcast is the DROP list — the (band, bucket) keys holding
+    more than ``max_bucket`` docs — which is small by nature (mega-
+    buckets are rare; a corpus where they are not should have been
+    exact-dedup'd upstream, the documented contract). The cap is then a
+    map-side broadcast anti-join on both self-join branches, which
+    preserves the pre-cap plan shape so the runtime reuses the one
+    expensive signature stage across branches. (The first cut used a
+    window count over (band, bucket); it defeated exchange reuse and
+    re-ran the signature aggregate per branch — measured 2.4x on q280.)
+    Dropped mass is observable via lsh_oversized_buckets.
     """
     bb = lsh_band_buckets(signatures, id_col, num_hashes, bands)
     if max_bucket is not None:
-        w = Window.partitionBy("band", "bucket")
-        bb = (
-            bb.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
+        drops = (
+            bb.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket)
+            .select("band", "bucket")
         )
+        bb = bb.join(F.broadcast(drops), ["band", "bucket"], "left_anti")
     a = bb.withColumnRenamed(id_col, "id_a")
     b = bb.withColumnRenamed(id_col, "id_b")
     return (
