@@ -107,6 +107,11 @@ REBASELINED = {
     # r5: bounded-error oracle added — now also computes the exact
     # COUNT(DISTINCT) and exact percentile rank window per group
     "q27_approx_stats": 5,
+    # r8: MinHash-LSH candidates gained the mega-bucket skew guard
+    # (drop-list aggregate + eager checkpoint of the capped band
+    # table) — a deliberate ~0.5s plan cost on the lightest consumer;
+    # its pre-cap timings are no longer comparable
+    "q280_edit_distance_verify": 8,
 }
 
 

@@ -276,7 +276,16 @@ def candidate_pairs_from_signatures(
             .filter(F.col("_bsz") > max_bucket)
             .select("band", "bucket")
         )
-        bb = bb.join(F.broadcast(drops), ["band", "bucket"], "left_anti")
+        # eager checkpoint: the capped band table feeds BOTH self-join
+        # branches and, in pinned consumers, races lazily-cached fan-out
+        # branches that would each re-execute the signature stage and
+        # the broadcast build (measured 1.7x on q187). One O(corpus)
+        # materialization — the same volume the join shuffles — cuts
+        # every downstream branch to a block read, exactly the star-
+        # contraction hold() discipline.
+        bb = bb.join(
+            F.broadcast(drops), ["band", "bucket"], "left_anti"
+        ).localCheckpoint(eager=True)
     a = bb.withColumnRenamed(id_col, "id_a")
     b = bb.withColumnRenamed(id_col, "id_b")
     return (
@@ -861,33 +870,35 @@ def connected_components_star(
 
     e = hold(e)
     sig = signature(e)
+    w_min = Window.partitionBy(*tags, "a")
     for _ in range(max_rounds):
+        # Each star phase needs, per row, the min over its (tags, a)
+        # group. A window-min keeps the phase a SINGLE linear chain —
+        # the groupBy+join-back formulation consumes its input twice,
+        # which either recomputes the subplan per consumer or demands a
+        # per-round materialization job to share it (both measured
+        # slower than one extra sort inside the exchange the phase pays
+        # anyway).
         # large-star over the symmetric neighbor view
         nbrs = e.unionAll(
             e.select(*tags, F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        mins = nbrs.groupBy(*tags, "a").agg(F.min("b").alias("mb"))
-        m = F.least(F.col("mb"), F.col("a"))
+        m = F.least(F.min("b").over(w_min), F.col("a"))
         large = (
-            nbrs.join(mins, tags + ["a"])
+            nbrs.withColumn("mb", m)
             .filter(F.col("b") > F.col("a"))
-            .select(*tags, F.col("b").alias("a"), m.alias("b"))
+            .select(*tags, F.col("b").alias("a"), F.col("mb").alias("b"))
             .filter(F.col("a") != F.col("b"))
         )
         # no distinct here: small-star's terminal distinct dedupes, and
         # duplicate large-star edges only inflate the (tiny) round
-        # intermediate — dropping the exchange saves a stage per round.
-        # persist, not checkpoint: canon feeds two consumers below, but
-        # the round's plan is already shallow (e is checkpointed), so
-        # only EXECUTION needs bounding — saves one eager job per round
-        large = large.persist()
+        # intermediate — one fewer exchange per round
         # small-star over (hi -> lo) canonical edges
         canon = large.select(
             *tags, F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
-        smins = canon.groupBy(*tags, "a").agg(F.min("b").alias("mb"))
         small = (
-            canon.join(smins, tags + ["a"])
+            canon.withColumn("mb", F.min("b").over(w_min))
             .select(
                 *tags,
                 F.explode(
@@ -902,7 +913,6 @@ def connected_components_star(
             .distinct()
         )
         new_e = hold(small)
-        release(large)
         new_sig = signature(new_e)
         release(e)
         e = new_e
