@@ -276,16 +276,16 @@ def candidate_pairs_from_signatures(
             .filter(F.col("_bsz") > max_bucket)
             .select("band", "bucket")
         )
-        # eager checkpoint: the capped band table feeds BOTH self-join
-        # branches and, in pinned consumers, races lazily-cached fan-out
-        # branches that would each re-execute the signature stage and
-        # the broadcast build (measured 1.7x on q187). One O(corpus)
-        # materialization — the same volume the join shuffles — cuts
-        # every downstream branch to a block read, exactly the star-
-        # contraction hold() discipline.
-        bb = bb.join(
-            F.broadcast(drops), ["band", "bucket"], "left_anti"
-        ).localCheckpoint(eager=True)
+        # eager hold (persist + count): the capped band table feeds BOTH
+        # self-join branches and, in pinned consumers, races
+        # lazily-cached fan-out branches that would each re-execute the
+        # signature stage and the broadcast build (measured 1.7x on
+        # q187). One O(corpus) materialization — the same volume the
+        # join shuffles — cuts every downstream branch to a block read;
+        # the workload registry frees it at the next query invocation.
+        from frontmatter_mcp_spark.operators.holds import hold as _hold
+
+        bb = _hold(bb.join(F.broadcast(drops), ["band", "bucket"], "left_anti"))
     a = bb.withColumnRenamed(id_col, "id_a")
     b = bb.withColumnRenamed(id_col, "id_b")
     return (

@@ -1,0 +1,55 @@
+"""Session-lifetime tracking for operator-internal materializations.
+
+Operators sometimes must cut a plan's lineage with an eager
+``localCheckpoint`` (the capped LSH band table) — blocks the OPERATOR
+allocates but cannot free through the DataFrame API: the checkpoint's
+internal RDD is not reachable from Python (``df.rdd`` wraps a derived
+RDD, so ``df.rdd.unpersist()`` frees nothing), and a persist+count
+stand-in measured 2.7x slower on q187 (an InMemoryRelation over the
+adaptive broadcast plan loses whole-stage codegen on every consumer).
+So ``hold`` checkpoints and records the checkpoint's RDD ids by
+diffing the JVM's persistent-RDD registry around the call; release
+unpersists those ids through the registry. The workload registry
+frees everything tracked here at the next query invocation
+(registry.release_pinned) — one query's working set in executor
+storage, never a whole bench session's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_HELD: list[tuple[object, list[int]]] = []
+
+
+def _persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def hold(df: DataFrame) -> DataFrame:
+    """Eagerly checkpoint df; track the checkpoint's RDD ids for release.
+
+    Queries build serially in this engine (driver, bench, oracle
+    harness), so the registry diff attributes new ids unambiguously.
+    """
+    spark = df.sparkSession
+    before = _persistent_ids(spark)
+    df = df.localCheckpoint(eager=True)
+    new_ids = _persistent_ids(spark) - before
+    if new_ids:
+        _HELD.append((spark, sorted(new_ids)))
+    return df
+
+
+def release_held() -> None:
+    while _HELD:
+        spark, ids = _HELD.pop()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rdd_id in ids:
+                jrdd = jmap.get(rdd_id)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — best-effort block cleanup
+            pass

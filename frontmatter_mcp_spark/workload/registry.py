@@ -40,8 +40,11 @@ def pin(df: DataFrame) -> DataFrame:
 
 
 def release_pinned() -> None:
+    from frontmatter_mcp_spark.operators.holds import release_held
+
     while _PINNED:
         _PINNED.pop().unpersist()
+    release_held()  # operator-internal checkpoints share the lifecycle
 
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn], SparkFn]:
