@@ -109,9 +109,11 @@ REBASELINED = {
     "q27_approx_stats": 5,
     # r8: MinHash-LSH candidates gained the mega-bucket skew guard
     # (drop-list aggregate + eager checkpoint of the capped band
-    # table) — a deliberate ~0.5s plan cost on the lightest consumer;
-    # its pre-cap timings are no longer comparable
+    # table) — a deliberate ~0.5-1s plan cost on the two lightest
+    # consumers (the heavier ones absorb it inside their own savings);
+    # their pre-cap timings are no longer comparable
     "q280_edit_distance_verify": 8,
+    "q243_degree_assortativity": 8,
 }
 
 
