@@ -1616,7 +1616,14 @@ def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "doc_id",
-                F.md5(F.array_join(F.slice("w", F.col("i"), mid), " ")).alias("sp"),
+                # xxhash64, not md5: only the per-step DUPLICATED-SPAN
+                # COUNT enters the result (and the oracle compare), so
+                # any collision-free hash yields the identical trace —
+                # and this one is JVM-native, no hex encode. The oracle
+                # keeps md5; both sides count the same distinct spans.
+                F.xxhash64(F.array_join(F.slice("w", F.col("i"), mid), " ")).alias(
+                    "sp"
+                ),
             )
             .distinct()
         )
