@@ -65,12 +65,22 @@ def mmr_greedy(
             selected = [first]
             remaining = set(rel) - {first}
             for _ in range(2, k + 1):
-                best = min(
-                    (
-                        (-(lam * rel[c] - lam2 * max(sim[c][s] for s in selected)), c)
-                        for c in remaining
-                    ),
-                )[1]
+                # the SQL twin INNER-joins candidates to their max sim
+                # over the selected set — a candidate with no pair to
+                # any selected doc is excluded from the argmax, and a
+                # step with no scorable candidate selects nothing
+                scored = []
+                for c in remaining:
+                    sims_c = sim.get(c)
+                    if not sims_c:
+                        continue
+                    vals = [sims_c[s] for s in selected if s in sims_c]
+                    if not vals:
+                        continue
+                    scored.append((-(lam * rel[c] - lam2 * max(vals)), c))
+                if not scored:
+                    break
+                best = min(scored)[1]
                 selected.append(best)
                 remaining.discard(best)
             out_lam.extend([lam] * len(selected))
