@@ -519,9 +519,18 @@ def ngram_jaccard_pairs(
     self-join on shingle -> per-pair intersection counts -> Jaccard from
     the (pre-filter) shingle-set sizes.
     """
+    from frontmatter_mcp_spark.operators.holds import hold
+
     sh = (
         df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"))
     )
+    # eager hold: sizes, dfreq and the df-cap join consume sh through
+    # THREE differently-keyed exchanges, so exchange reuse cannot share
+    # the tokenize+slice shingle expression — without materialization it
+    # runs once per consumer (and races when the branches execute inside
+    # one action). O(corpus shingles) rows, the same volume the dfreq
+    # shuffle carries; released at the next query invocation.
+    sh = hold(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
     # shuffle join on the shingle key (dfreq is corpus-sized — NOT broadcastable
@@ -565,9 +574,13 @@ def ngram_containment_pairs(
     the long doc) but containment ~1. Same df-capped shingle self-join
     pipeline as ngram_jaccard_pairs — one scale-bounded shuffle on the
     shingle key — only the final score differs."""
+    from frontmatter_mcp_spark.operators.holds import hold
+
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
     )
+    # eager hold — same three-consumer shape as ngram_jaccard_pairs
+    sh = hold(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
     filtered = sh.join(dfreq.filter(F.col("df_count") <= max_df), "shingle")

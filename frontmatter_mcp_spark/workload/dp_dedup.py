@@ -3261,9 +3261,14 @@ def _percolation_sql() -> str:
     "replays each fixpoint via recursive CTE",
 )
 def q349_threshold_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.holds import hold
+
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = d.select(
-        "doc_id", F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle")
+    # eager hold — the three-consumer shingle shape (ngram_jaccard_pairs)
+    sh = hold(
+        d.select(
+            "doc_id", F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle")
+        )
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("set_size"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
