@@ -94,14 +94,22 @@ def remove_duplicate_spans(
     doc's own tokens (struct(pos, token) — pos is unique per doc, so
     the sort is deterministic with no window exchange).
     """
+    from frontmatter_mcp_spark.operators.holds import hold
+
     text = F.col(text_col)
     toks_arr = F.split(F.trim(text), r"\s+", -1)
     toks = df.select(
         F.col(id_col), F.posexplode(toks_arr).alias("pos", "token")
     )
-    doc_spans = df.select(
-        F.col(id_col),
-        F.posexplode(_word_spans_in_order(text, span_n)).alias("start", "span"),
+    # eager hold: doc_spans feeds the duplicated-span aggregate AND the
+    # cover join through differently-keyed exchanges — without it the
+    # span tokenize+slice expression runs once per consumer (the
+    # ngram_jaccard_pairs three-consumer lesson)
+    doc_spans = hold(
+        df.select(
+            F.col(id_col),
+            F.posexplode(_word_spans_in_order(text, span_n)).alias("start", "span"),
+        )
     )
     dup_spans = (
         doc_spans.select(id_col, "span")
