@@ -869,15 +869,21 @@ def connected_components_star(
         F.col(b_col).cast("long").alias("b"),
     ).distinct()
 
-    def hold(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True)
+    # Round lifecycle through the holds registry: each round's eager
+    # checkpoint is freed the moment the next round supersedes it
+    # (release_ids — O(E) live storage, not O(rounds * E)), and the
+    # FINAL round's blocks — which the returned DataFrame still reads —
+    # are freed by registry.release_pinned at the next query invocation.
+    # The previous df.rdd.unpersist() release freed NOTHING (df.rdd
+    # wraps a derived RDD, not the checkpoint's internal one — the
+    # holds.py lesson); the no-leak sweep test caught it.
+    from frontmatter_mcp_spark.operators.holds import hold_ids, release_ids
 
-    def release(df: DataFrame) -> None:
-        # free the checkpointed/persisted blocks once the round is superseded
-        try:
-            df.rdd.unpersist()
-        except Exception:
-            pass
+    def hold(df: DataFrame) -> tuple[DataFrame, list[int]]:
+        return hold_ids(df, eager=True)
+
+    def release(spark_ref, ids: list[int]) -> None:
+        release_ids(spark_ref, ids)
 
     def signature(df: DataFrame):
         row = df.agg(
@@ -889,7 +895,7 @@ def connected_components_star(
         ).collect()[0]
         return (row.n, row.h)
 
-    e = hold(e)
+    e, e_ids = hold(e)
     sig = signature(e)
     w_min = Window.partitionBy(*tags, "a")
     for _ in range(max_rounds):
@@ -933,10 +939,10 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        new_e = hold(small)
+        new_e, new_ids = hold(small)
         new_sig = signature(new_e)
-        release(e)
-        e = new_e
+        release(new_e.sparkSession, e_ids)
+        e, e_ids = new_e, new_ids
         if new_sig == sig:
             break
         sig = new_sig

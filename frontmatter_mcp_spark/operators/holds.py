@@ -27,19 +27,56 @@ def _persistent_ids(spark) -> set[int]:
     return {int(k) for k in jmap.keySet().toArray()}
 
 
-def hold(df: DataFrame) -> DataFrame:
-    """Eagerly checkpoint df; track the checkpoint's RDD ids for release.
+def hold(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Checkpoint df; track the checkpoint's RDD ids for release.
 
     Queries build serially in this engine (driver, bench, oracle
     harness), so the registry diff attributes new ids unambiguously.
+    ``eager=False`` defers block materialization to the first action
+    but still registers (and therefore still tracks) the RDD now.
+    """
+    df, _ = hold_ids(df, eager=eager)
+    return df
+
+
+def hold_ids(df: DataFrame, eager: bool = True) -> tuple[DataFrame, list[int]]:
+    """hold(), but also hand the recorded ids back to the caller.
+
+    For iterate-until-converged loops (star contraction, binary-search
+    probes) where round N's checkpoint supersedes round N-1's: the
+    caller frees the superseded round NOW via release_ids() instead of
+    accumulating O(rounds) edge lists in executor storage until the
+    next query invocation.
     """
     spark = df.sparkSession
     before = _persistent_ids(spark)
-    df = df.localCheckpoint(eager=True)
-    new_ids = _persistent_ids(spark) - before
+    df = df.localCheckpoint(eager=eager)
+    new_ids = sorted(_persistent_ids(spark) - before)
     if new_ids:
-        _HELD.append((spark, sorted(new_ids)))
-    return df
+        _HELD.append((spark, new_ids))
+    return df, new_ids
+
+
+def release_ids(spark, ids: list[int]) -> None:
+    """Free specific held ids immediately (superseded loop rounds)."""
+    if not ids:
+        return
+    wanted = set(ids)
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd_id in ids:
+            jrdd = jmap.get(rdd_id)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort block cleanup
+        pass
+    # RDD ids are unique per SparkContext (one per process), so matching
+    # on ids alone is unambiguous
+    _HELD[:] = [
+        (s, remaining)
+        for s, rec in _HELD
+        if (remaining := [r for r in rec if r not in wanted])
+    ]
 
 
 def release_held() -> None:

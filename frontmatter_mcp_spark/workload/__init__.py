@@ -143,6 +143,35 @@ _LAST_GREEN_ROUND: dict[str, int] = {
         ],
         7,
     ),
+    # green in CORRECTNESS_r08.json (50/50 of the r08 window)
+    **dict.fromkeys(
+        [
+            "q104_stream_static_enrichment", "q112_stream_topk_trending",
+            "q114_stream_model_scoring", "q133_stream_neardup_gate",
+            "q139_stream_session_assembly", "q187_partition_modularity",
+            "q188_conversion_latency", "q189_parse_quality",
+            "q190_sample_fence_gate", "q191_stream_skew_profile",
+            "q192_cusum_changepoint", "q193_markov_transitions",
+            "q194_touch_attribution", "q195_readability", "q196_zipf_fit",
+            "q197_daily_value_bands", "q198_rfm_segments", "q199_top_paths",
+            "q200_volume_correlation", "q201_holt_winters", "q202_dp_release",
+            "q203_ks_source_shift", "q204_experiment_readout",
+            "q205_crossentropy_matrix", "q206_effective_tokens",
+            "q207_order_asof_enrichment", "q208_tokenizer_bakeoff",
+            "q209_km_survival", "q210_discount_elasticity",
+            "q211_seqlen_sweep", "q212_cohort_ltv", "q213_gdpr_impact",
+            "q214_kish_design_effect", "q215_interarrival_gamma",
+            "q216_volume_acf", "q217_benford_audit", "q218_fulfillment_sla",
+            "q219_behavior_diversity", "q220_session_entry_exit",
+            "q221_concurrent_sessions", "q222_stream_cusum_alarm",
+            "q223_embedding_drift", "q224_mmr_rerank",
+            "q225_precedence_matrix", "q314_stream_misra_gries",
+            "q327_wav_frame_features", "q341_stream_quantile_monitor",
+            "q346_video_frame_sample", "q347_image_resize_probe",
+            "q367_stream_mg_daily_heads",
+        ],
+        8,
+    ),
 }
 
 # Queries whose Spark plan or oracle changed since their last green row —
@@ -184,6 +213,20 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # — every green consumer re-verifies (never-green consumers q270/
     # q349/q353/q187 front-load automatically)
     "q135_connected_components",
+    # r8 final commits (bee0526/95741fc): shingle/span explode now held
+    # once via operators.holds — green consumers of the changed subplan
+    # re-verify (never-green consumers front-load automatically)
+    "q33_ngram_jaccard_pairs",
+    "q87_containment_pairs",
+    "q119_fuzzy_decontamination",
+    "q147_cluster_cv_folds",
+    "q93_duplicate_span_removal",
+    # r9: q74 re-planned — single-pass windowed funnel replaces the
+    # three-scan join chain (BENCH_r08's one >2x flag)
+    "q74_event_funnel",
+    # r9: binary-search step checkpoints moved into the holds lifecycle
+    # (eager + prompt release of the superseded step; no-leak sweep fix)
+    "q164_exact_dup_length",
 }
 
 

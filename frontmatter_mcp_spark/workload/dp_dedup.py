@@ -1597,11 +1597,14 @@ def _exact_dup_sql(maxn: int = _EXD_MAX, steps: int = _EXD_STEPS) -> str:
     "probes tiny re-probes of lo. Driver holds two integers",
 )
 def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.holds import hold_ids, release_ids
+
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = pin(
         d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+", -1).alias("w"))
     )
     cand = toks.select("doc_id")
+    cand_ids: list[int] = []
     lo, hi = 0, _EXD_MAX
     trace = []
     for step in range(1, _EXD_STEPS + 1):
@@ -1639,11 +1642,20 @@ def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             # plan O(2^steps) deep — at 7 steps analysis was slow, at 11
             # even building the plan STRING overflowed the heap. The
             # checkpoint makes each round's candidate set a leaf (the
-            # q165/q135 lesson)
-            cand = (
-                spans.join(dup, "sp").select("doc_id").distinct()
-                .localCheckpoint(eager=False)
+            # q165/q135 lesson). Held through the holds registry so the
+            # superseded step's blocks free NOW and the last step's at
+            # the next query (the no-leak sweep caught the bare
+            # localCheckpoint leaking all 10 step RDDs for the session).
+            # Eager: the new candidate set must materialize BEFORE the
+            # old one — whose lineage the previous checkpoint truncated —
+            # is unpersisted; the work is identical either way (the
+            # checkpoint is a plan leaf, so the next count couldn't have
+            # fused past it).
+            new_cand, new_ids = hold_ids(
+                spans.join(dup, "sp").select("doc_id").distinct(), eager=True
             )
+            release_ids(spark, cand_ids)
+            cand, cand_ids = new_cand, new_ids
             lo = mid
         else:
             hi = mid - 1

@@ -1500,34 +1500,50 @@ def q73_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM c) AS n_click_after,
            (SELECT COUNT(*) FROM p) AS n_purchase_after
     """,
-    doc="ordered funnel: stage k = first qualifying event strictly after "
-    "the user's stage k-1 timestamp; each stage is one groupBy(user) + "
-    "join on user_id (co-partitioned shuffles, no windows over the "
-    "whole stream)",
+    doc="ordered funnel in ONE pass: partition events by user, running "
+    "MIN(signup ts) then running MIN(qualifying click ts) over the same "
+    "(user, ts RANGE) window — a click/purchase at time t qualifies iff "
+    "t > the stage-(k-1) running min, which equals the per-user GLOBAL "
+    "stage min whenever that min is <= t (and is NULL/irrelevant "
+    "otherwise), so the per-row test reproduces the oracle's "
+    "join-on-global-min semantics exactly. One exchange of the three "
+    "relevant event types replaces the r08 shape's three events scans "
+    "plus two join shuffles (BENCH_r08's one >2x flag); the follow-up "
+    "groupBy(user_id) reuses the window's partitioning (no shuffle) and "
+    "per-row state is O(1) running mins — scale-safe at 100 TB",
 )
 def q74_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    s = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
-        F.min("ts").alias("signup_ts")
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("signup_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
+    # RANGE frame (default for an ordered window aggregate) includes ties
+    # at the current ts; the strict > below then rejects same-instant
+    # stage transitions, matching the oracle's e.ts > s.signup_ts.
+    w = Window.partitionBy("user_id").orderBy("ts")
+    signup_min = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = e.withColumn(
+        "click_q_ts",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > signup_min),
+            F.col("ts"),
+        ),
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+    click_min = F.min("click_q_ts").over(w)
+    staged = staged.withColumn(
+        "purchase_q",
+        (F.col("event_type") == "purchase") & (F.col("ts") > click_min),
     )
-    return (
-        s.agg(F.count("*").alias("n_signup"))
-        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "signup").alias("has_signup"),
+        F.max(F.col("click_q_ts").isNotNull()).alias("has_click"),
+        F.max("purchase_q").alias("has_purchase"),
+    )
+    return per_user.agg(
+        F.count_if("has_signup").alias("n_signup"),
+        F.count_if("has_click").alias("n_click_after"),
+        F.count_if("has_purchase").alias("n_purchase_after"),
     )
 
 

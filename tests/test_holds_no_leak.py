@@ -1,0 +1,75 @@
+"""Standing no-leak sweep for the pin()/hold() block lifecycle.
+
+The q187 block-leak (round 8: an eager localCheckpoint's internal RDD is
+unreachable from the Python DataFrame, so its blocks outlived the query)
+was caught once by a targeted pytest. This sweep makes the invariant a
+standing property: after running a representative query from every
+workload family and then releasing (exactly what the registry does at
+the next query invocation), the JVM persistent-RDD registry must be
+EMPTY — no pinned input, no operator-internal checkpoint, may survive
+its query. A new hold()/pin() call site that forgets the lifecycle
+fails this test by construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from frontmatter_mcp_spark.operators.holds import _persistent_ids
+from frontmatter_mcp_spark.workload import QUERIES
+from frontmatter_mcp_spark.workload.registry import release_pinned
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_TINY", "/root/testdata/sf0.001")
+
+# One representative per family, biased toward the queries that exercise
+# pin()/hold() the hardest (multi-consumer holds, LSH cap checkpoint,
+# star-contraction round pins).
+SWEEP = [
+    "q02_top_orders",  # relational — no pins: guards the baseline itself
+    "q32_lsh_candidates",  # dp_dedup — LSH skew cap's eager checkpoint
+    "q33_ngram_jaccard_pairs",  # dp_dedup — held exploded shingle table
+    "q93_duplicate_span_removal",  # dp_dedup — held exploded span table
+    "q135_connected_components",  # dp_graph — star-contraction round pins
+    "q90_semantic_dedup",  # dp_embed — pinned clustered subplan
+    "q82_lsh_recall",  # dp_sampling/dedup — pinned ground truth across configs
+    "q164_exact_dup_length",  # dp_dedup — binary-search pins + localCheckpoints
+    "q100_dsir_resample",  # dp_sampling
+    "q113_bpe_merge_loop",  # dp_tokenize — iterative merge loop pins
+    "q201_holt_winters",  # dp_timeseries
+    "q136_hll_distinct",  # dp_sketch
+    "q111_quality_classifier",  # dp_eval/classifier
+    "q123_wav_probe",  # dp_multimodal
+    "q134_bm25_topk",  # dp_retrieval
+    "q157_ab_test",  # dp_stats
+    "q35_text_profile",  # dp_text
+    "q65_volume_shipping",  # dp_business
+]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clean_slate(spark):
+    # Anything persisted by earlier test modules is not this sweep's
+    # business — clear it so the empty-registry assertion is attributable.
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in jmap.values():
+        jrdd.unpersist(False)
+    release_pinned()
+    yield
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_no_persistent_blocks_survive_query(spark, name):
+    q = QUERIES[name]
+    q.spark(spark, SF_DIR).collect()
+    # the registry frees the previous query's working set at the NEXT
+    # invocation; replay that lifecycle step explicitly
+    release_pinned()
+    leaked = _persistent_ids(spark)
+    assert leaked == set(), (
+        f"{name} leaked persistent RDD ids {sorted(leaked)} past "
+        "release_pinned() — a pin() or hold() call site is missing the "
+        "registry lifecycle"
+    )
