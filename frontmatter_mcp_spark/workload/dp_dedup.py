@@ -2886,73 +2886,94 @@ def _dedup_funnel_sql() -> str:
     "bounded shuffle profile",
 )
 def q305_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    nd = d.count()
-    ceiling = float(nd) * (nd - 1) / 2.0
+    from functools import reduce
 
-    def pair_count_from_groups(col):
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+
+    def cnt_df(df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("cnt"))
+
+    def pair_count_from_groups(col) -> DataFrame:
         fam = d.select(col.alias("k")).groupBy("k").agg(
             F.count("*").cast("long").alias("c")
         )
-        return (
-            fam.filter(F.col("c") > 1)
-            .agg(
-                F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0))
-                .cast("long")
-                .alias("cnt")
-            )
-            .collect()[0]
-            .cnt
+        return fam.filter(F.col("c") > 1).agg(
+            F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0))
+            .cast("long")
+            .alias("cnt")
         )
 
-    n_exact = pair_count_from_groups(F.md5("text"))
-    n_tmpl = pair_count_from_groups(
-        F.md5(F.regexp_replace("text", "[0-9]+", "#"))
-    )
-    n_mh = (
-        dd.lsh_candidate_pairs(
-            d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
-        )
-        .select("id_a", "id_b")
-        .distinct()
-        .count()
-    )
-    n_sh = (
-        dd.simhash_candidate_pairs(
-            d,
-            "doc_id",
-            "text",
-            bits=_SIMHASH_BITS,
-            bands=_SIMHASH_BANDS,
-            max_hamming=_SIMHASH_MAX_HAMMING,
-            max_bucket=_SIMHASH_MAX_BUCKET,
-            persist_fn=pin,
-        )
-        .select("id_a", "id_b")
-        .distinct()
-        .count()
-    )
-    # the plain helper, NOT the registered wrapper: invoking a registry
-    # entry mid-query would release_pinned() this query's own pins
-    n_wn = _winnow_pairs_df(spark, sf_dir).count()
-    n_ver = (
-        dd.ngram_jaccard_pairs(
-            d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
-        ).count()
-    )
-    rows = [
-        (1, "exact_hash_pairs", n_exact),
-        (2, "template_pairs", n_tmpl),
-        (3, "minhash_lsh_candidates", n_mh),
-        (4, "simhash_candidates", n_sh),
-        (5, "winnowing_candidates", n_wn),
-        (6, "jaccard_verified", n_ver),
+    # Six independent machineries, ONE job: each stage reduces to a
+    # single-row count aggregate, and the union of those aggregates
+    # lets Spark schedule the six branch DAGs concurrently instead of
+    # paying six serialized driver actions (the r9 re-shape; the
+    # operators' internal eager holds still materialize their shared
+    # tables once at construction). The winnow helper is the plain
+    # function, NOT the registered wrapper: invoking a registry entry
+    # mid-query would release_pinned() this query's own pins.
+    stages = [
+        (1, "exact_hash_pairs", pair_count_from_groups(F.md5("text"))),
+        (
+            2,
+            "template_pairs",
+            pair_count_from_groups(F.md5(F.regexp_replace("text", "[0-9]+", "#"))),
+        ),
+        (
+            3,
+            "minhash_lsh_candidates",
+            cnt_df(
+                dd.lsh_candidate_pairs(
+                    d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+                )
+                .select("id_a", "id_b")
+                .distinct()
+            ),
+        ),
+        (
+            4,
+            "simhash_candidates",
+            cnt_df(
+                dd.simhash_candidate_pairs(
+                    d,
+                    "doc_id",
+                    "text",
+                    bits=_SIMHASH_BITS,
+                    bands=_SIMHASH_BANDS,
+                    max_hamming=_SIMHASH_MAX_HAMMING,
+                    max_bucket=_SIMHASH_MAX_BUCKET,
+                    persist_fn=pin,
+                )
+                .select("id_a", "id_b")
+                .distinct()
+            ),
+        ),
+        (5, "winnowing_candidates", cnt_df(_winnow_pairs_df(spark, sf_dir))),
+        (
+            6,
+            "jaccard_verified",
+            cnt_df(
+                dd.ngram_jaccard_pairs(
+                    d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
+                )
+            ),
+        ),
     ]
+    unioned = reduce(
+        DataFrame.unionAll,
+        [
+            c.select(F.lit(s).alias("stage"), F.lit(name).alias("name"), "cnt")
+            for s, name, c in stages
+        ],
+    ).crossJoin(F.broadcast(d.agg(F.count("*").cast("long").alias("n"))))
+    collected = unioned.collect()
+    nd = collected[0]["n"]
+    ceiling = float(nd) * (nd - 1) / 2.0
     import math
 
     out = [
-        (s, name, int(c), math.floor(c / ceiling * 1e9 + 0.5) / 1e9)
-        for s, name, c in rows
+        (r["stage"], r["name"], int(r["cnt"]),
+         math.floor(r["cnt"] / ceiling * 1e9 + 0.5) / 1e9)
+        for r in collected
     ]
     return spark.createDataFrame(
         out, "stage int, name string, n_pairs long, all_pairs_fraction double"
