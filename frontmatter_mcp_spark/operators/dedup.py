@@ -247,6 +247,7 @@ def candidate_pairs_from_signatures(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket: int = 40,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs from an existing signature DataFrame (see
     minhash_signatures_from_shingles for why the stages compose).
@@ -284,16 +285,25 @@ def candidate_pairs_from_signatures(
             .filter(F.col("_bsz") > max_bucket)
             .select("band", "bucket")
         )
-        # eager hold (persist + count): the capped band table feeds BOTH
-        # self-join branches and, in pinned consumers, races
-        # lazily-cached fan-out branches that would each re-execute the
-        # signature stage and the broadcast build (measured 1.7x on
-        # q187). One O(corpus) materialization — the same volume the
-        # join shuffles — cuts every downstream branch to a block read;
-        # the workload registry frees it at the next query invocation.
-        from frontmatter_mcp_spark.operators.holds import hold as _hold
+        bb = bb.join(F.broadcast(drops), ["band", "bucket"], "left_anti")
+        if materialize:
+            # eager hold (checkpoint): the capped band table feeds BOTH
+            # self-join branches and, in pinned consumers, races
+            # lazily-cached fan-out branches that would each re-execute
+            # the signature stage and the broadcast build (measured 1.7x
+            # on q187). One O(corpus) materialization — the same volume
+            # the join shuffles — cuts every downstream branch to a block
+            # read; the workload registry frees it at the next query
+            # invocation. Callers whose result lives in ONE plan with no
+            # lazy-cache fan-out (q32's straight pipeline, q91's
+            # per-config branches over PINNED signatures) pass
+            # materialize=False: there exchange reuse already dedups the
+            # signature stage across the self-join branches, and the
+            # checkpoint's extra materialization job is pure cost
+            # (measured 1.7x on q32, 2.2x on q91 — the r9 triage).
+            from frontmatter_mcp_spark.operators.holds import hold as _hold
 
-        bb = _hold(bb.join(F.broadcast(drops), ["band", "bucket"], "left_anti"))
+            bb = _hold(bb)
     a = bb.withColumnRenamed(id_col, "id_a")
     b = bb.withColumnRenamed(id_col, "id_b")
     return (
@@ -312,14 +322,17 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int = 40,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: distinct (id_a < id_b) pairs that
     collide in at least one band. The join key is (band, bucket) so the
     shuffle volume is O(corpus), not O(corpus^2); ``max_bucket`` bounds
     the pair fan-out of skewed buckets (see
-    candidate_pairs_from_signatures)."""
+    candidate_pairs_from_signatures, also for ``materialize``)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    return candidate_pairs_from_signatures(sigs, id_col, num_hashes, bands, max_bucket)
+    return candidate_pairs_from_signatures(
+        sigs, id_col, num_hashes, bands, max_bucket, materialize=materialize
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

@@ -235,15 +235,16 @@ def dsir_doc_bucket_tf(
     return feats.groupBy(id_col, "_is_target", "b").agg(F.count("*").alias("tf"))
 
 
-def dsir_weights_from_tf(
-    df: DataFrame,
+def _dsir_doc_agg(
     dtf_flagged: DataFrame,
     id_col: str,
     buckets: int = 1024,
 ) -> DataFrame:
-    """Second half of dsir_weights: bucket log-ratio table from the
-    (doc, bucket) tf aggregate, broadcast back onto it, summed per doc.
-    See dsir_weights for the full contract."""
+    """Per-doc (id, __n feature count, __w rounded weight) from the
+    (doc, bucket) tf aggregate — the shared core of dsir_weights_from_tf
+    (which left-joins it back onto the corpus for the every-doc
+    contract) and dsir_resample (which keeps only feature-bearing docs
+    and must NOT pay that corpus join)."""
     stats = dtf_flagged.groupBy("b").agg(
         F.sum("tf").alias("r"),
         F.sum(F.when(F.col("_is_target"), F.col("tf")).otherwise(F.lit(0))).alias("t"),
@@ -265,10 +266,22 @@ def dsir_weights_from_tf(
         F.col("tf"),
         (F.col("logratio") * F.col("tf")).cast("decimal(28,12)").alias("w_term"),
     )
-    agg = terms.groupBy(id_col).agg(
+    return terms.groupBy(id_col).agg(
         F.sum("tf").cast("int").alias("__n"),
         F.round(F.sum("w_term").cast("double"), 6).alias("__w"),
     )
+
+
+def dsir_weights_from_tf(
+    df: DataFrame,
+    dtf_flagged: DataFrame,
+    id_col: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Second half of dsir_weights: bucket log-ratio table from the
+    (doc, bucket) tf aggregate, broadcast back onto it, summed per doc.
+    See dsir_weights for the full contract."""
+    agg = _dsir_doc_agg(dtf_flagged, id_col, buckets)
     return df.select(F.col(id_col)).join(agg, id_col, "left").select(
         id_col,
         F.coalesce(F.col("__n"), F.lit(0)).alias("n_features"),
@@ -426,9 +439,14 @@ def dsir_resample(
     """
     from frontmatter_mcp_spark.operators.sampling import hash_bucket
 
-    w = dsir_weights_from_tf(df, dtf_flagged, id_col, buckets).filter(
-        F.col("n_features") > 0
-    )
+    # straight from the per-doc aggregate: filtering to n_features > 0
+    # makes the every-doc left join of dsir_weights_from_tf a no-op, so
+    # skip the corpus-wide join entirely (the oracle's scored CTE reads
+    # FROM agg the same way)
+    del df  # corpus frame not needed on the resample path
+    w = _dsir_doc_agg(dtf_flagged, id_col, buckets).filter(
+        F.col("__n") > 0
+    ).select(F.col(id_col), F.col("__w").alias("dsir_weight"))
     span = 16**7
     u = (hash_bucket(F.col(id_col), span) + F.lit(0.5)) / F.lit(float(span))
     gumbel = -F.log(-F.log(u))

@@ -227,6 +227,16 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # r9: binary-search step checkpoints moved into the holds lifecycle
     # (eager + prompt release of the superseded step; no-leak sweep fix)
     "q164_exact_dup_length",
+    # r9: dsir_resample skips the corpus-wide left join its filter
+    # undid (oracle already read FROM agg); q97 refactored through the
+    # shared _dsir_doc_agg core (same plan, re-verify anyway)
+    "q100_dsir_resample",
+    "q97_dsir_weights",
+    # r9: LSH cap gains a materialize opt-out; q32 opts out (single
+    # straight pipeline), q91/q280 rebaselined for the deliberate
+    # skew-guard cost
+    "q32_lsh_candidates",
+    "q91_banding_sweep",
 }
 
 

@@ -106,7 +106,10 @@ def _lsh_pairs_sql() -> str:
 )
 def q32_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    return dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
+    return dd.lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS,
+        materialize=False,  # single straight pipeline — exchange reuse suffices
+    )
 
 
 @register(
@@ -1036,6 +1039,12 @@ def q91_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outs = []
     for method, bands in _BAND_SWEEP:
+        # materialize=True (default): each config's cand feeds TWO
+        # consumers (the count aggregate and the caught join) — without
+        # the eager hold both re-run the anti-join + self-join from the
+        # pinned sigs cache (r9 triage measured 7.9s vs 6.7s held). The
+        # per-config cap work itself (drops shuffle + materialization)
+        # is deliberate skew-guard cost, rebaselined epoch 9 like q280.
         cand = dd.candidate_pairs_from_signatures(sigs, "doc_id", _NUM_HASHES, bands)
         caught = truth.join(cand, ["id_a", "id_b"])
         outs.append(
