@@ -1193,3 +1193,25 @@ def test_q339_linear_cka_join_free_gram(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # two chained Generate stages (upper triangle) + the marginal explode
     assert plan.count("Generate") >= 2
+
+
+def test_q74_funnel_single_pass_no_joins(spark):
+    """r9 re-plan gate: the ordered funnel must be ONE windowed pass
+    over events — no joins at all (the old shape re-scanned events per
+    stage and shuffled three groupBy+join chains), exactly one shuffle
+    of the event rows (the window partitioning, which the follow-up
+    groupBy(user_id) must reuse), the event-type disjunction pushed to
+    the parquet scan, and no Python anywhere."""
+    plan = formatted_plan(spark, "q74_event_funnel")
+    for join in ["SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"]:
+        assert join not in plan, f"{join} in q74 plan"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+    # exactly one row-distributing exchange (hashpartitioning on
+    # user_id); the final count aggregate's single-partition exchange
+    # is the only other one allowed
+    hashparts = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(hashparts) == 1, plan[:3000]
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "event_type" in pushed
