@@ -237,6 +237,11 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # skew-guard cost
     "q32_lsh_candidates",
     "q91_banding_sweep",
+    # r9: remaining bare localCheckpoints converted to the holds
+    # lifecycle (identical plans, tracked release; never-green
+    # q266/q303/q338 front-load automatically)
+    "q165_kcore_peeling",
+    "q367_stream_mg_daily_heads",
 }
 
 

@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+from frontmatter_mcp_spark.operators.holds import hold, hold_ids, release_ids
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _BANDS,
@@ -401,12 +402,19 @@ def q165_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             # persist bounds execution, checkpointing bounds the plan
             # (on a cluster this is the classic GraphX/MLlib periodic-
             # checkpoint pattern; the per-round tables are edge-sized)
-            keep = deg.filter(F.col("d") >= k).select("n").localCheckpoint(eager=False)
-            e = (
+            # held (tracked), NOT promptly released: every round's trace
+            # row aggregates THIS round's keep/e at the final union
+            # collect, so the blocks must live to query end — the holds
+            # registry frees them at the next query invocation (the bare
+            # localCheckpoint leaked them for the session)
+            keep = hold(
+                deg.filter(F.col("d") >= k).select("n"), eager=False
+            )
+            e = hold(
                 e.join(keep.withColumnRenamed("n", "a"), "a")
                 .join(keep.withColumnRenamed("n", "b"), "b")
-                .select("a", "b")
-                .localCheckpoint(eager=False)
+                .select("a", "b"),
+                eager=False,
             )
             traces.append(
                 keep.agg(F.count("*").cast("long").alias("n_nodes"))
@@ -875,14 +883,17 @@ def q266_trust_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
         )
     )
-    dist = (
-        d.filter(F.col("doc_id") % _BFS_SEED_MOD == 0)
-        .select(
+    # each BFS round's frontier strictly supersedes the previous one, so
+    # the superseded round's blocks free IMMEDIATELY (the new round is
+    # checkpointed eagerly first); the final round frees at the next
+    # query invocation — the bare localCheckpoint leaked every round
+    # for the session (ADR-0006)
+    dist, dist_ids = hold_ids(
+        d.filter(F.col("doc_id") % _BFS_SEED_MOD == 0).select(
             F.col("doc_id").alias("node"),
             F.lit(0).alias("hop"),
             F.col("doc_id").alias("seed"),
         )
-        .localCheckpoint()
     )
     for _ in range(_BFS_HOPS):
         nxt = dist.join(bi, dist["node"] == bi["a"]).select(
@@ -890,13 +901,14 @@ def q266_trust_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hop") + 1).alias("hop"),
             F.col("seed"),
         )
-        dist = (
+        new_dist, new_ids = hold_ids(
             dist.union(nxt)
             .groupBy("node")
             .agg(F.min(F.struct("hop", "seed")).alias("m"))
             .select("node", F.col("m.hop").alias("hop"), F.col("m.seed").alias("seed"))
-            .localCheckpoint()
         )
+        release_ids(spark, dist_ids)
+        dist, dist_ids = new_dist, new_ids
     return dist.select(
         F.col("node").alias("doc_id"),
         F.col("hop").cast("int").alias("hops"),
@@ -1041,21 +1053,20 @@ def q303_graph_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = seed_row.s
 
     def bfs(start: int):
-        dist = (
-            bi.sparkSession.createDataFrame(
-                [(start, 0)], "node long, hop int"
-            ).localCheckpoint()
+        # superseded rounds free immediately; the returned final round
+        # stays held until the next query invocation (ADR-0006)
+        dist, dist_ids = hold_ids(
+            bi.sparkSession.createDataFrame([(start, 0)], "node long, hop int")
         )
         for _ in range(_DIAM_HOPS):
             nxt = dist.join(bi, dist["node"] == bi["a"]).select(
                 F.col("b").alias("node"), (F.col("hop") + 1).alias("hop")
             )
-            dist = (
-                dist.union(nxt)
-                .groupBy("node")
-                .agg(F.min("hop").alias("hop"))
-                .localCheckpoint()
+            new_dist, new_ids = hold_ids(
+                dist.union(nxt).groupBy("node").agg(F.min("hop").alias("hop"))
             )
+            release_ids(spark, dist_ids)
+            dist, dist_ids = new_dist, new_ids
         return dist
 
     d1 = bfs(seed)
@@ -1265,9 +1276,12 @@ def q338_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
         )
     )
-    pairs = bi.select(
-        F.col("a").alias("u"), F.col("b").alias("v"), F.lit(1).alias("d")
-    ).localCheckpoint()
+    # superseded hop tables free immediately; the final one at the next
+    # query invocation (ADR-0006 — the bare localCheckpoint leaked all
+    # _HC_HOPS round tables for the session)
+    pairs, pairs_ids = hold_ids(
+        bi.select(F.col("a").alias("u"), F.col("b").alias("v"), F.lit(1).alias("d"))
+    )
     for _ in range(_HC_HOPS - 1):
         nxt = (
             pairs.join(
@@ -1276,12 +1290,11 @@ def q338_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("w") != F.col("u"))
             .select("u", F.col("w").alias("v"), (F.col("d") + 1).alias("d"))
         )
-        pairs = (
-            pairs.union(nxt)
-            .groupBy("u", "v")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint()
+        new_pairs, new_ids = hold_ids(
+            pairs.union(nxt).groupBy("u", "v").agg(F.min("d").alias("d"))
         )
+        release_ids(spark, pairs_ids)
+        pairs, pairs_ids = new_pairs, new_ids
     c = pairs.groupBy(F.col("u").alias("doc_id")).agg(
         F.sum((F.col("d") == 1).cast("int")).cast("long").alias("n1"),
         F.sum((F.col("d") == 2).cast("int")).cast("long").alias("n2"),

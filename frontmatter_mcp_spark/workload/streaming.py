@@ -1693,7 +1693,13 @@ def q367_stream_mg_daily_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("win", F.explode("S").alias("e"))
         .select("win", F.col("e.t").alias("user_key"), F.col("e.c").alias("est"))
     )
-    heads = heads.localCheckpoint()
+    # held through the registry so the checkpoint's blocks free at the
+    # next query invocation (the bare localCheckpoint leaked them for
+    # the session — ADR-0006); the checkpoint itself stays: heads feeds
+    # both the day-over-day self-join sides below
+    from frontmatter_mcp_spark.operators.holds import hold as _hold
+
+    heads = _hold(heads)
     prev = heads.select(
         (F.col("win") + F.expr("interval 1 day")).alias("win"),
         F.col("user_key").alias("puser"),

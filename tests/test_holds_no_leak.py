@@ -45,6 +45,13 @@ SWEEP = [
     "q157_ab_test",  # dp_stats
     "q35_text_profile",  # dp_text
     "q65_volume_shipping",  # dp_business
+    # r9 additions: every query whose bare localCheckpoint the first
+    # sweep revision missed (converted to the holds lifecycle)
+    "q165_kcore_peeling",  # dp_graph — per-(k, round) lazy checkpoints
+    "q266_trust_bfs_hops",  # dp_graph — BFS rounds, prompt supersede
+    "q303_graph_diameter_sweep",  # dp_graph — repeated BFS sweeps
+    "q338_harmonic_centrality",  # dp_graph — hop-table rounds
+    "q367_stream_mg_daily_heads",  # streaming — two-consumer head table
 ]
 
 
