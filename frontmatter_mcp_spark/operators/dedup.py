@@ -552,6 +552,29 @@ def ngram_jaccard_pairs(
     # one action). O(corpus shingles) rows, the same volume the dfreq
     # shuffle carries; released at the next query invocation.
     sh = hold(sh)
+    return ngram_jaccard_pairs_from_shingles(sh, id_col, "shingle", threshold, max_df)
+
+
+def ngram_jaccard_pairs_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingle",
+    threshold: float = 0.1,
+    max_df: int = 50,
+) -> DataFrame:
+    """ngram_jaccard_pairs over an already-exploded (id, shingle) table.
+
+    Split out (the minhash_signatures_from_shingles pattern) so ensemble
+    queries that run MinHash-LSH *and* exact-Jaccard verification over
+    the same corpus — whose oracle SQL declares ONE shared shingles
+    CTE — tokenize once on the Spark side too: the caller builds the
+    exploded shingle table, holds it (it feeds at least the three
+    differently-keyed exchanges here, plus the signature aggregate),
+    and passes it to both stages. The caller is responsible for the
+    hold/materialization; this function adds none.
+    """
+    if shingle_col != "shingle":
+        sh = sh.withColumnRenamed(shingle_col, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
     # shuffle join on the shingle key (dfreq is corpus-sized — NOT broadcastable

@@ -242,6 +242,13 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # q266/q303/q338 front-load automatically)
     "q165_kcore_peeling",
     "q367_stream_mg_daily_heads",
+    # r9b: MinHash-LSH + exact-Jaccard ensemble queries now share ONE
+    # held shingle pass (ngram_jaccard_pairs_from_shingles), matching
+    # their oracles' single sh CTE; never-green, so listing them here
+    # fronts the re-planned trees into the next driver window
+    "q295_blocking_agreement",
+    "q305_dedup_funnel",
+    "q310_ensemble_verified_pairs",
 }
 
 

@@ -2731,10 +2731,27 @@ def _blocking_agreement_sql() -> str:
     "q33 plans it already runs",
 )
 def q295_blocking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.holds import hold
+
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    # ONE shingle pass for both the MinHash signatures and the exact-
+    # Jaccard truth — the oracle SQL above declares a single shared sh
+    # CTE; the held exploded table makes the Spark plan match it instead
+    # of tokenizing the corpus once per machinery.
+    sh = hold(
+        d.select(
+            F.col("doc_id"),
+            F.explode(dd.word_shingles(F.col("text"))).alias("shingle"),
+        )
+    )
     mh = pin(
-        dd.lsh_candidate_pairs(
-            d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+        dd.candidate_pairs_from_signatures(
+            dd.minhash_signatures_from_shingles(
+                sh, "doc_id", "shingle", _NUM_HASHES
+            ),
+            "doc_id",
+            _NUM_HASHES,
+            _BANDS,
         ).select("id_a", "id_b").distinct()
     )
     sh2 = pin(
@@ -2750,8 +2767,8 @@ def q295_blocking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("id_a", "id_b").distinct()
     )
     truth = pin(
-        dd.ngram_jaccard_pairs(
-            d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
+        dd.ngram_jaccard_pairs_from_shingles(
+            sh, "doc_id", "shingle", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
         ).select("id_a", "id_b")
     )
     nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
@@ -2897,7 +2914,17 @@ def _dedup_funnel_sql() -> str:
 def q305_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
+    from frontmatter_mcp_spark.operators.holds import hold
+
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    # stages 3 (MinHash-LSH) and 6 (exact Jaccard) share ONE held
+    # shingle pass — mirrors the oracle's single sh CTE
+    shingles = hold(
+        d.select(
+            F.col("doc_id"),
+            F.explode(dd.word_shingles(F.col("text"))).alias("shingle"),
+        )
+    )
 
     def cnt_df(df: DataFrame) -> DataFrame:
         return df.agg(F.count("*").cast("long").alias("cnt"))
@@ -2931,8 +2958,13 @@ def q305_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
             "minhash_lsh_candidates",
             cnt_df(
-                dd.lsh_candidate_pairs(
-                    d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+                dd.candidate_pairs_from_signatures(
+                    dd.minhash_signatures_from_shingles(
+                        shingles, "doc_id", "shingle", _NUM_HASHES
+                    ),
+                    "doc_id",
+                    _NUM_HASHES,
+                    _BANDS,
                 )
                 .select("id_a", "id_b")
                 .distinct()
@@ -2961,8 +2993,12 @@ def q305_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
             "jaccard_verified",
             cnt_df(
-                dd.ngram_jaccard_pairs(
-                    d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
+                dd.ngram_jaccard_pairs_from_shingles(
+                    shingles,
+                    "doc_id",
+                    "shingle",
+                    threshold=_JACCARD_THRESHOLD,
+                    max_df=_MAX_DF,
                 )
             ),
         ),
@@ -3159,10 +3195,27 @@ def _ensemble_pairs_sql() -> str:
     "blocker. Every stage keeps its own bounded shuffle",
 )
 def q310_ensemble_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.holds import hold
+
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    # ONE shingle pass shared by the MinHash blocker and the exact-
+    # Jaccard verifier (the oracle's single sh CTE) — winnowing and
+    # SimHash keep their own feature spaces (positional k-grams /
+    # token hashes), so only these two stages share.
+    sh = hold(
+        d.select(
+            F.col("doc_id"),
+            F.explode(dd.word_shingles(F.col("text"))).alias("shingle"),
+        )
+    )
     mh = pin(
-        dd.lsh_candidate_pairs(
-            d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+        dd.candidate_pairs_from_signatures(
+            dd.minhash_signatures_from_shingles(
+                sh, "doc_id", "shingle", _NUM_HASHES
+            ),
+            "doc_id",
+            _NUM_HASHES,
+            _BANDS,
         ).select("id_a", "id_b").distinct()
     )
     sh2 = pin(
@@ -3180,8 +3233,8 @@ def q310_ensemble_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = pin(_winnow_pairs_df(spark, sf_dir).select("id_a", "id_b"))
     cand = mh.union(sh2).union(wn).distinct()
     truth = pin(
-        dd.ngram_jaccard_pairs(
-            d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
+        dd.ngram_jaccard_pairs_from_shingles(
+            sh, "doc_id", "shingle", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
         ).select("id_a", "id_b")
     )
     verified = cand.join(truth, ["id_a", "id_b"])
