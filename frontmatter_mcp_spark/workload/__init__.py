@@ -249,6 +249,12 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q295_blocking_agreement",
     "q305_dedup_funnel",
     "q310_ensemble_verified_pairs",
+    # r9b: broadcast-total tables now eagerly held (the tot/cl branch
+    # raced the output branch on a cold lazy cache and re-ran the whole
+    # neardup pipeline); q304 also swaps the per-(group,lang) window for
+    # a two-level aggregate — same integers, no window sort
+    "q292_dedup_roi",
+    "q304_cluster_lang_purity",
 }
 
 

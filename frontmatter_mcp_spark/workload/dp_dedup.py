@@ -2623,6 +2623,12 @@ def q292_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+    # eager hold: cl feeds BOTH the broadcast total and the output rows;
+    # un-materialized, the two branches re-run the group pipeline (the
+    # q304 broadcast-total race, measured ~2x on this query)
+    from frontmatter_mcp_spark.operators.holds import hold
+
+    cl = hold(cl)
     tot = cl.agg(
         F.coalesce(F.sum("tokens_freed"), F.lit(0)).cast("long").alias("freed_all")
     ).crossJoin(

@@ -2634,7 +2634,7 @@ def q270_singlelink_cut_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56 propagation plan",
 )
 def q304_cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from frontmatter_mcp_spark.operators.holds import hold
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     grp = dd.neardup_groups(
@@ -2643,19 +2643,25 @@ def q304_cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist_fn=pin,
     )
     mem = grp.join(d.select("doc_id", "lang"), "doc_id")
+    # two-level aggregate, not a window: groupBy(group, lang) counts are
+    # the per-language tallies, then per group sum = n_docs, row count =
+    # n_langs (exactly count_distinct), max = majority — same integers,
+    # no window sort, no count_distinct expand
+    bylang = mem.groupBy("group_id", "lang").agg(F.count("*").alias("cnt"))
     multi = (
-        mem.withColumn(
-            "cnt", F.count("*").over(W.partitionBy("group_id", "lang"))
-        )
-        .groupBy("group_id")
+        bylang.groupBy("group_id")
         .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.count_distinct("lang").cast("long").alias("n_langs"),
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_langs"),
             F.max("cnt").cast("long").alias("majority"),
         )
         .filter(F.col("n_docs") > 1)
     )
-    multi = pin(multi)
+    # eager hold, not lazy pin: the broadcast build for `tot` and the
+    # main output branch otherwise race to populate the cold cache and
+    # each re-run the whole neardup pipeline (measured ~1.7x on this
+    # query; the q187 lesson applied to a broadcast-total shape)
+    multi = hold(multi)
     tot = multi.agg(
         F.count("*").cast("long").alias("n_clusters"),
         F.coalesce(

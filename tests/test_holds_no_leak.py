@@ -52,6 +52,12 @@ SWEEP = [
     "q303_graph_diameter_sweep",  # dp_graph — repeated BFS sweeps
     "q338_harmonic_centrality",  # dp_graph — hop-table rounds
     "q367_stream_mg_daily_heads",  # streaming — two-consumer head table
+    # r9b additions: shared-shingle holds and broadcast-total holds
+    "q295_blocking_agreement",  # dp_dedup — shared shingle hold (LSH+Jaccard)
+    "q305_dedup_funnel",  # dp_dedup — shared shingle hold, six-stage union
+    "q310_ensemble_verified_pairs",  # dp_dedup — shared shingle hold
+    "q292_dedup_roi",  # dp_dedup — held broadcast-total group table
+    "q304_cluster_lang_purity",  # dp_embed — held broadcast-total group table
 ]
 
 
