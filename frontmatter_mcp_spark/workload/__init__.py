@@ -255,6 +255,16 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # a two-level aggregate — same integers, no window sort
     "q292_dedup_roi",
     "q304_cluster_lang_purity",
+    # r9b: neardup_groups/fuzzy_decontaminate consumers switch
+    # persist_fn from lazy pin to eager hold — concurrent branches of
+    # one action raced to populate the cold persist cache and re-ran
+    # the shared subplan per branch (measured 0.4-0.8x of best across
+    # the family); green consumers re-verify
+    "q56_neardup_groups",
+    "q119_fuzzy_decontamination",
+    "q120_softdedup_weights",
+    "q131_softdedup_sample",
+    "q147_cluster_cv_folds",
 }
 
 

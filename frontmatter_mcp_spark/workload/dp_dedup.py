@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+from frontmatter_mcp_spark.operators.holds import hold
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _BANDS,
@@ -1179,7 +1180,7 @@ def q119_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         threshold=_FUZZY_DECON_THRESHOLD,
         max_df=_MAX_DF,
-        persist_fn=pin,
+        persist_fn=hold,
     )
 
 # ---------------------------------------------------------------------------
@@ -1211,7 +1212,7 @@ def q120_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = dd.neardup_groups(
         d, "doc_id", "text",
         threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
-        persist_fn=pin,
+        persist_fn=hold,
     )
     size = F.count("*").over(W.partitionBy("group_id"))
     return groups.select(
@@ -1333,7 +1334,7 @@ def q131_softdedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = dd.neardup_groups(
         d, "doc_id", "text",
         threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
-        persist_fn=pin,
+        persist_fn=hold,
     )
     gs = F.count("*").over(W.partitionBy("group_id")).cast("int")
     u = (hash_bucket(F.col("doc_id"), _GUMBEL_SPAN) + F.lit(0.5)) / F.lit(
@@ -2601,7 +2602,7 @@ def q292_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = dd.neardup_groups(
         d, "doc_id", "text",
         threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
-        persist_fn=pin,
+        persist_fn=hold,
     )
     w = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
@@ -2626,7 +2627,6 @@ def q292_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager hold: cl feeds BOTH the broadcast total and the output rows;
     # un-materialized, the two branches re-run the group pipeline (the
     # q304 broadcast-total race, measured ~2x on this query)
-    from frontmatter_mcp_spark.operators.holds import hold
 
     cl = hold(cl)
     tot = cl.agg(
@@ -2737,7 +2737,6 @@ def _blocking_agreement_sql() -> str:
     "q33 plans it already runs",
 )
 def q295_blocking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frontmatter_mcp_spark.operators.holds import hold
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     # ONE shingle pass for both the MinHash signatures and the exact-
@@ -2920,7 +2919,6 @@ def _dedup_funnel_sql() -> str:
 def q305_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    from frontmatter_mcp_spark.operators.holds import hold
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     # stages 3 (MinHash-LSH) and 6 (exact Jaccard) share ONE held
@@ -3201,7 +3199,6 @@ def _ensemble_pairs_sql() -> str:
     "blocker. Every stage keeps its own bounded shuffle",
 )
 def q310_ensemble_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frontmatter_mcp_spark.operators.holds import hold
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     # ONE shingle pass shared by the MinHash blocker and the exact-
@@ -3362,7 +3359,6 @@ def _percolation_sql() -> str:
     "replays each fixpoint via recursive CTE",
 )
 def q349_threshold_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frontmatter_mcp_spark.operators.holds import hold
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     # eager hold — the three-consumer shingle shape (ngram_jaccard_pairs)

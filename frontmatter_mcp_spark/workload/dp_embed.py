@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+from frontmatter_mcp_spark.operators.holds import hold
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _ABS_STEPS,
@@ -968,9 +969,13 @@ def q147_cluster_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = dd.neardup_groups(
         d, "doc_id", "text",
         threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
-        persist_fn=pin,
+        persist_fn=hold,
     )
-    a = pin(
+
+    # eager hold, not lazy pin: `a` feeds both the broadcast `leaky`
+    # build and the final fold aggregate — cold-cache racing re-runs
+    # the whole neardup pipeline per branch (the q304/q292 pattern)
+    a = hold(
         groups.select(
             "doc_id",
             "group_id",
@@ -2634,13 +2639,12 @@ def q270_singlelink_cut_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56 propagation plan",
 )
 def q304_cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frontmatter_mcp_spark.operators.holds import hold
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     grp = dd.neardup_groups(
         d, "doc_id", "text",
         threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
-        persist_fn=pin,
+        persist_fn=hold,
     )
     mem = grp.join(d.select("doc_id", "lang"), "doc_id")
     # two-level aggregate, not a window: groupBy(group, lang) counts are

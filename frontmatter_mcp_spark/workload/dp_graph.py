@@ -46,7 +46,7 @@ def q56_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.neardup_groups(
         d, "doc_id", "text",
         threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF, iters=_LP_ITERS,
-        persist_fn=pin,
+        persist_fn=hold,
     )
 
 # ---------------------------------------------------------------------------
