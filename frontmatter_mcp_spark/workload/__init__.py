@@ -265,6 +265,15 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q120_softdedup_weights",
     "q131_softdedup_sample",
     "q147_cluster_cv_folds",
+    # r9b: simhash signature persist switched to eager hold (same race)
+    "q96_simhash_candidates",
+    # r9b: remaining fan-out pins in these converted to eager holds
+    # after per-query A/B probes (q187 0.58x of best; q265/q353/q360
+    # 10-15%); q90/q133 probed too — wash, left on lazy pins
+    "q187_partition_modularity",
+    "q265_lof_outliers",
+    "q353_keeper_quality_audit",
+    "q360_bbit_minhash",
 }
 
 

@@ -269,7 +269,7 @@ def q96_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_SIMHASH_BANDS,
         max_hamming=_SIMHASH_MAX_HAMMING,
         max_bucket=_SIMHASH_MAX_BUCKET,
-        persist_fn=pin,
+        persist_fn=hold,
     )
 
 # ---------------------------------------------------------------------------
@@ -2768,7 +2768,7 @@ def q295_blocking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands=_SIMHASH_BANDS,
             max_hamming=_SIMHASH_MAX_HAMMING,
             max_bucket=_SIMHASH_MAX_BUCKET,
-            persist_fn=pin,
+            persist_fn=hold,
         ).select("id_a", "id_b").distinct()
     )
     truth = pin(
@@ -2986,7 +2986,7 @@ def q305_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bands=_SIMHASH_BANDS,
                     max_hamming=_SIMHASH_MAX_HAMMING,
                     max_bucket=_SIMHASH_MAX_BUCKET,
-                    persist_fn=pin,
+                    persist_fn=hold,
                 )
                 .select("id_a", "id_b")
                 .distinct()
@@ -3230,7 +3230,7 @@ def q310_ensemble_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands=_SIMHASH_BANDS,
             max_hamming=_SIMHASH_MAX_HAMMING,
             max_bucket=_SIMHASH_MAX_BUCKET,
-            persist_fn=pin,
+            persist_fn=hold,
         ).select("id_a", "id_b").distinct()
     )
     wn = pin(_winnow_pairs_df(spark, sf_dir).select("id_a", "id_b"))
@@ -3526,7 +3526,7 @@ def q353_keeper_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    edges = pin(
+    edges = hold(
         dd.lsh_candidate_pairs(
             d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
         )
@@ -3536,7 +3536,7 @@ def q353_keeper_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
         lambda x: x != F.lit(""),
     )
-    qual = pin(
+    qual = hold(
         d.select("doc_id", F.explode(wcol).alias("t"))
         .groupBy("doc_id")
         .agg(F.countDistinct("t").cast("long").alias("q"))
@@ -3673,7 +3673,7 @@ def q360_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle")
     )
-    sh = pin(sh)
+    sh = hold(sh)
     sizes = sh.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("set_size")
     )

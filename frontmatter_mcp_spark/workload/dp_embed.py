@@ -2374,8 +2374,10 @@ def q265_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = kmeans_assign(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
     # norms once per VECTOR, not per pair (q38's discipline): the pair
     # join then pays ONE fold (the dot) instead of three — same doubles,
-    # same division, bit-identical d
-    cl = pin(
+    # same division, bit-identical d. Eager holds throughout (not lazy
+    # pins): cl/knn/kd/lrd each fan out to 2+ branches of the single
+    # final action, and cold lazy caches race (the q292/q304 pattern)
+    cl = hold(
         e.join(assign, "vec_id").select(
             "vec_id",
             "embedding",
@@ -2401,7 +2403,7 @@ def q265_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("ca") == F.col("cb")) & (F.col("ida") != F.col("idb"))
     ).select("ida", "idb", d.alias("d"))
-    knn = pin(
+    knn = hold(
         pairs.withColumn(
             "rn",
             F.row_number().over(W.partitionBy("ida").orderBy("d", "idb")),
@@ -2409,11 +2411,11 @@ def q265_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _LOF_K)
         .select("ida", "idb", "d")
     )
-    kd = pin(knn.groupBy(F.col("ida").alias("v")).agg(F.max("d").alias("kdist")))
+    kd = hold(knn.groupBy(F.col("ida").alias("v")).agg(F.max("d").alias("kdist")))
     reach = knn.join(kd, knn["idb"] == kd["v"]).select(
         "ida", "idb", F.greatest(F.col("kdist"), F.col("d")).alias("rd")
     )
-    lrd = pin(
+    lrd = hold(
         reach.groupBy(F.col("ida").alias("v")).agg(
             (
                 F.count("*")

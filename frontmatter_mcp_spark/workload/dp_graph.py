@@ -630,16 +630,16 @@ def _modularity_sql() -> str:
 )
 def q187_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    e = pin(
+    e = hold(
         dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     )
-    sym = pin(
+    sym = hold(
         e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
             e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
     )
-    labels = pin(
+    labels = hold(
         sym.select(F.col("src").alias("node")).distinct().withColumn(
             "label", F.col("node")
         )
@@ -653,7 +653,7 @@ def q187_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("nl").alias("nl"))
         )
-        labels = pin(
+        labels = hold(
             labels.join(nbr, labels["node"] == nbr["src"], "left").select(
                 "node",
                 F.least(
