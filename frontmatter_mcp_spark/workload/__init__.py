@@ -274,6 +274,16 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q265_lof_outliers",
     "q353_keeper_quality_audit",
     "q360_bbit_minhash",
+    # r9b: second A/B sweep — fan-out pins/persist hooks to eager holds
+    # (q315 0.45x of best; q255 ~35%; q126/q283/q297 15%; q109/q186
+    # 6-7%); q325/q339 probed flat and keep lazy pins
+    "q109_bitext_margin_mining",
+    "q126_similarity_pagerank",
+    "q186_personalized_pagerank",
+    "q255_absorption_analysis",
+    "q283_calibration_scalars",
+    "q297_operating_point_sweep",
+    "q315_voptimal_dp",
 }
 
 

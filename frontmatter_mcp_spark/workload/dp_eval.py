@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+from frontmatter_mcp_spark.operators.holds import hold
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _ABS_STEPS,
@@ -1705,7 +1706,7 @@ def q283_calibration_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         label=(F.col("lang") == "en").cast("int"),
         buckets=_CLF_BUCKETS,
         iters=_CLF_ITERS,
-        persist_fn=pin,
+        persist_fn=hold,
     )
     fx = scored.select(
         F.least(F.lit(9), F.floor(F.col("prob") * 10)).cast("int").alias("bucket"),
@@ -1965,7 +1966,7 @@ def q297_operating_point_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         label=(F.col("lang") == "en").cast("int"),
         buckets=_CLF_BUCKETS,
         iters=_CLF_ITERS,
-        persist_fn=pin,
+        persist_fn=hold,
     )
     b = scored.groupBy(
         F.least(F.lit(9), F.floor(F.col("prob") * 10)).cast("int").alias("bucket")

@@ -134,7 +134,7 @@ def q126_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     return pagerank_fixed_point(
         edges, d.select("doc_id"), "doc_id", iters=_PR_ITERS,
-        scale=_PR_SCALE, persist_fn=pin,
+        scale=_PR_SCALE, persist_fn=hold,
     )
 
 # ---------------------------------------------------------------------------
@@ -524,7 +524,7 @@ def q186_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = d.filter(F.col("lang") == "en").select("doc_id")
     return ppr_fixed_point(
         edges, d.select("doc_id"), seeds, "doc_id",
-        iters=_PR_ITERS, scale=_PR_SCALE, persist_fn=pin,
+        iters=_PR_ITERS, scale=_PR_SCALE, persist_fn=hold,
     )
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+from frontmatter_mcp_spark.operators.holds import hold
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _BM25_SCALE,
@@ -204,7 +205,7 @@ def q109_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     assign = kmeans_assign(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
-    clustered = pin(
+    clustered = hold(
         e.join(assign, "vec_id").select(
             "vec_id", "embedding", "cluster", (F.col("label") % 2).alias("side")
         )

@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+from frontmatter_mcp_spark.operators.holds import hold
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _BLOOM_K,
@@ -2221,7 +2222,7 @@ def q315_voptimal_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n")
     )
     wo = W.orderBy("day")
-    pre = pin(
+    pre = hold(
         daily.select(
             "day",
             "n",
@@ -2239,7 +2240,7 @@ def q315_voptimal_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = pre.agg(F.max("i").alias("nd"))
 
     levels: list[DataFrame] = [
-        pin(
+        hold(
             pre.select(
                 "i",
                 "s",
@@ -2274,7 +2275,7 @@ def q315_voptimal_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
             F.row_number().over(W.partitionBy("i").orderBy("cost", "prev")),
         )
-        levels.append(pin(ranked.filter(F.col("rn") == 1).drop("rn")))
+        levels.append(hold(ranked.filter(F.col("rn") == 1).drop("rn")))
 
     # backtrack the prev pointers declaratively (each step a 1-row join)
     total = levels[B - 1].select("i", "prev", F.col("cost").alias("vcost"))
@@ -2333,7 +2334,7 @@ def q315_voptimal_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bin_sse_fx"),
         )
     )
-    out = pin(out)
+    out = hold(out)
     ew = (
         pre.crossJoin(F.broadcast(nn))
         .groupBy(F.expr(f"((i - 1) * {B}) div nd").alias("g"))
