@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+from frontmatter_mcp_spark.operators.holds import hold
 from frontmatter_mcp_spark.workload.registry import pin, register
 
 # ---------------------------------------------------------------------------
@@ -863,19 +864,19 @@ def q208_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1), lambda t: t != ""
     )
     wt = d.select(F.explode(toks).alias("t")).filter(F.col("t").rlike("^[a-z]+$"))
-    words = pin(
+    words = hold(
         wt.groupBy(F.col("t").alias("w")).agg(F.count("*").cast("long").alias("wc"))
     )
-    bseg = tk.bpe_segment_vocab(words, "w", "wc", iters=_BPE_ITERS, persist_fn=pin)
+    bseg = tk.bpe_segment_vocab(words, "w", "wc", iters=_BPE_ITERS, persist_fn=hold)
     useg = tk.unigram_segment_vocab(
         words.filter(F.length("w") <= _UNI_MAXW),
         "w",
         "wc",
         max_piece=_UNI_MAXP,
         vocab_size=_UNI_VOCAB,
-        persist_fn=pin,
+        persist_fn=hold,
     )
-    j = pin(
+    j = hold(
         useg.select("w", "wc", "ps").join(bseg.select("w", "seq"), "w")
     )
     bl = F.size(F.split(F.col("seq"), " ", -1))

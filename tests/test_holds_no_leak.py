@@ -58,6 +58,12 @@ SWEEP = [
     "q310_ensemble_verified_pairs",  # dp_dedup — shared shingle hold
     "q292_dedup_roi",  # dp_dedup — held broadcast-total group table
     "q304_cluster_lang_purity",  # dp_embed — held broadcast-total group table
+    # r9b second/third sweep conversions (ADR-0007)
+    "q147_cluster_cv_folds",  # dp_embed — held fold table + neardup holds
+    "q187_partition_modularity",  # dp_graph — held edge/community tables
+    "q208_tokenizer_bakeoff",  # dp_tokenize — held comparison + vocab hooks
+    "q265_lof_outliers",  # dp_embed — held cl/knn/kd/lrd chain
+    "q315_voptimal_dp",  # dp_sketch — held DP level tables
 ]
 
 
