@@ -288,6 +288,19 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # holds (~45%); q148/q152/q181/q185/q235 probed flat-or-worse and
     # keep their lazy pins
     "q208_tokenizer_bakeoff",
+    # r9b: third/fourth A/B sweep conversions (ADR-0007). q146's
+    # recurring "contention" flag was actually this race — hold ends
+    # it. q160/q166/q177/q178/q184/q238 probed flat and keep pins
+    "q137_dup_window_ladder",
+    "q140_column_stats",
+    "q146_skipgram_pairs",
+    "q154_itemset_pairs",
+    "q229_conformal_calibration",
+    "q245_ann_cost_ledger",
+    "q246_hll_time_rollup",
+    "q269_bloom_fpr_calibration",
+    "q270_singlelink_cut_sweep",
+    "q286_weighted_jaccard_pairs",
 }
 
 

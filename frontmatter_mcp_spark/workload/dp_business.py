@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+from frontmatter_mcp_spark.operators.holds import hold
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _JSZ_DEPTH,
@@ -164,7 +165,7 @@ def q140_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = ln.selectExpr(
         f"stack({len(_STATS_COLS)}, {stack_args}) AS (col, v)"
     )
-    long = pin(long)
+    long = hold(long)
     stats = long.groupBy("col").agg(
         F.count("*").cast("long").alias("n"),
         (F.count("*") - F.count("v")).cast("long").alias("n_null"),
@@ -501,7 +502,7 @@ _MB_TOPK = 20
     "back; top-k via TakeOrderedAndProject with a total-order tiebreak",
 )
 def q154_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = pin(
+    items = hold(
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()

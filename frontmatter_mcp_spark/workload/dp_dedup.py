@@ -1433,7 +1433,7 @@ def q137_dup_window_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_spans = (
             spans.groupBy("sp").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
         )
-        dup_docs = pin(spans.join(dup_spans, "sp").select("doc_id").distinct())
+        dup_docs = hold(spans.join(dup_spans, "sp").select("doc_id").distinct())
         level_tables.append(dup_docs.withColumn("lvl", F.lit(n)))
         cur = toks.join(dup_docs, "doc_id")
     lv = level_tables[0]
@@ -2511,7 +2511,7 @@ def q286_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = sh.select("doc_id").distinct().count()
     dfreq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
-    wsh = pin(
+    wsh = hold(
         sh.join(dfreq.filter(F.col("df") <= _MAX_DF), "shingle").select(
             "doc_id", "shingle", F.expr(f"({nd} * 16) div df").alias("w")
         )

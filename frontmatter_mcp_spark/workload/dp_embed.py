@@ -2056,7 +2056,7 @@ def q245_ann_cost_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = cands.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     nq = q.count()
     # brute force: every (q, cand) pair is a distance computation
-    exact = pin(
+    exact = hold(
         sim.cosine_topk(q, cv, k=10).select("qid", "cid")
     )
     n_brute = cands.count() * nq
@@ -2078,7 +2078,7 @@ def q245_ann_cost_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cell_rank") <= 2)
         .select("qid", "qvec", "label")
     )
-    ipairs = pin(
+    ipairs = hold(
         cands.join(F.broadcast(probed), "label").select(
             "qid",
             F.col("vec_id").alias("cid"),
@@ -2091,7 +2091,7 @@ def q245_ann_cost_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     itop = ipairs.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= 10
     )
-    lsh_all = pin(
+    lsh_all = hold(
         sim.lsh_topk(q, cv, dim=_LSH_DIM, nbits=_LSH_NBITS, k=10**9)
     )
     ltop = lsh_all.filter(F.col("rank") <= 10)
@@ -2546,7 +2546,7 @@ def _singlelink_sql() -> str:
 )
 def q270_singlelink_cut_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    jac = pin(
+    jac = hold(
         dd.ngram_jaccard_pairs(
             d, "doc_id", "text", threshold=_SL_PREFILTER, max_df=_MAX_DF
         )
@@ -2559,7 +2559,7 @@ def q270_singlelink_cut_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= F.col("tau"))
         .select("tau", "id_a", "id_b")
     )
-    tagged = pin(tagged)
+    tagged = hold(tagged)
     comp = dd.connected_components_star(tagged, tag_cols=("tau",))
     csz = comp.groupBy("tau", "component").agg(
         F.count("*").cast("long").alias("cnt")

@@ -801,10 +801,10 @@ def q229_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         label=(F.col("lang") == "en").cast("int"),
         buckets=_CLF_BUCKETS,
         iters=_CLF_ITERS,
-        persist_fn=pin,
+        persist_fn=hold,
     ).collect()
     weights = {r.b: r.w for r in w_rows}
-    scored = pin(
+    scored = hold(
         d.select(
             "doc_id",
             split.alias("split"),

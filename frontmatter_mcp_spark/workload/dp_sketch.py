@@ -1142,7 +1142,7 @@ def q246_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frontmatter_mcp_spark.operators.sampling import hash_bucket
 
     e = load_table(spark, sf_dir, "events")
-    items = pin(
+    items = hold(
         e.select(
             F.date_trunc("day", "ts").alias("day"), F.col("user_id").alias("t")
         ).distinct()
@@ -1156,7 +1156,7 @@ def q246_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(v == 0, F.lit(_HLL_RHO_BITS + 1)).otherwise(
         F.lit(_HLL_RHO_BITS) - F.length(F.bin(v)) + 1
     )
-    dayregs = pin(
+    dayregs = hold(
         items.select(
             "day", hash_bucket(F.col("t"), _HLL_M).alias("reg"), rho.alias("__rho")
         )
@@ -1613,7 +1613,7 @@ def q269_bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = d.select(
         F.md5("text").alias("fp"), hash_bucket(F.col("doc_id"), 10).alias("wave")
     )
-    members = pin(fps.filter(F.col("wave") < 8).select("fp").distinct())
+    members = hold(fps.filter(F.col("wave") < 8).select("fp").distinct())
     probes = (
         fps.filter(F.col("wave") >= 8)
         .select("fp")
@@ -1627,7 +1627,7 @@ def q269_bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(k):
         part = members.select(pos_of(i))
         bits = part if bits is None else bits.union(part)
-    bits = pin(bits.distinct())
+    bits = hold(bits.distinct())
     pp = None
     for i in range(k):
         part = probes.select("fp", pos_of(i))

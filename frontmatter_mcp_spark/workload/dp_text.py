@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+from frontmatter_mcp_spark.operators.holds import hold
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _LEN_P_HIGH,
@@ -643,7 +644,7 @@ def q146_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = d.select(
         "doc_id", F.posexplode(toks_arr).alias("p0", "t")
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "t")
-    pos = pin(pos)
+    pos = hold(pos)
     fr = pos.groupBy("t").agg(F.count("*").cast("long").alias("cnt"))
     tt = pos.agg(F.count("*").cast("long").alias("total"))
     thr = F.expr(_sg_keep_threshold("cnt", "total"))
@@ -653,7 +654,7 @@ def q146_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _SG_FX,
     )
-    kept = pin(
+    kept = hold(
         pos.join(F.broadcast(fr), "t")
         .crossJoin(F.broadcast(tt))
         .filter(keep_key.cast("long") < thr)
