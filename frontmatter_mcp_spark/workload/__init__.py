@@ -301,6 +301,12 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q269_bloom_fpr_calibration",
     "q270_singlelink_cut_sweep",
     "q286_weighted_jaccard_pairs",
+    # r9b: fifth sweep (q193 44%, q296 39%, q277 40%, q259 8%);
+    # q111/q149/q180/q298/q326 probed flat and keep pins
+    "q193_markov_transitions",
+    "q259_misra_gries",
+    "q277_source_jsd_matrix",
+    "q296_markov_entropy_rate",
 }
 
 

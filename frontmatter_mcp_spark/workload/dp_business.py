@@ -1031,7 +1031,7 @@ def q193_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("src").isNotNull())
     trans = pairs.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
     rowtot = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("tot"))
-    tfx = pin(
+    tfx = hold(
         trans.join(rowtot, "src").select(
             "src", "dst", F.expr(f"(cnt * {s}) div tot").alias("p_fx")
         )

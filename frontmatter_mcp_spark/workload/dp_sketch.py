@@ -1476,7 +1476,7 @@ def q259_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         hash_bucket(F.col("doc_id"), _MG_BUCKETS).alias("bucket"), w.alias("w")
     ).filter(F.size("w") >= 2)
-    grams = pin(
+    grams = hold(
         toks.select(
             "bucket",
             F.explode(

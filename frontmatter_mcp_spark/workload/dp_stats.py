@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+from frontmatter_mcp_spark.operators.holds import hold
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _LEN_P_HIGH,
@@ -1592,7 +1593,7 @@ def q277_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
         lambda x: x != F.lit(""),
     )
-    v = pin(
+    v = hold(
         d.select("source", F.explode(w).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").cast("long").alias("c"))
@@ -1742,7 +1743,7 @@ def q296_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("src").isNotNull())
     trans = pairs.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
     rowtot = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("tot"))
-    tfx = pin(
+    tfx = hold(
         trans.join(rowtot, "src").select(
             "src", "dst", F.expr(f"(cnt * {s}) div tot").alias("p_fx")
         )
@@ -1772,7 +1773,7 @@ def q296_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     p = F.col("p_fx").cast("double") / s
-    cond = pin(
+    cond = hold(
         tfx.groupBy("src").agg(
             F.sum(
                 F.when(F.col("p_fx") > 0, -p * F.log(p))
