@@ -307,6 +307,16 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q259_misra_gries",
     "q277_source_jsd_matrix",
     "q296_markov_entropy_rate",
+    # r9b: sixth sweep (q321 38%, q113 33%, q159 31%, q75 19%,
+    # q97/q116/q309 ~13%, q117 6%); q163/q175/q264 flat-or-worse
+    "q75_minhash_calibration",
+    "q97_dsir_weights",
+    "q113_bpe_merge_loop",
+    "q116_bpe_encode",
+    "q117_classifier_calibration",
+    "q159_triangle_count",
+    "q309_stop_shingle_census",
+    "q321_permutation_bh_fdr",
 }
 
 

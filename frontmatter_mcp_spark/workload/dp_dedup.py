@@ -845,13 +845,13 @@ def q75_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so it is pinned: column pruning gives each consumer a different
     # aggregate schema, which defeats exchange reuse, and without the
     # cache the whole shingle->md5->aggregate pipeline would run once per
-    # consumer (the round-1 formulation measured ~3x the work). pin()
+    # consumer (the round-1 formulation measured ~3x the work). hold()
     # releases the blocks at the next query invocation (registry.py).
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = d.select(
         F.col("doc_id"), F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle")
     )
-    sigs = pin(dd.minhash_signatures_from_shingles(sh, "doc_id", "shingle", _NUM_HASHES))
+    sigs = hold(dd.minhash_signatures_from_shingles(sh, "doc_id", "shingle", _NUM_HASHES))
     cand = dd.candidate_pairs_from_signatures(sigs, "doc_id", _NUM_HASHES, _BANDS)
     a = sigs.select(
         F.col("doc_id").alias("id_a"),
@@ -3077,7 +3077,7 @@ def q309_stop_shingle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle")
     )
-    sh = pin(sh)
+    sh = hold(sh)
     dfreq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
     dropped = dfreq.filter(F.col("df") > _MAX_DF).select(
         "shingle", "df", F.expr("df * (df - 1) div 2").alias("pairs_avoided")

@@ -197,7 +197,7 @@ def q117_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         label=(F.col("lang") == "en").cast("int"),
         buckets=_CLF_BUCKETS,
         iters=_CLF_ITERS,
-        persist_fn=pin,
+        persist_fn=hold,
     )
     correct = (F.col("score_fx") >= 0) == (F.col("label") == 1)
     return (

@@ -266,7 +266,7 @@ def _triangles_sql() -> str:
 )
 def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    e = pin(
+    e = hold(
         dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     )

@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+from frontmatter_mcp_spark.operators.holds import hold
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _GUMBEL_SPAN,
@@ -325,7 +326,7 @@ def q97_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (doc, bucket) tf aggregate feeds both the bucket-stats branch
     # and the per-doc weight join with DIFFERENT projections (defeats
     # exchange canonicalization) — pin it so the corpus explodes once
-    dtf = pin(
+    dtf = hold(
         tx.dsir_doc_bucket_tf(
             d, "doc_id", "text", target=F.col("lang") == "en", buckets=_DSIR_BUCKETS
         )

@@ -2101,7 +2101,7 @@ def q321_permutation_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ng") * F.col("n")).alias("nden"),
         )
     )
-    nulls = pin(nulls)
+    nulls = hold(nulls)
     dd = nulls.agg(F.count("*").cast("long").alias("d"))
     r = (
         obs.join(

@@ -284,7 +284,7 @@ def q113_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("t").alias("w"))
         .agg(F.count("*").cast("long").alias("wc"))
     )
-    return tk.bpe_merge_steps(words, "w", "wc", iters=_BPE_ITERS, persist_fn=pin)
+    return tk.bpe_merge_steps(words, "w", "wc", iters=_BPE_ITERS, persist_fn=hold)
 
 # ---------------------------------------------------------------------------
 # q116 — BPE ENCODE: tokenize the corpus with the learned vocabulary
@@ -339,7 +339,7 @@ def q116_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = wt.groupBy(F.col("t").alias("w")).agg(
         F.count("*").cast("long").alias("wc")
     )
-    seg = tk.bpe_segment_vocab(words, "w", "wc", iters=_BPE_ITERS, persist_fn=pin)
+    seg = tk.bpe_segment_vocab(words, "w", "wc", iters=_BPE_ITERS, persist_fn=hold)
     sl = seg.select(
         "w", F.size(F.split(F.col("seq"), " ", -1)).cast("long").alias("sl")
     )
