@@ -317,6 +317,14 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q159_triangle_count",
     "q309_stop_shingle_census",
     "q321_permutation_bh_fdr",
+    # r9b: seventh sweep (q267/q318 30%, q348 25%, q169 24%, q205 16%,
+    # q239 8%); q105/q136/q167/q272/q366 flat and keep pins
+    "q169_unigram_encode",
+    "q205_crossentropy_matrix",
+    "q239_itemset_triples",
+    "q267_content_defined_chunking",
+    "q318_vocab_budget_matrix",
+    "q348_bandit_replay",
 }
 
 

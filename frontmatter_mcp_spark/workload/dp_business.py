@@ -2466,7 +2466,7 @@ def q239_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = g.withColumn(
         "sess", F.sum("is_new").over(ow.rowsBetween(W.unboundedPreceding, 0))
     )
-    items = pin(s.select("user_id", "sess", "event_type").distinct())
+    items = hold(s.select("user_id", "sess", "event_type").distinct())
     nsess = items.select("user_id", "sess").distinct().agg(
         F.count("*").cast("long").alias("ns")
     )

@@ -2126,7 +2126,7 @@ def q267_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ),
     )
-    chunks = pin(
+    chunks = hold(
         ck.groupBy("doc_id", "chunk").agg(
             F.count("*").cast("long").alias("n_toks"),
             F.md5(

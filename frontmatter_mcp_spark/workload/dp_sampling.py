@@ -2028,7 +2028,7 @@ def q348_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frontmatter_mcp_spark.operators.sampling import hash_bucket
 
     e = load_table(spark, sf_dir, "events")
-    ev_ = pin(
+    ev_ = hold(
         e.select(
             "user_id",
             "event_type",

@@ -1355,7 +1355,7 @@ def q205_crossentropy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tf feeds three consumers (totals, the smoothing grid's left side,
     # and the scoring join) with different projections — pin it
-    tf = pin(
+    tf = hold(
         words.groupBy(F.col("source").alias("r"), "term").agg(
             F.count("*").cast("long").alias("tf")
         )

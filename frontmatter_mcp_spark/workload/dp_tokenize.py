@@ -691,7 +691,7 @@ def q169_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("wc")
     )
     seg = tk.unigram_segment_vocab(
-        words, "w", "wc", max_piece=_UNI_MAXP, vocab_size=_UNI_VOCAB, persist_fn=pin
+        words, "w", "wc", max_piece=_UNI_MAXP, vocab_size=_UNI_VOCAB, persist_fn=hold
     )
     sl = seg.select("w", F.size("ps").cast("long").alias("sl"))
     agg = (
@@ -1309,7 +1309,7 @@ def q318_vocab_budget_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
         lambda x: x != F.lit(""),
     )
-    v = pin(
+    v = hold(
         d.select("source", "lang", F.explode(wcol).alias("t"))
         .groupBy("source", "lang", "t")
         .agg(F.count("*").cast("long").alias("c"))
