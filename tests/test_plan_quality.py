@@ -18,6 +18,13 @@ from frontmatter_mcp_spark.workload import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def assert_materialized(plan: str) -> None:
+    """A shared subplan computed once shows as an InMemoryTableScan
+    (lazy pin) or a Scan ExistingRDD of the checkpoint (eager hold,
+    ADR-0007) — either proves the consumers read a materialization."""
+    assert "InMemoryTableScan" in plan or "ExistingRDD" in plan, plan
+
+
 def formatted_plan(spark, name: str) -> str:
     df = QUERIES[name].spark(spark, SF_DIR)
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -329,16 +336,21 @@ def test_q95_manifest_composition_shape(spark):
 def test_q97_dsir_single_explode_broadcast_ratio(spark):
     """DSIR weights: no Python eval nodes, the B-row log-ratio table and
     the one-row totals ride in as broadcasts (never a cartesian), and
-    the (doc, bucket) tf aggregate is pinned (InMemoryTableScan) so the
-    corpus token explode runs ONCE — its two consumers project
-    differently and would otherwise each re-explode the corpus."""
+    the (doc, bucket) tf aggregate is materialized (an eager hold since
+    ADR-0007 — "Scan ExistingRDD" of the checkpoint; was a lazy pin's
+    InMemoryTableScan) so the corpus token explode runs ONCE — its two
+    consumers project differently and would otherwise each re-explode
+    the corpus."""
     plan = formatted_plan(spark, "q97_dsir_weights")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # ratio table joins broadcast
     assert "CartesianProduct" not in plan
-    assert "InMemoryTableScan" in plan  # pinned tf aggregate
-    # ONE feature explode (nodes appear once in the detail section)
-    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    # held tf aggregate: checkpoint scan (or cache scan, either proves
+    # the explode is materialized once)
+    assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan
+    # at most ONE feature explode in the final plan (zero when the
+    # held tf aggregate absorbed it into the checkpoint job)
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) <= 1
 
 
 def test_q98_pmi_topk_no_global_sort(spark):
@@ -488,7 +500,7 @@ def test_q113_bpe_loop_top_pair_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "InMemoryTableScan" in plan
+    assert_materialized(plan)
 
 
 def test_q115_redaction_is_narrow_scrub(spark):
@@ -543,7 +555,7 @@ def test_q119_fuzzy_decon_cross_side_only(spark):
     plan = formatted_plan(spark, "q119_fuzzy_decontamination")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "InMemoryTableScan" in plan
+    assert_materialized(plan)
     assert plan.count("HashAggregate") >= 4
 
 
@@ -580,7 +592,7 @@ def test_q126_pagerank_linear_iteration_chain(spark):
     iterations, contribution sums map-side combined, the corpus count a
     1-row broadcast (never a real cartesian), no Python."""
     plan = formatted_plan(spark, "q126_similarity_pagerank")
-    assert "InMemoryTableScan" in plan
+    assert_materialized(plan)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 4
@@ -662,7 +674,7 @@ def test_q137_ladder_rungs_reuse_pinned_survivors(spark):
     rung's semi-join and the level union both read cache) and the span
     exchanges carry md5 keys, not raw window strings."""
     plan = formatted_plan(spark, "q137_dup_window_ladder")
-    assert "InMemoryTableScan" in plan
+    assert_materialized(plan)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -673,7 +685,7 @@ def test_q140_column_stats_broadcast_histogram_pass(spark):
     the stats/histogram/MCV branches."""
     plan = formatted_plan(spark, "q140_column_stats")
     assert "BroadcastHashJoin" in plan
-    assert "InMemoryTableScan" in plan
+    assert_materialized(plan)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -878,7 +890,7 @@ def test_q205_crossentropy_pins_tf_and_broadcasts_totals(spark):
     broadcasts, everything JVM-side."""
     df = QUERIES["q205_crossentropy_matrix"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan, plan
+    assert_materialized(plan)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -890,7 +902,7 @@ def test_q208_bakeoff_single_corpus_explode(spark):
     InMemoryRelation or explodes vocab-sized arrays)."""
     df = QUERIES["q208_tokenizer_bakeoff"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan, plan
+    assert_materialized(plan)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -1072,7 +1084,9 @@ def test_q321_permutation_nulls_built_in_one_exploded_pass(spark):
     # exactly ONE distinct explode node: repeats in the printout are the
     # pinned null-stats InMemoryRelation's build plan, not extra passes
     gen_ids = set(re.findall(r"Generate \((\d+)\)", plan))
-    assert len(gen_ids) == 1, gen_ids
+    # held null-stats (ADR-0007): the explode runs inside the checkpoint
+    # job, so the final plan may show zero Generate nodes
+    assert len(gen_ids) <= 1, gen_ids
 
 
 def test_q323_dirichlet_ql_posting_joins_no_python(spark):
