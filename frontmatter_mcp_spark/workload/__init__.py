@@ -325,6 +325,16 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q267_content_defined_chunking",
     "q318_vocab_budget_matrix",
     "q348_bandit_replay",
+    # r9b: eighth sweep — the "iterative rounds are race-free" guess
+    # was wrong (round 1 fans out over the edge pin): q364 34%, q338
+    # 29%, q135 25%, q165 24%, q243 22%, q266 18%, q303 17%; q349 flat
+    "q135_connected_components",
+    "q165_kcore_peeling",
+    "q243_degree_assortativity",
+    "q266_trust_bfs_hops",
+    "q303_graph_diameter_sweep",
+    "q338_harmonic_centrality",
+    "q364_mg_head_drift",
 }
 
 

@@ -193,10 +193,10 @@ def q135_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    edges = pin(
+    edges = hold(
         dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
     )
-    comp = dd.connected_components_star(edges, persist_fn=pin)
+    comp = dd.connected_components_star(edges, persist_fn=hold)
     return comp.select(
         F.col("node").alias("doc_id"),
         "component",
@@ -380,7 +380,7 @@ def _kcore_sql(ks=_KCORE_KS, rounds: int = _KCORE_ROUNDS) -> str:
 )
 def q165_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    e0 = pin(
+    e0 = hold(
         dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     )
@@ -772,7 +772,7 @@ def _assortativity_sql() -> str:
 def q243_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", _NUM_HASHES, _BANDS)
-    edges = pin(
+    edges = hold(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
@@ -878,7 +878,7 @@ def q266_trust_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dd.lsh_candidate_pairs(
         d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
     )
-    bi = pin(
+    bi = hold(
         cand.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).union(
             cand.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
         )
@@ -1044,7 +1044,7 @@ def q303_graph_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dd.lsh_candidate_pairs(
         d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
     )
-    bi = pin(
+    bi = hold(
         cand.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).union(
             cand.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
         )
@@ -1271,7 +1271,7 @@ def q338_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dd.lsh_candidate_pairs(
         d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
     )
-    bi = pin(
+    bi = hold(
         cand.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).union(
             cand.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
         )

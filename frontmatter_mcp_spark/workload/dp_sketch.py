@@ -2770,7 +2770,7 @@ def q364_mg_head_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("half"),
         F.col("user_id").cast("string").alias("t"),
     )
-    hist = pin(
+    hist = hold(
         ev.withColumn("bucket", hash_bucket(F.col("t"), _MGD_BUCKETS))
         .groupBy("half", "bucket", "t")
         .agg(F.count("*").cast("long").alias("c"))
