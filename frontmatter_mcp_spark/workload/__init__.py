@@ -335,6 +335,15 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q303_graph_diameter_sweep",
     "q338_harmonic_centrality",
     "q364_mg_head_drift",
+    # r9b: ninth (final) sweep (q358 37%, q224 32%, q316 27%, q161
+    # 17%, q225 13%, q260 11%, q317 8%); q344 flat and keeps pins
+    "q161_neyman_allocation",
+    "q224_mmr_rerank",
+    "q225_precedence_matrix",
+    "q260_mmr_lambda_sweep",
+    "q316_skyline_4d",
+    "q317_chow_at_binseg",
+    "q358_next_event_eval",
 }
 
 

@@ -1956,7 +1956,7 @@ def q225_precedence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     fw = W.partitionBy("user_id", "sess", "event_type").orderBy(
         "ts", "event_id"
     )
-    firsts = pin(
+    firsts = hold(
         s.withColumn("rn", F.row_number().over(fw))
         .filter(F.col("rn") == 1)
         .select("user_id", "sess", "event_type", "ts", "event_id")
@@ -3004,7 +3004,7 @@ def q316_skyline_4d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.length("t")).cast("long").alias("d3"),
         F.max("c").cast("long").alias("d4"),
     )
-    m = pin(
+    m = hold(
         d.select("doc_id", F.col("n_chars").alias("d1"))
         .join(feat, "doc_id")
         .select(

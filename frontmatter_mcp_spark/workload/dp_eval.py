@@ -2350,7 +2350,7 @@ def q358_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.agg(
         (F.min("ts") + F.expr("interval 21 days")).alias("cut")
     )
-    ec = pin(e.crossJoin(F.broadcast(b)))
+    ec = hold(e.crossJoin(F.broadcast(b)))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
 
     def pairs(df):

@@ -660,7 +660,7 @@ def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         W.partitionBy("qid").orderBy(F.col("r").desc(), "cid")
     )
-    c = pin(
+    c = hold(
         scored.withColumn("rn", rn).filter(F.col("rn") <= _MMR_TOPC).select(
             "qid", "cid", "r", "embedding"
         )
@@ -999,7 +999,7 @@ def q260_mmr_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         W.partitionBy("qid").orderBy(F.col("r").desc(), "cid")
     )
-    c = pin(
+    c = hold(
         scored.withColumn("rn", rn).filter(F.col("rn") <= _MMR_TOPC).select(
             "qid", "cid", "r", "embedding"
         )
@@ -1010,7 +1010,7 @@ def q260_mmr_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cb"),
         F.col("embedding").alias("eb"),
     )
-    ps = pin(
+    ps = hold(
         a.join(b, (F.col("qid") == F.col("qid2")) & (F.col("ca") != F.col("cb")))
         .select(
             "qid",
@@ -1021,7 +1021,7 @@ def q260_mmr_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # three consumers (rels, sa, sb) — pin so the cogroup job runs once
-    sel_all = pin(
+    sel_all = hold(
         mmr_greedy(c, ps, [(float(l), float(l2)) for l, l2 in _MMR_LAMBDAS], _MMR_K)
     )
     rels = (

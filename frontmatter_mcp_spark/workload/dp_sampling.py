@@ -764,7 +764,7 @@ def q161_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
                  lambda t: t != "")
     ).cast("long")
-    toks = pin(d.select("doc_id", "source", nt.alias("nt")))
+    toks = hold(d.select("doc_id", "source", nt.alias("nt")))
     st = toks.groupBy("source").agg(
         F.count("*").cast("long").alias("n_h"),
         F.sum("nt").cast("long").alias("s1"),
@@ -782,7 +782,7 @@ def q161_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot_fl = quota.agg(F.sum("fl").alias("tf"))
     rnk = W.orderBy(F.col("rem").desc(), "source")
-    alloc = pin(
+    alloc = hold(
         quota.crossJoin(F.broadcast(tot_fl))
         .withColumn("rr", F.row_number().over(rnk))
         .selectExpr(

@@ -17,6 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
+from frontmatter_mcp_spark.operators.holds import hold
 from frontmatter_mcp_spark.workload.registry import pin, register
 
 # ---------------------------------------------------------------------------
@@ -2065,7 +2066,7 @@ def q317_chow_at_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", F.coalesce("n", F.lit(0).cast("long")).alias("n")
     )
     wp = W.partitionBy("event_type")
-    cum = pin(
+    cum = hold(
         filled.select(
             "event_type",
             "day",
