@@ -573,8 +573,10 @@ def ngram_jaccard_pairs_from_shingles(
     and passes it to both stages. The caller is responsible for the
     hold/materialization; this function adds none.
     """
-    if shingle_col != "shingle":
-        sh = sh.withColumnRenamed(shingle_col, "shingle")
+    # select exactly (id, shingle): a rename alone would collide with a
+    # pre-existing "shingle" column, and any extra columns on sh would
+    # silently ride through the joins below
+    sh = sh.select(F.col(id_col), F.col(shingle_col).alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
     # shuffle join on the shingle key (dfreq is corpus-sized — NOT broadcastable

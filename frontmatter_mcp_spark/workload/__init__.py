@@ -172,179 +172,101 @@ _LAST_GREEN_ROUND: dict[str, int] = {
         ],
         8,
     ),
+    # green in CORRECTNESS_r09.json (50/50 of the r09 window)
+    **dict.fromkeys(
+        [
+            "q226_watermark_sweep", "q227_revenue_concentration",
+            "q228_epoch_shuffle_audit", "q229_conformal_calibration",
+            "q230_rrf_fusion", "q231_hill_tail_index",
+            "q232_quantile_normalize", "q233_water_filling",
+            "q234_decayed_popularity", "q235_null_census",
+            "q236_pareto_frontier", "q237_sample_size_planner",
+            "q238_pair_explanations", "q239_itemset_triples",
+            "q240_stream_decayed_popularity", "q241_price_volume_bridge",
+            "q243_degree_assortativity", "q245_ann_cost_ledger",
+            "q246_hll_time_rollup", "q255_absorption_analysis",
+            "q259_misra_gries", "q260_mmr_lambda_sweep", "q265_lof_outliers",
+            "q266_trust_bfs_hops", "q267_content_defined_chunking",
+            "q269_bloom_fpr_calibration", "q270_singlelink_cut_sweep",
+            "q277_source_jsd_matrix", "q283_calibration_scalars",
+            "q286_weighted_jaccard_pairs", "q292_dedup_roi",
+            "q295_blocking_agreement", "q296_markov_entropy_rate",
+            "q297_operating_point_sweep", "q303_graph_diameter_sweep",
+            "q304_cluster_lang_purity", "q305_dedup_funnel",
+            "q309_stop_shingle_census", "q310_ensemble_verified_pairs",
+            "q315_voptimal_dp", "q316_skyline_4d", "q317_chow_at_binseg",
+            "q318_vocab_budget_matrix", "q321_permutation_bh_fdr",
+            "q338_harmonic_centrality", "q348_bandit_replay",
+            "q353_keeper_quality_audit", "q358_next_event_eval",
+            "q360_bbit_minhash", "q364_mg_head_drift",
+        ],
+        9,
+    ),
 }
 
 # Queries whose Spark plan or oracle changed since their last green row —
 # once green they would otherwise sort by staleness and could fall outside
 # the window exactly when they most need re-verification.
 _MODIFIED_SINCE_GREEN: set[str] = {
-    # (q27's r5 bounded-error oracle went green in CORRECTNESS_r05 — cleared)
-    # r5: persisted the shared clustered subplan (q91's fix applied to q90)
-    "q90_semantic_dedup",
-    # r5: label-propagation rounds now pin edges + per-round labels
-    "q56_neardup_groups",
-    # r5: blocked-pair cosine now precomputes per-vector norms
+    # Deduplicated r10 rewrite: entries re-greened by CORRECTNESS_r09 were
+    # cleared; one entry per query (a pytest asserts no duplicates in this
+    # literal). Provenance of each change is in the r9/r9b STATUS sections
+    # and git history; the grouping comments below are the short form.
+    #
+    # r5 pin/persist re-plans, last green r3-r5 (never re-windowed since):
     "q38_embedding_neardup",
-    # r5: sweep inputs now unpersisted after the final union materializes
-    "q91_banding_sweep",
-    # r5: ingestion gate state bounded by a watermark
-    "q92_stream_ingest_gate",
-    # r5: corpus/batch split now driven by the derived ingestion-batch column
+    "q56_neardup_groups",
     "q70_incremental_dedup",
-    "q86_bloom_prefilter_dedup",
-    # r5b: brute-force ground truth now pinned across the config branches
+    "q74_event_funnel",       # r9: single-pass windowed funnel re-plan
     "q82_lsh_recall",
-    # r5b: two-phase scaffolding factored into _two_phase_prefix (results
-    # byte-identical by construction; re-verify anyway)
     "q83_mixture_quota",
-    # r8: MinHash-LSH band buckets now skew-capped (max_bucket=40, inert at
-    # test SFs — max observed bucket is 16 at sf0.1 — but the plan changed;
-    # every green consumer of lsh_candidate_pairs re-verifies)
+    "q86_bloom_prefilter_dedup",
+    "q90_semantic_dedup",
+    "q92_stream_ingest_gate",
+    # r8 MinHash-LSH skew-cap + r9 materialize opt-out consumers:
     "q32_lsh_candidates",
     "q75_minhash_calibration",
     "q91_banding_sweep",
     "q126_similarity_pagerank",
-    "q135_connected_components",
+    "q135_connected_components",  # + r9b eager-hold on round-1 edge pin
     "q159_triangle_count",
-    "q165_kcore_peeling",
+    "q165_kcore_peeling",         # + r9 holds lifecycle, r9b eager hold
     "q186_personalized_pagerank",
-    # r8: connected_components_star changed (large-star distinct dropped,
-    # large held by persist not eager checkpoint, tag_cols generalization)
-    # — every green consumer re-verifies (never-green consumers q270/
-    # q349/q353/q187 front-load automatically)
-    "q135_connected_components",
-    # r8 final commits (bee0526/95741fc): shingle/span explode now held
-    # once via operators.holds — green consumers of the changed subplan
-    # re-verify (never-green consumers front-load automatically)
+    # r8 shared shingle/span hold consumers:
     "q33_ngram_jaccard_pairs",
     "q87_containment_pairs",
-    "q119_fuzzy_decontamination",
-    "q147_cluster_cv_folds",
     "q93_duplicate_span_removal",
-    # r9: q74 re-planned — single-pass windowed funnel replaces the
-    # three-scan join chain (BENCH_r08's one >2x flag)
-    "q74_event_funnel",
-    # r9: binary-search step checkpoints moved into the holds lifecycle
-    # (eager + prompt release of the superseded step; no-leak sweep fix)
-    "q164_exact_dup_length",
-    # r9: dsir_resample skips the corpus-wide left join its filter
-    # undid (oracle already read FROM agg); q97 refactored through the
-    # shared _dsir_doc_agg core (same plan, re-verify anyway)
+    # r9 re-plans (DSIR core refactor, binary-search holds lifecycle):
+    "q97_dsir_weights",
     "q100_dsir_resample",
-    "q97_dsir_weights",
-    # r9: LSH cap gains a materialize opt-out; q32 opts out (single
-    # straight pipeline), q91/q280 rebaselined for the deliberate
-    # skew-guard cost
-    "q32_lsh_candidates",
-    "q91_banding_sweep",
-    # r9: remaining bare localCheckpoints converted to the holds
-    # lifecycle (identical plans, tracked release; never-green
-    # q266/q303/q338 front-load automatically)
-    "q165_kcore_peeling",
-    "q367_stream_mg_daily_heads",
-    # r9b: MinHash-LSH + exact-Jaccard ensemble queries now share ONE
-    # held shingle pass (ngram_jaccard_pairs_from_shingles), matching
-    # their oracles' single sh CTE; never-green, so listing them here
-    # fronts the re-planned trees into the next driver window
-    "q295_blocking_agreement",
-    "q305_dedup_funnel",
-    "q310_ensemble_verified_pairs",
-    # r9b: broadcast-total tables now eagerly held (the tot/cl branch
-    # raced the output branch on a cold lazy cache and re-ran the whole
-    # neardup pipeline); q304 also swaps the per-(group,lang) window for
-    # a two-level aggregate — same integers, no window sort
-    "q292_dedup_roi",
-    "q304_cluster_lang_purity",
-    # r9b: neardup_groups/fuzzy_decontaminate consumers switch
-    # persist_fn from lazy pin to eager hold — concurrent branches of
-    # one action raced to populate the cold persist cache and re-ran
-    # the shared subplan per branch (measured 0.4-0.8x of best across
-    # the family); green consumers re-verify
-    "q56_neardup_groups",
-    "q119_fuzzy_decontamination",
-    "q120_softdedup_weights",
-    "q131_softdedup_sample",
-    "q147_cluster_cv_folds",
-    # r9b: simhash signature persist switched to eager hold (same race)
-    "q96_simhash_candidates",
-    # r9b: remaining fan-out pins in these converted to eager holds
-    # after per-query A/B probes (q187 0.58x of best; q265/q353/q360
-    # 10-15%); q90/q133 probed too — wash, left on lazy pins
-    "q187_partition_modularity",
-    "q265_lof_outliers",
-    "q353_keeper_quality_audit",
-    "q360_bbit_minhash",
-    # r9b: second A/B sweep — fan-out pins/persist hooks to eager holds
-    # (q315 0.45x of best; q255 ~35%; q126/q283/q297 15%; q109/q186
-    # 6-7%); q325/q339 probed flat and keep lazy pins
+    "q164_exact_dup_length",
+    # r9b ADR-0007 eager-hold conversions not re-greened by the r09 window
+    # (each had a bracketed A/B probe; deltas recorded in STATUS r9b):
     "q109_bitext_margin_mining",
-    "q126_similarity_pagerank",
-    "q186_personalized_pagerank",
-    "q255_absorption_analysis",
-    "q283_calibration_scalars",
-    "q297_operating_point_sweep",
-    "q315_voptimal_dp",
-    # r9b: bakeoff comparison table + vocab persist hooks to eager
-    # holds (~45%); q148/q152/q181/q185/q235 probed flat-or-worse and
-    # keep their lazy pins
-    "q208_tokenizer_bakeoff",
-    # r9b: third/fourth A/B sweep conversions (ADR-0007). q146's
-    # recurring "contention" flag was actually this race — hold ends
-    # it. q160/q166/q177/q178/q184/q238 probed flat and keep pins
-    "q137_dup_window_ladder",
-    "q140_column_stats",
-    "q146_skipgram_pairs",
-    "q154_itemset_pairs",
-    "q229_conformal_calibration",
-    "q245_ann_cost_ledger",
-    "q246_hll_time_rollup",
-    "q269_bloom_fpr_calibration",
-    "q270_singlelink_cut_sweep",
-    "q286_weighted_jaccard_pairs",
-    # r9b: fifth sweep (q193 44%, q296 39%, q277 40%, q259 8%);
-    # q111/q149/q180/q298/q326 probed flat and keep pins
-    "q193_markov_transitions",
-    "q259_misra_gries",
-    "q277_source_jsd_matrix",
-    "q296_markov_entropy_rate",
-    # r9b: sixth sweep (q321 38%, q113 33%, q159 31%, q75 19%,
-    # q97/q116/q309 ~13%, q117 6%); q163/q175/q264 flat-or-worse
-    "q75_minhash_calibration",
-    "q97_dsir_weights",
     "q113_bpe_merge_loop",
     "q116_bpe_encode",
     "q117_classifier_calibration",
-    "q159_triangle_count",
-    "q309_stop_shingle_census",
-    "q321_permutation_bh_fdr",
-    # r9b: seventh sweep (q267/q318 30%, q348 25%, q169 24%, q205 16%,
-    # q239 8%); q105/q136/q167/q272/q366 flat and keep pins
-    "q169_unigram_encode",
-    "q205_crossentropy_matrix",
-    "q239_itemset_triples",
-    "q267_content_defined_chunking",
-    "q318_vocab_budget_matrix",
-    "q348_bandit_replay",
-    # r9b: eighth sweep — the "iterative rounds are race-free" guess
-    # was wrong (round 1 fans out over the edge pin): q364 34%, q338
-    # 29%, q135 25%, q165 24%, q243 22%, q266 18%, q303 17%; q349 flat
-    "q135_connected_components",
-    "q165_kcore_peeling",
-    "q243_degree_assortativity",
-    "q266_trust_bfs_hops",
-    "q303_graph_diameter_sweep",
-    "q338_harmonic_centrality",
-    "q364_mg_head_drift",
-    # r9b: ninth (final) sweep (q358 37%, q224 32%, q316 27%, q161
-    # 17%, q225 13%, q260 11%, q317 8%); q344 flat and keeps pins
+    "q119_fuzzy_decontamination",
+    "q120_softdedup_weights",
+    "q131_softdedup_sample",
+    "q137_dup_window_ladder",
+    "q140_column_stats",
+    "q146_skipgram_pairs",
+    "q147_cluster_cv_folds",
+    "q154_itemset_pairs",
     "q161_neyman_allocation",
+    "q169_unigram_encode",
+    "q187_partition_modularity",
+    "q193_markov_transitions",
+    "q205_crossentropy_matrix",
+    "q208_tokenizer_bakeoff",
     "q224_mmr_rerank",
     "q225_precedence_matrix",
-    "q260_mmr_lambda_sweep",
-    "q316_skyline_4d",
-    "q317_chow_at_binseg",
-    "q358_next_event_eval",
+    "q367_stream_mg_daily_heads",
+    # r9b simhash eager hold:
+    "q96_simhash_candidates",
 }
+
 
 
 # Never-verified queries the round-7 judge flagged as flagships that must

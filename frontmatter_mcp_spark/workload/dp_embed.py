@@ -2654,11 +2654,14 @@ def q304_cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_langs (exactly count_distinct), max = majority — same integers,
     # no window sort, no count_distinct expand
     bylang = mem.groupBy("group_id", "lang").agg(F.count("*").alias("cnt"))
+    # n_langs: count(lang), not count(*) — a NULL lang still forms a bylang
+    # row (and feeds n_docs/majority, matching the oracle's window tally),
+    # but COUNT(DISTINCT lang) excludes NULLs, so the row count must too
     multi = (
         bylang.groupBy("group_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_docs"),
-            F.count("*").cast("long").alias("n_langs"),
+            F.count("lang").cast("long").alias("n_langs"),
             F.max("cnt").cast("long").alias("majority"),
         )
         .filter(F.col("n_docs") > 1)

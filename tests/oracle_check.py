@@ -91,6 +91,9 @@ def main() -> int:
     from frontmatter_mcp_spark.session import get_spark
     from frontmatter_mcp_spark.workload import QUERIES
 
+    from frontmatter_mcp_spark.operators.holds import _persistent_ids
+    from frontmatter_mcp_spark.workload.registry import release_pinned
+
     only = set(sys.argv[2:])
     spark = get_spark(cpus=8, shuffle_partitions=8)
     con = duck_connection(sf_dir)
@@ -103,6 +106,18 @@ def main() -> int:
             continue
         try:
             problems = compare_query(spark, con, name, q.spark, q.oracle, sf_dir)
+            # standing no-leak sweep over the WHOLE registry (the pytest
+            # sweep covers representatives; this catches every hold()/pin()
+            # call site each full-registry run): after replaying the
+            # registry's next-query release step, no persistent RDD may
+            # survive
+            release_pinned()
+            leaked = _persistent_ids(spark)
+            if leaked:
+                problems.append(
+                    f"leaked persistent RDD ids {sorted(leaked)} past "
+                    "release_pinned()"
+                )
         except Exception as e:  # noqa: BLE001
             problems = [f"exception: {type(e).__name__}: {str(e)[:500]}"]
         if problems:

@@ -82,6 +82,40 @@ def test_modified_queries_are_inside_the_window():
         )
 
 
+def test_modified_since_green_literal_has_no_duplicates():
+    """ADVICE r9: a set literal silently absorbs duplicate names, which
+    makes the re-baseline list impossible to audit (is this entry new
+    this round, or a leftover?). Parse the source and assert each name
+    appears exactly once in the literal — and the same for each
+    dict.fromkeys list feeding _LAST_GREEN_ROUND."""
+    import ast
+    import collections
+
+    src = ast.parse(open(workload.__file__).read())
+    for node in ast.walk(src):
+        target = None
+        if isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            target = node.target.id
+        elif isinstance(node, ast.Assign) and isinstance(node.targets[0], ast.Name):
+            target = node.targets[0].id
+        if target == "_MODIFIED_SINCE_GREEN":
+            names = [
+                e.value for e in node.value.elts if isinstance(e, ast.Constant)
+            ]
+            dupes = [n for n, c in collections.Counter(names).items() if c > 1]
+            assert not dupes, f"duplicate _MODIFIED_SINCE_GREEN entries: {dupes}"
+        if target == "_LAST_GREEN_ROUND":
+            for lst in ast.walk(node.value):
+                if isinstance(lst, ast.List):
+                    names = [
+                        e.value for e in lst.elts if isinstance(e, ast.Constant)
+                    ]
+                    dupes = [
+                        n for n, c in collections.Counter(names).items() if c > 1
+                    ]
+                    assert not dupes, f"duplicate _LAST_GREEN_ROUND entries: {dupes}"
+
+
 def test_green_history_names_are_real_queries():
     ghosts = sorted(set(_LAST_GREEN_ROUND) - set(QUERIES))
     ghosts += sorted(_MODIFIED_SINCE_GREEN - set(QUERIES))

@@ -66,6 +66,17 @@ SWEEP = [
     "q315_voptimal_dp",  # dp_sketch — held DP level tables
 ]
 
+# ADVICE r9: hand-listing conversions misses the tail (sweeps 4-9 added
+# ~30 more). Any plan change lands in _MODIFIED_SINCE_GREEN by policy, so
+# derive the rest of the sweep from it — new hold conversions are swept
+# automatically, with the hand-picked representatives above as the floor.
+# (Entries leave _MODIFIED_SINCE_GREEN when re-greened by the driver; by
+# then their holds have run clean through the full-registry oracle sweep,
+# which now leak-checks every query — see tests/oracle_check.py.)
+from frontmatter_mcp_spark.workload import _MODIFIED_SINCE_GREEN  # noqa: E402
+
+SWEEP = sorted(set(SWEEP) | (_MODIFIED_SINCE_GREEN & set(QUERIES)))
+
 
 @pytest.fixture(scope="module", autouse=True)
 def _clean_slate(spark):
