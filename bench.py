@@ -129,6 +129,19 @@ REBASELINED = {
     # record is treated as an unreproducible outlier; steady-state is
     # ~2.0s quiet.
     "q100_dsir_resample": 9,
+    # r10: the VERDICT r09 >2x-vs-best watch items, re-measured bracketed
+    # min-of-3 against the q77 control (control at 1.24x its best, i.e.
+    # the host was ~25% off peak): q85 0.457s, q88 0.750s, q89 0.624s,
+    # q363 1.145s — normalized ratios 1.7/1.4/1.2/1.2, monotone-decreasing
+    # within each triple (JIT/cache warmup, not code). Code unchanged
+    # since their greens; the sub-0.45s bests never reproduced across two
+    # rounds of probes and are treated as one-off quiet-window outliers.
+    # (q368 re-measured too: 0.750s vs 0.648 best = 1.16x — best is
+    # representative, NOT rebaselined.)
+    "q85_length_outliers": 10,
+    "q88_quality_gate": 10,
+    "q89_event_spikes": 10,
+    "q363_langid_confusion": 10,
 }
 
 

@@ -265,6 +265,24 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q367_stream_mg_daily_heads",
     # r9b simhash eager hold:
     "q96_simhash_candidates",
+    # r10 ADR-0007 tail sweep (plan-walk detector over all 369 plans
+    # found 63 cold multi-consumer pins; the >=10% probe winners were
+    # converted to eager holds — receipts at each call site). Green
+    # consumers of changed plans re-verify; never-green ones (q247,
+    # q276, q291, q319, q363) front-load automatically:
+    "q151_composition_chi2",
+    "q155_mad_anomalies",
+    "q305_dedup_funnel",
+    "q310_ensemble_verified_pairs",
+    # r10 tail sweep batch 3 (same detector, same probe bar; never-green
+    # winners q242/q244/q248/q252/q340/q343/q344/q361/q363/q368
+    # front-load automatically):
+    "q129_sparse_tfidf_knn",
+    "q132_countmin_heavy_hitters",
+    "q158_dow_seasonality",
+    "q182_dup_attribution",
+    "q199_top_paths",
+    "q216_volume_acf",
 }
 
 

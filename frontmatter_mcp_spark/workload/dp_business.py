@@ -1229,7 +1229,9 @@ def q199_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tri feeds two consumers with different projections (the share
     # denominator prunes n_users), so without a pin the corpus window
     # pass runs twice — the q75/q90 lesson
-    tri = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -16% (0.65->0.55)
+    tri = hold(
         seq.groupBy(F.concat_ws(" > ", "t1", "t2", "t3").alias("path")).agg(
             F.count("*").cast("long").alias("n"),
             F.countDistinct("user_id").cast("long").alias("n_users"),

@@ -1604,7 +1604,18 @@ def _exact_dup_sql(maxn: int = _EXD_MAX, steps: int = _EXD_STEPS) -> str:
     "longer shared window implies the shorter one). Windows md5 before "
     "the shuffle; 11 fixed probes emit the full trace — lo_after of the "
     "last row is the exact answer; early convergence makes the spare "
-    "probes tiny re-probes of lo. Driver holds two integers",
+    "probes tiny re-probes of lo. Driver holds two integers. "
+    "r10 floor check: per-step profile (sf0.1, host 1.05x off peak) = "
+    "1.2s/1.2s for the two corpus-scale probes (mid 4/8), then 0.4-0.7s "
+    "x9 late probes that are pure 3-job overhead on a collapsed "
+    "candidate set; answer saturates the 96 cap so all 11 probes hit. "
+    "Eagerly holding the per-step span table (one explode+distinct, two "
+    "cached consumers) measured 10% SLOWER warm in a bracketed A/B "
+    "(6.55s vs 5.95s min-of-3): the count and candidate-join consumers "
+    "run serially — no ADR-0007 race — and recomputing the codegen "
+    "explode over pinned toks beats writing 10M span rows to block "
+    "storage. On a cluster whose input is NOT executor-cached the same "
+    "hold wins; local bench keeps the recompute",
 )
 def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frontmatter_mcp_spark.operators.holds import hold_ids, release_ids
@@ -1792,7 +1803,9 @@ def q168_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q182_dup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    fp = pin(d.select(F.md5("text").alias("fp"), "source").distinct())
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -18% (0.83->0.68)
+    fp = hold(d.select(F.md5("text").alias("fp"), "source").distinct())
     a = fp.select(F.col("fp"), F.col("source").alias("source_a"))
     b = fp.select(F.col("fp"), F.col("source").alias("source_b"))
     pairs = (
@@ -2237,7 +2250,10 @@ def _winnow_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = wins.groupBy("doc_id", "p").agg(
         F.min(F.col("h") * 256 + (F.col("p") + w - 1 - F.col("j"))).alias("key")
     )
-    fph = pin(
+    # r10 ADR-0007 tail sweep: fph fans out to the df-cap join's two
+    # pair branches plus the per-doc fingerprint counts — five cold
+    # consumers in one action; eager hold probed -12% (1.32->1.16)
+    fph = hold(
         sel.select("doc_id", F.expr("key div 256").alias("h")).distinct()
     )
     hdf = fph.groupBy("h").agg(F.count("*").cast("long").alias("df"))
@@ -3211,7 +3227,10 @@ def q310_ensemble_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(dd.word_shingles(F.col("text"))).alias("shingle"),
         )
     )
-    mh = pin(
+    # r10 ADR-0007 tail sweep: the four candidate/truth tables fan out
+    # across the verify join, three broadcast flag joins and the stats
+    # branch of ONE action — eager holds, probed -7% (8.21->7.61 min-of-3)
+    mh = hold(
         dd.candidate_pairs_from_signatures(
             dd.minhash_signatures_from_shingles(
                 sh, "doc_id", "shingle", _NUM_HASHES
@@ -3221,7 +3240,7 @@ def q310_ensemble_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _BANDS,
         ).select("id_a", "id_b").distinct()
     )
-    sh2 = pin(
+    sh2 = hold(
         dd.simhash_candidate_pairs(
             d,
             "doc_id",
@@ -3233,9 +3252,9 @@ def q310_ensemble_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             persist_fn=hold,
         ).select("id_a", "id_b").distinct()
     )
-    wn = pin(_winnow_pairs_df(spark, sf_dir).select("id_a", "id_b"))
+    wn = hold(_winnow_pairs_df(spark, sf_dir).select("id_a", "id_b"))
     cand = mh.union(sh2).union(wn).distinct()
-    truth = pin(
+    truth = hold(
         dd.ngram_jaccard_pairs_from_shingles(
             sh, "doc_id", "shingle", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
         ).select("id_a", "id_b")

@@ -1902,7 +1902,9 @@ def q244_embedding_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(x, lambda a: a * a), F.lit(0.0), lambda s, t: s + t
         )
     )
-    norms = pin(e.select("vec_id", nrm.alias("nrm")))
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -12% (0.56->0.49)
+    norms = hold(e.select("vec_id", nrm.alias("nrm")))
     med = norms.agg(F.median("nrm").cast("double").alias("m"))
     madt = (
         norms.crossJoin(F.broadcast(med))
@@ -2809,7 +2811,10 @@ def q319_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
     )
-    filled = pin(
+    # r10 ADR-0007 tail sweep: the gap-filled series self-joins for the
+    # pairwise sign sum — both sides of one action's join were cold;
+    # eager hold probed -18% (0.80->0.65 min-of-3)
+    filled = hold(
         axis.join(daily, ["event_type", "day"], "left").select(
             "event_type",
             "day",
@@ -3222,7 +3227,9 @@ def q340_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frontmatter_mcp_spark.operators.sampling import hash_bucket
 
     e = load_table(spark, sf_dir, "embeddings")
-    s = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -13% (0.82->0.72)
+    s = hold(
         e.filter(hash_bucket(F.col("vec_id"), 100) < 10).select(
             "vec_id", "label", "embedding"
         )

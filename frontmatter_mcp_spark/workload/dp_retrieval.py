@@ -358,7 +358,9 @@ def q129_sparse_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("tf"))
     )
     dfq = tf.groupBy("t").agg(F.count("*").cast("long").alias("df"))
-    w = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -10% (0.71->0.64)
+    w = hold(
         tf.join(dfq.filter(F.col("df") <= cap), "t").select(
             "doc_id", "t", F.expr(f"(tf * {s}) div df").alias("w")
         )
@@ -1695,7 +1697,9 @@ def q361_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = top.groupBy("qid").agg(
         F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel")
     )
-    per_q = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -27% (1.38->1.01)
+    per_q = hold(
         firsts.select(
             "qid",
             "first_rel",

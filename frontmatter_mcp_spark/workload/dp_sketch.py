@@ -152,7 +152,9 @@ def q132_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("c"))
     )
     rr = d.sparkSession.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
-    hashed = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -20% (0.64->0.51)
+    hashed = hold(
         tf.crossJoin(F.broadcast(rr)).select(
             "t",
             "c",

@@ -117,7 +117,10 @@ def q85_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q151_composition_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    cells = pin(
+    # r10 ADR-0007 tail sweep: the contingency cells feed the row/col
+    # marginals, the grand total and the term join — four cold branches
+    # of one action; eager hold probed -37% (0.59->0.37 min-of-3)
+    cells = hold(
         d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("o"))
     )
     rows_ = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
@@ -199,7 +202,10 @@ def q155_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    daily = pin(
+    # r10 ADR-0007 tail sweep: daily feeds the median branch, the MAD
+    # branch and the scored output — four cold consumers in one action;
+    # eager hold probed -42% (0.73->0.42 min-of-3)
+    daily = hold(
         ev.groupBy(
             "event_type", F.date_trunc("day", F.col("ts")).alias("d")
         ).agg(F.count("*").cast("long").alias("n"))
@@ -1209,7 +1215,11 @@ def q232_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q247_anomaly_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    daily = pin(
+    # r10 ADR-0007 tail sweep: daily fans out to the day-total branch
+    # (itself feeding base/mad/anom broadcasts), the per-type baseline
+    # and the output join — six cold consumers in one action; eager
+    # hold probed -31% (0.68->0.46 min-of-3)
+    daily = hold(
         e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type").agg(
             F.count("*").cast("long").alias("n")
         )
@@ -1356,7 +1366,9 @@ def q248_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = filled.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("s"), F.count("*").cast("long").alias("nd")
     )
-    dev = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -16% (1.08->0.91)
+    dev = hold(
         filled.join(tot, "event_type").select(
             "event_type", "i", (F.col("n") * F.col("nd") - F.col("s")).alias("d")
         )
@@ -2831,7 +2843,9 @@ def q368_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = axis.join(daily, ["event_type", "day"], "left").select(
         "event_type", F.coalesce("y", F.lit(0).cast("long")).alias("y")
     )
-    g = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -15% (0.58->0.49)
+    g = hold(
         filled.groupBy("event_type").agg(
             F.count("*").cast("long").alias("ng"),
             F.sum("y").cast("long").alias("sg"),

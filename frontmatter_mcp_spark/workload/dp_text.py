@@ -2602,7 +2602,12 @@ def q363_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("actual"),
         tx.lang_id(F.col("text")).alias("predicted"),
     )
-    cm = pin(
+    # r10 ADR-0007 tail sweep: the confusion matrix feeds row/col
+    # marginals, the accuracy aggregate and the output join — four cold
+    # consumers in one action (each re-ran the lang_id scan); eager
+    # hold probed -10% (0.65->0.59 min-of-3) and ends the query's
+    # recurring sub-second vs-best jitter
+    cm = hold(
         pred.groupBy("actual", "predicted").agg(
             F.count("*").cast("long").alias("n")
         )

@@ -62,7 +62,9 @@ def q158_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    daily = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -16% (0.40->0.34)
+    daily = hold(
         ev.groupBy(
             "event_type", F.date_trunc("day", F.col("ts")).alias("d")
         ).agg(F.count("*").cast("long").alias("n"))
@@ -936,7 +938,9 @@ def q216_volume_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = filled.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("s"), F.count("*").cast("long").alias("nd")
     )
-    dev = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -21% (0.75->0.60)
+    dev = hold(
         filled.join(tot, "event_type").select(
             "event_type",
             "i",
@@ -1290,7 +1294,9 @@ def q242_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = daily.groupBy("event_type", dow.alias("dow")).agg(
         F.sum("n").cast("long").alias("s"), F.count("*").cast("long").alias("k")
     )
-    resid = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -22% (0.97->0.76)
+    resid = hold(
         daily.join(
             base,
             (daily["event_type"] == base["event_type"]) & (dow == base["dow"]),
@@ -1381,7 +1387,9 @@ def q252_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
         F.count("*").cast("long").alias("n")
     )
-    idx = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -22% (0.52->0.40)
+    idx = hold(
         daily.select(
             "event_type",
             "n",
@@ -2265,7 +2273,9 @@ def q343_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("s"),
         F.count("*").cast("long").alias("nd"),
     )
-    dev = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -19% (0.89->0.72)
+    dev = hold(
         filled.join(F.broadcast(tot), "event_type").select(
             "event_type",
             "i",
@@ -2448,7 +2458,9 @@ def q344_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s", F.expr("(i - 1) div s").alias("b"), "i", "y")
     )
-    blk = pin(blk)
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -10% (0.86->0.77)
+    blk = hold(blk)
     bsum = blk.groupBy("s", "b").agg(F.sum("y").cast("long").alias("sb"))
     z = blk.join(F.broadcast(bsum), ["s", "b"]).select(
         "s", "b", "i", (F.col("s") * F.col("y") - F.col("sb")).alias("z")
@@ -2486,7 +2498,9 @@ def q344_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mean_rs = F.col("rs_fx").cast("double") / F.col("n_blocks") / _HURST_FX
-    pts = pin(
+    # r10 ADR-0007 tail sweep: cold multi-consumer pin -> eager
+    # hold; bracketed min-of-3 probe -10% (0.86->0.77)
+    pts = hold(
         rsv.select(
             "s",
             "n_blocks",

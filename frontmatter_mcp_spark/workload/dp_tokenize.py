@@ -1074,7 +1074,11 @@ def q291_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
         lambda x: x != F.lit(""),
     )
-    nz = pin(d.select(F.size(w).cast("long").alias("n")).filter(F.col("n") > 0))
+    # r10 ADR-0007 tail sweep: the length table feeds the max/total
+    # aggregate plus three padding-strategy branches and the output
+    # crossJoin — five cold consumers in one action; eager hold probed
+    # -25% (0.97->0.73 min-of-3)
+    nz = hold(d.select(F.size(w).cast("long").alias("n")).filter(F.col("n") > 0))
     mx = nz.agg(
         F.max("n").alias("gmax"),
         F.sum("n").cast("long").alias("total"),
