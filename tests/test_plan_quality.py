@@ -613,7 +613,7 @@ def test_q129_sparse_knn_df_cap_and_pinned_postings(spark):
     branches from cache, dots aggregate map-side, no Python, no
     cartesian — the posting-list join keys on the term."""
     plan = formatted_plan(spark, "q129_sparse_tfidf_knn")
-    assert "InMemoryTableScan" in plan
+    assert_materialized(plan)  # r10: postings are an eager hold now
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 4
@@ -645,7 +645,7 @@ def test_q132_cms_cells_broadcast_back(spark):
     plan = formatted_plan(spark, "q132_countmin_heavy_hitters")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
-    assert "InMemoryTableScan" in plan
+    assert_materialized(plan)  # r10: hashed table is an eager hold now
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -823,7 +823,7 @@ def test_q199_top_paths_topk_no_global_sort(spark):
     df = QUERIES["q199_top_paths"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
-    assert "InMemoryTableScan" in plan, plan
+    assert_materialized(plan)  # r10: eager hold now
     # both Window mentions sit under InMemoryRelation plan text — the
     # pass executes once; no third copy appears anywhere
     assert plan.count("Window") <= 2, plan
@@ -912,7 +912,7 @@ def test_q216_acf_pins_deviation_series(spark):
     bounded day index."""
     df = QUERIES["q216_volume_acf"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan, plan
+    assert_materialized(plan)  # r10: eager hold now
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -1070,7 +1070,7 @@ def test_q319_mann_kendall_pairwise_is_day_bounded(spark):
     plan = formatted_plan(spark, "q319_mann_kendall")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert "InMemoryTableScan" in plan  # the pinned filled axis
+    assert_materialized(plan)  # the filled axis (r10: eager hold now)
 
 
 def test_q321_permutation_nulls_built_in_one_exploded_pass(spark):
