@@ -182,22 +182,36 @@ def prototype_pruning(
     """
     from pyspark.sql.window import Window as W
 
-    assigned, cents = kmeans_assign(
+    _, cents = kmeans_assign(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         return_centroids=True,
     )
-    cents_lit = F.array(*[F.lit(c) for c in cents])
-    v = F.col(vec_col).cast("array<double>")
-    dist = F.aggregate(
-        F.zip_with(
-            v, F.element_at(cents_lit, F.col("cluster") + 1),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    # one-scan scoring (r10): the assignment map already folds the
+    # distance to EVERY centroid, and the own-prototype distance is by
+    # definition the minimum of those folds — bit-identical to re-folding
+    # against the joined centroid (same left-associative chain over the
+    # same values), so the join back to the embeddings and the second
+    # corpus scan it forced are pure waste. One narrow codegen pass:
+    # id, argmin cid, min fold.
+    raw = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    scored = embeddings.join(assigned, id_col).select(
-        F.col(id_col), F.col("cluster"), dist.alias("_d")
+    cents_lit = F.array(*[F.lit(c) for c in cents])
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    cid = (
+        F.array_position(F.col("__dists"), F.array_min(F.col("__dists"))) - 1
+    ).cast("int")
+    scored = raw.withColumn("__dists", dists).select(
+        F.col(id_col),
+        cid.alias("cluster"),
+        F.array_min(F.col("__dists")).alias("_d"),
     )
     w = W.partitionBy("cluster").orderBy(F.desc("_d"), F.col(id_col))
     wc = W.partitionBy("cluster")

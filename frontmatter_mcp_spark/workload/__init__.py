@@ -283,6 +283,11 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q182_dup_attribution",
     "q199_top_paths",
     "q216_volume_acf",
+    # r10: k-means scorers one-scanned — own-centroid distance is the
+    # assignment fold's array_min (bit-identical double), so the join
+    # back to embeddings and its second scan are dropped
+    "q76_kmeans_inertia",
+    "q107_prototype_pruning",
 }
 
 

@@ -427,22 +427,32 @@ def q76_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frontmatter_mcp_spark.operators.clustering import kmeans_assign
 
     e = load_table(spark, sf_dir, "embeddings")
-    assigned, cents = kmeans_assign(
+    _, cents = kmeans_assign(
         e, k=_KMEANS_K, iters=_KMEANS_ITERS, return_centroids=True
     )
+    # one-scan scoring (r10, the q107 fix applied here too): the
+    # assignment map folds the distance to every centroid and the
+    # own-centroid d2 is its minimum — same double as re-folding
+    # against the joined centroid, so the join back to the embeddings
+    # and its second corpus scan are dropped
     cents_lit = F.array(*[F.lit(c) for c in cents])
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            F.element_at(cents_lit, F.col("cluster") + 1),
-            lambda x, y: (x - y) * (x - y),
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"), c,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
+    cid = (
+        F.array_position(F.col("__dists"), F.array_min(F.col("__dists"))) - 1
+    ).cast("int")
     return (
-        e.join(assigned, "vec_id")
-        .select(F.col("cluster"), d2.alias("d2"))
+        e.withColumn("__dists", dists)
+        .select(cid.alias("cluster"), F.array_min("__dists").alias("d2"))
         .groupBy("cluster")
         .agg(
             F.count("*").alias("n_vecs"),
