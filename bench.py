@@ -291,6 +291,24 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # Start-of-run control reading (same query the end-of-run host
+    # factor uses): contention that spikes MID-session and fades by the
+    # end used to be invisible — a run could carry a dozen inflated
+    # timings while the closing control read near-best (seen r10: 13
+    # flags at 1.5-4.9x with an end control of 1.14). Bracketing the
+    # session start/end lets a reader see whether the window was dirty.
+    # CAVEAT: host_factor_start carries a structural early-session JIT
+    # premium even min-of-2 (the JVM's C2 profile is cold; measured
+    # ~8x at sf0.001 where per-job overhead dominates, ~1.3-1.8x at
+    # sf0.1) — compare start values ACROSS runs, never against the
+    # same run's end value.
+    control = "q77_power_iteration"
+    ctrl_start = float("inf")
+    for _ in range(2):  # min-of-2: the first run pays the control's own
+        t0 = time.perf_counter()  # JIT/codegen, which is not host state
+        QUERIES[control].spark(spark, sf_dir).collect()
+        ctrl_start = min(ctrl_start, time.perf_counter() - t0)
+
     timings: dict[str, float] = {}
     for name, q in sorted(QUERIES.items()):
         t0 = time.perf_counter()
@@ -304,10 +322,11 @@ def main() -> None:
     # host_factor quantifies the state of THIS run so a reader can
     # discount regression flags that merely reproduce the global
     # slowdown (a real regression stands out against the control).
-    control = "q77_power_iteration"
     ctrl_best_known = _load_local_best(sf).get(control)
     host_factor = None
+    host_factor_start = None
     if ctrl_best_known:
+        host_factor_start = round(ctrl_start / ctrl_best_known, 3)
         ctrl = timings.get(control, float("inf"))
         for _ in range(2):
             t0 = time.perf_counter()
@@ -323,6 +342,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "host_factor": host_factor,
+        "host_factor_start": host_factor_start,
     }
 
     prev = load_prev_bench(sf)
