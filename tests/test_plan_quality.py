@@ -100,24 +100,37 @@ _EXPLICIT_PYTHON_STAGES = {
     "q123_wav_probe",
     "q128_png_ahash_dedup",
     "q138_jpeg_coeff_roundtrip",
+    # r10: the q3xx multimodal decode stages (Arrow-batched mapInPandas
+    # over binary payloads — the documented Python boundary)
+    "q327_wav_frame_features",
+    "q328_image_phash",
+    "q346_video_frame_sample",
+    "q347_image_resize_probe",
+    # r10: the q4x embed/multimodal stages the old q0/q1/q2-prefix sweep
+    # never covered — embed() is the reference's pandas_udf surface
+    # (A19), the feature decode is the same Arrow boundary as above
+    "q42_multimodal_features",
+    "q44_embed_vectors",
+    "q45_semantic_search",
 }
 
 
 @pytest.mark.parametrize(
     "name",
-    [
-        n
-        for n in sorted(QUERIES)
-        if n.startswith(("q0", "q1", "q2")) and n not in _EXPLICIT_PYTHON_STAGES
-    ],
+    [n for n in sorted(QUERIES) if n not in _EXPLICIT_PYTHON_STAGES],
 )
 def test_relational_surface_has_no_python_udfs(spark, name):
     # the entire relational surface must stay JVM-side (codegen'd);
-    # Python appears only in explicitly-Python stages (mapInPandas decode)
+    # Python appears only in explicitly-Python stages (mapInPandas
+    # decode). r10: extended from the q0/q1/q2 prefixes to ALL 369
+    # queries (the q3xx tail was unswept), and a no-cartesian assert
+    # added — a full-registry scan measured zero of either, so any
+    # future hit is a regression, not a baseline.
     plan = formatted_plan(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
 
 
 @pytest.mark.parametrize(
