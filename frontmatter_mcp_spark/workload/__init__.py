@@ -202,6 +202,38 @@ _LAST_GREEN_ROUND: dict[str, int] = {
         ],
         9,
     ),
+    # green in CORRECTNESS_r10.json (48/50 of the r10 window; the two
+    # reds q273/q279 were ROUND-of-double environment divergence, fixed
+    # in r11 with floor fixed-point — absent here, they front-load)
+    **dict.fromkeys(
+        [
+            "q242_seasonal_anomalies", "q244_embedding_norm_qc",
+            "q247_anomaly_contributions", "q248_lead_lag_xcorr",
+            "q249_lexical_richness", "q250_training_readiness",
+            "q251_robust_means", "q252_theil_sen_trend",
+            "q253_binseg_changepoint", "q254_bot_heuristics",
+            "q256_novelty_curve", "q257_holt_winters_multiplicative",
+            "q258_stream_precedence_matrix", "q261_skyline_3d",
+            "q262_bm25f_topk", "q263_token_entropy",
+            "q264_winnowing_fingerprints", "q268_markov_removal_attribution",
+            "q271_continuation_pairs", "q272_self_bleu_diversity",
+            "q274_heaps_extrapolation", "q275_rater_kappa",
+            "q276_winnowing_pairs", "q278_stream_audience_entropy",
+            "q280_edit_distance_verify", "q281_digit_normalized_dedup",
+            "q282_sample_adequacy", "q284_diff_in_diff",
+            "q285_capture_recapture", "q287_recursive_path_census",
+            "q288_stream_template_gate", "q289_gopher_panel",
+            "q290_source_jackknife", "q291_padding_waste",
+            "q293_chow_break_test", "q294_seasonality_strength",
+            "q298_exact_auc", "q299_annotation_batch",
+            "q300_corpus_scorecard", "q301_stream_session_funnel",
+            "q302_stream_typemix_drift", "q306_sampling_bias_audit",
+            "q307_vocab_coverage_budget", "q308_lang_homophily",
+            "q311_wordlen_shape_anomaly", "q319_mann_kendall",
+            "q320_kruskal_wallis", "q322_k_anonymity_audit",
+        ],
+        10,
+    ),
 }
 
 # Queries whose Spark plan or oracle changed since their last green row —

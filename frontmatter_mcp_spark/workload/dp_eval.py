@@ -1543,10 +1543,11 @@ def _msprt_sql() -> str:
       FROM lam
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, n_a, s_a, n_b, s_b,
-           ROUND(theta, 6) AS theta,
-           ROUND(lambda, 6) AS lambda,
-           ROUND(p_always, 6) AS p_always,
-           CAST(p_always < 0.05e0 AS INT) AS reject_05
+           CAST(FLOOR(theta * 1000000e0) AS BIGINT) AS theta_fx,
+           CAST(FLOOR(lambda * 1000000e0) AS BIGINT) AS lambda_fx,
+           CAST(FLOOR(p_always * 1000000e0) AS BIGINT) AS p_always_fx,
+           CAST(CAST(FLOOR(p_always * 1000000e0) AS BIGINT) < 50000 AS INT)
+             AS reject_05
     FROM pv ORDER BY day
     """
 
@@ -1562,8 +1563,12 @@ def _msprt_sql() -> str:
     "1/Lambda) with the 0.05 rejection flag — the dashboard that a "
     "team may peek at daily without inflating false positives, which "
     "q157's fixed-horizon z-test forbids. Zero-variance warmup days "
-    "drop. sqrt is correctly rounded; exp's 1-ulp class is absorbed "
-    "by the 6-decimal round (q269 discipline). One user-day "
+    "drop. Outputs are floor-based 1e-6 fixed-point BIGINTs (the _fx "
+    "discipline): r10 proved ROUND-of-double diverges across DuckDB/"
+    "libm builds (driver-red, local-green), while FLOOR(x*1e6) of the "
+    "same IEEE double is a single bit-identical primitive on both "
+    "engines; reject_05 derives from the fixed-point value so the "
+    "flag can never disagree with the hashed column. One user-day "
     "aggregate + one |days|-sized window chain",
 )
 def q273_msprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1631,16 +1636,17 @@ def q273_msprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = lam.withColumn(
         "p_always", F.least(F.lit(1.0), F.min(1.0 / F.col("lambda")).over(pw))
     )
+    p_fx = F.floor(F.col("p_always") * 1000000.0).cast("long")
     return pv.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n_a",
         "s_a",
         "n_b",
         "s_b",
-        F.round("theta", 6).alias("theta"),
-        F.round("lambda", 6).alias("lambda"),
-        F.round("p_always", 6).alias("p_always"),
-        (F.col("p_always") < 0.05).cast("int").alias("reject_05"),
+        F.floor(F.col("theta") * 1000000.0).cast("long").alias("theta_fx"),
+        F.floor(F.col("lambda") * 1000000.0).cast("long").alias("lambda_fx"),
+        p_fx.alias("p_always_fx"),
+        (p_fx < 50000).cast("int").alias("reject_05"),
     ).orderBy("day")
 
 # ---------------------------------------------------------------------------

@@ -1918,8 +1918,8 @@ def _vopt_sql() -> str:
              AS total_events,
            bo.cost AS vopt_cost_fx,
            e.ew_cost AS equiwidth_cost_fx,
-           ROUND(1e0 - CAST(bo.cost AS DOUBLE) / e.ew_cost, 6)
-             AS error_reduction
+           CAST((e.ew_cost - bo.cost) * 1000000 // e.ew_cost AS BIGINT)
+             AS error_reduction_ppm
     FROM bounds bo CROSS JOIN ew e
     ORDER BY bo.bin
     """
@@ -1933,7 +1933,9 @@ def _vopt_sql() -> str:
     "integer sum of within-bin SSE terms SS - floor(S^2/len), with "
     "the (cost, cuts) lexicographic tie-break identical on both "
     "engines; reports each optimal bin's span/mass/cost beside the "
-    "equi-width layout's cost and the error reduction bought. The "
+    "equi-width layout's cost and the error reduction bought as a "
+    "pure-integer ppm floor division ((ew-cost)*1e6 // ew) — r10 "
+    "proved ROUND-of-double diverges across DuckDB builds. The "
     "corpus pays one day aggregate; the O(days^3) search runs on the "
     "bounded day axis (driver-side in Spark, the q268 pattern)",
 )
@@ -1978,8 +1980,8 @@ def q279_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for g in groups.values():
         ew_cost += sse(g[0], g[-1])
     bounds = [(1, 1, j1), (2, j1 + 1, j2), (3, j2 + 1, j3), (4, j3 + 1, N)]
-    import math
-
+    # error reduction as pure-integer ppm floor division: bit-identical
+    # on every engine, unlike ROUND-of-double (r10 driver-red class).
     rows = [
         (
             b,
@@ -1989,7 +1991,7 @@ def q279_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             s[hi] - s[lo - 1],
             cost,
             ew_cost,
-            math.floor((1.0 - float(cost) / ew_cost) * 1e6 + 0.5) / 1e6,
+            (ew_cost - cost) * 1000000 // ew_cost,
         )
         for b, lo, hi in bounds
     ]
@@ -1997,7 +1999,7 @@ def q279_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "bin int, day_start string, day_end string, n_days long, "
         "total_events long, vopt_cost_fx long, equiwidth_cost_fx long, "
-        "error_reduction double",
+        "error_reduction_ppm long",
     ).orderBy("bin")
 
 # ---------------------------------------------------------------------------
