@@ -98,6 +98,20 @@ def vault_benchmarks(spark) -> dict[str, float]:
 
 REGRESSION_THRESHOLD = 1.5
 
+# The host-noise control query (code-stable since r04). Bench runs since
+# r10 execute it twice BEFORE the timed loop (the start-of-run host
+# bracket), so its in-loop timing is warm — warmer than every other
+# query and than its own pre-r10 samples. Letting that warm reading
+# ratchet the control's recorded best down would silently inflate
+# host_factor for every later run, so warm-era control timings are
+# excluded from both the local-best record and the BENCH_r scrape: the
+# control's denominator stays frozen at its cold-era best and
+# host_factor remains comparable across rounds. (If the control's plan
+# ever changes, REBASELINED would drop the frozen best and host_factor
+# goes None until a new reference is recorded deliberately.)
+CONTROL = "q77_power_iteration"
+CONTROL_WARM_SINCE = 10
+
 # query -> first round where its semantics changed enough to invalidate
 # every earlier timing (e.g. a calibration query that now measures twice
 # the configs). Times recorded before that round are dropped from the
@@ -206,6 +220,8 @@ def load_prev_bench(sf: float | None) -> tuple[int, dict[str, float]] | None:
             for k, v in queries.items():
                 if rnd < REBASELINED.get(k, 0):
                     continue  # timing predates a semantics change
+                if k == CONTROL and rnd >= CONTROL_WARM_SINCE:
+                    continue  # warm-era control reading (see CONTROL)
                 v = float(v)
                 if v > 0 and (k not in best_q or v < best_q[k]):
                     best_q[k] = v
@@ -261,6 +277,8 @@ def save_local_best(sf: float | None, timings: dict[str, float]) -> None:
     for k, v in timings.items():
         if v <= 0:
             continue
+        if k == CONTROL:
+            continue  # in-loop control timing is warm since r10 (see CONTROL)
         epoch = REBASELINED.get(k, 0)
         if k in best:
             old_v, old_epoch = _local_entry(best[k])
@@ -341,8 +359,6 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "host_factor": host_factor,
-        "host_factor_start": host_factor_start,
     }
 
     prev = load_prev_bench(sf)
@@ -436,7 +452,19 @@ def main() -> None:
             )
 
     save_local_best(sf, timings)
-    print(json.dumps(result))
+    # The driver records only the LAST ~2000 chars of this line (BENCH_r10
+    # proved it: host_factor sat before the ~11 KB vs_best dict and was
+    # truncated away, leaving 12 host-noise flags unnormalizable from the
+    # artifact alone). Order the dict so the control bracket and the
+    # regressions dict are the FINAL keys — always inside a tail capture.
+    tail_keys = ["regressions", "host_factor", "host_factor_start"]
+    result["host_factor"] = host_factor
+    result["host_factor_start"] = host_factor_start
+    ordered = {k: v for k, v in result.items() if k not in tail_keys}
+    for k in tail_keys:
+        if k in result:
+            ordered[k] = result[k]
+    print(json.dumps(ordered))
 
 
 if __name__ == "__main__":

@@ -63,6 +63,25 @@ def fixed_point_mean(col: Column) -> Column:
     return F.sum(fx).cast("double") / F.count(F.lit(1)) / F.lit(FIXED_POINT_SCALE)
 
 
+def floor_quant(col: Column, digits: int = 6) -> Column:
+    """Engine-independent decimal quantization: FLOOR(x*10^d)/10^d.
+
+    Replaces F.round for hash-significant output: Spark round (BigDecimal
+    HALF_UP, decimal-correct) and DuckDB ROUND (scaled-double) are
+    different algorithms that disagree whenever x*10^d lands on or within
+    ~1 ulp of a half-integer — the r10 q273/q279 driver-red class, and
+    the r11 boundary audit found ratio-of-small-integer scores (Jaccard,
+    readability, utilization) hitting EXACT halves routinely. For a
+    bit-identical input, FLOOR is exact in IEEE and dividing the exact
+    integer by 10^d is one correctly-rounded op, so this form cannot
+    diverge across engines or builds.
+
+    DuckDB replay: FLOOR((expr) * 1000000e0) / 1000000e0
+    """
+    s = float(10**digits)
+    return F.floor(col * s) / s
+
+
 def exact_dot_product(a: Column, b: Column, scale: int = 12) -> Column:
     """Order-independent dot product: per-element double products are cast
     to DECIMAL before the exact decimal sum, so the result is bit-identical

@@ -192,8 +192,11 @@ def prototype_pruning(
     # against the joined centroid (same left-associative chain over the
     # same values), so the join back to the embeddings and the second
     # corpus scan it forced are pure waste. One narrow codegen pass:
-    # id, argmin cid, min fold.
-    raw = embeddings.select(
+    # id, argmin cid, min fold. The dropped inner join also used to
+    # discard NULL-id rows; keep that semantics with an explicit pushed
+    # filter rather than relying on the source never emitting NULL ids
+    # (ADVICE r10).
+    raw = embeddings.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     cents_lit = F.array(*[F.lit(c) for c in cents])

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from frontmatter_mcp_spark.functions.vector import floor_quant
+
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Hash-group exact duplicates: one row per distinct content hash with
@@ -602,7 +604,10 @@ def ngram_jaccard_pairs_from_shingles(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return jac.select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+    return jac.select(
+        "id_a", "id_b", "n_common",
+        floor_quant(F.col("jaccard")).alias("jaccard"),
+    )
 
 
 def ngram_containment_pairs(
@@ -648,7 +653,10 @@ def ngram_containment_pairs(
             F.col("n_common").cast("double") / F.least("size_a", "size_b"),
         )
         .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "n_common", F.round("containment", 6).alias("containment"))
+        .select(
+            "id_a", "id_b", "n_common",
+            floor_quant(F.col("containment")).alias("containment"),
+        )
     )
 
 
@@ -841,7 +849,7 @@ def fuzzy_decontaminate(
             "train_id",
             "bench_id",
             F.col("n_common").cast("long").alias("n_common"),
-            F.round("_j", 6).alias("jaccard"),
+            floor_quant(F.col("_j")).alias("jaccard"),
         )
     )
 

@@ -320,6 +320,23 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # back to embeddings and its second scan are dropped
     "q76_kmeans_inertia",
     "q107_prototype_pruning",
+    # r11 ROUND-of-double hazard sweep (VERDICT r10 item 2): the
+    # boundary audit (scripts/round_audit.py at sf0.01) found these
+    # queries' hash-significant ROUND inputs ON or within ~2 ulp of a
+    # rounding half — the q273/q279 driver-red class. Each converted to
+    # floor fixed-point / floor-quantization on BOTH engines (q33/q75/
+    # q87/q119 were already modified; the jaccard/containment operators
+    # now emit floor_quant(score), so every consumer re-verifies):
+    "q188_conversion_latency",
+    "q190_sample_fence_gate",
+    "q195_readability",
+    "q197_daily_value_bands",
+    "q238_pair_explanations",
+    "q270_singlelink_cut_sweep",
+    "q280_edit_distance_verify",
+    "q299_annotation_batch",
+    "q329_ffd_packing",
+    "q360_bbit_minhash",
 }
 
 

@@ -888,9 +888,12 @@ def q185_join_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(MIN(lat_us) AS BIGINT) AS min_us,
-           ROUND(quantile_cont(lat_us, 0.5), 4) AS p50_us,
-           ROUND(quantile_cont(lat_us, 0.75), 4) AS p75_us,
-           ROUND(quantile_cont(lat_us, 0.9375), 4) AS p94_us,
+           CAST(FLOOR(quantile_cont(lat_us, 0.5) * 16e0) AS BIGINT)
+             AS p50_us_fx16,
+           CAST(FLOOR(quantile_cont(lat_us, 0.75) * 16e0) AS BIGINT)
+             AS p75_us_fx16,
+           CAST(FLOOR(quantile_cont(lat_us, 0.9375) * 16e0) AS BIGINT)
+             AS p94_us_fx16,
            CAST(MAX(lat_us) AS BIGINT) AS max_us
     FROM pairs
     """,
@@ -898,9 +901,15 @@ def q185_join_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs (attributed purchases only — the ASOF INNER form): exact "
     "integer microsecond deltas, interpolated percentiles at binary "
     "fractions (Spark percentile == DuckDB quantile_cont bit-exactly). "
-    "Spark side reuses q18's union+window as-of rewrite, then one "
-    "global aggregate; at scale the percentile becomes approx and the "
-    "rest is unchanged",
+    "Percentiles are emitted as 16ths-fixed-point BIGINTs: a binary-"
+    "fraction interpolation of integers is an exact dyadic double, so "
+    "x*16 and its floor are bit-identical everywhere, while the old "
+    "ROUND(x, 4) asked for decimals the double cannot hold at ~1e11 us "
+    "magnitudes (ulp(x*1e4) ~ 0.5 — the r11 boundary audit flagged all "
+    "three sites at 0.4-1.7 ulp from a rounding boundary). Spark side "
+    "reuses q18's union+window as-of rewrite, then one global "
+    "aggregate; at scale the percentile becomes approx and the rest is "
+    "unchanged",
 )
 def q188_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -937,9 +946,15 @@ def q188_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_conversions"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
         F.min("lat_us").cast("long").alias("min_us"),
-        F.round(F.percentile("lat_us", F.lit(0.5)), 4).alias("p50_us"),
-        F.round(F.percentile("lat_us", F.lit(0.75)), 4).alias("p75_us"),
-        F.round(F.percentile("lat_us", F.lit(0.9375)), 4).alias("p94_us"),
+        F.floor(F.percentile("lat_us", F.lit(0.5)) * 16.0)
+        .cast("long")
+        .alias("p50_us_fx16"),
+        F.floor(F.percentile("lat_us", F.lit(0.75)) * 16.0)
+        .cast("long")
+        .alias("p75_us_fx16"),
+        F.floor(F.percentile("lat_us", F.lit(0.9375)) * 16.0)
+        .cast("long")
+        .alias("p94_us_fx16"),
         F.max("lat_us").cast("long").alias("max_us"),
     )
 
@@ -3137,10 +3152,10 @@ _PACK_CAP = 2048
     )
     SELECT source, total_tokens, bins_ffd, bins_nextfit,
            bins_nextfit - bins_ffd AS bins_saved,
-           ROUND(CAST(total_tokens AS DOUBLE) / (bins_ffd * {_PACK_CAP}), 6)
-             AS util_ffd,
-           ROUND(CAST(total_tokens AS DOUBLE)
-                 / (bins_nextfit * {_PACK_CAP}), 6) AS util_nextfit
+           total_tokens * 1000000 // (bins_ffd * {_PACK_CAP})
+             AS util_ffd_ppm,
+           total_tokens * 1000000 // (bins_nextfit * {_PACK_CAP})
+             AS util_nextfit_ppm
     FROM stats
     ORDER BY source
     """,
@@ -3228,16 +3243,15 @@ def q329_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bins_ffd",
         "bins_nextfit",
         (F.col("bins_nextfit") - F.col("bins_ffd")).alias("bins_saved"),
-        F.round(
-            F.col("total_tokens").cast("double")
-            / (F.col("bins_ffd") * _PACK_CAP),
-            6,
-        ).alias("util_ffd"),
-        F.round(
-            F.col("total_tokens").cast("double")
-            / (F.col("bins_nextfit") * _PACK_CAP),
-            6,
-        ).alias("util_nextfit"),
+        # utilization as pure-integer ppm floor division (`div` keeps it
+        # in BIGINT — no double rounding): the ROUND form landed on
+        # exact .5e-6 boundaries at sf0.01 (r11 boundary audit)
+        F.expr(
+            f"total_tokens * 1000000L div (bins_ffd * {_PACK_CAP})"
+        ).alias("util_ffd_ppm"),
+        F.expr(
+            f"total_tokens * 1000000L div (bins_nextfit * {_PACK_CAP})"
+        ).alias("util_nextfit_ppm"),
     ).orderBy("source")
 
 # ---------------------------------------------------------------------------

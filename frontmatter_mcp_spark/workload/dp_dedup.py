@@ -127,7 +127,8 @@ def q32_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, n_common,
-           round(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+           FLOOR((n_common * 1.0 / (sa.set_size + sb.set_size - n_common))
+                 * 1000000e0) / 1000000e0 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -161,7 +162,8 @@ _CONTAINMENT_THRESHOLD = 0.5
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, n_common,
-           round(n_common * 1.0 / least(sa.set_size, sb.set_size), 6) AS containment
+           FLOOR((n_common * 1.0 / least(sa.set_size, sb.set_size))
+                 * 1000000e0) / 1000000e0 AS containment
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -815,12 +817,14 @@ def _minhash_calibration_sql() -> str:
       GROUP BY 1, 2
     )
     SELECT e.id_a, e.id_b,
-           round(e.est_jaccard, 6) AS est_jaccard,
-           round(COALESCE(i.n_common, 0) * 1.0
-                 / (sa.set_size + sb.set_size - COALESCE(i.n_common, 0)), 6) AS exact_jaccard,
-           round(abs(e.est_jaccard
+           FLOOR(e.est_jaccard * 1000000e0) / 1000000e0 AS est_jaccard,
+           FLOOR((COALESCE(i.n_common, 0) * 1.0
+                 / (sa.set_size + sb.set_size - COALESCE(i.n_common, 0)))
+                 * 1000000e0) / 1000000e0 AS exact_jaccard,
+           FLOOR(abs(e.est_jaccard
                  - COALESCE(i.n_common, 0) * 1.0
-                   / (sa.set_size + sb.set_size - COALESCE(i.n_common, 0))), 6) AS abs_err
+                   / (sa.set_size + sb.set_size - COALESCE(i.n_common, 0)))
+                 * 1000000e0) / 1000000e0 AS abs_err
     FROM est e
     LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
     JOIN sizes sa ON sa.doc_id = e.id_a
@@ -889,9 +893,11 @@ def q75_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round("est_jaccard", 6).alias("est_jaccard"),
-            F.round(exact, 6).alias("exact_jaccard"),
-            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+            vector.floor_quant(F.col("est_jaccard")).alias("est_jaccard"),
+            vector.floor_quant(exact).alias("exact_jaccard"),
+            vector.floor_quant(
+                F.abs(F.col("est_jaccard") - exact)
+            ).alias("abs_err"),
         )
     )
 
@@ -1147,8 +1153,8 @@ def _fuzzy_decon_sql() -> str:
       GROUP BY 1, 2
     )
     SELECT i.train_id, i.bench_id, CAST(i.n_common AS BIGINT) AS n_common,
-           round(i.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - i.n_common), 6)
-             AS jaccard
+           FLOOR((i.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - i.n_common))
+                 * 1000000e0) / 1000000e0 AS jaccard
     FROM inter i
     JOIN cand USING (train_id, bench_id)
     JOIN sigs sa ON sa.doc_id = i.train_id
@@ -2344,8 +2350,8 @@ def _edit_verify_sql() -> str:
       JOIN txt tb ON tb.doc_id = c.id_b
     )
     SELECT id_a, id_b, edit_dist, max_len,
-           ROUND(1e0 - CAST(edit_dist AS DOUBLE) / max_len, 6)
-             AS edit_similarity,
+           FLOOR((1e0 - CAST(edit_dist AS DOUBLE) / max_len)
+                 * 1000000e0) / 1000000e0 AS edit_similarity,
            CAST(edit_dist * 10 <= max_len AS INT) AS verified_90
     FROM scored
     ORDER BY id_a, id_b
@@ -2396,8 +2402,8 @@ def q280_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         "edit_dist",
         "max_len",
-        F.round(
-            1.0 - F.col("edit_dist").cast("double") / F.col("max_len"), 6
+        vector.floor_quant(
+            1.0 - F.col("edit_dist").cast("double") / F.col("max_len")
         ).alias("edit_similarity"),
         (F.col("edit_dist") * 10 <= F.col("max_len")).cast("int").alias(
             "verified_90"
@@ -3656,15 +3662,17 @@ def _bbit_sql() -> str:
       JOIN bits b ON b.doc_id = c.id_b
     )
     SELECT e.id_a, e.id_b, e.n_agree,
-           ROUND(2e0 * e.n_agree / {k} - 1, 6) AS j_bbit,
-           ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-                 / (sa.set_size + sb.set_size - COALESCE(i.n_common, 0)), 6)
-             AS j_exact,
-           ROUND(ABS(2e0 * e.n_agree / {k} - 1
+           FLOOR((2e0 * e.n_agree / {k} - 1) * 1000000e0) / 1000000e0
+             AS j_bbit,
+           FLOOR((CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                 / (sa.set_size + sb.set_size - COALESCE(i.n_common, 0)))
+                 * 1000000e0) / 1000000e0 AS j_exact,
+           FLOOR(ABS(2e0 * e.n_agree / {k} - 1
                  - CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-                   / (sa.set_size + sb.set_size - COALESCE(i.n_common, 0))),
-                 6) AS abs_err,
-           ROUND(2e0 * sqrt(0.25e0 / {k}), 6) AS theoretical_se
+                   / (sa.set_size + sb.set_size - COALESCE(i.n_common, 0)))
+                 * 1000000e0) / 1000000e0 AS abs_err,
+           FLOOR((2e0 * sqrt(0.25e0 / {k})) * 1000000e0) / 1000000e0
+             AS theoretical_se
     FROM est e
     LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
     JOIN sizes sa ON sa.doc_id = e.id_a
@@ -3753,12 +3761,12 @@ def q360_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             "n_agree",
-            F.round(j_bbit, 6).alias("j_bbit"),
-            F.round(j_exact, 6).alias("j_exact"),
-            F.round(F.abs(j_bbit - j_exact), 6).alias("abs_err"),
-            F.round(F.lit(2.0) * F.sqrt(F.lit(0.25) / k), 6).alias(
-                "theoretical_se"
-            ),
+            vector.floor_quant(j_bbit).alias("j_bbit"),
+            vector.floor_quant(j_exact).alias("j_exact"),
+            vector.floor_quant(F.abs(j_bbit - j_exact)).alias("abs_err"),
+            vector.floor_quant(
+                F.lit(2.0) * F.sqrt(F.lit(0.25) / k)
+            ).alias("theoretical_se"),
         )
         .orderBy("id_a", "id_b")
     )

@@ -434,7 +434,11 @@ def q76_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment map folds the distance to every centroid and the
     # own-centroid d2 is its minimum — same double as re-folding
     # against the joined centroid, so the join back to the embeddings
-    # and its second corpus scan are dropped
+    # and its second corpus scan are dropped. The dropped inner join
+    # also used to discard NULL-vec_id rows; keep that semantics with
+    # an explicit pushed filter (free at the scan) rather than relying
+    # on the generator never emitting NULL ids (ADVICE r10).
+    e = e.filter(F.col("vec_id").isNotNull())
     cents_lit = F.array(*[F.lit(c) for c in cents])
     dists = F.transform(
         cents_lit,
@@ -2490,8 +2494,8 @@ def _singlelink_sql() -> str:
     )""",
         f"""jac AS MATERIALIZED (
       SELECT id_a, id_b,
-             ROUND(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6)
-               AS j
+             FLOOR((n_common * 1.0 / (sa.set_size + sb.set_size - n_common))
+                   * 1000000e0) / 1000000e0 AS j
       FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b

@@ -900,8 +900,8 @@ _EXPLAIN_TOPK = 10
     ),
     scored AS (
       SELECT id_a, id_b, n_common,
-             round(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6)
-               AS jaccard
+             FLOOR((n_common * 1.0 / (sa.set_size + sb.set_size - n_common))
+                   * 1000000e0) / 1000000e0 AS jaccard
       FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
@@ -965,10 +965,9 @@ def q238_pair_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             "n_common",
-            F.round(
+            vector.floor_quant(
                 F.col("n_common").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-                6,
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
             ).alias("jaccard"),
         )
     )

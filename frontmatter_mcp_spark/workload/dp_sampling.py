@@ -923,8 +923,10 @@ def _q190_sql() -> str:
       FROM gated GROUP BY source
     )
     SELECT s.source, s.n_total, s.n_sample,
-           ROUND(s.s_low, 4) AS sample_low, ROUND(s.s_high, 4) AS sample_high,
-           ROUND(s.e_low, 4) AS exact_low, ROUND(s.e_high, 4) AS exact_high,
+           CAST(FLOOR(s.s_low * 32e0) AS BIGINT) AS sample_low_fx32,
+           CAST(FLOOR(s.s_high * 32e0) AS BIGINT) AS sample_high_fx32,
+           CAST(FLOOR(s.e_low * 32e0) AS BIGINT) AS exact_low_fx32,
+           CAST(FLOOR(s.e_high * 32e0) AS BIGINT) AS exact_high_fx32,
            c.n_flag_sample, c.n_flag_exact, c.n_only_sample, c.n_only_exact
     FROM stats s JOIN counts c USING (source)
     ORDER BY s.source
@@ -982,10 +984,14 @@ def q190_sample_fence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_total",
             "n_sample",
-            F.round("s_low", 4).alias("sample_low"),
-            F.round("s_high", 4).alias("sample_high"),
-            F.round("e_low", 4).alias("exact_low"),
-            F.round("e_high", 4).alias("exact_high"),
+            # 32nds fixed-point: fences interpolate integers at 1/32
+            # binary fractions, so x*32 is an exact dyadic integer; the
+            # ROUND(x, 4) form hit exact .5 boundaries (1/32*1e4=312.5)
+            # at sf0.01 (r11 boundary audit)
+            F.floor(F.col("s_low") * 32.0).cast("long").alias("sample_low_fx32"),
+            F.floor(F.col("s_high") * 32.0).cast("long").alias("sample_high_fx32"),
+            F.floor(F.col("e_low") * 32.0).cast("long").alias("exact_low_fx32"),
+            F.floor(F.col("e_high") * 32.0).cast("long").alias("exact_high_fx32"),
             "n_flag_sample",
             "n_flag_exact",
             "n_only_sample",

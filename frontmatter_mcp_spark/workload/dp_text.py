@@ -1095,13 +1095,15 @@ def q189_parse_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_words AS INT) AS n_words,
            CAST(n_syllables AS INT) AS n_syllables,
            CASE WHEN n_words > 0 THEN
-             ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
-                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
-           END AS flesch_ease,
+             CAST(FLOOR((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                  * 10000e0) AS BIGINT)
+           END AS flesch_ease_fx,
            CASE WHEN n_words > 0 THEN
-             ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
-                   + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
-           END AS fk_grade
+             CAST(FLOOR((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59)
+                  * 10000e0) AS BIGINT)
+           END AS fk_grade_fx
     FROM c
     """,
     doc="readability profile per document: sentence count (terminator "
@@ -1130,26 +1132,33 @@ def q195_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_syl.alias("n_syllables"),
     )
     wd = F.col("n_words").cast("double")
-    ease = F.round(
-        206.835
-        - 1.015 * (wd / F.col("n_sentences"))
-        - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
-        4,
-    )
-    grade = F.round(
-        0.39 * (wd / F.col("n_sentences"))
-        + 11.8 * (F.col("n_syllables").cast("double") / F.col("n_words"))
-        - 15.59,
-        4,
-    )
+    # 1e-4 floor fixed-point: the ROUND form had 4 exact-half and 5
+    # near-half (<=2 ulp) inputs at sf0.01 (r11 boundary audit) — the
+    # ratio-of-small-integers formulas land on representable halves
+    ease = F.floor(
+        (
+            206.835
+            - 1.015 * (wd / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        )
+        * 10000.0
+    ).cast("long")
+    grade = F.floor(
+        (
+            0.39 * (wd / F.col("n_sentences"))
+            + 11.8 * (F.col("n_syllables").cast("double") / F.col("n_words"))
+            - 15.59
+        )
+        * 10000.0
+    ).cast("long")
     return c.select(
         "doc_id",
         "source",
         F.col("n_sentences").cast("int").alias("n_sentences"),
         F.col("n_words").cast("int").alias("n_words"),
         F.col("n_syllables").cast("int").alias("n_syllables"),
-        F.when(F.col("n_words") > 0, ease).alias("flesch_ease"),
-        F.when(F.col("n_words") > 0, grade).alias("fk_grade"),
+        F.when(F.col("n_words") > 0, ease).alias("flesch_ease_fx"),
+        F.when(F.col("n_words") > 0, grade).alias("fk_grade_fx"),
     )
 
 # ---------------------------------------------------------------------------
@@ -2022,8 +2031,9 @@ def _annot_sql() -> str:
     ),
     jac AS (
       SELECT id_a, id_b,
-             ROUND(n_common * 1.0
-                   / (sa.set_size + sb.set_size - n_common), 6) AS j
+             FLOOR((n_common * 1.0
+                    / (sa.set_size + sb.set_size - n_common))
+                   * 1000000e0) / 1000000e0 AS j
       FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b

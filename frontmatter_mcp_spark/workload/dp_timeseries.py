@@ -451,7 +451,7 @@ def q192_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d GROUP BY 1, 2
     )
     SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
-           ROUND(sum_value / n, 6) AS mean_value,
+           CAST(FLOOR((sum_value / n) * 1000000e0) AS BIGINT) AS mean_value_fx,
            ROUND(p25, 6) AS p25, ROUND(p50, 6) AS p50, ROUND(p75, 6) AS p75,
            ROUND(p75 - p25, 6) AS iqr,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM d x
@@ -497,7 +497,11 @@ def q197_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "n",
-            F.round(F.col("sum_value") / F.col("n"), 6).alias("mean_value"),
+            # 1e-6 floor fixed-point: the ROUND form hit an exact .5
+            # boundary at sf0.01 (r11 boundary audit receipt)
+            F.floor((F.col("sum_value") / F.col("n")) * 1000000.0)
+            .cast("long")
+            .alias("mean_value_fx"),
             F.round("p25", 6).alias("p25"),
             F.round("p50", 6).alias("p50"),
             F.round("p75", 6).alias("p75"),

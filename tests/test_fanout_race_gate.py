@@ -84,14 +84,24 @@ ALLOWED_COLD_FANOUT = {
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def cold_fanout_tables(df) -> dict[int, int]:
+def cold_fanout_tables(df) -> dict[tuple, int]:
     """Cold InMemoryRelations appearing 2+ times in df's final plan.
 
-    Keyed by the cache builder's hash; a relation already materialized
-    when the query function returns (isCachedColumnBuffersLoaded) is
-    warm — populated by an intra-query action before the fan-out — and
-    cannot race.
+    Keyed by (JVM identity hash of the cacheBuilder, cacheBuilder hash):
+    the cache manager hands every occurrence of one cached relation the
+    SAME CachedRDDBuilder instance (verified: q105's five occurrences
+    share one instance even under withColumnRenamed views), so identity
+    is the true equality; pairing it with hashCode makes the key
+    collision-proof (r10 keyed by hashCode alone — two distinct
+    single-use relations colliding there would miscount as one
+    fanned-out relation). The relation's output string must NOT join
+    the key: every occurrence carries fresh exprIds/renames, which
+    would split a real fan-out into count-1 keys and mask it.
+    A relation already materialized when the query function returns
+    (isCachedColumnBuffersLoaded) is warm — populated by an intra-query
+    action before the fan-out — and cannot race.
     """
+    jvm = df.sparkSession._jvm
     plan = df._jdf.queryExecution().optimizedPlan()
     imrs = []
     stack = [plan]
@@ -99,15 +109,19 @@ def cold_fanout_tables(df) -> dict[int, int]:
         node = stack.pop()
         if node.getClass().getSimpleName() == "InMemoryRelation":
             cb = node.cacheBuilder()
-            imrs.append((cb.hashCode(), cb.isCachedColumnBuffersLoaded()))
+            key = (
+                jvm.java.lang.System.identityHashCode(cb),
+                cb.hashCode(),
+            )
+            imrs.append((key, cb.isCachedColumnBuffersLoaded()))
         it = node.children().iterator()
         while it.hasNext():
             stack.append(it.next())
-    counts = Counter(h for h, _ in imrs)
+    counts = Counter(k for k, _ in imrs)
     return {
-        h: n
-        for h, n in counts.items()
-        if n >= 2 and not all(loaded for hh, loaded in imrs if hh == h)
+        k: n
+        for k, n in counts.items()
+        if n >= 2 and not all(loaded for kk, loaded in imrs if kk == k)
     }
 
 

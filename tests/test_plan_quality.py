@@ -115,22 +115,23 @@ _EXPLICIT_PYTHON_STAGES = {
 }
 
 
-@pytest.mark.parametrize(
-    "name",
-    [n for n in sorted(QUERIES) if n not in _EXPLICIT_PYTHON_STAGES],
-)
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_relational_surface_has_no_python_udfs(spark, name):
     # the entire relational surface must stay JVM-side (codegen'd);
     # Python appears only in explicitly-Python stages (mapInPandas
     # decode). r10: extended from the q0/q1/q2 prefixes to ALL 369
     # queries (the q3xx tail was unswept), and a no-cartesian assert
     # added — a full-registry scan measured zero of either, so any
-    # future hit is a regression, not a baseline.
+    # future hit is a regression, not a baseline. r11 (ADVICE r10): the
+    # Python-boundary exemption no longer exempts the no-cartesian
+    # invariant — every query's plan is cartesian-free, decode stages
+    # included.
     plan = formatted_plan(spark, name)
-    assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
-    assert "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+    if name not in _EXPLICIT_PYTHON_STAGES:
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
 
 
 @pytest.mark.parametrize(
