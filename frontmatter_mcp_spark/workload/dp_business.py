@@ -3165,7 +3165,9 @@ _PACK_CAP = 2048
     "into the first fitting bin or opens one — the 11/9-OPT classic "
     "as a declarative array fold on BOTH engines (DuckDB list_reduce "
     "with a list accumulator, Spark F.aggregate), next to the next-fit "
-    "rule q80 uses, with bins saved and utilization for each. The "
+    "rule q80 uses, with bins saved and utilization for each as pure-"
+    "integer ppm floor division (the ROUND form landed on exact .5e-6 "
+    "boundaries — r11 audit). The "
     "fold is O(docs x open bins) per source on sorted arrays; at "
     "100 TB the same fold runs per (source, shard-of-source) with a "
     "final merge, trading a bounded packing slack for parallelism",
