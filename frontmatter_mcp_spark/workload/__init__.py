@@ -337,6 +337,9 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q299_annotation_batch",
     "q329_ffd_packing",
     "q360_bbit_minhash",
+    # r11 second pass: the two remaining Python-side half-up rounds
+    # (driver-computed rows) converted to ppm integer / floor-quant
+    "q268_markov_removal_attribution",
 }
 
 

@@ -2918,8 +2918,9 @@ def _dedup_funnel_sql() -> str:
       UNION ALL SELECT 6, 'jaccard_verified', (SELECT cnt FROM verified)
     )
     SELECT s.stage, s.name, s.n_pairs,
-           ROUND(CAST(s.n_pairs AS DOUBLE)
-                 / (CAST(t.n AS DOUBLE) * (t.n - 1) / 2e0), 9)
+           FLOOR((CAST(s.n_pairs AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * (t.n - 1) / 2e0))
+                 * 1000000000e0) / 1000000000e0
              AS all_pairs_fraction
     FROM stages s CROSS JOIN nd t
     ORDER BY s.stage
@@ -3041,9 +3042,13 @@ def q305_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling = float(nd) * (nd - 1) / 2.0
     import math
 
+    # floor-quantize (not half-up round): Python floor(x*1e9+0.5) vs
+    # DuckDB ROUND are different algorithms on the same double — the
+    # q279 driver-red class (r11 audit); floor of the identically-
+    # computed ratio is bit-exact on both engines
     out = [
         (r["stage"], r["name"], int(r["cnt"]),
-         math.floor(r["cnt"] / ceiling * 1e9 + 0.5) / 1e9)
+         math.floor(r["cnt"] / ceiling * 1e9) / 1e9)
         for r in collected
     ]
     return spark.createDataFrame(

@@ -1364,8 +1364,8 @@ def _removal_sql(T: int = _ABS_STEPS, s: int = _MKV_SCALE) -> str:
            COALESCE(p.w_fx, 0) AS start_share_fx,
            f.conv_fx AS conv_full_fx,
            r.conv_removed_fx,
-           ROUND(1e0 - CAST(r.conv_removed_fx AS DOUBLE) / f.conv_fx, 6)
-             AS removal_effect,
+           (f.conv_fx - r.conv_removed_fx) * 1000000 // f.conv_fx
+             AS removal_effect_ppm,
            CAST(ROW_NUMBER() OVER (
              ORDER BY f.conv_fx - r.conv_removed_fx DESC, r.channel) AS INT)
              AS rank
@@ -1458,19 +1458,16 @@ def q268_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         removed = conv(c)
         rows.append((c, pi0.get(c, 0), full, removed))
     rows.sort(key=lambda r: (-(r[2] - r[3]), r[0]))
-    import math
-
-    def round6(v: float) -> float:
-        # SQL ROUND is half-UP; Python round() is half-even
-        return math.floor(v * 1e6 + 0.5) / 1e6
-
+    # removal effect as pure-integer ppm floor division (the q279
+    # discipline): Python floor(x*1e6+0.5) vs DuckDB ROUND are
+    # different algorithms — the r10 driver-red class
     out = [
         (
             c,
             share,
             f_,
             r_,
-            round6(1.0 - float(r_) / f_),
+            (f_ - r_) * 1000000 // f_,
             rank + 1,
         )
         for rank, (c, share, f_, r_) in enumerate(rows)
@@ -1478,7 +1475,7 @@ def q268_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         out,
         "channel string, start_share_fx long, conv_full_fx long, "
-        "conv_removed_fx long, removal_effect double, rank int",
+        "conv_removed_fx long, removal_effect_ppm long, rank int",
     ).orderBy("rank")
 
 # ---------------------------------------------------------------------------
