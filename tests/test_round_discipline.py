@@ -166,3 +166,51 @@ def test_audit_errors_are_reviewed(receipt):
         if "error" in entry and name not in REWRITE_BLIND
     }
     assert not unr, f"audit could not rewrite these queries: {sorted(unr)}"
+
+
+# ---------------------------------------------------------------------------
+# libm perturbation receipt (scripts/libm_perturb.py): every oracle
+# carrying a build-dependent transcendental (exp/ln/log2/pow) re-run
+# with ALL such calls shifted coherently by 1 ulp (both directions) and
+# hash-compared against the unshifted run. up_same/down_same == True
+# means no libm build difference can flip that query's hash at the
+# driver's data — the empirical closure of the q273 exp divergence.
+# ---------------------------------------------------------------------------
+LIBM_RECEIPT = os.path.join(
+    os.path.dirname(__file__), "data", "libm_perturb_receipt.json"
+)
+
+_LIBM_TAINT = re.compile(r"\b(exp|ln|log2|pow)\s*\(", re.I)
+
+
+@pytest.fixture(scope="module")
+def libm_receipt() -> dict:
+    with open(LIBM_RECEIPT) as fh:
+        return json.load(fh)
+
+
+def test_libm_receipt_covers_every_tainted_oracle(libm_receipt):
+    live = {
+        n: len(_LIBM_TAINT.findall(QUERIES[n].oracle))
+        for n in QUERIES
+        if QUERIES[n].oracle and _LIBM_TAINT.search(QUERIES[n].oracle)
+    }
+    recorded = {n: e["sites"] for n, e in libm_receipt["queries"].items()}
+    assert live == recorded, (
+        "transcendental surface drifted since the perturbation run — "
+        "re-run scripts/libm_perturb.py --receipt=tests/data/"
+        f"libm_perturb_receipt.json (live={live} receipt={recorded})"
+    )
+
+
+def test_every_tainted_oracle_survives_1ulp_shifts(libm_receipt):
+    failing = {
+        n: e
+        for n, e in libm_receipt["queries"].items()
+        if "error" in e or not (e["up_same"] and e["down_same"])
+    }
+    assert not failing, (
+        f"queries whose hash flips under a 1-ulp libm shift: {failing} — "
+        "strengthen the quantization at the emission site (the q273 "
+        "fixed-point discipline)"
+    )
