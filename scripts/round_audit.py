@@ -73,9 +73,19 @@ def _site_snippet(sql: str, fn: str, site: int) -> str:
     return "?"
 
 
-def audit_query(name: str, sql: str, sf_dir: str) -> list[dict]:
-    sql_r, n_round = _rewrite(sql, "ROUND", "audit_round")
-    sql_rf, n_floor = _rewrite(sql_r, "FLOOR", "audit_floor")
+def audit_query(name: str, sql: str, sf_dir: str, tag_sites: bool = True) -> list[dict]:
+    if tag_sites:
+        sql_r, n_round = _rewrite(sql, "ROUND", "audit_round")
+        sql_rf, n_floor = _rewrite(sql_r, "FLOOR", "audit_floor")
+    else:
+        # untagged fallback: a rounding call inside a GROUP BY expression
+        # must stay textually identical between SELECT and GROUP BY, so
+        # per-occurrence site ids cannot be injected — every occurrence
+        # reports as site -1 (still boundary-measured, just unattributed)
+        sql_r = re.sub(r"\bROUND\s*\(", "audit_round(-1, ", sql, flags=re.I)
+        sql_rf = re.sub(r"\bFLOOR\s*\(", "audit_floor(-1, ", sql_r, flags=re.I)
+        n_round = len(re.findall(r"\bROUND\s*\(", sql, re.I))
+        n_floor = len(re.findall(r"\bFLOOR\s*\(", sql, re.I))
     if n_round + n_floor == 0:
         return []
 
@@ -178,7 +188,13 @@ def main() -> int:
             continue
         entry = dict(site_counts(sql))
         try:
-            flags = audit_query(name, sql, sf_dir)
+            try:
+                flags = audit_query(name, sql, sf_dir)
+            except duckdb.BinderException:
+                # site-tagged SELECT/GROUP BY copies stopped being
+                # structurally equal — retry untagged (site -1)
+                flags = audit_query(name, sql, sf_dir, tag_sites=False)
+                entry["untagged"] = True
             entry["flags"] = [
                 {k: v for k, v in f.items() if k != "query"} for f in flags
             ]

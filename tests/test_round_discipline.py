@@ -69,11 +69,11 @@ REVIEWED_TAINTED_FLOOR: dict[str, str] = {
 }
 
 # Queries whose FLOOR/ROUND appears inside a GROUP BY expression the
-# audit's UDF rewrite cannot bind (site-tagged SELECT/GROUP BY copies
-# stop being structurally equal). Manually reviewed.
-REWRITE_BLIND: dict[str, str] = {
-    "q21_cube_events": "FLOOR(hour(ts)/6.0) — pure small-integer arithmetic",
-}
+# audit's site-tagged rewrite cannot bind get an untagged retry
+# (site -1, boundary-measured but unattributed) — r11 closed the only
+# such case (q21). Entries here cover any future query where even the
+# untagged rewrite fails; each needs a manual review reason.
+REWRITE_BLIND: dict[str, str] = {}
 
 
 def _site_counts(sql: str) -> tuple[int, int]:
