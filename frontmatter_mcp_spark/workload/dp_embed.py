@@ -415,7 +415,8 @@ def q64_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(cluster AS INT) AS cluster,
            COUNT(*) AS n_vecs,
-           CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) AS inertia
+           CAST(SUM(CAST(FLOOR(d2 * 562949953421312e0) AS DECIMAL(38,0)))
+                AS DOUBLE) / 562949953421312e0 AS inertia
     FROM dist GROUP BY 1
     """,
     doc="cluster quality report: per-cluster inertia (sum of squared "
@@ -460,7 +461,19 @@ def q76_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.sum(F.col("d2").cast("decimal(28,12)")).cast("double").alias("inertia"),
+            # 2^49 floor fixed-point (the fixed_point_mean discipline):
+            # the DECIMAL(28,12) cast is a half-up round of the double
+            # and flipped one 1e-12 quantum cross-engine at sf0.1 (r11
+            # window pre-validation); floor of the power-of-two scaling
+            # is exact for bit-identical d2
+            (
+                F.sum(
+                    F.floor(F.col("d2") * F.lit(vector.FIXED_POINT_SCALE)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(vector.FIXED_POINT_SCALE)
+            ).alias("inertia"),
         )
     )
 

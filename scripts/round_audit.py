@@ -67,10 +67,78 @@ def _rewrite(sql: str, fn: str, repl: str) -> tuple[str, int]:
 
 
 def _site_snippet(sql: str, fn: str, site: int) -> str:
+    if fn == "DEC":
+        # i-th CAST(... AS DECIMAL(p, s>0)) in text order (mirrors
+        # _rewrite_decimal_casts' numbering)
+        i = -1
+        last = 0
+        for m in re.finditer(r"\bCAST\s*\(", sql, re.I):
+            if m.start() < last:
+                continue
+            j = m.end()
+            depth = 1
+            while j < len(sql) and depth:
+                depth += {"(": 1, ")": -1}.get(sql[j], 0)
+                j += 1
+            tail = _DEC_TAIL.search(sql[m.end() : j - 1])
+            if not tail or int(tail.group(1)) == 0:
+                continue
+            i += 1
+            last = j
+            if i == site:
+                return " ".join(sql[m.start() : m.start() + 64].split())
+        return "?"
     for i, m in enumerate(re.finditer(rf"\b{fn}\s*\(", sql, re.I)):
         if i == site:
             return " ".join(sql[m.start() : m.start() + 64].split())
     return "?"
+
+
+_DEC_TAIL = re.compile(r"\bAS\s+DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)\s*$", re.I)
+
+
+def _rewrite_decimal_casts(sql: str) -> tuple[str, int]:
+    """Wrap every CAST(expr AS DECIMAL(p, s)) with s > 0 as
+    CAST(audit_dec(site, s, expr) AS DECIMAL(p, s)).
+
+    The double->DECIMAL(p,s) cast is a rounding function too: Spark
+    (BigDecimal HALF_UP) and DuckDB round the 53-bit double to the
+    1e-s quantum with different algorithms, so an input on/near a
+    half-quantum is the same divergence class as ROUND (observed live:
+    q76's inertia at sf0.1 differed in one 1e-12 quantum). s = 0 casts
+    are the fx SUM discipline over exact integers — floor-audited
+    separately, skipped here."""
+    out = []
+    last = 0
+    site = 0
+    for m in re.finditer(r"\bCAST\s*\(", sql, re.I):
+        start = m.start()
+        if start < last:
+            continue  # inside a CAST we already rewrote
+        i = m.end()
+        depth = 1
+        while i < len(sql) and depth:
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end() : i - 1]
+        tail = _DEC_TAIL.search(inner)
+        if not tail:
+            continue
+        scale = int(tail.group(1))
+        if scale == 0:
+            continue
+        expr = inner[: tail.start()].rstrip()
+        out.append(sql[last:start])
+        # keep the original `AS DECIMAL(p, s)` tail verbatim
+        out.append(f"CAST(audit_dec({site}, {scale}, {expr}) {inner[tail.start():]})")
+        site += 1
+        last = i
+    out.append(sql[last:])
+    return "".join(out), site
 
 
 def audit_query(name: str, sql: str, sf_dir: str, tag_sites: bool = True) -> list[dict]:
@@ -86,7 +154,8 @@ def audit_query(name: str, sql: str, sf_dir: str, tag_sites: bool = True) -> lis
         sql_rf = re.sub(r"\bFLOOR\s*\(", "audit_floor(-1, ", sql_r, flags=re.I)
         n_round = len(re.findall(r"\bROUND\s*\(", sql, re.I))
         n_floor = len(re.findall(r"\bFLOOR\s*\(", sql, re.I))
-    if n_round + n_floor == 0:
+    sql_rf, n_dec = _rewrite_decimal_casts(sql_rf)
+    if n_round + n_floor + n_dec == 0:
         return []
 
     # per-site stats: calls, exact-boundary hits, near-boundary hits,
@@ -129,12 +198,24 @@ def audit_query(name: str, sql: str, sf_dir: str, tag_sites: bool = True) -> lis
             _rec("FLOOR", site, d / _ulp(x), x)
         return math.floor(x)
 
+    def audit_dec(site: int, k: int, x: float) -> float:
+        # double->DECIMAL(p,k) rounds x to the 1e-k quantum half-up(ish):
+        # divergence-prone exactly when x*10^k is on/near a half-integer
+        if x is None or k is None:
+            return None
+        y = x * (10.0**k)
+        if math.isfinite(y):
+            d = abs(y - math.floor(y) - 0.5)
+            _rec("DEC", site, d / _ulp(y), x)
+        return x
+
     con = duckdb.connect()
     try:
         from duckdb.typing import BIGINT, DOUBLE
 
         con.create_function("audit_round", audit_round, [BIGINT, DOUBLE, BIGINT], DOUBLE)
         con.create_function("audit_floor", audit_floor, [BIGINT, DOUBLE], DOUBLE)
+        con.create_function("audit_dec", audit_dec, [BIGINT, BIGINT, DOUBLE], DOUBLE)
         for t in TABLE_NAMES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
@@ -166,6 +247,7 @@ def site_counts(sql: str) -> dict[str, int]:
     return {
         "round_sites": len(re.findall(r"\bROUND\s*\(", sql, re.I)),
         "floor_sites": len(re.findall(r"\bFLOOR\s*\(", sql, re.I)),
+        "dec_sites": _rewrite_decimal_casts(sql)[1],
     }
 
 
