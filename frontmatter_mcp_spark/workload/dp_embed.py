@@ -3055,9 +3055,12 @@ _CKA_PREFIX = 32
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
     mom AS (
       SELECT a.p AS p, b.p AS q,
-             CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(a.v AS DECIMAL(30,12))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(b.v AS DECIMAL(30,12))) AS DOUBLE) AS sy
+             CAST(SUM(CAST(FLOOR((a.v * b.v) * 562949953421312e0) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 562949953421312e0 AS sxy,
+             CAST(SUM(CAST(FLOOR(a.v * 562949953421312e0) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 562949953421312e0 AS sx,
+             CAST(SUM(CAST(FLOOR(b.v * 562949953421312e0) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 562949953421312e0 AS sy
       FROM dims a JOIN dims b ON b.vec_id = a.vec_id
       GROUP BY 1, 2
     ),
@@ -3067,13 +3070,12 @@ _CKA_PREFIX = 32
     ),
     fro AS (
       SELECT
-        CAST(SUM(CASE WHEN p <= {_CKA_PREFIX} AND q <= {_CKA_PREFIX}
-                      THEN CAST(c * c AS DECIMAL(38,12)) END) AS DOUBLE)
-          AS yy,
-        CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE) AS xx,
-        CAST(SUM(CASE WHEN q <= {_CKA_PREFIX}
-                      THEN CAST(c * c AS DECIMAL(38,12)) END) AS DOUBLE)
-          AS xy
+        CAST(list_sum(list_sort(list(c * c)
+               FILTER (WHERE p <= {_CKA_PREFIX} AND q <= {_CKA_PREFIX})))
+             AS DOUBLE) AS yy,
+        CAST(list_sum(list_sort(list(c * c))) AS DOUBLE) AS xx,
+        CAST(list_sum(list_sort(list(c * c)
+               FILTER (WHERE q <= {_CKA_PREFIX}))) AS DOUBLE) AS xy
       FROM g
     )
     SELECT {_CKA_PREFIX} AS prefix_dims,
@@ -3123,8 +3125,18 @@ def q339_linear_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p") + F.col("j0")).cast("int").alias("q"),
         (F.col("v") * F.col("w")).alias("vw"),
     )
+    S = vector.FIXED_POINT_SCALE
+    # 2^49 floor fixed-point per term (r11): float32-origin values land
+    # EXACTLY on 1e-12 half-quanta (the boundary audit measured 128
+    # exact hits on the old DECIMAL(30,12) casts), where the two
+    # engines' double->DECIMAL rounders may disagree; floor of the
+    # power-of-two scaling is exact for bit-identical terms
     mom = half.groupBy("p", "q").agg(
-        F.sum(F.col("vw").cast("decimal(30,12)")).cast("double").alias("sxy")
+        (
+            F.sum(F.floor(F.col("vw") * F.lit(S)).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(S)
+        ).alias("sxy")
     )
     # marginal dim sums: the per-(p,q) sx/sy of the relational phrasing
     # are q-independent, so one d-group aggregate over n x d terms
@@ -3132,7 +3144,13 @@ def q339_linear_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
     marg = (
         e.select(F.posexplode(arr).alias("i0", "v"))
         .groupBy((F.col("i0") + 1).cast("int").alias("p"))
-        .agg(F.sum(F.col("v").cast("decimal(30,12)")).cast("double").alias("s"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * F.lit(S)).cast("decimal(38,0)"))
+                .cast("double")
+                / F.lit(S)
+            ).alias("s")
+        )
     )
     n = e.agg(F.count("*").cast("long").alias("n"))
     c_half = (
@@ -3156,26 +3174,24 @@ def q339_linear_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pfx = _CKA_PREFIX
+    # the Frobenius layer is d^2-bounded (64x64 = 4096 rows at ANY
+    # corpus scale), so no quantization is needed at all: an exact
+    # sorted sequential fold over the bit-identical c*c terms (the q64
+    # list_sum(list_sort(...)) idiom) is order-independent and carries
+    # zero rounding-boundary exposure
+    cc = F.col("c") * F.col("c")
+
+    def _sorted_sum(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, x: a + x
+        )
+
     fro = g.agg(
-        F.sum(
-            F.when(
-                (F.col("p") <= pfx) & (F.col("q") <= pfx),
-                (F.col("c") * F.col("c")).cast("decimal(38,12)"),
-            )
-        )
-        .cast("double")
-        .alias("yy"),
-        F.sum((F.col("c") * F.col("c")).cast("decimal(38,12)"))
-        .cast("double")
-        .alias("xx"),
-        F.sum(
-            F.when(
-                F.col("q") <= pfx,
-                (F.col("c") * F.col("c")).cast("decimal(38,12)"),
-            )
-        )
-        .cast("double")
-        .alias("xy"),
+        _sorted_sum(
+            F.when((F.col("p") <= pfx) & (F.col("q") <= pfx), cc)
+        ).alias("yy"),
+        _sorted_sum(cc).alias("xx"),
+        _sorted_sum(F.when(F.col("q") <= pfx, cc)).alias("xy"),
     )
     return fro.select(
         F.lit(pfx).alias("prefix_dims"),

@@ -76,10 +76,28 @@ REVIEWED_TAINTED_FLOOR: dict[str, str] = {
 REWRITE_BLIND: dict[str, str] = {}
 
 
-def _site_counts(sql: str) -> tuple[int, int]:
+def _load_audit_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "round_audit",
+        os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "round_audit.py"
+        ),
+    )
+    ra = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ra)
+    return ra
+
+
+_RA = _load_audit_module()
+
+
+def _site_counts(sql: str) -> tuple[int, int, int]:
     return (
         len(re.findall(r"\bROUND\s*\(", sql, re.I)),
         len(re.findall(r"\bFLOOR\s*\(", sql, re.I)),
+        _RA._rewrite_decimal_casts(sql)[1],
     )
 
 
@@ -105,12 +123,14 @@ def test_rounding_surface_unchanged_since_audit(receipt):
     drifted = {}
     for name, entry in receipt["queries"].items():
         sql = QUERIES[name].oracle
-        r, f = _site_counts(sql)
-        if r != entry["round_sites"] or f != entry["floor_sites"]:
-            drifted[name] = {
-                "receipt": (entry["round_sites"], entry["floor_sites"]),
-                "live": (r, f),
-            }
+        r, f, d = _site_counts(sql)
+        rec = (
+            entry["round_sites"],
+            entry["floor_sites"],
+            entry.get("dec_sites", d),
+        )
+        if (r, f, d) != rec:
+            drifted[name] = {"receipt": rec, "live": (r, f, d)}
     assert not drifted, (
         f"rounding surface drifted since the audit: {drifted} — re-run "
         "scripts/round_audit.py --receipt=... and review the flags"
@@ -142,6 +162,65 @@ def test_reviewed_round_flags_keep_safe_margins(receipt):
             f for f in entry["flags"] if f["kind"] == kind and f["site"] == site
         )
         assert fl["exact"] == 0 and fl["min_ulp"] > 4.0, (name, site, fl)
+
+
+# Hazard-class DEC flags (an input ON or within 4 ulp of a half-quantum
+# of its double->DECIMAL(p,s) cast) in driver-GREEN queries: the driver
+# has already hash-verified these queries on this very data
+# (CORRECTNESS r5-r10 rows), so its decimal cast provably agrees with
+# Spark's HALF_UP on every one of these inputs. Transcendental-tainted
+# members are additionally certified by the libm perturbation receipt.
+# The one proven flip (q76 at sf0.1) and the one never-verified carrier
+# (q339) were converted to floor fixed-point / sorted exact folds in
+# r11 and must stay OUT of this set.
+REVIEWED_DEC_QUERIES: set[str] = {
+    "q105_bigram_lm_score",
+    "q167_perplexity_buckets",
+    "q171_curriculum_schedule",
+    "q180_embedding_isotropy",
+    "q181_all_but_the_top",
+    "q196_zipf_fit",
+    "q205_crossentropy_matrix",
+    "q223_embedding_drift",
+    "q227_revenue_concentration",
+    "q263_token_entropy",
+    "q265_lof_outliers",
+    "q278_stream_audience_entropy",
+    "q300_corpus_scorecard",
+    "q77_power_iteration",
+    "q94_unigram_lm_score",
+}
+
+
+def test_dec_hazards_are_reviewed(receipt):
+    """Every hazard-class DEC flag needs the driver-green review (or a
+    conversion); wide-margin DEC flags (exact=0, >4 ulp) are
+    divergence-free for bit-identical inputs and auto-pass."""
+    unreviewed = []
+    for name, entry in receipt["queries"].items():
+        for fl in entry.get("flags", []):
+            if fl["kind"] != "DEC":
+                continue
+            if fl["exact"] > 0 or fl["min_ulp"] <= 4.0:
+                if name not in REVIEWED_DEC_QUERIES:
+                    unreviewed.append((name, fl["site"], fl["exact"], fl["min_ulp"]))
+    assert not unreviewed, (
+        "hazard-class double->DECIMAL cast inputs in unreviewed queries: "
+        f"{unreviewed} — convert to floor fixed-point (q76/q339 pattern) "
+        "or add the driver-green review to REVIEWED_DEC_QUERIES"
+    )
+
+
+def test_reviewed_dec_queries_are_driver_green(receipt):
+    """The review reason is 'the driver already verified these exact
+    inputs' — so every member must actually hold a green row."""
+    from frontmatter_mcp_spark.workload import _LAST_GREEN_ROUND
+
+    not_green = sorted(REVIEWED_DEC_QUERIES - set(_LAST_GREEN_ROUND))
+    assert not not_green, (
+        f"REVIEWED_DEC_QUERIES without a driver-green row: {not_green} — "
+        "the green-row evidence does not cover them; convert instead"
+    )
 
 
 def test_tainted_floor_queries_are_reviewed(receipt):
