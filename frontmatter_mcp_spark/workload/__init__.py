@@ -340,6 +340,11 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # r11 second pass: the two remaining Python-side half-up rounds
     # (driver-computed rows) converted to ppm integer / floor-quant
     "q268_markov_removal_attribution",
+    # r11 full-sf0.1 sweep findings: q76's DECIMAL(28,12) inertia flip
+    # (converted to 2^49 floor fx) and q284's IEEE signed-zero output
+    # (-0.0 from DuckDB ROUND vs +0.0 from Spark BigDecimal; normalized
+    # with + 0e0 on both engines)
+    "q284_diff_in_diff",
 }
 
 

@@ -1815,8 +1815,8 @@ def q283_calibration_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROUND(CAST(w.c1 AS DOUBLE) / w.c1n, 6) AS control_post_mean,
       ROUND((CAST(w.t1 AS DOUBLE) / w.t1n - CAST(w.t0 AS DOUBLE) / w.t0n)
             - (CAST(w.c1 AS DOUBLE) / w.c1n - CAST(w.c0 AS DOUBLE) / w.c0n), 6)
-        AS did_estimate,
-      ROUND(s.slope_t - s.slope_c, 6) AS pretrend_slope_gap
+        + 0e0 AS did_estimate,
+      ROUND(s.slope_t - s.slope_c, 6) + 0e0 AS pretrend_slope_gap
     FROM w CROSS JOIN slopes s
     """,
     doc="difference-in-differences on daily volumes: 'click' treated vs "
@@ -1891,10 +1891,16 @@ def q284_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(tpost, 6).alias("treated_post_mean"),
             F.round(cpre, 6).alias("control_pre_mean"),
             F.round(cpost, 6).alias("control_post_mean"),
-            F.round((tpost - tpre) - (cpost - cpre), 6).alias("did_estimate"),
-            F.round(F.col("slope_t") - F.col("slope_c"), 6).alias(
-                "pretrend_slope_gap"
+            # + 0.0 normalizes IEEE signed zero: DuckDB ROUND keeps
+            # -0.0 for a tiny negative difference, Spark's BigDecimal
+            # round has no signed zero — the canonical hash separates
+            # them (caught by the r11 full sf0.1 sweep)
+            (F.round((tpost - tpre) - (cpost - cpre), 6) + F.lit(0.0)).alias(
+                "did_estimate"
             ),
+            (
+                F.round(F.col("slope_t") - F.col("slope_c"), 6) + F.lit(0.0)
+            ).alias("pretrend_slope_gap"),
         )
     )
 
