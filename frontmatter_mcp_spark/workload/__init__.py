@@ -54,8 +54,8 @@ _LAST_GREEN_ROUND: dict[str, int] = {
             "q46_group_concat", "q47_exists_with_agg", "q65_volume_shipping",
             "q66_market_share", "q67_top_supplier", "q68_bulk_suppliers",
             "q69_rich_inactive_customers", "q72_gapfill_hourly",
-            "q73_retention_cohorts", "q74_event_funnel",
-            "q75_minhash_calibration", "q78_salted_aggregation",
+            "q73_retention_cohorts",
+            "q78_salted_aggregation",
             "q88_quality_gate", "q89_event_spikes",
         ],
         3,
@@ -64,36 +64,34 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     **dict.fromkeys(
         [
             "q01_pricing_summary", "q02_top_orders", "q30_dedup_exact",
-            "q31_minhash_signatures", "q32_lsh_candidates",
-            "q33_ngram_jaccard_pairs", "q34_simhash", "q35_text_profile",
-            "q36_ann_bruteforce", "q37_ann_ivf", "q38_embedding_neardup",
+            "q31_minhash_signatures",
+            "q34_simhash", "q35_text_profile",
+            "q36_ann_bruteforce", "q37_ann_ivf",
             "q39_label_centroids", "q40_token_stats",
             "q41_window_fingerprint_pairs", "q43_ann_lsh", "q44_embed_vectors",
             "q45_semantic_search", "q48_kmeans_clusters", "q49_ann_ivf_kmeans",
             "q50_stream_tumbling", "q51_stream_sliding", "q52_stream_sessions",
             "q53_stream_dedup", "q54_stream_stateful_counters",
-            "q55_stream_interval_join", "q56_neardup_groups",
+            "q55_stream_interval_join",
             "q57_hash_split_sample", "q58_tfidf_keywords",
             "q59_boilerplate_spans", "q60_decontamination",
             "q61_repetition_profile", "q62_normalize_text", "q63_vocab_coverage",
-            "q64_embedding_quantize", "q70_incremental_dedup", "q71_dedup_report",
-            "q76_kmeans_inertia", "q77_power_iteration", "q79_doc_chunking",
-            "q80_sequence_packing", "q81_ivf_partitioned", "q82_lsh_recall",
-            "q83_mixture_quota", "q84_safety_profile", "q85_length_outliers",
-            "q86_bloom_prefilter_dedup", "q87_containment_pairs",
-            "q90_semantic_dedup", "q91_banding_sweep", "q92_stream_ingest_gate",
+            "q64_embedding_quantize", "q71_dedup_report",
+            "q77_power_iteration", "q79_doc_chunking",
+            "q80_sequence_packing", "q81_ivf_partitioned",
+            "q84_safety_profile", "q85_length_outliers",
         ],
         4,
     ),
     # green in CORRECTNESS_r05.json (50/50 of the r05 window)
     **dict.fromkeys(
         [
-            "q100_dsir_resample", "q101_pq_recall", "q102_ann_ndcg",
+            "q101_pq_recall", "q102_ann_ndcg",
             "q103_temperature_mixture", "q105_bigram_lm_score",
-            "q106_token_budget_mixture", "q107_prototype_pruning",
-            "q108_record_linkage", "q109_bitext_margin_mining",
+            "q106_token_budget_mixture",
+            "q108_record_linkage",
             "q110_shard_manifest", "q111_quality_classifier",
-            "q113_bpe_merge_loop", "q115_pii_redaction", "q116_bpe_encode",
+            "q115_pii_redaction",
             "q117_classifier_calibration", "q118_vocab_growth",
             "q119_fuzzy_decontamination", "q120_softdedup_weights",
             "q121_store_roundtrip_search", "q122_image_ahash_dedup",
@@ -234,6 +232,39 @@ _LAST_GREEN_ROUND: dict[str, int] = {
         ],
         10,
     ),
+    # green in CORRECTNESS_r11.json (48/50 of the r11 window; the two
+    # reds q273/q279 were DuckDB HUGEINT output columns hashing as
+    # decimal128 vs Spark int64 — fixed in r12 with BIGINT casts and
+    # absent here, so they front-load). Re-greened names moved here
+    # from their old blocks (single-occurrence invariant).
+    **dict.fromkeys(
+        [
+            "q100_dsir_resample", "q107_prototype_pruning",
+            "q109_bitext_margin_mining", "q113_bpe_merge_loop",
+            "q116_bpe_encode", "q32_lsh_candidates",
+            "q33_ngram_jaccard_pairs", "q38_embedding_neardup",
+            "q56_neardup_groups", "q70_incremental_dedup",
+            "q74_event_funnel", "q75_minhash_calibration",
+            "q76_kmeans_inertia", "q82_lsh_recall", "q83_mixture_quota",
+            "q86_bloom_prefilter_dedup", "q87_containment_pairs",
+            "q90_semantic_dedup", "q91_banding_sweep",
+            "q92_stream_ingest_gate", "q323_dirichlet_ql_topk",
+            "q324_isotonic_calibration", "q325_matryoshka_recall",
+            "q326_rake_keywords", "q328_image_phash", "q329_ffd_packing",
+            "q339_linear_cka", "q340_alignment_uniformity",
+            "q342_friedman_test", "q343_ljung_box", "q344_hurst_exponent",
+            "q345_rocchio_prf", "q349_threshold_percolation",
+            "q350_learned_index_audit", "q351_stratified_ate",
+            "q352_qq_table", "q354_front_coding_estimate",
+            "q355_good_turing", "q356_posting_compression",
+            "q357_overdispersion", "q359_dalenius_hodges",
+            "q361_retrieval_mrr", "q362_variant_json_stats",
+            "q363_langid_confusion", "q365_rocchio_sweep",
+            "q366_inclusion_audit", "q368_oneway_anova",
+            "q369_kll_quantiles",
+        ],
+        11,
+    ),
 }
 
 # Queries whose Spark plan or oracle changed since their last green row —
@@ -246,37 +277,19 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # and git history; the grouping comments below are the short form.
     #
     # r5 pin/persist re-plans, last green r3-r5 (never re-windowed since):
-    "q38_embedding_neardup",
-    "q56_neardup_groups",
-    "q70_incremental_dedup",
-    "q74_event_funnel",       # r9: single-pass windowed funnel re-plan
-    "q82_lsh_recall",
-    "q83_mixture_quota",
-    "q86_bloom_prefilter_dedup",
-    "q90_semantic_dedup",
-    "q92_stream_ingest_gate",
     # r8 MinHash-LSH skew-cap + r9 materialize opt-out consumers:
-    "q32_lsh_candidates",
-    "q75_minhash_calibration",
-    "q91_banding_sweep",
     "q126_similarity_pagerank",
     "q135_connected_components",  # + r9b eager-hold on round-1 edge pin
     "q159_triangle_count",
     "q165_kcore_peeling",         # + r9 holds lifecycle, r9b eager hold
     "q186_personalized_pagerank",
     # r8 shared shingle/span hold consumers:
-    "q33_ngram_jaccard_pairs",
-    "q87_containment_pairs",
     "q93_duplicate_span_removal",
     # r9 re-plans (DSIR core refactor, binary-search holds lifecycle):
     "q97_dsir_weights",
-    "q100_dsir_resample",
     "q164_exact_dup_length",
     # r9b ADR-0007 eager-hold conversions not re-greened by the r09 window
     # (each had a bracketed A/B probe; deltas recorded in STATUS r9b):
-    "q109_bitext_margin_mining",
-    "q113_bpe_merge_loop",
-    "q116_bpe_encode",
     "q117_classifier_calibration",
     "q119_fuzzy_decontamination",
     "q120_softdedup_weights",
@@ -318,8 +331,6 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # r10: k-means scorers one-scanned — own-centroid distance is the
     # assignment fold's array_min (bit-identical double), so the join
     # back to embeddings and its second scan are dropped
-    "q76_kmeans_inertia",
-    "q107_prototype_pruning",
     # r11 ROUND-of-double hazard sweep (VERDICT r10 item 2): the
     # boundary audit (scripts/round_audit.py at sf0.01) found these
     # queries' hash-significant ROUND inputs ON or within ~2 ulp of a
@@ -335,7 +346,6 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q270_singlelink_cut_sweep",
     "q280_edit_distance_verify",
     "q299_annotation_batch",
-    "q329_ffd_packing",
     "q360_bbit_minhash",
     # r11 second pass: the two remaining Python-side half-up rounds
     # (driver-computed rows) converted to ppm integer / floor-quant

@@ -3247,7 +3247,15 @@ def q329_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bins_nextfit") - F.col("bins_ffd")).alias("bins_saved"),
         # utilization as pure-integer ppm floor division (`div` keeps it
         # in BIGINT — no double rounding): the ROUND form landed on
-        # exact .5e-6 boundaries at sf0.01 (r11 boundary audit)
+        # exact .5e-6 boundaries at sf0.01 (r11 boundary audit).
+        # Scale bound: total_tokens * 1e6 stays in BIGINT only while
+        # per-source token mass < 2^63/1e6 ~ 9.2e12 tokens (~9 PB of
+        # 1-byte tokens per source) — far above the 100 TB design
+        # point, but past it non-ANSI Spark wraps silently while the
+        # DuckDB oracle promotes to HUGEINT and keeps going (they
+        # diverge instead of failing together). If the corpus ever
+        # approaches the bound, cast total_tokens to DECIMAL(38,0)
+        # before scaling on BOTH engines.
         F.expr(
             f"total_tokens * 1000000L div (bins_ffd * {_PACK_CAP})"
         ).alias("util_ffd_ppm"),

@@ -3182,6 +3182,14 @@ def q339_linear_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = F.col("c") * F.col("c")
 
     def _sorted_sum(col):
+        # Degenerate-edge pin: an empty F.when-filtered fold returns the
+        # 0.0 init while the oracle's list_sum(list(...) FILTER ...)
+        # returns NULL. The edge is unreachable BY INVARIANT — the
+        # filters keep dims p,q <= pfx (or all), and pfx = _CKA_PREFIX
+        # (32) < d = 64 guarantees every filter admits >= pfx^2 >= 1
+        # rows of the dense d x d covariance grid. Keep d >= pfx if
+        # either constant ever changes, or wrap the fold to NULL on
+        # empty arrays.
         return F.aggregate(
             F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, x: a + x
         )

@@ -1460,7 +1460,20 @@ def q268_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     rows.sort(key=lambda r: (-(r[2] - r[3]), r[0]))
     # removal effect as pure-integer ppm floor division (the q279
     # discipline): Python floor(x*1e6+0.5) vs DuckDB ROUND are
-    # different algorithms — the r10 driver-red class
+    # different algorithms — the r10 driver-red class.
+    # Guard the ppm division's cross-engine precondition (ADR-0008
+    # "Division semantics"): Python // floors toward -inf while
+    # DuckDB // and Spark div truncate toward zero, so the operators
+    # only agree for non-negative numerators; and conv_fx = 0 would
+    # error asymmetrically. Both are structurally impossible here —
+    # removal drops non-negative terms from a monotone fold, so
+    # 0 <= removed <= full — but fail loudly rather than diverge if
+    # the invariant is ever broken.
+    assert full > 0, "q268: zero conversion mass — ppm undefined"
+    assert all(0 <= r_ <= f_ for _, _, f_, r_ in rows), (
+        "q268: removal increased fixed-point conversion — "
+        "ppm floor-vs-truncate divergence hazard"
+    )
     out = [
         (
             c,
@@ -1507,11 +1520,17 @@ def _msprt_sql() -> str:
       FROM ud GROUP BY 1, 2
     ),
     cum AS (
+      -- CAST back to BIGINT: DuckDB promotes windowed SUM(BIGINT) to
+      -- HUGEINT (int128), which crosses Arrow as decimal128(38,0) and
+      -- hash-mismatches Spark's int64 at the driver boundary (r11
+      -- verdict). Values are user-day counts, far below 2^63.
       SELECT day, arm,
-             SUM(t_cnt) OVER (PARTITION BY arm ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
-             SUM(s_cnt) OVER (PARTITION BY arm ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+             CAST(SUM(t_cnt) OVER (PARTITION BY arm ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n,
+             CAST(SUM(s_cnt) OVER (PARTITION BY arm ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s
       FROM daily
     ),
     wide AS (

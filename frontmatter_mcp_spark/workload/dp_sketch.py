@@ -1913,10 +1913,10 @@ def _vopt_sql() -> str:
            strftime((SELECT day FROM pre WHERE i = bo.hi),
                     '%Y-%m-%d') AS day_end,
            CAST(bo.hi - bo.lo + 1 AS BIGINT) AS n_days,
-           (SELECT s FROM pre WHERE i = bo.hi)
+           CAST((SELECT s FROM pre WHERE i = bo.hi)
              - COALESCE((SELECT s FROM pre WHERE i = bo.lo - 1), 0)
-             AS total_events,
-           bo.cost AS vopt_cost_fx,
+             AS BIGINT) AS total_events,
+           CAST(bo.cost AS BIGINT) AS vopt_cost_fx,
            e.ew_cost AS equiwidth_cost_fx,
            CAST((e.ew_cost - bo.cost) * 1000000 // e.ew_cost AS BIGINT)
              AS error_reduction_ppm

@@ -65,9 +65,15 @@ def compare_query(spark, con, name: str, spark_fn, oracle: str, sf_dir: str) -> 
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols, s_vals = canonicalize(sdf.columns, s_rows)
 
-    res = con.sql(oracle)
-    d_cols_raw = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    # Fetch via Arrow, not fetchall(): the driver's hash boundary is
+    # Arrow-typed, and DuckDB HUGEINT (e.g. un-cast windowed SUM(BIGINT))
+    # crosses Arrow as decimal128(38,0) → Decimal → float-class, while
+    # fetchall() hands back a plain int that hashes identically to
+    # Spark's int64 and hides the divergence (r11 verdict: q273/q279
+    # passed five fetchall sweeps while staying driver-red).
+    tbl = con.sql(oracle).fetch_arrow_table()
+    d_cols_raw = list(tbl.schema.names)
+    d_rows = [tuple(d[c] for c in d_cols_raw) for d in tbl.to_pylist()]
     d_cols, d_vals = canonicalize(d_cols_raw, d_rows)
 
     if s_cols != d_cols:
