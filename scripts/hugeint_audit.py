@@ -79,10 +79,10 @@ def _rewrite(sql: str) -> tuple[str, int]:
     return "".join(out), site
 
 
-def audit_query(name: str, sql: str, sf_dir: str) -> list[dict]:
+def audit_query(name: str, sql: str, sf_dir: str) -> tuple[list[dict], dict]:
     sql_r, n = _rewrite(sql)
     if n == 0:
-        return []
+        return [], {"sites": 0, "max_bits": 0.0, "in_regime": 0, "misround": 0}
     stats: dict[int, dict] = {}
 
     def audit_hug(site: int, s: str) -> float:
@@ -121,16 +121,33 @@ def audit_query(name: str, sql: str, sf_dir: str) -> list[dict]:
         con.close()
 
     flags = []
+    max_abs = 0
+    in_regime = misround = 0
     for site, st in sorted(stats.items()):
+        max_abs = max(max_abs, st["max_abs_unscaled"])
+        in_regime += st["in_regime"]
+        misround += st["misround"]
         if st["in_regime"]:
             flags.append({"query": name, "site": site, **st})
-    return flags
+    summary = {
+        "sites": n,
+        "max_bits": round(math.log2(max_abs), 1) if max_abs else 0.0,
+        "in_regime": in_regime,
+        "misround": misround,
+    }
+    return flags, summary
 
 
 def main() -> int:
+    import json
+
     from frontmatter_mcp_spark.workload import QUERIES
 
-    args = sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--receipt")]
+    receipt_path = None
+    for a in sys.argv[1:]:
+        if a.startswith("--receipt="):
+            receipt_path = a.split("=", 1)[1]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] or [
         n for n in sorted(QUERIES)
@@ -138,13 +155,15 @@ def main() -> int:
     ]
     total_flags = 0
     errors = 0
+    receipt: dict[str, dict] = {}
     for name in names:
         try:
-            flags = audit_query(name, QUERIES[name].oracle, sf_dir)
+            flags, summary = audit_query(name, QUERIES[name].oracle, sf_dir)
         except Exception as e:
             errors += 1
             print(f"ERROR|{name}|{str(e)[:160]}", flush=True)
             continue
+        receipt[name] = summary
         for f in flags:
             frac = math.log2(f["max_abs_unscaled"]) if f["max_abs_unscaled"] else 0
             print(
@@ -155,6 +174,18 @@ def main() -> int:
             )
         total_flags += len(flags)
     print(f"SUMMARY|queries={len(names)}|flagged_sites={total_flags}|errors={errors}", flush=True)
+    if receipt_path:
+        if errors:
+            print("RECEIPT|refused: audit had errors", flush=True)
+            return 1
+        with open(receipt_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "queries": receipt},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"RECEIPT|{receipt_path}|queries={len(receipt)}", flush=True)
     return 0
 
 

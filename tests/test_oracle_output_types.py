@@ -106,3 +106,106 @@ def test_every_decimal_output_is_reviewed(described):
     )
     stale = set(REVIEWED_DECIMAL) - seen
     assert not stale, f"stale REVIEWED_DECIMAL entries: {sorted(stale)}"
+
+
+# --- int128-misround headroom gate (VERDICT r11 item 7) -------------------
+#
+# DuckDB converts HUGEINT/large-unscaled-DECIMAL to double via
+# double(upper)*2^64 + double(lower) — TWO roundings — while Spark's
+# BigDecimal path is correctly rounded; ~3.4% of integers above 2^63
+# misround (scripts/hugeint_audit.py, validated against native casts).
+# Every CAST(<decimal expr> AS DOUBLE) in the oracle corpus is therefore
+# a latent divergence once its unscaled int128 magnitude crosses 2^63.
+# The receipt pins the audit run on the driver's own sf0.01 data:
+# per-query DECIMAL->DOUBLE site counts and the max unscaled magnitude
+# observed. This gate (a) recomputes the cast-site counts statically so
+# editing the cast surface without re-running the audit fails loudly,
+# and (b) asserts every query keeps >= HEADROOM_BITS below 2^63 — the
+# early-warning margin as data grows (the 2^49-scaled _fx sums are the
+# closest approach: q76 at 2^55.1).
+
+HUGEINT_RECEIPT = os.path.join(
+    os.path.dirname(__file__), "data", "hugeint_audit_receipt.json"
+)
+
+# Enforced distance from the 2^63 misround boundary: 3 bits = the data
+# may grow 8x before this gate fires, which fires long before the
+# first actual misround. Queries needing more magnitude must move to
+# sorted exact folds or rescale their fixed point.
+HEADROOM_BITS = 3.0
+
+# (query) -> review reason, for any site allowed inside the headroom
+# band or the regime. Empty today — nothing is close.
+REVIEWED_HEADROOM: dict[str, str] = {}
+
+
+@pytest.fixture(scope="module")
+def hugeint_receipt():
+    import json
+
+    with open(HUGEINT_RECEIPT) as fh:
+        return json.load(fh)
+
+
+def _decimal_cast_queries():
+    import re as _re
+
+    from frontmatter_mcp_spark.workload import QUERIES as _Q
+
+    return {
+        n: _Q[n].oracle
+        for n in sorted(_Q)
+        if _Q[n].oracle and _re.search(r"DECIMAL\(", _Q[n].oracle, _re.I)
+    }
+
+
+def test_hugeint_receipt_covers_every_decimal_oracle(hugeint_receipt):
+    expected = set(_decimal_cast_queries())
+    got = set(hugeint_receipt["queries"])
+    assert got == expected, (
+        "DECIMAL-bearing oracle set changed since the int128 audit — "
+        "re-run scripts/hugeint_audit.py --receipt="
+        f"{HUGEINT_RECEIPT}: missing={sorted(expected - got)} "
+        f"stale={sorted(got - expected)}"
+    )
+
+
+def test_decimal_to_double_cast_surface_unchanged(hugeint_receipt):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "hugeint_audit",
+        os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "hugeint_audit.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    drift = []
+    for name, sql in _decimal_cast_queries().items():
+        _, n = mod._rewrite(sql)
+        pinned = hugeint_receipt["queries"][name]["sites"]
+        if n != pinned:
+            drift.append((name, pinned, n))
+    assert not drift, (
+        "DECIMAL->DOUBLE cast sites changed since the int128 audit — "
+        f"re-run scripts/hugeint_audit.py: {drift}"
+    )
+
+
+def test_no_unscaled_magnitude_near_int128_regime(hugeint_receipt):
+    bad = []
+    for name, st in hugeint_receipt["queries"].items():
+        if name in REVIEWED_HEADROOM:
+            assert st["misround"] == 0, (
+                f"{name} is reviewed but MEASURED misrounds: {st}"
+            )
+            continue
+        if st["in_regime"] or st["max_bits"] > 63.0 - HEADROOM_BITS:
+            bad.append((name, st))
+    assert not bad, (
+        "oracle DECIMAL->DOUBLE casts within "
+        f"{HEADROOM_BITS} bits of the 2^63 int128-misround boundary — "
+        "rescale the fixed point or convert to a sorted exact fold, "
+        f"then re-run the audit: {bad}"
+    )
