@@ -35,7 +35,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    batch_schema = spark.read.parquet(path).schema
+    from frontmatter_mcp_spark.tables import _table_schema
+
+    batch_schema = _table_schema(spark, path)
     # the file stream source wants a directory; glob-filter to the one table
     raw = (
         spark.readStream.schema(batch_schema)

@@ -31,8 +31,10 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the documents table. Schema comes from a
     driver-side batch footer read (no job), exactly like the events
     stream reader — never hardcode what the writer may change."""
+    from frontmatter_mcp_spark.tables import _table_schema
+
     path = os.path.join(sf_dir, "documents.parquet")
-    batch_schema = spark.read.parquet(path).schema
+    batch_schema = _table_schema(spark, path)
     return (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "documents.parquet")

@@ -36,10 +36,31 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Per-file schema cache (r12, guide §6): schema INFERENCE is ~80% of
+# spark.read.parquet's per-call cost (measured 104 ms inferred vs 24 ms
+# with an explicit schema on this host — a footer-read job per call),
+# and the workload re-opens the same static tables ~700 times per bench
+# session. Production pins schemas through a catalog for exactly this
+# reason; locally the cache infers once per (path, mtime) and replays
+# the explicit schema. Metadata only — every query still scans parquet;
+# the mtime key drops the entry if a fixture is ever rewritten.
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _table_schema(spark: SparkSession, path: str):
+    key = (path, os.path.getmtime(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one sf table; normalizes events.ts nanos->timestamp_ntz."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(_table_schema(spark, path)).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos -> micros (truncating), matching how DuckDB/Arrow read
         # TIMESTAMP(NANOS) into microsecond timestamps

@@ -1429,17 +1429,26 @@ def q137_dup_window_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_id",
                 # md5 the window BEFORE the shuffle: a 64-token span is
-                # ~400 bytes, its hash 32 — the distinct/groupBy/join
-                # exchanges carry the hash only (engine-portable, so the
+                # ~400 bytes, its hash 32 — the aggregate exchange
+                # carries the hash only (engine-portable, so the
                 # oracle hashes identically)
                 F.md5(F.array_join(F.slice("w", F.col("i"), n), " ")).alias("sp"),
             )
+        )
+        # ONE corpus pass per rung: collect_set(doc_id) both dedups
+        # within-doc repeats (the old pre-aggregate DISTINCT) and keeps
+        # the member docs, so the docs-holding-a-dup-span set falls out
+        # of the same aggregate that counts votes — the old shape
+        # recomputed the explode+distinct a second time to join spans
+        # back against dup_spans (2 corpus explodes + 3 corpus
+        # exchanges per rung; now 1 + 1)
+        dup_docs = hold(
+            spans.groupBy("sp")
+            .agg(F.collect_set("doc_id").alias("docs"))
+            .filter(F.size("docs") >= 2)
+            .select(F.explode("docs").alias("doc_id"))
             .distinct()
         )
-        dup_spans = (
-            spans.groupBy("sp").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
-        )
-        dup_docs = hold(spans.join(dup_spans, "sp").select("doc_id").distinct())
         level_tables.append(dup_docs.withColumn("lvl", F.lit(n)))
         cur = toks.join(dup_docs, "doc_id")
     lv = level_tables[0]
@@ -1655,12 +1664,20 @@ def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sp"
                 ),
             )
-            .distinct()
         )
+        # ONE corpus pass per probe (r12): collect_set(doc_id) replaces
+        # the pre-aggregate DISTINCT (within-doc repeats collapse inside
+        # the set) and keeps the member docs, so the next candidate set
+        # reads out of the SAME pinned aggregate instead of re-running
+        # the explode to join spans back against dup — the old shape
+        # paid 2 corpus explode passes per probe (the dup count and the
+        # candidate join), exactly the cost the step profile showed
+        # (1.2s x2 head probes). dup rows are only the >=2-doc spans,
+        # so the pinned footprint stays tiny.
         dup = pin(
-            spans.groupBy("sp").agg(F.count("*").cast("long").alias("nd")).filter(
-                F.col("nd") >= 2
-            )
+            spans.groupBy("sp")
+            .agg(F.collect_set("doc_id").alias("docs"))
+            .filter(F.size("docs") >= 2)
         )
         n = dup.count()
         if n > 0:
@@ -1679,7 +1696,8 @@ def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             # checkpoint is a plan leaf, so the next count couldn't have
             # fused past it).
             new_cand, new_ids = hold_ids(
-                spans.join(dup, "sp").select("doc_id").distinct(), eager=True
+                dup.select(F.explode("docs").alias("doc_id")).distinct(),
+                eager=True,
             )
             release_ids(spark, cand_ids)
             cand, cand_ids = new_cand, new_ids
