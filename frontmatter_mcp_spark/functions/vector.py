@@ -10,11 +10,52 @@ and vectorize fine at 100 TB scale, unlike a row-at-a-time Python UDF.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, functions as F
 
 
 def _to_double(col: Column) -> Column:
     return col.cast("array<double>")
+
+
+def _double_sql(x: float) -> str:
+    """One SQL double literal, bit-exact: repr() is the shortest string
+    that round-trips the IEEE value, and Spark's parser reads the 'D'
+    suffix through Java's Double semantics — the same bits F.lit sends."""
+    x = float(x)
+    if math.isnan(x):
+        return "double('NaN')"
+    if math.isinf(x):
+        return "double('Infinity')" if x > 0 else "double('-Infinity')"
+    return repr(x) + "D"
+
+
+def array_lit(values) -> Column:
+    """array<double> (or array<array<double>>) literal in ONE py4j call.
+
+    ``F.lit`` on a Python list recurses into one JVM round-trip PER
+    ELEMENT (pyspark builtin.py), so a k x dim centroid literal costs
+    k*dim socket round trips — measured 8.4 s of py4j chatter out of
+    q178's 9.9 s build (r12 profile). Rendering the same doubles as one
+    SQL ``array(...)`` expression ships one string and parses to the
+    IDENTICAL Literal tree (CreateArray of double Literals), so plans
+    and results are bit-equal; only driver-side build time changes.
+    """
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        return _double_sql(v)
+
+    return F.expr(render(list(values)))
+
+
+def array_lit_int(values, suffix: str = "") -> Column:
+    """array<int> (or, with suffix="L", array<bigint>) literal in one
+    py4j call — the integer twin of array_lit."""
+    return F.expr(
+        "array(" + ",".join(str(int(x)) + suffix for x in values) + ")"
+    )
 
 
 def dot_product(a: Column, b: Column) -> Column:

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from frontmatter_mcp_spark.functions.vector import fixed_point_mean
+from frontmatter_mcp_spark.functions.vector import array_lit, fixed_point_mean
 
 
 def _assign_cid(df: DataFrame, cents: list[list[float]], id_col: str) -> DataFrame:
@@ -38,7 +38,7 @@ def _assign_cid(df: DataFrame, cents: list[list[float]], id_col: str) -> DataFra
     shuffle, the distributed analogue of a broadcast variable. Ties take
     the FIRST exact minimum (array_position), i.e. the smaller cid.
     """
-    cents_lit = F.array(*[F.lit(c) for c in cents])
+    cents_lit = array_lit(cents)
     dists = F.transform(
         cents_lit,
         lambda c: F.aggregate(
@@ -199,7 +199,7 @@ def prototype_pruning(
     raw = embeddings.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cents_lit = F.array(*[F.lit(c) for c in cents])
+    cents_lit = array_lit(cents)
     dists = F.transform(
         cents_lit,
         lambda c: F.aggregate(

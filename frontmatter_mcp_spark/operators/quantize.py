@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from frontmatter_mcp_spark.functions.vector import array_lit
+
 
 def dim_stats(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """(pos, dmin, dmax) over the corpus — one explode + tiny aggregate."""
@@ -143,9 +145,7 @@ def pq_train_codebooks(
     vecs = sliced.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         for _ in range(iters - 1):
-            cents_lit = F.array(
-                *[F.array(*[F.lit(c) for c in books[s]]) for s in range(m)]
-            )
+            cents_lit = array_lit(books)
             dists = F.transform(
                 F.element_at(cents_lit, F.col("sub") + 1),
                 _subspace_sqdist(F.col("sv")),
@@ -197,7 +197,7 @@ def pq_encode(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     for s in range(m):
-        cl = F.array(*[F.lit(c) for c in books[s]])
+        cl = array_lit(books[s])
         sl = F.slice(F.col("__v"), s * sub + 1, sub)
         df = df.withColumn(f"__d{s}", F.transform(cl, _subspace_sqdist(sl)))
     codes = F.array(
@@ -236,7 +236,7 @@ def pq_adc_topk(
     dtab = F.array(
         *[
             F.transform(
-                F.array(*[F.lit(c) for c in books[s]]),
+                array_lit(books[s]),
                 _subspace_sqdist(F.slice(qv, s * sub + 1, sub)),
             )
             for s in range(m)

@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
-from frontmatter_mcp_spark.functions.vector import cosine_similarity, fixed_point_mean
+from frontmatter_mcp_spark.functions.vector import (
+    array_lit,
+    cosine_similarity,
+    fixed_point_mean,
+)
 
 
 def cosine_topk(
@@ -136,7 +140,7 @@ def hyperplane_bucket(vec: Column, dim: int, nbits: int = 4) -> Column:
     v = vec.cast("array<double>")
     bits = []
     for plane in hyperplanes(dim, nbits):
-        arr = F.array(*[F.lit(x) for x in plane])
+        arr = array_lit(plane)
         dot = F.aggregate(
             F.zip_with(v, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )

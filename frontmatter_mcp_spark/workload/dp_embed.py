@@ -440,7 +440,7 @@ def q76_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an explicit pushed filter (free at the scan) rather than relying
     # on the generator never emitting NULL ids (ADVICE r10).
     e = e.filter(F.col("vec_id").isNotNull())
-    cents_lit = F.array(*[F.lit(c) for c in cents])
+    cents_lit = vector.array_lit(cents)
     dists = F.transform(
         cents_lit,
         lambda c: F.aggregate(
@@ -1149,7 +1149,7 @@ def q177_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = kmeans_assign(
         e, k=_KMEANS_K, iters=_KMEANS_ITERS, return_centroids=True
     )
-    cents_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in cents])
+    cents_lit = vector.array_lit(cents)
     v = F.col("embedding").cast("array<double>")
     res = pin(
         e.join(assigned, "vec_id").select(
@@ -1206,7 +1206,7 @@ def q177_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtab = F.array(
         *[
             F.transform(
-                F.array(*[F.lit(c) for c in books[s]]),
+                vector.array_lit(books[s]),
                 pq._subspace_sqdist(F.slice(F.col("qr"), s * sub + 1, sub)),
             )
             for s in range(m)
@@ -1384,7 +1384,7 @@ def q178_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = kmeans_assign(
         e, k=_KMEANS_K, iters=_KMEANS_ITERS, return_centroids=True
     )
-    cents_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in cents])
+    cents_lit = vector.array_lit(cents)
     v = F.col("embedding").cast("array<double>")
     res = pin(
         e.join(assigned, "vec_id").select(
@@ -1443,7 +1443,7 @@ def q178_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtab = F.array(
         *[
             F.transform(
-                F.array(*[F.lit(c) for c in books[s]]),
+                vector.array_lit(books[s]),
                 pq._subspace_sqdist(F.slice(F.col("qr"), s * sub + 1, sub)),
             )
             for s in range(m)
