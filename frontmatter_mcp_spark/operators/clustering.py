@@ -131,7 +131,7 @@ def power_iteration(
         v = [1.0 / math.sqrt(dim)] * dim
         for _ in range(iters):
             dot = F.aggregate(
-                F.zip_with(F.col("_x"), F.lit(v), lambda a, b: a * b),
+                F.zip_with(F.col("_x"), array_lit(v), lambda a, b: a * b),
                 F.lit(0.0),
                 lambda s, t: s + t,
             )

@@ -1723,7 +1723,7 @@ def q180_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("embedding").cast("array<double>")
     xs = pin(e.select(x.alias("x")))
     dot = F.aggregate(
-        F.zip_with(F.col("x"), F.lit(v), lambda a, b: a * b),
+        F.zip_with(F.col("x"), vector.array_lit(v), lambda a, b: a * b),
         F.lit(0.0),
         lambda s, t: s + t,
     )

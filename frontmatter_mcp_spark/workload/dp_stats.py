@@ -580,12 +580,12 @@ def q181_all_but_the_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = means(xs, "x")
     x2 = pin(
         xs.select(
-            "vec_id", F.zip_with("x", F.lit(mu), lambda a, b: a - b).alias("x")
+            "vec_id", F.zip_with("x", vector.array_lit(mu), lambda a, b: a - b).alias("x")
         )
     )
     v_cent = power_iteration(x2, iters=_PI_ITERS, vec_col="x")
     dot_c = F.aggregate(
-        F.zip_with("x", F.lit(v_cent), lambda a, b: a * b),
+        F.zip_with("x", vector.array_lit(v_cent), lambda a, b: a * b),
         F.lit(0.0),
         lambda s, t: s + t,
     )
@@ -593,7 +593,7 @@ def q181_all_but_the_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         x2.select(
             "vec_id",
             F.zip_with(
-                "x", F.lit(v_cent), lambda a, b: a - b * dot_c
+                "x", vector.array_lit(v_cent), lambda a, b: a - b * dot_c
             ).alias("x"),
         )
     )
@@ -601,7 +601,7 @@ def q181_all_but_the_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stage_row(name, df, v):
         dot = F.aggregate(
-            F.zip_with("x", F.lit(v), lambda a, b: a * b),
+            F.zip_with("x", vector.array_lit(v), lambda a, b: a * b),
             F.lit(0.0),
             lambda s, t: s + t,
         )

@@ -1,0 +1,127 @@
+"""Focused tests for the r12 optimization-round rewrites.
+
+Each optimization must keep results bit-identical; these tests pin the
+equivalences independently of the (slower) full oracle sweep:
+
+1. array_lit / array_lit_int build the SAME literal values as the
+   per-element F.lit path (bit-compared as IEEE doubles).
+2. The q137/q164 collect_set fusion yields exactly the two-pass
+   (distinct -> count -> join-back) dup-doc set and dup-span count.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontmatter_mcp_spark.functions.vector import array_lit, array_lit_int
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack(">d", float(x))
+
+
+TRICKY = [
+    0.0, -0.0, 1.0, -1.5, 1e-07, 1e16, 2**-49, 5e-324,
+    1.7976931348623157e308, 3.141592653589793, -2.2250738585072014e-308,
+    0.1 + 0.2, 1 / 3, -1e-300,
+]
+
+
+def test_array_lit_bits_equal_f_lit(spark):
+    df = spark.range(1)
+    a = df.select(F.array(*[F.lit(float(x)) for x in TRICKY]).alias("v")).first().v
+    b = df.select(array_lit(TRICKY).alias("v")).first().v
+    assert len(a) == len(b)
+    assert all(_bits(p) == _bits(q) for p, q in zip(a, b))
+
+
+def test_array_lit_nested_and_specials(spark):
+    rows = [TRICKY[:7], TRICKY[7:14]]
+    df = spark.range(1)
+    a = (
+        df.select(
+            F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows]).alias("v")
+        )
+        .first()
+        .v
+    )
+    b = df.select(array_lit(rows).alias("v")).first().v
+    assert all(
+        _bits(p) == _bits(q) for ra, rb in zip(a, b) for p, q in zip(ra, rb)
+    )
+    s = df.select(
+        array_lit([float("nan"), float("inf"), float("-inf")]).alias("v")
+    ).first().v
+    assert s[0] != s[0] and s[1] == float("inf") and s[2] == float("-inf")
+
+
+def test_array_lit_int_types_and_values(spark):
+    df = spark.range(1)
+    ints = df.select(array_lit_int([0, -5, 63]).alias("v"))
+    assert ints.schema["v"].dataType.simpleString() == "array<int>"
+    assert ints.first().v == [0, -5, 63]
+    longs = df.select(array_lit_int([2**40, -7], suffix="L").alias("v"))
+    assert longs.schema["v"].dataType.simpleString() == "array<bigint>"
+    assert longs.first().v == [2**40, -7]
+
+
+@pytest.fixture()
+def span_corpus(spark):
+    # within-doc repeated span ("a b c d" twice in doc 1) exercises the
+    # distinct-per-doc rule the collect_set must preserve
+    rows = [
+        (1, "a b c d x a b c d"),
+        (2, "z a b c d y"),
+        (3, "q w e r t y u i"),
+        (4, "q w e r nope"),
+        (5, "solo text only here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spans(toks, n):
+    return (
+        toks.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("w", F.col("i"), n), " ")).alias("sp"),
+        )
+    )
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_collect_set_fusion_equals_two_pass(span_corpus, n):
+    toks = span_corpus.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+", -1).alias("w")
+    )
+    spans = _spans(toks, n)
+    # r11 two-pass reference: distinct -> count -> join back
+    spans_d = spans.distinct()
+    dup_spans = (
+        spans_d.groupBy("sp").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    )
+    ref_docs = {
+        r.doc_id
+        for r in spans_d.join(dup_spans, "sp").select("doc_id").distinct().collect()
+    }
+    ref_n_dup = dup_spans.count()
+    # r12 fused aggregate
+    fused = (
+        spans.groupBy("sp")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    got_docs = {
+        r.doc_id
+        for r in fused.select(F.explode("docs").alias("doc_id")).distinct().collect()
+    }
+    assert got_docs == ref_docs
+    assert fused.count() == ref_n_dup
