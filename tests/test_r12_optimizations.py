@@ -125,3 +125,54 @@ def test_collect_set_fusion_equals_two_pass(span_corpus, n):
     }
     assert got_docs == ref_docs
     assert fused.count() == ref_n_dup
+
+
+# ---------------------------------------------------------------------------
+# 3. ensure_parallelism scan partition-count cache (tables._SCAN_PARTS_CACHE)
+# ---------------------------------------------------------------------------
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_scan_parts_cache_matches_raw_probe(spark):
+    from frontmatter_mcp_spark import tables
+
+    for name in ["documents", "orders", "events", "lineitem"]:
+        df = tables.load_table(spark, SF_SMALL, name)
+        raw = df._jdf.queryExecution().toRdd().getNumPartitions()
+        key_col = df.columns[0]
+        out = tables.ensure_parallelism(df, key_col)
+        target = spark.sparkContext.defaultParallelism
+        # decision identical to the raw probe's
+        got = out._jdf.queryExecution().toRdd().getNumPartitions()
+        expect = raw if raw >= target else target
+        assert got == expect, (name, raw, got, expect)
+        # and the cache now holds the raw count for this layout
+        scan_key = df._fm_scan_key
+        hits = [v for k, v in tables._SCAN_PARTS_CACHE.items() if k[:2] == scan_key]
+        assert raw in hits
+
+
+def test_scan_parts_cache_key_includes_split_confs(spark):
+    from frontmatter_mcp_spark import tables
+
+    df = tables.load_table(spark, SF_SMALL, "documents")
+    tables.ensure_parallelism(df, "doc_id")
+    before = len(tables._SCAN_PARTS_CACHE)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64MB")
+        df2 = tables.load_table(spark, SF_SMALL, "documents")
+        tables.ensure_parallelism(df2, "doc_id")
+        # a changed split conf may not reuse the old entry
+        assert len(tables._SCAN_PARTS_CACHE) == before + 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_derived_frames_fall_back_to_raw_probe(spark):
+    from frontmatter_mcp_spark import tables
+
+    d = tables.load_table(spark, SF_SMALL, "documents").select("doc_id")
+    assert getattr(d, "_fm_scan_key", None) is None
+    out = tables.ensure_parallelism(d, "doc_id")
+    assert out.count() == tables.load_table(spark, SF_SMALL, "documents").count()
