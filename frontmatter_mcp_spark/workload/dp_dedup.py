@@ -17,7 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
-from frontmatter_mcp_spark.operators.holds import hold
+from frontmatter_mcp_spark.operators.holds import hold, overlap
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _BANDS,
@@ -1030,29 +1030,46 @@ def _banding_sweep_sql() -> str:
     "S-curve measurement that picks the banding before a 100 TB dedup",
 )
 def q91_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Both shared inputs are pinned (the q75 lesson): the banding
-    # branches project different sig columns, which defeats exchange
-    # canonicalization, so without the cache the shingle->md5->aggregate
-    # pipeline runs once per band branch and the expensive df-capped
-    # Jaccard self-join once per config (measured ~2x total). Both
-    # tables are tiny: doc-count-sized sigs, pair-count-sized truth.
-    # pin() releases them at the next query invocation (registry.py).
+    # Both shared inputs are materialized eagerly (the q75 lesson): the
+    # banding branches project different sig columns, which defeats
+    # exchange canonicalization, so without the cache the
+    # shingle->md5->aggregate pipeline runs once per band branch and the
+    # expensive df-capped Jaccard self-join once per config (measured
+    # ~2x total). Both tables are tiny: doc-count-sized sigs,
+    # pair-count-sized truth. r12: sigs/truth build as ONE overlapped
+    # pair of jobs, and the three per-config cap checkpoints (which all
+    # read the held sigs) run overlapped too (guide §2.6) — eager holds
+    # instead of the old lazy pins, because concurrent branches racing
+    # a cold lazy pin would each recompute it (ADR-0007).
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    sigs = pin(dd.minhash_signatures(d, "doc_id", "text", num_hashes=_NUM_HASHES))
-    truth = pin(
-        dd.ngram_jaccard_pairs(
-            d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
-        ).select("id_a", "id_b")
+    sigs, truth = overlap(
+        lambda: hold(
+            dd.minhash_signatures(d, "doc_id", "text", num_hashes=_NUM_HASHES)
+        ),
+        lambda: hold(
+            dd.ngram_jaccard_pairs(
+                d, "doc_id", "text", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
+            ).select("id_a", "id_b")
+        ),
+    )
+    # materialize=True (default): each config's cand feeds TWO
+    # consumers (the count aggregate and the caught join) — without
+    # the eager hold both re-run the anti-join + self-join from the
+    # held sigs table (r9 triage measured 7.9s vs 6.7s held). The
+    # per-config cap work itself (drops shuffle + materialization)
+    # is deliberate skew-guard cost, rebaselined epoch 9 like q280.
+    cands = overlap(
+        *[
+            (
+                lambda bands=bands: dd.candidate_pairs_from_signatures(
+                    sigs, "doc_id", _NUM_HASHES, bands
+                )
+            )
+            for _, bands in _BAND_SWEEP
+        ]
     )
     outs = []
-    for method, bands in _BAND_SWEEP:
-        # materialize=True (default): each config's cand feeds TWO
-        # consumers (the count aggregate and the caught join) — without
-        # the eager hold both re-run the anti-join + self-join from the
-        # pinned sigs cache (r9 triage measured 7.9s vs 6.7s held). The
-        # per-config cap work itself (drops shuffle + materialization)
-        # is deliberate skew-guard cost, rebaselined epoch 9 like q280.
-        cand = dd.candidate_pairs_from_signatures(sigs, "doc_id", _NUM_HASHES, bands)
+    for (method, bands), cand in zip(_BAND_SWEEP, cands):
         caught = truth.join(cand, ["id_a", "id_b"])
         outs.append(
             cand.agg(F.count("*").cast("int").alias("n_candidates"))
@@ -2782,12 +2799,28 @@ def q295_blocking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE shingle pass for both the MinHash signatures and the exact-
     # Jaccard truth — the oracle SQL above declares a single shared sh
     # CTE; the held exploded table makes the Spark plan match it instead
-    # of tokenizing the corpus once per machinery.
-    sh = hold(
-        d.select(
-            F.col("doc_id"),
-            F.explode(dd.word_shingles(F.col("text"))).alias("shingle"),
-        )
+    # of tokenizing the corpus once per machinery. r12: the shingle
+    # hold and SimHash's construction-time signature hold are
+    # independent eager jobs — built overlapped (guide §2.6).
+    sh, sh2 = overlap(
+        lambda: hold(
+            d.select(
+                F.col("doc_id"),
+                F.explode(dd.word_shingles(F.col("text"))).alias("shingle"),
+            )
+        ),
+        lambda: pin(
+            dd.simhash_candidate_pairs(
+                d,
+                "doc_id",
+                "text",
+                bits=_SIMHASH_BITS,
+                bands=_SIMHASH_BANDS,
+                max_hamming=_SIMHASH_MAX_HAMMING,
+                max_bucket=_SIMHASH_MAX_BUCKET,
+                persist_fn=hold,
+            ).select("id_a", "id_b").distinct()
+        ),
     )
     mh = pin(
         dd.candidate_pairs_from_signatures(
@@ -2797,18 +2830,6 @@ def q295_blocking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             _NUM_HASHES,
             _BANDS,
-        ).select("id_a", "id_b").distinct()
-    )
-    sh2 = pin(
-        dd.simhash_candidate_pairs(
-            d,
-            "doc_id",
-            "text",
-            bits=_SIMHASH_BITS,
-            bands=_SIMHASH_BANDS,
-            max_hamming=_SIMHASH_MAX_HAMMING,
-            max_bucket=_SIMHASH_MAX_BUCKET,
-            persist_fn=hold,
         ).select("id_a", "id_b").distinct()
     )
     truth = pin(
@@ -2963,12 +2984,29 @@ def q305_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     # stages 3 (MinHash-LSH) and 6 (exact Jaccard) share ONE held
-    # shingle pass — mirrors the oracle's single sh CTE
-    shingles = hold(
-        d.select(
-            F.col("doc_id"),
-            F.explode(dd.word_shingles(F.col("text"))).alias("shingle"),
+    # shingle pass — mirrors the oracle's single sh CTE. r12: the two
+    # construction-time eager holds (shingle pass here, SimHash's
+    # signature table inside stage 4) are independent, so they build
+    # overlapped (guide §2.6) instead of as two serialized jobs.
+    shingles, simhash_stage = overlap(
+        lambda: hold(
+            d.select(
+                F.col("doc_id"),
+                F.explode(dd.word_shingles(F.col("text"))).alias("shingle"),
+            )
+        ),
+        lambda: dd.simhash_candidate_pairs(
+            d,
+            "doc_id",
+            "text",
+            bits=_SIMHASH_BITS,
+            bands=_SIMHASH_BANDS,
+            max_hamming=_SIMHASH_MAX_HAMMING,
+            max_bucket=_SIMHASH_MAX_BUCKET,
+            persist_fn=hold,
         )
+        .select("id_a", "id_b")
+        .distinct(),
     )
 
     def cnt_df(df: DataFrame) -> DataFrame:
@@ -3015,24 +3053,7 @@ def q305_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
             ),
         ),
-        (
-            4,
-            "simhash_candidates",
-            cnt_df(
-                dd.simhash_candidate_pairs(
-                    d,
-                    "doc_id",
-                    "text",
-                    bits=_SIMHASH_BITS,
-                    bands=_SIMHASH_BANDS,
-                    max_hamming=_SIMHASH_MAX_HAMMING,
-                    max_bucket=_SIMHASH_MAX_BUCKET,
-                    persist_fn=hold,
-                )
-                .select("id_a", "id_b")
-                .distinct()
-            ),
-        ),
+        (4, "simhash_candidates", cnt_df(simhash_stage)),
         (5, "winnowing_candidates", cnt_df(_winnow_pairs_df(spark, sf_dir))),
         (
             6,
@@ -3246,48 +3267,60 @@ def _ensemble_pairs_sql() -> str:
 def q310_ensemble_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    # ONE shingle pass shared by the MinHash blocker and the exact-
-    # Jaccard verifier (the oracle's single sh CTE) — winnowing and
-    # SimHash keep their own feature spaces (positional k-grams /
-    # token hashes), so only these two stages share.
-    sh = hold(
-        d.select(
-            F.col("doc_id"),
-            F.explode(dd.word_shingles(F.col("text"))).alias("shingle"),
-        )
-    )
+
     # r10 ADR-0007 tail sweep: the four candidate/truth tables fan out
     # across the verify join, three broadcast flag joins and the stats
-    # branch of ONE action — eager holds, probed -7% (8.21->7.61 min-of-3)
-    mh = hold(
-        dd.candidate_pairs_from_signatures(
-            dd.minhash_signatures_from_shingles(
-                sh, "doc_id", "shingle", _NUM_HASHES
+    # branch of ONE action — eager holds, probed -7% (8.21->7.61 min-of-3).
+    # r12: the three blocker chains are independent, so their eager hold
+    # jobs run overlapped (guide §2.6) — the build phase costs the
+    # slowest chain, not the sum (10.0 -> 5.2 s min-of-3, rows identical).
+    def _minhash_chain():
+        # ONE shingle pass shared by the MinHash blocker and the exact-
+        # Jaccard verifier (the oracle's single sh CTE) — winnowing and
+        # SimHash keep their own feature spaces (positional k-grams /
+        # token hashes), so only these two stages share.
+        sh = hold(
+            d.select(
+                F.col("doc_id"),
+                F.explode(dd.word_shingles(F.col("text"))).alias("shingle"),
+            )
+        )
+        return overlap(
+            lambda: hold(
+                dd.candidate_pairs_from_signatures(
+                    dd.minhash_signatures_from_shingles(
+                        sh, "doc_id", "shingle", _NUM_HASHES
+                    ),
+                    "doc_id",
+                    _NUM_HASHES,
+                    _BANDS,
+                ).select("id_a", "id_b").distinct()
             ),
-            "doc_id",
-            _NUM_HASHES,
-            _BANDS,
-        ).select("id_a", "id_b").distinct()
+            lambda: hold(
+                dd.ngram_jaccard_pairs_from_shingles(
+                    sh, "doc_id", "shingle",
+                    threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF,
+                ).select("id_a", "id_b")
+            ),
+        )
+
+    (mh, truth), sh2, wn = overlap(
+        _minhash_chain,
+        lambda: hold(
+            dd.simhash_candidate_pairs(
+                d,
+                "doc_id",
+                "text",
+                bits=_SIMHASH_BITS,
+                bands=_SIMHASH_BANDS,
+                max_hamming=_SIMHASH_MAX_HAMMING,
+                max_bucket=_SIMHASH_MAX_BUCKET,
+                persist_fn=hold,
+            ).select("id_a", "id_b").distinct()
+        ),
+        lambda: hold(_winnow_pairs_df(spark, sf_dir).select("id_a", "id_b")),
     )
-    sh2 = hold(
-        dd.simhash_candidate_pairs(
-            d,
-            "doc_id",
-            "text",
-            bits=_SIMHASH_BITS,
-            bands=_SIMHASH_BANDS,
-            max_hamming=_SIMHASH_MAX_HAMMING,
-            max_bucket=_SIMHASH_MAX_BUCKET,
-            persist_fn=hold,
-        ).select("id_a", "id_b").distinct()
-    )
-    wn = hold(_winnow_pairs_df(spark, sf_dir).select("id_a", "id_b"))
     cand = mh.union(sh2).union(wn).distinct()
-    truth = hold(
-        dd.ngram_jaccard_pairs_from_shingles(
-            sh, "doc_id", "shingle", threshold=_JACCARD_THRESHOLD, max_df=_MAX_DF
-        ).select("id_a", "id_b")
-    )
     verified = cand.join(truth, ["id_a", "id_b"])
     stats = (
         verified.agg(F.count("*").cast("long").alias("n_verified"))
@@ -3574,21 +3607,27 @@ def q353_keeper_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    edges = hold(
-        dd.lsh_candidate_pairs(
-            d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
-        )
-    )
-    comp = dd.connected_components_star(edges)
     wcol = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+", -1),
         lambda x: x != F.lit(""),
     )
-    qual = hold(
-        d.select("doc_id", F.explode(wcol).alias("t"))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("t").cast("long").alias("q"))
+    # r12: the LSH edge table and the per-doc richness aggregate are
+    # independent — their eager holds build overlapped (guide §2.6);
+    # the star contraction (which uses the per-round hold_ids
+    # lifecycle) stays serial after the barrier.
+    edges, qual = overlap(
+        lambda: hold(
+            dd.lsh_candidate_pairs(
+                d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+            )
+        ),
+        lambda: hold(
+            d.select("doc_id", F.explode(wcol).alias("t"))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("t").cast("long").alias("q"))
+        ),
     )
+    comp = dd.connected_components_star(edges)
     m = comp.select(F.col("node"), "component").join(
         qual, F.col("node") == qual["doc_id"]
     )

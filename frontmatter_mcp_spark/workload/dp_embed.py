@@ -17,7 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
-from frontmatter_mcp_spark.operators.holds import hold
+from frontmatter_mcp_spark.operators.holds import hold, overlap
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _ABS_STEPS,
@@ -2084,61 +2084,79 @@ def q245_ann_cost_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = e.filter(F.col("vec_id") >= 5)
     cv = cands.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     nq = q.count()
-    # brute force: every (q, cand) pair is a distance computation
-    exact = hold(
-        sim.cosine_topk(q, cv, k=10).select("qid", "cid")
-    )
-    n_brute = cands.count() * nq
-    # IVF: distances = centroid scans (tiny, excluded on both sides) +
-    # candidates inside the probed cells
-    cents = sim.label_centroids(cands)
-    probe = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn(
+
+    # r12 (guide §2.6 + the q305 one-job fusion): the three method
+    # tables (brute truth, IVF candidate distances, LSH ranking) are
+    # independent — their eager holds build overlapped — and the five
+    # serialized driver .count() jobs fuse into ONE union-of-aggregates
+    # action whose branch DAGs schedule concurrently.
+    from pyspark.sql.window import Window as W
+
+    def _ivf_chain():
+        # IVF: distances = centroid scans (tiny, excluded on both
+        # sides) + candidates inside the probed cells
+        cents = sim.label_centroids(cands)
+        probe = q.crossJoin(F.broadcast(cents)).withColumn(
             "cent_sim",
             vector.cosine_similarity(F.col("qvec"), F.col("centroid")),
         )
-    )
-    from pyspark.sql.window import Window as W
-
-    wp = W.partitionBy("qid").orderBy(F.desc("cent_sim"), F.asc("label"))
-    probed = (
-        probe.withColumn("cell_rank", F.row_number().over(wp))
-        .filter(F.col("cell_rank") <= 2)
-        .select("qid", "qvec", "label")
-    )
-    ipairs = hold(
-        cands.join(F.broadcast(probed), "label").select(
-            "qid",
-            F.col("vec_id").alias("cid"),
-            vector.cosine_similarity(F.col("qvec"), F.col("embedding")).alias(
-                "sim"
-            ),
+        wp = W.partitionBy("qid").orderBy(F.desc("cent_sim"), F.asc("label"))
+        probed = (
+            probe.withColumn("cell_rank", F.row_number().over(wp))
+            .filter(F.col("cell_rank") <= 2)
+            .select("qid", "qvec", "label")
         )
+        return hold(
+            cands.join(F.broadcast(probed), "label").select(
+                "qid",
+                F.col("vec_id").alias("cid"),
+                vector.cosine_similarity(
+                    F.col("qvec"), F.col("embedding")
+                ).alias("sim"),
+            )
+        )
+
+    # brute force: every (q, cand) pair is a distance computation
+    exact, ipairs, lsh_all = overlap(
+        lambda: hold(sim.cosine_topk(q, cv, k=10).select("qid", "cid")),
+        _ivf_chain,
+        lambda: hold(sim.lsh_topk(q, cv, dim=_LSH_DIM, nbits=_LSH_NBITS, k=10**9)),
     )
     wr = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     itop = ipairs.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= 10
     )
-    lsh_all = hold(
-        sim.lsh_topk(q, cv, dim=_LSH_DIM, nbits=_LSH_NBITS, k=10**9)
-    )
     ltop = lsh_all.filter(F.col("rank") <= 10)
 
-    def row(method, n_dist_df_or_int, top):
-        hits = top.join(exact, ["qid", "cid"]).count()
-        nd = (
-            n_dist_df_or_int
-            if isinstance(n_dist_df_or_int, int)
-            else n_dist_df_or_int.count()
+    def ledger_row(method, nd_agg, top):
+        hits = top.join(exact, ["qid", "cid"]).agg(
+            F.count("*").cast("long").alias("n_hits")
         )
-        return (method, nd, hits)
+        return hits.crossJoin(F.broadcast(nd_agg)).select(
+            F.lit(method).alias("method"), "n_distances", "n_hits"
+        )
 
-    rows = [
-        row("brute", n_brute, exact),
-        row("ivf_nprobe2", ipairs, itop),
-        row("lsh_4bit", lsh_all, ltop),
-    ]
+    n_brute_agg = cands.agg(
+        (F.count("*") * F.lit(nq)).cast("long").alias("n_distances")
+    )
+    fused = (
+        ledger_row("brute", n_brute_agg, exact)
+        .unionAll(
+            ledger_row(
+                "ivf_nprobe2",
+                ipairs.agg(F.count("*").cast("long").alias("n_distances")),
+                itop,
+            )
+        )
+        .unionAll(
+            ledger_row(
+                "lsh_4bit",
+                lsh_all.agg(F.count("*").cast("long").alias("n_distances")),
+                ltop,
+            )
+        )
+    )
+    rows = [(r["method"], r["n_distances"], r["n_hits"]) for r in fused.collect()]
     out = spark.createDataFrame(
         rows, "method string, n_distances long, n_hits long"
     )

@@ -176,3 +176,54 @@ def test_derived_frames_fall_back_to_raw_probe(spark):
     assert getattr(d, "_fm_scan_key", None) is None
     out = tables.ensure_parallelism(d, "doc_id")
     assert out.count() == tables.load_table(spark, SF_SMALL, "documents").count()
+
+
+# ---------------------------------------------------------------------------
+# 4. overlap() — concurrent independent build jobs (guide §2.6)
+# ---------------------------------------------------------------------------
+def test_overlap_returns_results_in_order(spark):
+    from frontmatter_mcp_spark.operators.holds import overlap
+
+    r = overlap(
+        lambda: spark.range(10).count(),
+        lambda: "plain-value",
+        lambda: spark.range(3).count(),
+    )
+    assert r == [10, "plain-value", 3]
+
+
+def test_overlap_propagates_exceptions(spark):
+    from frontmatter_mcp_spark.operators.holds import overlap
+
+    class Boom(RuntimeError):
+        pass
+
+    def bad():
+        raise Boom("inner failure")
+
+    with pytest.raises(Boom, match="inner failure"):
+        overlap(lambda: spark.range(5).count(), bad)
+
+
+def test_overlap_holds_track_all_ids_and_release(spark):
+    """Concurrent holds must never lose an RDD id: every held block is
+    released by release_held() even when the registry diffs interleave
+    (duplicate attribution is tolerated, missing attribution is not)."""
+    from frontmatter_mcp_spark.operators import holds
+
+    holds.release_held()
+    before = holds._persistent_ids(spark)
+    dfs = holds.overlap(
+        *[
+            (lambda i=i: holds.hold(spark.range(100 + i).selectExpr("id", "id * 2 AS d")))
+            for i in range(4)
+        ]
+    )
+    # all four checkpoints computed and usable
+    assert [df.count() for df in dfs] == [100, 101, 102, 103]
+    created = holds._persistent_ids(spark) - before
+    assert created, "eager holds should have registered persistent RDDs"
+    tracked = {i for _, ids in holds._HELD for i in ids}
+    assert created <= tracked, "a concurrently-held RDD id was not tracked"
+    holds.release_held()
+    assert not (holds._persistent_ids(spark) & created)
