@@ -17,9 +17,12 @@ storage, never a whole bench session's.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _HELD: list[tuple[object, list[int]]] = []
+_HELD_LOCK = threading.Lock()
 
 
 def _persistent_ids(spark) -> set[int]:
@@ -47,13 +50,26 @@ def hold_ids(df: DataFrame, eager: bool = True) -> tuple[DataFrame, list[int]]:
     caller frees the superseded round NOW via release_ids() instead of
     accumulating O(rounds) edge lists in executor storage until the
     next query invocation.
+
+    Id attribution is exact, not inferred: ``Dataset.localCheckpoint``
+    persists precisely one RDD — the internal row RDD the returned
+    Dataset's ``LogicalRDD`` plan node wraps — so the id is read off the
+    checkpointed plan itself. That makes the recorded list correct even
+    when several holds run concurrently (``overlap``): a loop can free
+    its own superseded rounds without ever touching a neighbour's
+    blocks. The registry-diff fallback (exact only for serial builds)
+    remains for plan-shape drift.
     """
     spark = df.sparkSession
     before = _persistent_ids(spark)
     df = df.localCheckpoint(eager=eager)
-    new_ids = sorted(_persistent_ids(spark) - before)
+    try:
+        new_ids = [int(df._jdf.queryExecution().analyzed().rdd().id())]
+    except Exception:  # noqa: BLE001 — internals drift; diff is the old path
+        new_ids = sorted(_persistent_ids(spark) - before)
     if new_ids:
-        _HELD.append((spark, new_ids))
+        with _HELD_LOCK:
+            _HELD.append((spark, new_ids))
     return df, new_ids
 
 
@@ -72,11 +88,12 @@ def release_ids(spark, ids: list[int]) -> None:
         pass
     # RDD ids are unique per SparkContext (one per process), so matching
     # on ids alone is unambiguous
-    _HELD[:] = [
-        (s, remaining)
-        for s, rec in _HELD
-        if (remaining := [r for r in rec if r not in wanted])
-    ]
+    with _HELD_LOCK:
+        _HELD[:] = [
+            (s, remaining)
+            for s, rec in _HELD
+            if (remaining := [r for r in rec if r not in wanted])
+        ]
 
 
 def overlap(*thunks):
@@ -92,14 +109,11 @@ def overlap(*thunks):
     so the build phase costs the slowest chain instead of the sum
     (q310 measured 10.0 s -> 5.2 s min-of-3, identical rows).
 
-    Thread-safety of the hold tracking: each thread's registry diff
-    always contains its own new ids (its before-snapshot precedes its
-    own checkpoint), so no id is ever missed; concurrent diffs may
-    record a neighbour's ids twice, and ``release_held`` tolerates the
-    duplicate unpersist (``jmap.get`` returns None the second time).
-    ``hold_ids``/``release_ids`` callers (iterative loops that free
-    superseded rounds) must NOT run inside ``overlap`` — a concurrent
-    diff could attribute a neighbour's ids to the loop's round.
+    Thread-safety of the hold tracking: ``hold_ids`` reads each
+    checkpoint's RDD id off the returned plan's own ``LogicalRDD`` node,
+    so attribution is exact under concurrency — ``hold`` users and
+    ``hold_ids``/``release_ids`` loop users (star contraction) are both
+    safe inside ``overlap``; the shared ``_HELD`` list is lock-guarded.
 
     Exceptions re-raise in the caller (first one wins). Results are
     plain DataFrames/values, deterministic regardless of completion

@@ -355,6 +355,18 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # (-0.0 from DuckDB ROUND vs +0.0 from Spark BigDecimal; normalized
     # with + 0e0 on both engines)
     "q284_diff_in_diff",
+    # r12 optimization round: overlapped independent build jobs
+    # (holds.overlap — q305/q310/q164/q208/q268/q303 already above),
+    # q245's fused count ledger, q91's eager overlapped sigs/truth,
+    # q309's counts folded into the plan as broadcast aggregates. All
+    # oracle-PASSed at sf0.001/0.01/0.1 this round; listed so the
+    # driver window re-verifies the restructured plans.
+    "q91_banding_sweep",
+    "q245_ann_cost_ledger",
+    "q295_blocking_agreement",
+    "q303_graph_diameter_sweep",
+    "q309_stop_shingle_census",
+    "q353_keeper_quality_audit",
 }
 
 

@@ -3148,15 +3148,24 @@ def q309_stop_shingle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = dfreq.filter(F.col("df") > _MAX_DF).select(
         "shingle", "df", F.expr("df * (df - 1) div 2").alias("pairs_avoided")
     )
-    nd = sh.select("doc_id").distinct().count()
-    vocab = dfreq.count()
-    tot = dropped.agg(
-        F.coalesce(F.sum("pairs_avoided"), F.lit(0))
-        .cast("long")
-        .alias("avoided_all"),
-        F.count("*").cast("long").alias("n_dropped"),
+    # nd/vocab ride the final action as broadcast one-row aggregates
+    # instead of two serialized driver count() jobs (guide §5 "no
+    # driver loops in query paths"); the ceiling arithmetic stays the
+    # same IEEE double ops (long->double conversion is exact below
+    # 2^53), so every output bit is unchanged
+    tot = (
+        dropped.agg(
+            F.coalesce(F.sum("pairs_avoided"), F.lit(0))
+            .cast("long")
+            .alias("avoided_all"),
+            F.count("*").cast("long").alias("n_dropped"),
+        )
+        .crossJoin(
+            sh.select("doc_id").distinct().agg(F.count("*").alias("nd"))
+        )
+        .crossJoin(dfreq.agg(F.count("*").alias("vocab")))
     )
-    ceiling = float(nd) * (nd - 1) / 2.0
+    ceiling = F.col("nd").cast("double") * (F.col("nd") - F.lit(1)) / F.lit(2.0)
     return (
         dropped.crossJoin(F.broadcast(tot))
         .select(
@@ -3168,9 +3177,9 @@ def q309_stop_shingle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("avoided_all").cast("double") / ceiling, 6).alias(
                 "ceiling_fraction"
             ),
-            F.round(F.col("n_dropped").cast("double") / vocab, 6).alias(
-                "dropped_vocab_frac"
-            ),
+            F.round(
+                F.col("n_dropped").cast("double") / F.col("vocab"), 6
+            ).alias("dropped_vocab_frac"),
         )
         .orderBy(F.col("df").desc(), "shingle")
         .limit(20)

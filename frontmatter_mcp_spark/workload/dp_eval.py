@@ -17,7 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
-from frontmatter_mcp_spark.operators.holds import hold
+from frontmatter_mcp_spark.operators.holds import hold, overlap
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _ABS_STEPS,
@@ -1406,19 +1406,24 @@ def q268_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     ).filter(F.col("src").isNotNull())
     trans = pairs.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
     rowtot = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("tot"))
-    tfx_rows = (
-        trans.join(rowtot, "src")
-        .select("src", "dst", F.expr(f"(cnt * {s}) div tot").alias("p_fx"))
-        .collect()
-    )
     firsts = (
         e.select("user_id", "ts", "event_id", "event_type")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
-    pi0_rows = firsts.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("cnt")
-    ).collect()
+    # the transition-matrix and initial-distribution collects are
+    # independent aggregates — overlapped so the driver pays one round
+    # trip of wall-clock, not two serialized jobs (guide §2.6)
+    tfx_rows, pi0_rows = overlap(
+        lambda: (
+            trans.join(rowtot, "src")
+            .select("src", "dst", F.expr(f"(cnt * {s}) div tot").alias("p_fx"))
+            .collect()
+        ),
+        lambda: firsts.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect(),
+    )
     types = sorted({r.src for r in tfx_rows} | {r.dst for r in tfx_rows}
                    | {r.event_type for r in pi0_rows})
     # the recursion runs on the |types|^2 matrix — driver state, exact

@@ -17,7 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
-from frontmatter_mcp_spark.operators.holds import hold, hold_ids, release_ids
+from frontmatter_mcp_spark.operators.holds import hold, hold_ids, overlap, release_ids
 from frontmatter_mcp_spark.workload.registry import pin, register
 from frontmatter_mcp_spark.workload.dp_shared import (
     _BANDS,
@@ -1071,9 +1071,17 @@ def q303_graph_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d1 = bfs(seed)
     far1 = d1.orderBy(F.col("hop").desc(), "node").limit(1).collect()[0]
-    d2 = bfs(far1.node)
-    far2 = d2.orderBy(F.col("hop").desc(), "node").limit(1).collect()[0]
-    n_comp = d1.count()
+    # the second BFS sweep and the component count both read only
+    # already-held tables and are independent — overlapped (guide
+    # §2.6); bfs's hold_ids/release_ids round lifecycle is safe under
+    # overlap since hold-id attribution is per-checkpoint-exact
+    far2, n_comp = overlap(
+        lambda: bfs(far1.node)
+        .orderBy(F.col("hop").desc(), "node")
+        .limit(1)
+        .collect()[0],
+        lambda: d1.count(),
+    )
     return d.sparkSession.createDataFrame(
         [
             (

@@ -17,7 +17,7 @@ from frontmatter_mcp_spark.operators import tokenize as tk
 from frontmatter_mcp_spark.sources import multimodal as mm
 from frontmatter_mcp_spark import tables
 from frontmatter_mcp_spark.tables import ensure_parallelism, load_table
-from frontmatter_mcp_spark.operators.holds import hold
+from frontmatter_mcp_spark.operators.holds import hold, overlap
 from frontmatter_mcp_spark.workload.registry import pin, register
 
 # ---------------------------------------------------------------------------
@@ -867,14 +867,23 @@ def q208_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = hold(
         wt.groupBy(F.col("t").alias("w")).agg(F.count("*").cast("long").alias("wc"))
     )
-    bseg = tk.bpe_segment_vocab(words, "w", "wc", iters=_BPE_ITERS, persist_fn=hold)
-    useg = tk.unigram_segment_vocab(
-        words.filter(F.length("w") <= _UNI_MAXW),
-        "w",
-        "wc",
-        max_piece=_UNI_MAXP,
-        vocab_size=_UNI_VOCAB,
-        persist_fn=hold,
+    # the two tokenizer trainings are independent serial job chains off
+    # the held words table (BPE: one eager checkpoint per merge step;
+    # unigram: its own build jobs) — overlapped so the training phase
+    # costs the slower tokenizer, not the sum (guide §2.6); hold_ids
+    # attribution is per-checkpoint-exact so concurrent holds are safe
+    bseg, useg = overlap(
+        lambda: tk.bpe_segment_vocab(
+            words, "w", "wc", iters=_BPE_ITERS, persist_fn=hold
+        ),
+        lambda: tk.unigram_segment_vocab(
+            words.filter(F.length("w") <= _UNI_MAXW),
+            "w",
+            "wc",
+            max_piece=_UNI_MAXP,
+            vocab_size=_UNI_VOCAB,
+            persist_fn=hold,
+        ),
     )
     j = hold(
         useg.select("w", "wc", "ps").join(bseg.select("w", "seq"), "w")

@@ -227,3 +227,29 @@ def test_overlap_holds_track_all_ids_and_release(spark):
     assert created <= tracked, "a concurrently-held RDD id was not tracked"
     holds.release_held()
     assert not (holds._persistent_ids(spark) & created)
+
+def test_hold_ids_attribution_is_exact_under_overlap(spark):
+    """hold_ids reads each checkpoint's RDD id off its own LogicalRDD
+    plan node, so a loop running inside overlap() can release its own
+    superseded rounds without freeing a neighbour's live blocks."""
+    from frontmatter_mcp_spark.operators import holds
+
+    holds.release_held()
+    out = holds.overlap(
+        *[
+            (lambda i=i: holds.hold_ids(spark.range(50 + i).selectExpr("id", "id * 3 AS t")))
+            for i in range(4)
+        ]
+    )
+    ids = [rec for _, rec in out]
+    # exactly one persistent RDD per localCheckpoint, no cross-attribution
+    assert all(len(rec) == 1 for rec in ids)
+    flat = [r for rec in ids for r in rec]
+    assert len(set(flat)) == 4
+    # each id really is that DataFrame's own checkpoint RDD
+    for df, rec in out:
+        assert int(df._jdf.queryExecution().analyzed().rdd().id()) == rec[0]
+    # releasing one thread's ids leaves the neighbours usable
+    holds.release_ids(spark, ids[0])
+    assert [df.count() for df, _ in out[1:]] == [51, 52, 53]
+    holds.release_held()
