@@ -367,6 +367,9 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q303_graph_diameter_sweep",
     "q309_stop_shingle_census",
     "q353_keeper_quality_audit",
+    # r12 second resume session: census split into overlapped column-
+    # group aggregates (same counters, narrower Expands; 0.51x probe)
+    "q235_null_census",
 }
 
 

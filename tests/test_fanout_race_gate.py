@@ -77,7 +77,8 @@ ALLOWED_COLD_FANOUT = {
     "q366_inclusion_audit",
     "q82_lsh_recall",
     "q90_semantic_dedup",
-    "q91_banding_sweep",
+    # q91_banding_sweep removed r12: its lazy pins became eager holds
+    # (overlap conversion), so the cold fan-out this list audits is gone.
     "q98_pmi_merge_candidates",
 }
 

@@ -253,3 +253,42 @@ def test_hold_ids_attribution_is_exact_under_overlap(spark):
     holds.release_ids(spark, ids[0])
     assert [df.count() for df, _ in out[1:]] == [51, 52, 53]
     holds.release_held()
+
+# ---------------------------------------------------------------------------
+# 5. q235 census restructure — overlapped column-group aggregates must
+#    reproduce the one-action union census value-for-value
+# ---------------------------------------------------------------------------
+def test_q235_grouped_census_equals_reference(spark):
+    from frontmatter_mcp_spark.tables import load_table
+    from frontmatter_mcp_spark.workload import QUERIES
+    from frontmatter_mcp_spark.workload.dp_business import _CENSUS_SPEC
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = QUERIES["q235_null_census"].spark(spark, sf_dir).collect()
+
+    # reference: the pre-r12 shape — per-table single aggregates over the
+    # full column list, assembled into (table, column) rows
+    ref = []
+    for t, cols in _CENSUS_SPEC.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count("*").cast("long").alias("n_rows")]
+        for c, kind in cols:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"nn_{c}")
+            )
+            aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+            blank = (
+                F.sum((F.trim(F.col(c)) == "").cast("int")).cast("long")
+                if kind == "s"
+                else F.lit(0).cast("long")
+            )
+            aggs.append(blank.alias(f"nb_{c}"))
+        r = df.agg(*aggs).collect()[0]
+        for c, _ in cols:
+            ref.append((t, c, r["n_rows"], r[f"nn_{c}"], r[f"nb_{c}"], r[f"nd_{c}"]))
+    ref.sort(key=lambda x: (x[0], x[1]))
+
+    assert [
+        (r.table_name, r.column_name, r.n_rows, r.n_null, r.n_blank, r.n_distinct)
+        for r in got
+    ] == ref
