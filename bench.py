@@ -398,6 +398,16 @@ def main() -> None:
             and t > full_best[n] * REGRESSION_THRESHOLD
             and t - full_best[n] > 1.0
         ]
+        # Spend the bounded re-measure budget on the WORST inflations
+        # first: under a mid-run contention burst more than 12 queries
+        # can flag, and in name order the budget saturates on the
+        # earliest alphabetical suspects while 5-10x outliers keep
+        # their dirty first readings (seen r12: q290/q291 at 9x stood
+        # while q100-q109 consumed all 12 slots). Same method, same
+        # count, same min-of-3 — only the selection order changes.
+        suspects.sort(
+            key=lambda n: timings[n] / max(full_best[n], 1e-9), reverse=True
+        )
         for name in [n for n in suspects if n in QUERIES][:12]:
             # min-of-3 total (first run + two serialized re-runs): this
             # host's noise has measured 1.5-2x distortions that survive
