@@ -474,6 +474,20 @@ def main() -> None:
     for k in tail_keys:
         if k in result:
             ordered[k] = result[k]
+    # ALSO persist the full result object to a file: the driver captures
+    # only the last ~2000 chars of stdout, and at 374 queries the one-line
+    # JSON outgrew that in r11 — the tail capture kept the controls but
+    # destroyed every per-query second, costing r12 its entire
+    # round-over-round PERF comparison. Additions-only: the stdout line
+    # below is byte-identical in format to every prior round.
+    try:
+        result_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"
+        )
+        with open(result_path, "w") as f:
+            json.dump(ordered, f, indent=1)
+    except OSError as e:  # read-only checkout must not kill the bench
+        print(f"BENCH_RESULT.json not written: {e}", file=sys.stderr)
     print(json.dumps(ordered))
 
 

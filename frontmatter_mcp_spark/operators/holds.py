@@ -96,7 +96,7 @@ def release_ids(spark, ids: list[int]) -> None:
         ]
 
 
-def overlap(*thunks):
+def overlap(*thunks, max_concurrency: int | None = None):
     """Run independent build thunks concurrently; return results in order.
 
     Spark's scheduler happily runs several jobs at once inside one
@@ -118,6 +118,13 @@ def overlap(*thunks):
     Exceptions re-raise in the caller (first one wins). Results are
     plain DataFrames/values, deterministic regardless of completion
     order, so query output is unchanged by construction.
+
+    ``max_concurrency`` bounds the number of thunks submitting Spark
+    jobs at once (a semaphore, so results still come back in order).
+    Callers with a data-proportional thunk count (q235's column-group
+    census) pass it so driver fan-out stays bounded rather than
+    proportional to spec size; the default (None) keeps the historical
+    all-at-once behaviour for small fixed fan-outs.
     """
     import threading
 
@@ -125,11 +132,20 @@ def overlap(*thunks):
 
     results = [None] * len(thunks)
     errs: list[BaseException] = []
+    gate = (
+        threading.Semaphore(max_concurrency)
+        if max_concurrency and max_concurrency > 0
+        else None
+    )
 
     def runner(i, fn):
         def inner() -> None:
             try:
-                results[i] = fn()
+                if gate is None:
+                    results[i] = fn()
+                else:
+                    with gate:
+                        results[i] = fn()
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 errs.append(e)
 
@@ -149,8 +165,15 @@ def overlap(*thunks):
 
 
 def release_held() -> None:
-    while _HELD:
-        spark, ids = _HELD.pop()
+    while True:
+        # hold_ids appends under _HELD_LOCK; take the same lock here so a
+        # release racing a concurrent build (overlap) can never observe
+        # the list mid-mutation. The unpersist itself runs outside the
+        # lock — it is a JVM call and must not serialize builders.
+        with _HELD_LOCK:
+            if not _HELD:
+                return
+            spark, ids = _HELD.pop()
         try:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             for rdd_id in ids:

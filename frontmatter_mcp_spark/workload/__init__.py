@@ -92,22 +92,18 @@ _LAST_GREEN_ROUND: dict[str, int] = {
             "q108_record_linkage",
             "q110_shard_manifest", "q111_quality_classifier",
             "q115_pii_redaction",
-            "q117_classifier_calibration", "q118_vocab_growth",
-            "q119_fuzzy_decontamination", "q120_softdedup_weights",
+            "q118_vocab_growth",
             "q121_store_roundtrip_search", "q122_image_ahash_dedup",
             "q123_wav_probe", "q124_duplication_ratio",
-            "q125_deterministic_augmentation", "q126_similarity_pagerank",
-            "q127_raking_mixture", "q128_png_ahash_dedup",
-            "q129_sparse_tfidf_knn", "q130_hard_negative_mining",
-            "q131_softdedup_sample", "q132_countmin_heavy_hitters",
-            "q134_bm25_topk", "q135_connected_components", "q136_hll_distinct",
-            "q137_dup_window_ladder", "q138_jpeg_coeff_roundtrip",
-            "q140_column_stats", "q141_incremental_mv", "q142_zorder_layout",
+            "q125_deterministic_augmentation", "q127_raking_mixture", "q128_png_ahash_dedup",
+            "q130_hard_negative_mining",
+            "q134_bm25_topk", "q136_hll_distinct",
+            "q138_jpeg_coeff_roundtrip",
+            "q141_incremental_mv", "q142_zorder_layout",
             "q143_scd2_history", "q144_interval_islands", "q145_jl_projection",
-            "q146_skipgram_pairs", "q27_approx_stats",
-            "q93_duplicate_span_removal", "q94_unigram_lm_score",
-            "q95_training_manifest", "q96_simhash_candidates",
-            "q97_dsir_weights", "q98_pmi_merge_candidates", "q99_pq_adc_topk",
+            "q27_approx_stats",
+            "q94_unigram_lm_score",
+            "q95_training_manifest", "q98_pmi_merge_candidates", "q99_pq_adc_topk",
         ],
         5,
     ),
@@ -115,25 +111,20 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     # artifacts were never recorded by the driver, so nothing maps to 6)
     **dict.fromkeys(
         [
-            "q147_cluster_cv_folds", "q148_knn_classifier_eval",
+            "q148_knn_classifier_eval",
             "q149_classifier_confusion", "q150_datacard",
-            "q151_composition_chi2", "q152_join_size_sketch",
-            "q153_corpus_diff", "q154_itemset_pairs", "q155_mad_anomalies",
-            "q156_bootstrap_ci", "q157_ab_test", "q158_dow_seasonality",
-            "q159_triangle_count", "q160_hll_join_overlap",
-            "q161_neyman_allocation", "q162_eb_shrinkage",
-            "q163_unigram_tokenizer", "q164_exact_dup_length",
-            "q165_kcore_peeling", "q166_kmv_setops",
+            "q152_join_size_sketch",
+            "q153_corpus_diff", "q156_bootstrap_ci", "q157_ab_test", "q160_hll_join_overlap",
+            "q162_eb_shrinkage",
+            "q163_unigram_tokenizer", "q166_kmv_setops",
             "q167_perplexity_buckets", "q168_compaction_plan",
-            "q169_unigram_encode", "q170_hash_sample_quantiles",
+            "q170_hash_sample_quantiles",
             "q171_curriculum_schedule", "q172_ewma_daily",
             "q173_skew_profile", "q174_interval_sweep", "q175_novelty_rate",
             "q176_holt_trend", "q177_ivfpq_topk", "q178_ivfpq_recall",
             "q179_psi_drift", "q180_embedding_isotropy",
-            "q181_all_but_the_top", "q182_dup_attribution",
-            "q183_referential_integrity", "q184_equidepth_histogram",
-            "q185_join_estimate_audit", "q186_personalized_pagerank",
-            "q312_product_profit", "q313_important_part_types",
+            "q181_all_but_the_top", "q183_referential_integrity", "q184_equidepth_histogram",
+            "q185_join_estimate_audit", "q312_product_profit", "q313_important_part_types",
             "q330_returned_item_revenue", "q331_ship_latency_priority",
             "q332_customer_order_distribution", "q333_promo_revenue_share",
             "q334_supplier_part_diversity", "q335_small_quantity_revenue",
@@ -146,27 +137,21 @@ _LAST_GREEN_ROUND: dict[str, int] = {
         [
             "q104_stream_static_enrichment", "q112_stream_topk_trending",
             "q114_stream_model_scoring", "q133_stream_neardup_gate",
-            "q139_stream_session_assembly", "q187_partition_modularity",
-            "q188_conversion_latency", "q189_parse_quality",
-            "q190_sample_fence_gate", "q191_stream_skew_profile",
-            "q192_cusum_changepoint", "q193_markov_transitions",
-            "q194_touch_attribution", "q195_readability", "q196_zipf_fit",
-            "q197_daily_value_bands", "q198_rfm_segments", "q199_top_paths",
-            "q200_volume_correlation", "q201_holt_winters", "q202_dp_release",
+            "q139_stream_session_assembly", "q189_parse_quality",
+            "q191_stream_skew_profile",
+            "q192_cusum_changepoint", "q194_touch_attribution", "q196_zipf_fit",
+            "q198_rfm_segments", "q200_volume_correlation", "q201_holt_winters", "q202_dp_release",
             "q203_ks_source_shift", "q204_experiment_readout",
-            "q205_crossentropy_matrix", "q206_effective_tokens",
-            "q207_order_asof_enrichment", "q208_tokenizer_bakeoff",
-            "q209_km_survival", "q210_discount_elasticity",
+            "q206_effective_tokens",
+            "q207_order_asof_enrichment", "q209_km_survival", "q210_discount_elasticity",
             "q211_seqlen_sweep", "q212_cohort_ltv", "q213_gdpr_impact",
             "q214_kish_design_effect", "q215_interarrival_gamma",
-            "q216_volume_acf", "q217_benford_audit", "q218_fulfillment_sla",
+            "q217_benford_audit", "q218_fulfillment_sla",
             "q219_behavior_diversity", "q220_session_entry_exit",
             "q221_concurrent_sessions", "q222_stream_cusum_alarm",
-            "q223_embedding_drift", "q224_mmr_rerank",
-            "q225_precedence_matrix", "q314_stream_misra_gries",
+            "q223_embedding_drift", "q314_stream_misra_gries",
             "q327_wav_frame_features", "q341_stream_quantile_monitor",
             "q346_video_frame_sample", "q347_image_resize_probe",
-            "q367_stream_mg_daily_heads",
         ],
         8,
     ),
@@ -177,22 +162,16 @@ _LAST_GREEN_ROUND: dict[str, int] = {
             "q228_epoch_shuffle_audit", "q229_conformal_calibration",
             "q230_rrf_fusion", "q231_hill_tail_index",
             "q232_quantile_normalize", "q233_water_filling",
-            "q234_decayed_popularity", "q235_null_census",
-            "q236_pareto_frontier", "q237_sample_size_planner",
-            "q238_pair_explanations", "q239_itemset_triples",
+            "q234_decayed_popularity", "q236_pareto_frontier", "q237_sample_size_planner",
+            "q239_itemset_triples",
             "q240_stream_decayed_popularity", "q241_price_volume_bridge",
-            "q243_degree_assortativity", "q245_ann_cost_ledger",
-            "q246_hll_time_rollup", "q255_absorption_analysis",
+            "q243_degree_assortativity", "q246_hll_time_rollup", "q255_absorption_analysis",
             "q259_misra_gries", "q260_mmr_lambda_sweep", "q265_lof_outliers",
             "q266_trust_bfs_hops", "q267_content_defined_chunking",
-            "q269_bloom_fpr_calibration", "q270_singlelink_cut_sweep",
-            "q277_source_jsd_matrix", "q283_calibration_scalars",
+            "q269_bloom_fpr_calibration", "q277_source_jsd_matrix", "q283_calibration_scalars",
             "q286_weighted_jaccard_pairs", "q292_dedup_roi",
-            "q295_blocking_agreement", "q296_markov_entropy_rate",
-            "q297_operating_point_sweep", "q303_graph_diameter_sweep",
-            "q304_cluster_lang_purity", "q305_dedup_funnel",
-            "q309_stop_shingle_census", "q310_ensemble_verified_pairs",
-            "q315_voptimal_dp", "q316_skyline_4d", "q317_chow_at_binseg",
+            "q296_markov_entropy_rate",
+            "q297_operating_point_sweep", "q304_cluster_lang_purity", "q315_voptimal_dp", "q316_skyline_4d", "q317_chow_at_binseg",
             "q318_vocab_budget_matrix", "q321_permutation_bh_fdr",
             "q338_harmonic_centrality", "q348_bandit_replay",
             "q353_keeper_quality_audit", "q358_next_event_eval",
@@ -265,7 +244,42 @@ _LAST_GREEN_ROUND: dict[str, int] = {
         ],
         11,
     ),
+    # green in CORRECTNESS_r12.json (50/50 of the r12 window: the 48
+    # re-greened r12-modified entries moved here from their old blocks
+    # (single-occurrence invariant) plus q273/q279, green for the first
+    # time after the r12 BIGINT output-type fix).
+    **dict.fromkeys(
+        [
+            "q117_classifier_calibration", "q119_fuzzy_decontamination",
+            "q120_softdedup_weights", "q126_similarity_pagerank",
+            "q129_sparse_tfidf_knn", "q131_softdedup_sample",
+            "q132_countmin_heavy_hitters", "q135_connected_components",
+            "q137_dup_window_ladder", "q140_column_stats",
+            "q146_skipgram_pairs", "q147_cluster_cv_folds",
+            "q151_composition_chi2", "q154_itemset_pairs",
+            "q155_mad_anomalies", "q158_dow_seasonality",
+            "q159_triangle_count", "q161_neyman_allocation",
+            "q164_exact_dup_length", "q165_kcore_peeling",
+            "q169_unigram_encode", "q182_dup_attribution",
+            "q186_personalized_pagerank", "q187_partition_modularity",
+            "q188_conversion_latency", "q190_sample_fence_gate",
+            "q193_markov_transitions", "q195_readability",
+            "q197_daily_value_bands", "q199_top_paths",
+            "q205_crossentropy_matrix", "q208_tokenizer_bakeoff",
+            "q216_volume_acf", "q224_mmr_rerank", "q225_precedence_matrix",
+            "q235_null_census", "q238_pair_explanations",
+            "q245_ann_cost_ledger", "q270_singlelink_cut_sweep",
+            "q273_msprt_sequential_ab", "q279_voptimal_histogram",
+            "q295_blocking_agreement", "q303_graph_diameter_sweep",
+            "q305_dedup_funnel", "q309_stop_shingle_census",
+            "q310_ensemble_verified_pairs", "q367_stream_mg_daily_heads",
+            "q93_duplicate_span_removal", "q96_simhash_candidates",
+            "q97_dsir_weights",
+        ],
+        12,
+    ),
 }
+
 
 # Queries whose Spark plan or oracle changed since their last green row —
 # once green they would otherwise sort by staleness and could fall outside
@@ -278,56 +292,21 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     #
     # r5 pin/persist re-plans, last green r3-r5 (never re-windowed since):
     # r8 MinHash-LSH skew-cap + r9 materialize opt-out consumers:
-    "q126_similarity_pagerank",
-    "q135_connected_components",  # + r9b eager-hold on round-1 edge pin
-    "q159_triangle_count",
-    "q165_kcore_peeling",         # + r9 holds lifecycle, r9b eager hold
-    "q186_personalized_pagerank",
+    # + r9b eager-hold on round-1 edge pin
+    # + r9 holds lifecycle, r9b eager hold
     # r8 shared shingle/span hold consumers:
-    "q93_duplicate_span_removal",
     # r9 re-plans (DSIR core refactor, binary-search holds lifecycle):
-    "q97_dsir_weights",
-    "q164_exact_dup_length",
     # r9b ADR-0007 eager-hold conversions not re-greened by the r09 window
     # (each had a bracketed A/B probe; deltas recorded in STATUS r9b):
-    "q117_classifier_calibration",
-    "q119_fuzzy_decontamination",
-    "q120_softdedup_weights",
-    "q131_softdedup_sample",
-    "q137_dup_window_ladder",
-    "q140_column_stats",
-    "q146_skipgram_pairs",
-    "q147_cluster_cv_folds",
-    "q154_itemset_pairs",
-    "q161_neyman_allocation",
-    "q169_unigram_encode",
-    "q187_partition_modularity",
-    "q193_markov_transitions",
-    "q205_crossentropy_matrix",
-    "q208_tokenizer_bakeoff",
-    "q224_mmr_rerank",
-    "q225_precedence_matrix",
-    "q367_stream_mg_daily_heads",
     # r9b simhash eager hold:
-    "q96_simhash_candidates",
     # r10 ADR-0007 tail sweep (plan-walk detector over all 369 plans
     # found 63 cold multi-consumer pins; the >=10% probe winners were
     # converted to eager holds — receipts at each call site). Green
     # consumers of changed plans re-verify; never-green ones (q247,
     # q276, q291, q319, q363) front-load automatically:
-    "q151_composition_chi2",
-    "q155_mad_anomalies",
-    "q305_dedup_funnel",
-    "q310_ensemble_verified_pairs",
     # r10 tail sweep batch 3 (same detector, same probe bar; never-green
     # winners q242/q244/q248/q252/q340/q343/q344/q361/q363/q368
     # front-load automatically):
-    "q129_sparse_tfidf_knn",
-    "q132_countmin_heavy_hitters",
-    "q158_dow_seasonality",
-    "q182_dup_attribution",
-    "q199_top_paths",
-    "q216_volume_acf",
     # r10: k-means scorers one-scanned — own-centroid distance is the
     # assignment fold's array_min (bit-identical double), so the join
     # back to embeddings and its second scan are dropped
@@ -338,12 +317,6 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # floor fixed-point / floor-quantization on BOTH engines (q33/q75/
     # q87/q119 were already modified; the jaccard/containment operators
     # now emit floor_quant(score), so every consumer re-verifies):
-    "q188_conversion_latency",
-    "q190_sample_fence_gate",
-    "q195_readability",
-    "q197_daily_value_bands",
-    "q238_pair_explanations",
-    "q270_singlelink_cut_sweep",
     "q280_edit_distance_verify",
     "q299_annotation_batch",
     "q360_bbit_minhash",
@@ -362,15 +335,11 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # oracle-PASSed at sf0.001/0.01/0.1 this round; listed so the
     # driver window re-verifies the restructured plans.
     "q91_banding_sweep",
-    "q245_ann_cost_ledger",
-    "q295_blocking_agreement",
-    "q303_graph_diameter_sweep",
-    "q309_stop_shingle_census",
     "q353_keeper_quality_audit",
     # r12 second resume session: census split into overlapped column-
     # group aggregates (same counters, narrower Expands; 0.51x probe)
-    "q235_null_census",
-}
+    }
+
 
 
 

@@ -2356,9 +2356,10 @@ def _census_sql() -> str:
     doc="whole-catalog data-quality census: per (table, column), row "
     "count, NULLs, blank strings, and exact distinct counts — "
     "generated from ONE column spec shared with the Spark builder, so "
-    "the profile and its oracle cannot drift. Each table is scanned "
-    "once (all its column counters share the aggregate; the distinct "
-    "counts expand map-side), and the result is columns-sized. The "
+    "the profile and its oracle cannot drift. Counters are grouped into "
+    "column groups of <=3 per scan (disjoint column sets, so parquet "
+    "pruning keeps total I/O near one full-width pass) and the group "
+    "aggregates run overlapped; the result is columns-sized. The "
     "report that catches a silently-nulled upstream field the day it "
     "happens; at 100 TB swap the exact distincts for q136's HLL "
     "registers, same shape",
@@ -2403,7 +2404,13 @@ def q235_null_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             aggs.append(blank.alias(f"nb_{c}"))
         return df.agg(*aggs).collect()[0]
 
-    group_rows = overlap(*[(lambda tt=t, gg=g: build(tt, gg)) for t, g in specs])
+    # bound fan-out: the thunk count is data-spec-proportional (~20 for
+    # the current census), so cap concurrent collect jobs rather than
+    # submitting one unbounded thread per column group
+    group_rows = overlap(
+        *[(lambda tt=t, gg=g: build(tt, gg)) for t, g in specs],
+        max_concurrency=8,
+    )
     data = []
     for (t, grp), r in zip(specs, group_rows):
         for c, _ in grp:
