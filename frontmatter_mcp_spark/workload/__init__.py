@@ -285,60 +285,28 @@ _LAST_GREEN_ROUND: dict[str, int] = {
 # once green they would otherwise sort by staleness and could fall outside
 # the window exactly when they most need re-verification.
 _MODIFIED_SINCE_GREEN: set[str] = {
-    # Deduplicated r10 rewrite: entries re-greened by CORRECTNESS_r09 were
-    # cleared; one entry per query (a pytest asserts no duplicates in this
-    # literal). Provenance of each change is in the r9/r9b STATUS sections
-    # and git history; the grouping comments below are the short form.
+    # (r12-modified entries re-greened by CORRECTNESS_r12 were cleared;
+    # one entry per query — a pytest asserts no duplicates. Provenance
+    # of each change is in git history / the OPTIMIZATION_r* logs.)
     #
-    # r5 pin/persist re-plans, last green r3-r5 (never re-windowed since):
-    # r8 MinHash-LSH skew-cap + r9 materialize opt-out consumers:
-    # + r9b eager-hold on round-1 edge pin
-    # + r9 holds lifecycle, r9b eager hold
-    # r8 shared shingle/span hold consumers:
-    # r9 re-plans (DSIR core refactor, binary-search holds lifecycle):
-    # r9b ADR-0007 eager-hold conversions not re-greened by the r09 window
-    # (each had a bracketed A/B probe; deltas recorded in STATUS r9b):
-    # r9b simhash eager hold:
-    # r10 ADR-0007 tail sweep (plan-walk detector over all 369 plans
-    # found 63 cold multi-consumer pins; the >=10% probe winners were
-    # converted to eager holds — receipts at each call site). Green
-    # consumers of changed plans re-verify; never-green ones (q247,
-    # q276, q291, q319, q363) front-load automatically:
-    # r10 tail sweep batch 3 (same detector, same probe bar; never-green
-    # winners q242/q244/q248/q252/q340/q343/q344/q361/q363/q368
-    # front-load automatically):
-    # r10: k-means scorers one-scanned — own-centroid distance is the
-    # assignment fold's array_min (bit-identical double), so the join
-    # back to embeddings and its second scan are dropped
-    # r11 ROUND-of-double hazard sweep (VERDICT r10 item 2): the
-    # boundary audit (scripts/round_audit.py at sf0.01) found these
-    # queries' hash-significant ROUND inputs ON or within ~2 ulp of a
-    # rounding half — the q273/q279 driver-red class. Each converted to
-    # floor fixed-point / floor-quantization on BOTH engines (q33/q75/
-    # q87/q119 were already modified; the jaccard/containment operators
-    # now emit floor_quant(score), so every consumer re-verifies):
+    # r11 ROUND-of-double hazard sweep, displaced from the r12 window
+    # by the 50-slot staleness policy (pre-validated 7/7 at all three
+    # SFs in r12 — see OPTIMIZATION_r12.md "Driver-window composition"):
     "q280_edit_distance_verify",
     "q299_annotation_batch",
     "q360_bbit_minhash",
-    # r11 second pass: the two remaining Python-side half-up rounds
-    # (driver-computed rows) converted to ppm integer / floor-quant
     "q268_markov_removal_attribution",
-    # r11 full-sf0.1 sweep findings: q76's DECIMAL(28,12) inertia flip
-    # (converted to 2^49 floor fx) and q284's IEEE signed-zero output
-    # (-0.0 from DuckDB ROUND vs +0.0 from Spark BigDecimal; normalized
-    # with + 0e0 on both engines)
     "q284_diff_in_diff",
-    # r12 optimization round: overlapped independent build jobs
-    # (holds.overlap — q305/q310/q164/q208/q268/q303 already above),
-    # q245's fused count ledger, q91's eager overlapped sigs/truth,
-    # q309's counts folded into the plan as broadcast aggregates. All
-    # oracle-PASSed at sf0.001/0.01/0.1 this round; listed so the
-    # driver window re-verifies the restructured plans.
+    # r12 overlap conversions displaced the same way:
     "q91_banding_sweep",
     "q353_keeper_quality_audit",
-    # r12 second resume session: census split into overlapped column-
-    # group aggregates (same counters, narrower Expands; 0.51x probe)
-    }
+    # r13 optimization round: the q137/q164 dup-span collect_set fusion
+    # gained the salted two-level skew guard (_salted_dup_members) —
+    # same results (oracle re-PASSed at all three SFs this round), new
+    # plan shape, so the driver window re-verifies both.
+    "q137_dup_window_ladder",
+    "q164_exact_dup_length",
+}
 
 
 

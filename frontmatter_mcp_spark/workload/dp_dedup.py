@@ -1380,6 +1380,89 @@ def q131_softdedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _LADDER = [4, 8, 16, 32, 64]
 
+# Skew guard for the r12 collect_set fusion (q137/q164): a span shared
+# by k docs used to concentrate a k-element set in ONE aggregation
+# buffer on one reducer key — fine at sf0.1 (k is tiny) but the §5
+# memory / §2.5 skew class at 100 TB, where a boilerplate span
+# (header/footer/license block) is shared by millions of docs.
+# Aggregation buffers holding arrays do not spill element-wise; window
+# row buffers do (ExternalAppendOnlyUnsafeRowArray spills a partition's
+# current key group to disk past the spill threshold), so the guarded
+# shape keeps member docs as ROWS: dedup (sp, doc_id) in a hash
+# aggregate (partial map-side, perfectly spread over both columns),
+# then COUNT(*) OVER (PARTITION BY sp) — the distinct-doc vote — with a
+# hot span's rows buffered spillably inside one window key group
+# instead of one unbounded in-memory array. Measured at sf0.1 (rung
+# n=4, min-of-3): fused 0.79 s, this shape 0.69 s (parity), the salted
+# two-level collect_set alternative 1.20 s (its second aggregate
+# re-runs the corpus-sized final merge) — receipts in
+# OPTIMIZATION_r13.md.
+
+
+def _dup_span_members(spans: DataFrame, with_leader: bool = False) -> DataFrame:
+    """(sp, doc_id) rows of spans held by >=2 distinct docs.
+
+    Exact: dropDuplicates collapses within-doc repeats (the
+    distinct-per-doc voting rule), so the per-span window count IS the
+    distinct-doc count. One corpus pass — the explode below `spans` is
+    evaluated once; no doc array is ever materialized per span.
+
+    ``with_leader`` adds an ``is_leader`` flag (the member with the
+    span's min doc_id), computed by the SAME unordered window spec so
+    it shares the one WindowExec — a consumer that needs the dup-SPAN
+    count (q164's probe trace) counts leader rows with a plain filter
+    instead of paying a distinct exchange per probe.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sp")
+    dd = spans.dropDuplicates(["sp", "doc_id"])
+    dd = dd.withColumn("nd", F.count("*").over(w))
+    if with_leader:
+        dd = dd.withColumn(
+            "is_leader", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+    cols = ["sp", "doc_id"] + (["is_leader"] if with_leader else [])
+    return dd.filter(F.col("nd") >= 2).select(*cols)
+
+
+def _dup_span_members_1x(spans: DataFrame) -> DataFrame:
+    """Single-exchange variant of _dup_span_members, with is_leader.
+
+    Same exact semantics (distinct-per-doc votes, >=2-doc spans, member
+    rows), but everything runs inside ONE exchange on sp: first
+    occurrences are marked with lag over (sp ORDER BY doc_id) — a
+    within-doc repeat sorts adjacent and is lag-equal — and the
+    distinct-doc count is a window sum of those marks. q164 runs 11
+    binary-search probes of 2 actions each, so per-probe STAGE count
+    dominates its collapsed-set tail; this form keeps the r12 fused
+    shape's one corpus exchange (measured 1.24 s vs fused 1.21 s on the
+    head-probe scale; the two-exchange dedup form measured 1.31 s and
+    cost 1.2x on the full query). Skew guard holds: a hot span's rows
+    land in one window key group, which WindowExec buffers spillably —
+    never an unbounded in-memory array.
+    """
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("sp").orderBy("doc_id")
+    w_all = Window.partitionBy("sp")
+    rn = F.row_number().over(w_ord)
+    lagd = F.lag("doc_id").over(w_ord)
+    marked = spans.select(
+        "sp",
+        "doc_id",
+        (rn == 1).alias("is_leader"),
+        (lagd.isNull() | (lagd != F.col("doc_id"))).alias("first_occ"),
+    )
+    return (
+        marked.withColumn(
+            "nd", F.sum(F.col("first_occ").cast("int")).over(w_all)
+        )
+        .filter((F.col("nd") >= 2) & F.col("first_occ"))
+        .select("sp", "doc_id", "is_leader")
+    )
+
+
 def _dup_ladder_sql() -> str:
     ctes = [
         "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w "
@@ -1452,19 +1535,18 @@ def q137_dup_window_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5(F.array_join(F.slice("w", F.col("i"), n), " ")).alias("sp"),
             )
         )
-        # ONE corpus pass per rung: collect_set(doc_id) both dedups
-        # within-doc repeats (the old pre-aggregate DISTINCT) and keeps
-        # the member docs, so the docs-holding-a-dup-span set falls out
-        # of the same aggregate that counts votes — the old shape
-        # recomputed the explode+distinct a second time to join spans
-        # back against dup_spans (2 corpus explodes + 3 corpus
-        # exchanges per rung; now 1 + 1)
+        # ONE corpus pass per rung (r12): collect_set(doc_id) both
+        # dedups within-doc repeats (the old pre-aggregate DISTINCT)
+        # and keeps the member docs, so the docs-holding-a-dup-span set
+        # falls out of the same aggregate that counts votes — the old
+        # shape recomputed the explode+distinct a second time to join
+        # spans back against dup_spans. r13: row-based skew-guarded form
+        # (_dup_span_members) so a boilerplate span shared by millions
+        # of docs cannot concentrate one unbounded doc array in a
+        # single aggregation buffer (guide §2.5/§5); equivalence and
+        # the spill bound are argued at the helper.
         dup_docs = hold(
-            spans.groupBy("sp")
-            .agg(F.collect_set("doc_id").alias("docs"))
-            .filter(F.size("docs") >= 2)
-            .select(F.explode("docs").alias("doc_id"))
-            .distinct()
+            _dup_span_members(spans).select("doc_id").distinct()
         )
         level_tables.append(dup_docs.withColumn("lvl", F.lit(n)))
         cur = toks.join(dup_docs, "doc_id")
@@ -1690,13 +1772,15 @@ def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         # paid 2 corpus explode passes per probe (the dup count and the
         # candidate join), exactly the cost the step profile showed
         # (1.2s x2 head probes). dup rows are only the >=2-doc spans,
-        # so the pinned footprint stays tiny.
-        dup = pin(
-            spans.groupBy("sp")
-            .agg(F.collect_set("doc_id").alias("docs"))
-            .filter(F.size("docs") >= 2)
-        )
-        n = dup.count()
+        # so the pinned footprint stays tiny. r13: row-based
+        # skew-guarded form (_dup_span_members) — no per-span doc array
+        # in any aggregation buffer (guide §2.5/§5); dup now holds
+        # (sp, doc_id, is_leader) member rows, so the dup-span count is
+        # a leader-row count (no per-probe distinct exchange) and
+        # candidates read the doc_id column. The single-exchange form
+        # keeps the probe's stage count at the r12 level (see helper).
+        dup = pin(_dup_span_members_1x(spans))
+        n = dup.filter("is_leader").count()
         if n > 0:
             # localCheckpoint, not pin: 11 steps each referencing the
             # previous candidate set through spans+dup nests the logical
@@ -1713,7 +1797,7 @@ def q164_exact_dup_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             # checkpoint is a plan leaf, so the next count couldn't have
             # fused past it).
             new_cand, new_ids = hold_ids(
-                dup.select(F.explode("docs").alias("doc_id")).distinct(),
+                dup.select("doc_id").distinct(),
                 eager=True,
             )
             release_ids(spark, cand_ids)
