@@ -98,6 +98,188 @@ def test_dup_span_members_plan_has_no_collect_set(hot_span_corpus):
         assert "windowspecdefinition" in plan.lower() or "Window" in plan
 
 
+# ---------------------------------------------------------------------------
+# 2. two-phase total-order operator (operators/total_order.py): every
+#    derived quantity must be bit-identical to the single-partition
+#    window reference, including ties, NULL frames, and NTILE remainder
+#    buckets.
+# ---------------------------------------------------------------------------
+@pytest.fixture()
+def ordered_values(spark):
+    # ties on v (x % 17), unique tiebreaker id, negatives, clusters
+    rows = [(i, (i * 37) % 17 - 5, float((i * 13) % 101)) for i in range(500)]
+    return spark.createDataFrame(rows, "id long, v long, m double")
+
+
+def test_two_phase_row_number_matches_window(ordered_values):
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.total_order import (
+        with_global_row_number,
+    )
+
+    ref = ordered_values.select(
+        "id", F.row_number().over(W.orderBy("v", "id")).cast("long").alias("rn")
+    )
+    got = with_global_row_number(
+        ordered_values, [("v", True), ("id", True)], out="rn", parts=7
+    ).select("id", "rn")
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_two_phase_row_number_desc_matches_window(ordered_values):
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.total_order import (
+        with_global_row_number,
+    )
+
+    ref = ordered_values.select(
+        "id",
+        F.row_number()
+        .over(W.orderBy(F.col("m").desc(), "id"))
+        .cast("long")
+        .alias("rn"),
+    )
+    got = with_global_row_number(
+        ordered_values, [("m", False), ("id", True)], out="rn", parts=5
+    ).select("id", "rn")
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_two_phase_rank_ties_matches_window(ordered_values):
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.total_order import (
+        with_global_rank_ties,
+    )
+
+    ref = ordered_values.select(
+        "id",
+        F.rank().over(W.orderBy("v")).cast("long").alias("rk"),
+        F.count("*").over(W.partitionBy("v")).cast("long").alias("nt"),
+    )
+    got = with_global_rank_ties(ordered_values, "v", parts=6).select(
+        "id", "rk", "nt"
+    )
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize("total", [1, 3, 4, 5, 7, 23, 500])
+def test_ntile_formula_matches_spark_ntile(spark, total):
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.total_order import ntile_from_rn
+
+    df = spark.range(total).select(F.col("id"))
+    for n in (3, 5, 10):
+        ref = df.select(
+            "id", F.ntile(n).over(W.orderBy("id")).cast("int").alias("b")
+        )
+        got = df.select(
+            "id",
+            ntile_from_rn(
+                F.col("id") + 1, F.lit(total).cast("long"), n
+            ).alias("b"),
+        )
+        assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize("include_current", [True, False])
+def test_two_phase_cumsum_matches_window(ordered_values, include_current):
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.total_order import with_global_cumagg
+
+    end = W.currentRow if include_current else -1
+    ref = ordered_values.select(
+        "id",
+        F.sum("m")
+        .over(W.orderBy("v", "id").rowsBetween(W.unboundedPreceding, end))
+        .alias("c"),
+    )
+    got = with_global_cumagg(
+        ordered_values,
+        [("v", True), ("id", True)],
+        F.col("m"),
+        agg="sum",
+        out="c",
+        include_current=include_current,
+        parts=9,
+    ).select("id", "c")
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_two_phase_cummax_exclusive_matches_window(ordered_values):
+    # q236's shape: running MAX over everything STRICTLY BEFORE me —
+    # the globally-first row's frame is empty and must stay NULL
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.total_order import with_global_cumagg
+
+    ref = ordered_values.select(
+        "id",
+        F.max("m")
+        .over(W.orderBy("v", "id").rowsBetween(W.unboundedPreceding, -1))
+        .alias("c"),
+    )
+    got = with_global_cumagg(
+        ordered_values,
+        [("v", True), ("id", True)],
+        F.col("m"),
+        agg="max",
+        out="c",
+        include_current=False,
+        parts=9,
+    ).select("id", "c")
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    assert got.filter("c is null").count() == 1
+
+
+def test_two_phase_custom_bucket_md5_prefix(spark):
+    # md5-string order key with a hex-prefix bucket (the q171/q228
+    # class): prefix order IS key order, so the bucket is monotone
+    from pyspark.sql.window import Window as W
+
+    from frontmatter_mcp_spark.operators.total_order import (
+        with_global_row_number,
+    )
+
+    df = spark.range(400).select(
+        "id", F.md5(F.col("id").cast("string")).alias("k")
+    )
+    ref = df.select(
+        "id", F.row_number().over(W.orderBy("k", "id")).cast("long").alias("rn")
+    )
+    got = with_global_row_number(
+        df,
+        [("k", True), ("id", True)],
+        out="rn",
+        bucket=F.conv(F.substring("k", 1, 2), 16, 10).cast("long"),
+    ).select("id", "rn")
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_two_phase_plan_has_no_single_partition_window(ordered_values):
+    from frontmatter_mcp_spark.operators.total_order import (
+        with_global_rank_ties,
+    )
+
+    out = with_global_rank_ties(ordered_values, "v", parts=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every windowspecdefinition must carry a partition column; the
+    # offsets window runs over <= parts rows (bounded, not corpus)
+    import re
+
+    for line in plan.split("\n"):
+        if "windowspecdefinition(" not in line:
+            continue
+        for m in re.finditer(r"windowspecdefinition\(([^)]*?)specifiedwindowframe", line):
+            first = m.group(1).split(",")[0].strip()
+            if re.match(r"^[a-zA-Z_0-9#]+ (ASC|DESC)", first):
+                assert "__bkt" in m.group(1) or "__bc" in line or "__bt" in line, line
+
+
 def test_release_held_takes_lock_against_concurrent_builds(spark):
     """release_held pops under _HELD_LOCK, so a release racing a
     concurrent hold never observes the list mid-mutation and never
