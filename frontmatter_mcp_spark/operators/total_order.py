@@ -51,6 +51,20 @@ def _n_buckets(df: DataFrame) -> int:
     return max(64, sc.defaultParallelism * 8)
 
 
+def hex_prefix_bucket(key: Column, chars: int = 2) -> Column:
+    """Monotone bucket for an ORDER BY over a fixed-width lowercase hex
+    key (md5): the integer value of the first ``chars`` hex digits.
+
+    Hex digits sort identically as characters and as numbers ('0'-'9'
+    precede 'a'-'f' in ASCII), so the prefix integer is non-decreasing
+    along the string order and constant on equal keys — the explicit-
+    bucket contract of ``with_global_row_number``. 2 chars = 256
+    uniformly-loaded buckets (md5 is uniform), the same prefix split the
+    sampling operators' _two_phase_prefix uses.
+    """
+    return F.conv(F.substring(key, 1, chars), 16, 10).cast("long")
+
+
 def _bucket_expr(
     v: Column, mn: Column, mx: Column, parts: int, ascending: bool
 ) -> Column:
@@ -117,6 +131,7 @@ def with_global_row_number(
     bucket_bounds: tuple[str, str] | None = None,
     parts: int | None = None,
     keep_bucket: str | None = None,
+    total_out: str | None = None,
 ) -> DataFrame:
     """Add ``out`` = ROW_NUMBER() OVER (ORDER BY order_cols), two-phase.
 
@@ -132,6 +147,10 @@ def with_global_row_number(
     can share a single aggregate; default computes its own.
     keep_bucket: optional name to retain the bucket column under (for
     tie windows that must reuse the exchange).
+    total_out: optional name for a COUNT(*) OVER () column. The total
+    is the last bucket's offset + count, read off the (<= parts)-row
+    offset table for free — callers cutting NTILEs need it and would
+    otherwise pay a separate aggregate + broadcast join.
     """
     parts = parts or _n_buckets(df)
     bkt = "__bkt_" + out
@@ -147,7 +166,15 @@ def with_global_row_number(
     w_off = W.orderBy(bkt).rowsBetween(W.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__bc").over(w_off), F.lit(0))
-    ).drop("__bc")
+    )
+    if total_out:
+        w_all = W.orderBy(bkt).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        offsets = offsets.withColumn(
+            total_out, F.sum("__bc").over(w_all).cast("long")
+        )
+    offsets = offsets.drop("__bc")
     joined = local.join(F.broadcast(offsets), bkt).withColumn(
         out, (F.col("__off") + F.col("__lrn")).cast("long")
     )

@@ -306,6 +306,21 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     # plan shape, so the driver window re-verifies both.
     "q137_dup_window_ladder",
     "q164_exact_dup_length",
+    # r13: corpus-scale empty-partitionBy windows converted to the
+    # two-phase total-order operator (operators/total_order.py) — same
+    # results (oracle re-PASSed at all three SFs this round), new plan
+    # shape (no single-partition Window over corpus-sized input):
+    "q80_sequence_packing",
+    "q171_curriculum_schedule",
+    "q198_rfm_segments",
+    "q227_revenue_concentration",
+    "q228_epoch_shuffle_audit",
+    "q232_quantile_normalize",
+    "q236_pareto_frontier",
+    "q250_training_readiness",
+    "q298_exact_auc",
+    "q366_inclusion_audit",
+    "q369_kll_quantiles",
 }
 
 

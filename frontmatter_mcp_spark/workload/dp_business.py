@@ -1145,7 +1145,11 @@ def q193_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two-phase rank instead of a global NTILE, same cut points",
 )
 def q198_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from frontmatter_mcp_spark.operators import total_order as _to
+    from frontmatter_mcp_spark.operators.total_order import (
+        ntile_from_rn,
+        with_global_row_number,
+    )
 
     o = load_table(spark, sf_dir, "orders")
     horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
@@ -1163,18 +1167,75 @@ def q198_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("maxd")
     )
-    scored = rfm.select(
+    # The three NTILE(5) cuts ran as ONE customer-sized sort each in a
+    # single task as empty-partitionBy windows. Instead: unpivot every
+    # customer into (metric, value) rows with the value sign-normalized
+    # to the requested direction, rank ALL THREE metrics in ONE
+    # two-phase pass (monotone bucket = metric block * parts + the
+    # metric's own min/max interpolation), recover the per-metric rank
+    # as rn - (metric-1)*N (each block holds exactly N customers), and
+    # pivot the quintiles back in one customer-keyed aggregate.
+    rfm = hold(rfm)
+    parts = _to._n_buckets(rfm)
+    bounds = rfm.agg(
+        F.min("recency_days").cast("double").alias("__mn1"),
+        F.max("recency_days").cast("double").alias("__mx1"),
+        F.min(-F.col("n_orders")).cast("double").alias("__mn2"),
+        F.max(-F.col("n_orders")).cast("double").alias("__mx2"),
+        F.min(-F.col("monetary")).alias("__mn3"),
+        F.max(-F.col("monetary")).alias("__mx3"),
+    )
+    stacked = rfm.select(
         "custkey",
         "recency_days",
         "n_orders",
         "monetary",
-        F.ntile(5).over(W.orderBy("recency_days", "custkey")).alias("r_q"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("n_orders").desc(), "custkey"))
-        .alias("f_q"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("monetary").desc(), "custkey"))
-        .alias("m_q"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("m"),
+                    F.col("recency_days").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit(2).alias("m"),
+                    (-F.col("n_orders")).cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit(3).alias("m"), (-F.col("monetary")).alias("v")
+                ),
+            )
+        ).alias("__s"),
+    ).select("*", F.col("__s.m").alias("__m"), F.col("__s.v").alias("__v"))
+    stacked = stacked.crossJoin(F.broadcast(bounds))
+    in_metric = _to._bucket_expr(
+        F.col("__v"),
+        F.when(F.col("__m") == 1, F.col("__mn1"))
+        .when(F.col("__m") == 2, F.col("__mn2"))
+        .otherwise(F.col("__mn3")),
+        F.when(F.col("__m") == 1, F.col("__mx1"))
+        .when(F.col("__m") == 2, F.col("__mx2"))
+        .otherwise(F.col("__mx3")),
+        parts,
+        True,
+    )
+    ranked = with_global_row_number(
+        stacked,
+        [("__m", True), ("__v", True), ("custkey", True)],
+        out="__rn",
+        bucket=(F.col("__m").cast("long") - 1) * parts + in_metric,
+        total_out="__tot3",
+    )
+    n_cust = (F.col("__tot3") / 3).cast("long")
+    q = ntile_from_rn(
+        F.col("__rn") - (F.col("__m").cast("long") - 1) * n_cust, n_cust, 5
+    )
+    scored = ranked.groupBy("custkey").agg(
+        F.first("recency_days").alias("recency_days"),
+        F.first("n_orders").alias("n_orders"),
+        F.first("monetary").alias("monetary"),
+        F.max(F.when(F.col("__m") == 1, q)).alias("r_q"),
+        F.max(F.when(F.col("__m") == 2, q)).alias("f_q"),
+        F.max(F.when(F.col("__m") == 3, q)).alias("m_q"),
     )
     seg = (
         F.when((F.col("r_q") == 1) & (F.col("f_q") <= 2), "champion")
@@ -2172,18 +2233,27 @@ def q226_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q227_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
+    from frontmatter_mcp_spark.operators.total_order import (
+        ntile_from_rn,
+        with_global_row_number,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
         .cast("decimal(28,6)")
         .alias("rev")
     )
-    ranked = cust.select(
-        "rev",
-        F.ntile(10)
-        .over(W.orderBy(F.col("rev").desc(), "o_custkey"))
-        .alias("decile"),
-    )
+    # NTILE(10) over every customer is a single-task sort as a plain
+    # window; pin the customer table once and derive the decile from
+    # the two-phase global rank + exact NTILE formula instead.
+    cust = hold(cust)
+    ranked = with_global_row_number(
+        cust,
+        [("rev", False), ("o_custkey", True)],
+        out="__rn",
+        total_out="__n",
+    ).select("rev", ntile_from_rn(F.col("__rn"), F.col("__n"), 10).alias("decile"))
     tot = cust.agg(F.sum("rev").cast("decimal(28,6)").alias("total"))
     d = ranked.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_customers"),
@@ -2250,8 +2320,6 @@ def q227_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running-max carry",
 )
 def q236_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     m = d.select(
         "doc_id",
@@ -2267,10 +2335,23 @@ def q236_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_distinct_terms"),
     )
-    w = W.orderBy(
-        F.col("n_chars").desc(), F.col("n_distinct_terms").desc(), "doc_id"
-    ).rowsBetween(W.unboundedPreceding, -1)
-    swept = m.withColumn("best_seen", F.max("n_distinct_terms").over(w))
+    # The exclusive running max is the 2D skyline sweep; as a plain
+    # empty-partitionBy window it funnels every document through one
+    # task. Two-phase running max instead: the bounds pass is column-
+    # pruned to n_chars (no tokenization), so the term-diversity UDF
+    # chain runs twice (offsets + sweep) — measured cheaper at sf0.1
+    # than either a pin (ADR-0007 cold fan-out race) or an eager hold: per-bucket local sweep +
+    # broadcast per-bucket prefix maxima, null-exact on the first row.
+    from frontmatter_mcp_spark.operators.total_order import with_global_cumagg
+
+    swept = with_global_cumagg(
+        m,
+        [("n_chars", False), ("n_distinct_terms", False), ("doc_id", True)],
+        F.col("n_distinct_terms"),
+        agg="max",
+        out="best_seen",
+        include_current=False,
+    )
     return (
         swept.filter(
             F.col("best_seen").isNull()

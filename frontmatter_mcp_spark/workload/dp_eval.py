@@ -1159,9 +1159,38 @@ def q250_training_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = lambda e: F.md5(  # noqa: E731
         F.concat(F.lit(e + "|"), F.col("doc_id").cast("string"))
     )
-    ranks = d.select(
-        F.row_number().over(W.orderBy(key("e1"), "doc_id")).cast("long").alias("r1"),
-        F.row_number().over(W.orderBy(key("e2"), "doc_id")).cast("long").alias("r2"),
+
+    # q228's rule, q228's fix: both epoch ranks in ONE two-phase pass
+    # (unpivot to (epoch, md5 key) rows, epoch-block + 2-hex-prefix
+    # monotone bucket, per-epoch rank = rn - (epoch-1)*N, pivot back)
+    # instead of two corpus-wide single-partition windows.
+    from frontmatter_mcp_spark.operators.total_order import (
+        hex_prefix_bucket,
+        with_global_row_number,
+    )
+
+    stacked = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("e"), key("e1").alias("ok")),
+                F.struct(F.lit(2).alias("e"), key("e2").alias("ok")),
+            )
+        ).alias("__s"),
+    ).select("doc_id", F.col("__s.e").alias("__e"), F.col("__s.ok").alias("__ok"))
+    ranked = with_global_row_number(
+        stacked,
+        [("__e", True), ("__ok", True), ("doc_id", True)],
+        out="__rn",
+        bucket=(F.col("__e").cast("long") - 1) * 256
+        + hex_prefix_bucket(F.col("__ok")),
+        total_out="__tot2",
+    )
+    n_docs = (F.col("__tot2") / 2).cast("long")
+    erank = F.col("__rn") - (F.col("__e").cast("long") - 1) * n_docs
+    ranks = ranked.groupBy("doc_id").agg(
+        F.max(F.when(F.col("__e") == 1, erank)).alias("r1"),
+        F.max(F.when(F.col("__e") == 2, erank)).alias("r2"),
     )
     nd = F.count("*").cast("double")
     rho = ranks.agg(
@@ -2093,9 +2122,8 @@ def _auc_sql() -> str:
     "two-phase rank)",
 )
 def q298_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     from frontmatter_mcp_spark.operators.classifier import hashed_linear_scores
+    from frontmatter_mcp_spark.operators.total_order import with_global_rank_ties
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     scored = hashed_linear_scores(
@@ -2107,10 +2135,19 @@ def q298_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_CLF_ITERS,
         persist_fn=pin,
     )
-    r = scored.select(
-        "label",
-        F.rank().over(W.orderBy("score_fx")).alias("rk"),
-        F.count("*").over(W.partitionBy("score_fx")).alias("nt"),
+    # RANK over the whole scored corpus was a single-partition window;
+    # the two-phase rank recovers RANK and the tie count from a
+    # (bucket, score)-keyed window on the same bucketed sort. The
+    # 2-column projection is checkpointed once so the rank's bound and
+    # offset passes reread it instead of re-running the classifier's
+    # scoring join per consumer (measured 2x+ without it).
+    from frontmatter_mcp_spark.operators.holds import hold
+
+    r = with_global_rank_ties(
+        hold(scored.select("label", "score_fx")),
+        "score_fx",
+        rank_out="rk",
+        ties_out="nt",
     )
     s = r.agg(
         F.sum(

@@ -863,21 +863,45 @@ def q161_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two-phase rank), same plan otherwise",
 )
 def q171_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from frontmatter_mcp_spark.operators.total_order import (
+        hex_prefix_bucket,
+        ntile_from_rn,
+        with_global_row_number,
+    )
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
-    nll = tx.unigram_nll(d, "doc_id", "text").filter(F.col("nll_mean").isNotNull())
-    staged = nll.withColumn(
-        "stage", F.ntile(3).over(Window.orderBy("nll_mean", "doc_id"))
+    # Both the tertile cut and the schedule position were corpus-wide
+    # single-partition windows. Pin the per-doc difficulty table once
+    # (the unigram-LM term shuffle runs once), then: stage from the
+    # two-phase global rank + exact NTILE formula; sched_order from a
+    # second two-phase rank whose explicit monotone bucket composes the
+    # stage with the shuffle key's 2-hex md5 prefix.
+    nll = hold(
+        tx.unigram_nll(d, "doc_id", "text").filter(F.col("nll_mean").isNotNull())
     )
-    return staged.select(
+    staged = (
+        with_global_row_number(
+            nll,
+            [("nll_mean", True), ("doc_id", True)],
+            out="__rn",
+            total_out="__n",
+        )
+        .withColumn("stage", ntile_from_rn(F.col("__rn"), F.col("__n"), 3))
+        .drop("__rn", "__n")
+        .withColumn("__sk", F.md5(F.col("doc_id").cast("string")))
+    )
+    sched = with_global_row_number(
+        staged,
+        [("stage", True), ("__sk", True), ("doc_id", True)],
+        out="sched_order",
+        bucket=(F.col("stage").cast("long") - 1) * 256
+        + hex_prefix_bucket(F.col("__sk")),
+    )
+    return sched.select(
         "doc_id",
         F.col("stage").cast("int").alias("stage"),
         F.round("nll_mean", 6).alias("difficulty"),
-        F.row_number()
-        .over(Window.orderBy("stage", F.md5(F.col("doc_id").cast("string")), "doc_id"))
-        .cast("long")
-        .alias("sched_order"),
+        "sched_order",
     )
 
 # ---------------------------------------------------------------------------
@@ -1260,16 +1284,44 @@ def q214_kish_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audit itself is one map-side-combined aggregate",
 )
 def q228_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from frontmatter_mcp_spark.operators.total_order import (
+        hex_prefix_bucket,
+        with_global_row_number,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     key = lambda e: F.md5(  # noqa: E731
         F.concat(F.lit(e + "|"), F.col("doc_id").cast("string"))
     )
-    r = d.select(
+
+    # Each epoch rank was a corpus-wide single-partition window. Both
+    # epochs rank in ONE two-phase pass: unpivot each document into
+    # (epoch, md5 key) rows, bucket by epoch block * 256 + the key's
+    # 2-hex prefix (monotone along the (epoch, key) order), rank, and
+    # recover the per-epoch rank as rn - (epoch-1)*N (each block holds
+    # every document), pivoting r1/r2 back in one doc-keyed aggregate.
+    stacked = d.select(
         "doc_id",
-        F.row_number().over(W.orderBy(key("e1"), "doc_id")).cast("long").alias("r1"),
-        F.row_number().over(W.orderBy(key("e2"), "doc_id")).cast("long").alias("r2"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("e"), key("e1").alias("ok")),
+                F.struct(F.lit(2).alias("e"), key("e2").alias("ok")),
+            )
+        ).alias("__s"),
+    ).select("doc_id", F.col("__s.e").alias("__e"), F.col("__s.ok").alias("__ok"))
+    ranked = with_global_row_number(
+        stacked,
+        [("__e", True), ("__ok", True), ("doc_id", True)],
+        out="__rn",
+        bucket=(F.col("__e").cast("long") - 1) * 256
+        + hex_prefix_bucket(F.col("__ok")),
+        total_out="__tot2",
+    )
+    n_docs = (F.col("__tot2") / 2).cast("long")
+    erank = F.col("__rn") - (F.col("__e").cast("long") - 1) * n_docs
+    r = ranked.groupBy("doc_id").agg(
+        F.max(F.when(F.col("__e") == 1, erank)).alias("r1"),
+        F.max(F.when(F.col("__e") == 2, erank)).alias("r2"),
     )
     agg = r.agg(
         F.count("*").cast("long").alias("n"),
@@ -2406,10 +2458,25 @@ def q366_inclusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = w.join(sel, "doc_id", "left").select(
         "doc_id", "w", F.coalesce("n", F.lit(0)).cast("long").alias("n_sel")
     )
-    dec = inc.select(
-        "w",
-        "n_sel",
-        F.ntile(10).over(W.orderBy("w", "doc_id")).cast("int").alias("decile"),
+    # The audit decile was NTILE(10) over every document in one task;
+    # pin the per-doc inclusion table once (the 32-replicate explode
+    # runs once) and cut deciles from the two-phase global rank + the
+    # exact NTILE formula over tot's document count.
+    from frontmatter_mcp_spark.operators.total_order import (
+        ntile_from_rn,
+        with_global_row_number,
+    )
+
+    inc = hold(inc)
+    dec = (
+        with_global_row_number(inc, [("w", True), ("doc_id", True)], out="__rn")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "n_sel",
+            "wt",
+            ntile_from_rn(F.col("__rn"), F.col("nd"), 10).alias("decile"),
+        )
     )
     target_fx = F.floor(
         F.least(
@@ -2418,8 +2485,7 @@ def q366_inclusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * _INC_FX
     ).cast("long")
     g = (
-        dec.crossJoin(F.broadcast(tot))
-        .groupBy("decile")
+        dec.groupBy("decile")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.round(F.sum("w").cast("double") / F.count("*"), 6).alias(

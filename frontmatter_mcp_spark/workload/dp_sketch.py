@@ -3001,18 +3001,23 @@ def q369_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p", "total_weight", "summary_items")
         .agg(F.min("value").cast("long").alias("est_value"))
     )
-    exact_rn = d.select(
-        F.col("n_chars").alias("value"),
-        F.row_number()
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    # The exact-rank reference was a corpus-wide single-partition window
+    # plus a >= theta join that emits O(n) rows per quantile. The
+    # two-phase rank parallelizes the sort, and because value is
+    # non-decreasing in rn, MIN(value | rn >= t) IS the value at rn = t
+    # — an equi-join on the target rank (|qs| rows out, no fan-out).
+    from frontmatter_mcp_spark.operators.total_order import (
+        with_global_row_number,
     )
+
+    exact_rn = with_global_row_number(
+        d.select(F.col("n_chars").alias("value"), "doc_id"),
+        [("value", True), ("doc_id", True)],
+        out="rn",
+        total_out="n",
+    ).select("value", "rn", "n")
     ex = (
-        qs.join(
-            exact_rn,
-            F.col("rn") >= F.ceil(F.col("p") * F.col("n")),
-        )
+        qs.join(exact_rn, F.col("rn") == F.ceil(F.col("p") * F.col("n")))
         .groupBy("p")
         .agg(F.min("value").cast("long").alias("exact_value"))
     )

@@ -1140,10 +1140,19 @@ def q232_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rs"),
         F.count("*").over(W.partitionBy("source")).cast("long").alias("ns"),
     )
-    g = d.select(
-        F.col("n_chars").alias("gval"),
-        F.row_number().over(W.orderBy("n_chars", "doc_id")).cast("long").alias("rg"),
+    # The global order statistic was a corpus-wide single-partition
+    # window; the two-phase rank (n_chars interpolation buckets) keeps
+    # it an exact integer row_number with a parallel sort. The
+    # per-source ranks stay keyed windows (|sources| partitions).
+    from frontmatter_mcp_spark.operators.total_order import (
+        with_global_row_number,
     )
+
+    g = with_global_row_number(
+        d.select(F.col("n_chars").alias("gval"), "doc_id"),
+        [("gval", True), ("doc_id", True)],
+        out="rg",
+    ).select("gval", "rg")
     ng = d.agg(F.count("*").cast("long").alias("ng"))
     target = F.expr("(rs * ng + ns - 1) div ns")
     return (

@@ -159,19 +159,22 @@ _PACK_CAPACITY = 2048
     "partition range (sortWithinPartitions + per-range offsets)",
 )
 def q80_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from frontmatter_mcp_spark.operators.total_order import with_global_cumagg
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.size(tx.tokens(F.col("text"))).alias("n_tokens")
-    )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    packed = toks.select(
+    # The global cumulative sum was a corpus-wide single-partition
+    # window. Two-phase running sum instead: the doc_id bounds pass is
+    # column-pruned (no tokenization), so tokenization runs twice
+    # (offsets + local) — measured cheaper at sf0.1 than a pin
+    # (ADR-0007 cold fan-out race) or an eager hold; the running sum (doc_id interpolation
+    # buckets + broadcast per-bucket token offsets) is byte-identical.
+    toks = d.select("doc_id", F.size(tx.tokens(F.col("text"))).alias("n_tokens"))
+    packed = with_global_cumagg(
+        toks, [("doc_id", True)], F.col("n_tokens"), agg="sum", out="__cum"
+    ).select(
         "doc_id",
         "n_tokens",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(_PACK_CAPACITY)
-        )
+        F.floor((F.col("__cum") - F.col("n_tokens")) / float(_PACK_CAPACITY))
         .cast("int")
         .alias("bin"),
     )

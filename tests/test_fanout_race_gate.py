@@ -39,6 +39,8 @@ from frontmatter_mcp_spark.workload.registry import release_pinned
 #   1.01 — all within noise or regressions, pins kept deliberately.
 #   (q359 was initially kept at 0.92, then converted after a second
 #   independent probe confirmed the win: 0.89 min-of-4.)
+# r13: q298/q366 removed — their total-order conversions hold() the
+# multi-consumer table eagerly, so the cold fan-out is gone.
 ALLOWED_COLD_FANOUT = {
     "q100_dsir_resample",
     "q105_bigram_lm_score",
@@ -64,7 +66,6 @@ ALLOWED_COLD_FANOUT = {
     "q272_self_bleu_diversity",
     "q274_heaps_extrapolation",
     "q295_blocking_agreement",
-    "q298_exact_auc",
     "q300_corpus_scorecard",
     "q306_sampling_bias_audit",
     "q324_isotonic_calibration",
@@ -74,7 +75,6 @@ ALLOWED_COLD_FANOUT = {
     "q350_learned_index_audit",
     "q351_stratified_ate",
     "q355_good_turing",
-    "q366_inclusion_audit",
     "q82_lsh_recall",
     "q90_semantic_dedup",
     # q91_banding_sweep removed r12: its lazy pins became eager holds
