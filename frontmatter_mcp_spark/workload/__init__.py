@@ -321,6 +321,10 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q298_exact_auc",
     "q366_inclusion_audit",
     "q369_kll_quantiles",
+    # r13: q185 key-count pins converted to overlapped eager holds:
+    "q185_join_estimate_audit",
+    # r13: q270 dropped its single-consumer jac checkpoint:
+    "q270_singlelink_cut_sweep",
 }
 
 

@@ -786,9 +786,31 @@ def _join_audit_sql() -> str:
     "optimizer never computes",
 )
 def q185_join_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontmatter_mcp_spark.operators.holds import overlap
     from frontmatter_mcp_spark.operators.sampling import hash_bucket
 
     rr = spark.range(_JSZ_DEPTH).select(F.col("id").cast("int").alias("r"))
+
+    # The six per-edge key-count aggregates each feed FOUR consumers
+    # (stats, NDV, true-size join, sketch). As lazy pins they re-ran
+    # cold once per consumer branch (the audited ADR-0007 keep); built
+    # as eager holds from overlapped threads the independent aggregate
+    # DAGs back-fill each other (guide §2.6) and every consumer reads
+    # the checkpoint: 7.9 -> 5.7 s min-of-3, rows identical.
+    def keycounts(table: str, key: str):
+        return lambda: hold(
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    held = overlap(
+        *[
+            thunk
+            for _, ta, ka, tb, kb in _JEA_EDGES
+            for thunk in (keycounts(ta, ka), keycounts(tb, kb))
+        ]
+    )
 
     def sketch(side: DataFrame) -> DataFrame:
         return (
@@ -808,17 +830,8 @@ def q185_join_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = None
-    for name, ta, ka, tb, kb in _JEA_EDGES:
-        a = pin(
-            load_table(spark, sf_dir, ta)
-            .groupBy(F.col(ka).alias("k"))
-            .agg(F.count("*").cast("long").alias("c"))
-        )
-        b = pin(
-            load_table(spark, sf_dir, tb)
-            .groupBy(F.col(kb).alias("k"))
-            .agg(F.count("*").cast("long").alias("c"))
-        )
+    for i, (name, ta, ka, tb, kb) in enumerate(_JEA_EDGES):
+        a, b = held[2 * i], held[2 * i + 1]
         stats = (
             a.agg(
                 F.sum("c").cast("long").alias("n_a"),

@@ -39,7 +39,8 @@ from frontmatter_mcp_spark.workload.registry import release_pinned
 #   1.01 — all within noise or regressions, pins kept deliberately.
 #   (q359 was initially kept at 0.92, then converted after a second
 #   independent probe confirmed the win: 0.89 min-of-4.)
-# r13: q298/q366 removed — their total-order conversions hold() the
+# r13: q185 converted to overlapped eager holds (7.9 -> 5.7 s);
+# q298/q366 removed — their total-order conversions hold() the
 # multi-consumer table eagerly, so the cold fan-out is gone.
 ALLOWED_COLD_FANOUT = {
     "q100_dsir_resample",
@@ -59,7 +60,6 @@ ALLOWED_COLD_FANOUT = {
     "q178_ivfpq_recall",
     "q180_embedding_isotropy",
     "q184_equidepth_histogram",
-    "q185_join_estimate_audit",
     "q238_pair_explanations",
     "q261_skyline_3d",
     "q264_winnowing_fingerprints",
