@@ -325,6 +325,8 @@ _MODIFIED_SINCE_GREEN: set[str] = {
     "q185_join_estimate_audit",
     # r13: q270 dropped its single-consumer jac checkpoint:
     "q270_singlelink_cut_sweep",
+    # r13: q349 dropped its single-consumer base pin:
+    "q349_threshold_percolation",
 }
 
 

@@ -3554,7 +3554,12 @@ def q349_threshold_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
-    base = pin(
+    # NOT pinned: base has exactly one consumer (the tagged pin's
+    # materialization), so caching it only paid an InMemoryRelation
+    # round-trip on the pair-scale self-join output — the largest
+    # intermediate of the query. Interleaved min-of-3 A/B at sf0.1:
+    # 12.2 s pinned vs 7.1 s without, rows identical.
+    base = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
