@@ -284,6 +284,11 @@ def test_release_held_takes_lock_against_concurrent_builds(spark):
     """release_held pops under _HELD_LOCK, so a release racing a
     concurrent hold never observes the list mid-mutation and never
     loses a just-appended entry."""
+    # Baseline BEFORE the churn: the session is shared across the whole
+    # test run, so an earlier test's persisted RDD (a pin, a cached
+    # fixture) may legitimately be present — assert we add nothing to
+    # it, not that the session is globally empty.
+    baseline = holds._persistent_ids(spark)
     stop = threading.Event()
     errs: list[BaseException] = []
 
@@ -306,8 +311,8 @@ def test_release_held_takes_lock_against_concurrent_builds(spark):
     holds.release_held()
     assert not errs
     assert not holds._HELD
-    # nothing left persisted either: every appended entry was released
-    assert holds._persistent_ids(spark) == set()
+    # nothing WE persisted is left: every appended entry was released
+    assert holds._persistent_ids(spark) - baseline == set()
 
 
 def test_overlap_max_concurrency_bounds_fanout(spark):
